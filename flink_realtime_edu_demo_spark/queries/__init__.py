@@ -1,0 +1,29 @@
+"""Query modules — importing this package populates the registry.
+
+Each module covers one SURVEY.md §2 section; each registered function is
+a pure ``(spark, sf_dir) -> DataFrame`` so it composes in both batch and
+streaming plans.
+"""
+
+from __future__ import annotations
+
+from importlib import import_module
+
+_MODULES = (
+    "aggregates",
+    "relational",
+    "scalar_fns",
+    "joins",
+    "window_fns",
+    "setops",
+    "streaming_batch",
+    "llm",
+)
+
+
+def load_all() -> None:
+    for m in _MODULES:
+        import_module(f"{__name__}.{m}")
+
+
+load_all()

@@ -1,0 +1,286 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Flink-family semantics: keyed hash aggregation with local/global (map-side
+partial) combine; Spark's groupBy().agg() does partial+final automatically,
+so no mini-batch/local-global knobs are needed (§4). All float sums use the
+exact-decimal trick from registry.dsum for oracle parity.
+
+Scale notes: every query here is a single shuffle on its grouping keys;
+group-key cardinality is tiny relative to input (returnflag×linestatus=6,
+event_type=5, lang=5), so partial aggregation collapses virtually all rows
+map-side — the shuffle moves O(partitions × groups) rows, which holds at
+100 TB unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import dsum, query, sql_dsum
+from ..tables import load
+
+
+@query(
+    "q_agg_basic",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 6)},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the flagship entry() query.
+
+    Flink form: tumbling-less keyed global aggregate (Table API
+    groupBy/select). sum_qty stays a plain double sum (quantities are
+    integral ≤ 2^53, so the sum is exact in any order); price sums go
+    through decimal.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price", 6),
+            dsum(charge, "sum_charge", 6),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS uv,
+           COUNT(*) AS pv
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact UV/PV per event type — the classic Flink edu-demo traffic metric.
+
+    Scale: exact COUNT(DISTINCT) expands to a two-phase plan (distinct
+    shuffle then count); at 100 TB prefer q_agg_approx_uv (HLL) unless
+    exactness is required.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("uv"),
+        F.count(F.lit(1)).alias("pv"),
+    )
+
+
+@query("q_agg_approx_uv")  # rows-only: HLL estimates are engine-specific
+def q_agg_approx_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) UV — the 100 TB-scale variant of
+    q_agg_count_distinct. No oracle: HLL sketches are engine-specific."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_uv")
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           {sql_dsum('CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END',
+                     'big_qty_revenue')},
+           COUNT(*) AS n_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — Flink SQL FILTER / CASE-in-agg pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        dsum(
+            F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).otherwise(0.0),
+            "big_qty_revenue",
+        ),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(l_quantity) AS s1,
+           SUM(l_quantity * l_quantity) AS s2,
+           COUNT(l_quantity) AS n,
+           SQRT((SUM(l_quantity * l_quantity) - SUM(l_quantity) * SUM(l_quantity) / COUNT(l_quantity))
+                / (COUNT(l_quantity) - 1)) AS stddev_qty,
+           (SUM(l_quantity * l_quantity) - SUM(l_quantity) * SUM(l_quantity) / COUNT(l_quantity))
+                / (COUNT(l_quantity) - 1) AS var_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance via explicit moment sums.
+
+    l_quantity is integral, so SUM(x) and SUM(x²) are exact integers in
+    double in any accumulation order; the final sqrt/divide is then the
+    same scalar computation in both engines → bit-identical (native
+    stddev_samp would use Welford-style accumulation whose rounding is
+    order- and engine-dependent).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    g = li.groupBy("l_linestatus").agg(
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.count(q).alias("n"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return g.select(
+        "l_linestatus", "s1", "s2", "n",
+        F.sqrt(var).alias("stddev_qty"),
+        var.alias("var_qty"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / collect_set, made deterministic by sorting + joining to a
+    string (array value formatting differs between engines; a string does
+    not)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls,
+           SUM(l_quantity) AS sum_qty,
+           {sql_dsum('l_extendedprice', 'sum_price')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers (Flink SQL GROUPING SETS family)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "sum_price", "n")
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'spend')}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation filter."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT event_type,
+           median(value_c) AS median_value,
+           quantile_cont(value_c, 0.9) AS p90_value
+    FROM (SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_c
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation). Both engines sort the group
+    and interpolate a + (b-a)*f identically; values are pre-rounded to
+    cents (exact decimal→double) so inputs are bit-identical."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)").cast("double")
+    return ev.select("event_type", v.alias("value_c")).groupBy("event_type").agg(
+        F.expr("percentile(value_c, 0.5)").alias("median_value"),
+        F.expr("percentile(value_c, 0.9)").alias("p90_value"),
+    )
+
+
+@query(
+    "q_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           ts AS last_ts
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert normalization: latest row per key (Flink upsert source /
+    deduplication top-1 pattern, flink-cdc dim-table sync). event_id breaks
+    ts ties deterministically.
+
+    Scale: one shuffle on user_id; at 100 TB with skewed hot keys, AQE
+    skew-split handles the window's sort partitions.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )

@@ -1,0 +1,249 @@
+"""Scalar function families (SURVEY.md §2.8) — Flink SQL built-ins mapped
+to pyspark.sql.functions. All JVM-side expressions inside whole-stage
+codegen; no Python UDFs.
+
+Cross-engine parity notes (each encoded in the paired oracle SQL):
+- Spark dayofweek() is 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6.
+- Spark CAST(double AS BIGINT) truncates toward zero; DuckDB rounds —
+  oracle uses trunc() explicitly.
+- round() on positive doubles: Spark HALF_UP == DuckDB half-away-from-zero.
+- ln/log10/exp may differ by 1 ulp between libm and the JVM intrinsic —
+  outputs are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_up,
+           lower(c_mktsegment) AS seg_lo,
+           substring(c_name, 1, 8) AS name_pre,
+           length(c_name) AS name_len,
+           trim(concat('  ', c_name, '  ')) AS name_trim,
+           concat(c_name, '#', c_mktsegment) AS name_seg,
+           replace(c_name, 'Customer', 'Cust') AS name_repl,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_novowel,
+           instr(c_name, '0') AS pos0,
+           split_part(c_name, '#', 1) AS name_part,
+           (c_name LIKE '%1%') AS has1
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: case, substring, trim, concat, replace, pad,
+    regex, search, split."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.lower("c_mktsegment").alias("seg_lo"),
+        F.substring("c_name", 1, 8).alias("name_pre"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trim"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("seg_novowel"),
+        F.instr(F.col("c_name"), "0").cast("long").alias("pos0"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_part"),
+        F.col("c_name").like("%1%").alias("has1"),
+    )
+
+
+@query(
+    "q_fn_datetime",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(dayofmonth(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(quarter(ts) AS INT) AS q,
+           strftime(ts, '%Y-%m') AS ym,
+           ts + INTERVAL 90 MINUTE AS ts_plus,
+           ts - INTERVAL 1 DAY AS ts_minus_day,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS INT) AS days_since,
+           CAST(trunc(epoch(ts)) AS BIGINT) AS unix_s,
+           CAST(ts AS DATE) AS d_date
+    FROM events
+    """,
+)
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: EXTRACT, FLOOR(ts TO unit), format, interval
+    arithmetic, TIMESTAMPDIFF (Flink SQL temporal built-ins)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("ts_hour"),
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("ts_day"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dow"),
+        F.quarter("ts").alias("q"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+        (F.col("ts") + F.make_interval(mins=F.lit(90))).alias("ts_plus"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_minus_day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("unix_s"),
+        F.col("ts").cast("date").alias("d_date"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 100000)       AS abs_diff,
+           round(o_totalprice, 1)           AS p_round1,
+           round(o_totalprice)              AS p_round0,
+           CAST(ceil(o_totalprice) AS BIGINT)  AS p_ceil,
+           CAST(floor(o_totalprice) AS BIGINT) AS p_floor,
+           sqrt(o_totalprice)               AS p_sqrt,
+           CAST(o_orderkey % 7 AS BIGINT)   AS key_mod,
+           CAST(sign(o_totalprice - 100000) AS DOUBLE) AS diff_sign,
+           greatest(o_totalprice, 50000.0)  AS p_hi,
+           least(o_totalprice, 50000.0)     AS p_lo,
+           o_totalprice * o_totalprice      AS p_sq,
+           round(ln(o_totalprice), 6)       AS p_ln,
+           round(log10(o_totalprice), 6)    AS p_log10,
+           round(power(o_totalprice, 0.5) - sqrt(o_totalprice), 6) + 0.0 AS pow_chk
+    FROM orders
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt/abs/ceil/floor/mod/sign/greatest/least are
+    IEEE-exact; ln/log10/power rounded to 6 decimals (1-ulp libm vs JVM
+    intrinsic divergence)."""
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(p - 100000).alias("abs_diff"),
+        F.round(p, 1).alias("p_round1"),
+        F.round(p, 0).alias("p_round0"),
+        F.ceil(p).alias("p_ceil"),
+        F.floor(p).alias("p_floor"),
+        F.sqrt(p).alias("p_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.signum(p - 100000).alias("diff_sign"),
+        F.greatest(p, F.lit(50000.0)).alias("p_hi"),
+        F.least(p, F.lit(50000.0)).alias("p_lo"),
+        (p * p).alias("p_sq"),
+        F.round(F.log(p), 6).alias("p_ln"),
+        F.round(F.log10(p), 6).alias("p_log10"),
+        (F.round(F.pow(p, 0.5) - F.sqrt(p), 6) + 0.0).alias("pow_chk"),
+    )
+
+
+@query(
+    "q_fn_cast",
+    oracle="""
+    SELECT e.event_id,
+           CAST(trunc(e.value) AS BIGINT) AS value_int,
+           CAST(e.user_id AS DOUBLE) AS uid_d,
+           CAST(e.user_id AS VARCHAR) AS uid_s,
+           CAST(CAST(e.user_id AS VARCHAR) AS BIGINT) AS uid_rt,
+           CAST(e.ts AS DATE) AS ts_date,
+           CAST(CAST(e.ts AS DATE) AS VARCHAR) AS ts_date_s,
+           CAST(e.value AS DECIMAL(12,3)) AS value_dec,
+           CAST(e.user_id % 2 = 0 AS BOOLEAN) AS uid_even,
+           CAST(CAST(e.user_id % 2 = 0 AS BOOLEAN) AS INT) AS uid_even_i
+    FROM events e
+    """,
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST across every §1.3 type family. double→int goes through an
+    explicit truncation contract (Spark cast truncates; DuckDB cast
+    rounds, so the oracle uses trunc())."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("long").alias("value_int"),
+        F.col("user_id").cast("double").alias("uid_d"),
+        F.col("user_id").cast("string").alias("uid_s"),
+        F.col("user_id").cast("string").cast("long").alias("uid_rt"),
+        F.col("ts").cast("date").alias("ts_date"),
+        F.col("ts").cast("date").cast("string").alias("ts_date_s"),
+        F.col("value").cast("decimal(12,3)").alias("value_dec"),
+        (F.col("user_id") % 2 == 0).alias("uid_even"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("uid_even_i"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_c,
+           embedding[64] AS last_c,
+           list_contains(list_transform(embedding, x -> x > 2.0), true) AS has_gt2,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) AS norm_sq,
+           list_sort(list_transform(list_slice(embedding, 1, 4),
+                     x -> round(CAST(x AS DOUBLE), 3) + 0.0)) AS head4_sorted
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order functions: size, element_at, slice,
+    transform, aggregate (the dot-product building block for §2.11
+    similarity search). The fold order (left, 0-seeded) matches DuckDB's
+    list_reduce left fold, so the double accumulation is bit-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    xsq = F.transform(emb, lambda x: x.cast("double") * x.cast("double"))
+    return e.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        F.element_at(emb, 1).alias("first_c"),
+        F.element_at(emb, 64).alias("last_c"),
+        F.array_contains(F.transform(emb, lambda x: x > 2.0), True).alias("has_gt2"),
+        F.aggregate(xsq, F.lit(0.0), lambda a, x: a + x).alias("norm_sq"),
+        F.array_sort(
+            # +0.0 collapses -0.0 to 0.0 identically in both engines
+            F.transform(F.slice(emb, 1, 4), lambda x: F.round(x.cast("double"), 3) + 0.0)
+        ).alias("head4_sorted"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           json_array_length(json_keys(props)) AS n_keys,
+           CAST(json_keys(props)[1] AS VARCHAR) AS first_key
+    FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family over the JSON props column: from_json → MAP<STRING,BIGINT>,
+    then element_at / map_keys / size (Flink MAP type + JSON format)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )

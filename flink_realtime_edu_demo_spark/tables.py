@@ -1,0 +1,150 @@
+"""Schema registry + loader for the driver fixture tables (FIXTURES.md).
+
+Schemas are declared explicitly — never inferred (SURVEY.md §1.4):
+inference is nondeterministic at 100 TB (footer-sampling order) and the
+DuckDB hash-match needs stable column types.
+
+Timestamp handling (SURVEY.md §5.3):
+- ``orders.o_orderdate`` / ``lineitem.l_shipdate`` are parquet
+  timestamp[ms], isAdjustedToUTC=false → read as TIMESTAMP_NTZ.
+- ``events.ts`` is parquet timestamp[ns], which Spark's parquet reader
+  rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw int64
+  nanos via the runtime-settable ``spark.sql.legacy.parquet.nanosAsLong``
+  conf and rebuild a TIMESTAMP_NTZ at microsecond precision (fixture
+  data is exactly μs-aligned, verified; DuckDB's ns→μs cast agrees).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at every fixture sf
+# (region 5, nation 25, supplier ≤1k, customer ≤15k, part ≤20k rows at
+# sf0.1). At 100 TB, customer/part stop being broadcastable — drop them
+# from this set and let sort-merge + AQE take over.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def _s(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+SCHEMAS: dict[str, StructType] = {
+    "region": _s(("r_regionkey", IntegerType()), ("r_name", StringType())),
+    "nation": _s(
+        ("n_nationkey", IntegerType()),
+        ("n_name", StringType()),
+        ("n_regionkey", IntegerType()),
+    ),
+    "supplier": _s(
+        ("s_suppkey", LongType()),
+        ("s_name", StringType()),
+        ("s_nationkey", IntegerType()),
+        ("s_acctbal", DoubleType()),
+    ),
+    "customer": _s(
+        ("c_custkey", LongType()),
+        ("c_name", StringType()),
+        ("c_nationkey", IntegerType()),
+        ("c_acctbal", DoubleType()),
+        ("c_mktsegment", StringType()),
+    ),
+    "part": _s(
+        ("p_partkey", LongType()),
+        ("p_name", StringType()),
+        ("p_brand", StringType()),
+        ("p_type", StringType()),
+        ("p_size", IntegerType()),
+        ("p_retailprice", DoubleType()),
+    ),
+    "orders": _s(
+        ("o_orderkey", LongType()),
+        ("o_custkey", LongType()),
+        ("o_orderstatus", StringType()),
+        ("o_totalprice", DoubleType()),
+        ("o_orderdate", TimestampNTZType()),
+        ("o_orderpriority", StringType()),
+    ),
+    "lineitem": _s(
+        ("l_orderkey", LongType()),
+        ("l_partkey", LongType()),
+        ("l_suppkey", LongType()),
+        ("l_linenumber", IntegerType()),
+        ("l_quantity", DoubleType()),
+        ("l_extendedprice", DoubleType()),
+        ("l_discount", DoubleType()),
+        ("l_tax", DoubleType()),
+        ("l_returnflag", StringType()),
+        ("l_linestatus", StringType()),
+        ("l_shipdate", TimestampNTZType()),
+    ),
+    # events.ts declared as Long here (raw nanos); load() rebuilds the
+    # TIMESTAMP_NTZ column. Public schema (post-load) has ts: timestamp_ntz.
+    "events": _s(
+        ("event_id", LongType()),
+        ("ts", LongType()),
+        ("user_id", LongType()),
+        ("event_type", StringType()),
+        ("value", DoubleType()),
+        ("props", StringType()),
+    ),
+    "documents": _s(
+        ("doc_id", LongType()),
+        ("text", StringType()),
+        ("lang", StringType()),
+        ("source", StringType()),
+        ("n_chars", LongType()),
+    ),
+    "embeddings": _s(
+        ("vec_id", LongType()),
+        ("embedding", ArrayType(FloatType())),
+        ("label", IntegerType()),
+    ),
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a batch DataFrame with its declared schema."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # Runtime-settable legacy conf; required because the fixture is
+        # TIMESTAMP(NANOS) which the parquet reader otherwise rejects.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(SCHEMAS[name]).parquet(path)
+        # ns → μs is exact on this data (μs-aligned); `div` keeps it integral.
+        # timestamp_micros yields TIMESTAMP; cast to NTZ under UTC session
+        # semantics matches DuckDB's naive read of the same file.
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
+
+
+def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a dimension table with a broadcast hint when it qualifies."""
+    df = load(spark, sf_dir, name)
+    return F.broadcast(df) if name in BROADCAST_DIMS else df
