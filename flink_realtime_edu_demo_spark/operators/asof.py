@@ -1,0 +1,122 @@
+"""As-of (temporal) join — Flink's ``FOR SYSTEM_TIME AS OF`` / versioned
+temporal join (SURVEY.md §2.3, §7 hard part #2).
+
+Spark has no native as-of join. Two implementations behind one API:
+
+1. ``asof_join`` — the 100 TB scale path: union probe and reference
+   rows, one shuffle on the key, and a running ``last(ignorenulls)``
+   window fills each probe row with the most recent reference value at
+   or before its timestamp. Cost: a single sort-shuffle on
+   ``(keys, ts, side)`` — no range explosion, no per-row lookup, skew
+   handled by AQE like any window. This is the same
+   union-and-fill lowering DuckDB/kdb use for ASOF.
+
+2. ``asof_join_pandas`` — clarity/reference path: cogroup the two
+   sides per key and run ``pandas.merge_asof`` inside
+   ``applyInPandas``. Arrow-batched; fine when each key's history fits
+   in memory, used to cross-check the window implementation.
+
+Semantics (both): for each probe row, the reference row with the
+greatest ``ref_ts <= probe_ts`` per key; ties on ``ref_ts`` take the
+reference row that sorts last on ``tie_break`` (pass a unique column to
+make results deterministic). Probe rows with no earlier reference get
+NULL values (left as-of join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    ref_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join, window lowering (scale path).
+
+    Returns ``probe.* + value_cols`` where value_cols come from the most
+    recent ``ref`` row with ``ref_ts <= probe_ts`` for the same keys.
+    Equal timestamps match (the reference sorts before the probe).
+    """
+    probe_cols = probe.columns
+    # side=0 sorts reference rows before probe rows at equal ts, so a
+    # reference at exactly probe_ts is visible to that probe.
+    ref_tagged = ref.select(
+        *[F.col(k) for k in keys],
+        F.col(ref_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_cols if c not in keys],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    probe_tagged = probe.select(
+        *[F.col(k) for k in keys],
+        F.col(probe_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in probe_cols if c not in keys],
+        *[F.lit(None).cast(ref.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = probe_tagged.unionByName(ref_tagged).select(
+        *probe_tagged.columns[: len(probe_tagged.columns) - len(value_cols)],
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols],
+    )
+    out = filled.filter(F.col("__side") == 1)
+    return out.select(
+        *[F.col(k) for k in keys],
+        F.col("__ts").alias(probe_ts),
+        *[F.col(c) for c in probe_cols if c not in keys and c != probe_ts],
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    )
+
+
+def asof_join_pandas(
+    probe: DataFrame,
+    ref: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    ref_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join via cogrouped ``pandas.merge_asof`` (reference path)."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_fields = [f for f in probe.schema.fields] + [
+        StructField(c, ref.schema[c].dataType, True) for c in value_cols
+    ]
+    out_schema = StructType(out_fields)
+    probe_cols = probe.columns
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        left = left.assign(__on=left[probe_ts]).sort_values("__on", kind="mergesort")
+        # Rebuild the reference frame under collision-free names (ref_ts
+        # may itself be one of value_cols).
+        mf = pd.DataFrame({k: right[k] for k in keys})
+        mf["__on"] = right[ref_ts]
+        for c in value_cols:
+            mf[f"__r_{c}"] = right[c]
+        mf = mf.sort_values("__on", kind="mergesort")
+        merged = pd.merge_asof(
+            left, mf, on="__on", by=keys, direction="backward", allow_exact_matches=True
+        )
+        for c in value_cols:
+            merged[c] = merged[f"__r_{c}"]
+        return merged[probe_cols + value_cols]
+
+    return (
+        probe.groupBy(*keys)
+        .cogroup(ref.groupBy(*keys))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -1,0 +1,122 @@
+"""MinHash + LSH near-duplicate detection (SURVEY.md §2.11) — the 100 TB
+scale path for fuzzy dedup (Broder's MinHash, banded LSH as in MMDS ch.3).
+
+Everything is DataFrame composition — no crossJoin anywhere:
+
+1. shingles(): w-word shingles per doc via a sliding slice over the
+   tokenized text (distinct per doc).
+2. minhash_signatures(): one groupBy producing NUM_HASHES min-hash
+   values as independent aggregate columns; hash_j(s) = xxhash64(s, j)
+   — a keyed 64-bit hash, all JVM-side.
+3. lsh_candidate_pairs(): split each signature into BANDS bands of
+   ROWS_PER_BAND values, hash each band, explode → (band_id, band_hash)
+   buckets, self-join buckets, distinct pairs. Collision probability of
+   a pair with Jaccard j is 1-(1-j^r)^b (r=4, b=16 → ~0.5 at j≈0.5).
+
+Shuffle profile at scale: shingle explode is a narrow map; signatures
+are one shuffle on doc_id; banding is a narrow map + one shuffle on
+(band, hash); the bucket self-join only pairs within buckets —
+worst-case skew (a degenerate bucket) is bounded by capping bucket
+width (MAX_BUCKET, drop pathological buckets, standard LSH practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // BANDS
+MAX_BUCKET = 64  # drop degenerate buckets wider than this (skew guard)
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             w: int = 3) -> DataFrame:
+    """Distinct w-word shingles per document: (id_col, shingle)."""
+    words = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - w, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, w), " "))
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(id_col, sig: array<bigint>[num_hashes]) — one aggregation, num_hashes
+    min() columns assembled into an array."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    # Skew guard: drop degenerate buckets (e.g. a shingle-free corpus
+    # collapsing everything into one bucket) before the self-join.
+    sized = buckets.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_n") <= MAX_BUCKET)
+    a = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-Jaccard similar pairs via inverted index — no
+    crossJoin: join docs through shared shingles, count intersections,
+    derive union from per-doc shingle counts.
+
+    Returns (id_a, id_b, n_common, n_a, n_b, jaccard) with id_a < id_b
+    and jaccard >= threshold. The division is int/int on identical
+    operands → engine-exact.
+    """
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )

@@ -1,1 +1,292 @@
-"""Placeholder — populated in Phase 1+."""
+"""Join operators (SURVEY.md §2.3) — the full Flink Table/SQL join surface.
+
+Physical strategy notes (the part that matters at 100 TB):
+- fact⋈dim joins broadcast the dim (tables.dim adds the hint; AQE would
+  convert anyway under threshold) → no shuffle of the fact side;
+- fact⋈fact (lineitem⋈orders) is a sort-merge join on the key — both
+  sides shuffle once; bucketing both tables by the key at write time
+  removes that shuffle entirely in a real deployment;
+- the theta join keeps one side aggregated-small so the
+  BroadcastNestedLoopJoin is bounded;
+- interval/window joins pre-filter by equi-keys (user_id, window) so the
+  range predicate only runs within key groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.asof import asof_join
+from ..registry import dsum, query, sql_dsum
+from ..tables import dim, load
+
+
+@query(
+    "q_join_inner",
+    oracle=f"""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 6)}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact⋈dim equi join: lineitem⋈orders is sort-merge (both big),
+    ⋈customer is broadcast-hash (dim hint)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = dim(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(revenue, "revenue", 6))
+    )
+
+
+@query(
+    "q_join_left",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           {sql_dsum('coalesce(o.o_totalprice, 0)', 'spend')}
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer dim-enrich: customers keep a row even with no orders
+    (COUNT of the join column stays 0 there)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "spend"),
+        )
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(cn.n_cust, 0) AS n_cust,
+           coalesce(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nations with customers but no
+    suppliers survive, and vice versa)."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nk2")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cn.join(sn, cn.nk == sn.nk2, "full").select(
+        F.coalesce(F.col("nk"), F.col("nk2")).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1-%')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — IN/EXISTS subquery: customers with ≥1 urgent order.
+    Semi joins never duplicate the left side, so no post-distinct."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority").like("1-%"))
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — NOT EXISTS: customers with no orders at all."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT s1.s_suppkey,
+           COUNT(s2.s_suppkey) AS n_richer
+    FROM supplier s1
+    LEFT JOIN supplier s2
+      ON s2.s_acctbal > s1.s_acctbal
+    GROUP BY s1.s_suppkey
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) self join: for each supplier, how many have a
+    strictly larger balance. Physical plan: BroadcastNestedLoopJoin —
+    bounded because supplier is a dim (≤1k rows at sf0.1). At 100 TB
+    this shape becomes a sort + rank, not a join; kept here for §2.3
+    operator parity."""
+    s = load(spark, sf_dir, "supplier")
+    s1 = s.select(F.col("s_suppkey"), F.col("s_acctbal").alias("bal1"))
+    s2 = s.select(F.col("s_suppkey").alias("k2"), F.col("s_acctbal").alias("bal2"))
+    return (
+        s1.join(F.broadcast(s2), F.col("bal2") > F.col("bal1"), "left")
+        .groupBy("s_suppkey")
+        .agg(F.count("k2").alias("n_richer"))
+    )
+
+
+@query(
+    "q_join_cross_topk",
+    oracle="""
+    SELECT r.r_name, p.o_orderpriority, r.r_regionkey * 10 + p.pr AS pair_rank
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority,
+                       CAST(substring(o_orderpriority, 1, 1) AS INT) AS pr
+                FROM orders) p
+    """,
+)
+def q_join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (pair enumeration) over two small inputs — the building
+    block the brute-force similarity search (§2.11) uses."""
+    r = load(spark, sf_dir, "region")
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn("pr", F.substring("o_orderpriority", 1, 1).cast("int"))
+    )
+    return r.crossJoin(p).select(
+        "r_name",
+        "o_orderpriority",
+        (F.col("r_regionkey") * 10 + F.col("pr")).alias("pair_rank"),
+    )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT v.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(min(date_diff('second', v.ts, p.ts)) AS BIGINT) AS min_gap_s
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (Flink stream-stream interval join, §2.9): purchases
+    within 1h after a view by the same user. The equi key (user_id)
+    bounds the range scan; in streaming the same plan runs with
+    watermarks on both sides for state cleanup."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(
+                (F.unix_timestamp(F.col("p_ts").cast("timestamp"))
+                 - F.unix_timestamp(F.col("v_ts").cast("timestamp")))
+            ).alias("min_gap_s"),
+        )
+    )
+
+
+@query(
+    "q_join_window",
+    oracle="""
+    WITH v AS (SELECT user_id, date_trunc('hour', ts) AS w, COUNT(*) AS n_views
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         p AS (SELECT user_id, date_trunc('hour', ts) AS w, COUNT(*) AS n_purch
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT v.user_id, CAST(v.w AS TIMESTAMP) AS window_start, v.n_views, p.n_purch
+    FROM v JOIN p ON v.user_id = p.user_id AND v.w = p.w
+    """,
+)
+def q_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window join (Flink 1.14 window join): rows of two streams that fall
+    in the same tumbling hour for the same key."""
+    ev = load(spark, sf_dir, "events")
+    w = F.date_trunc("hour", "ts").cast("timestamp_ntz")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", w.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"), w.alias("p_w"))
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    return v.join(
+        p, (v.user_id == p.p_user) & (v.window_start == p.p_w)
+    ).select("user_id", "window_start", "n_views", "n_purch")
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal/as-of join (FOR SYSTEM_TIME AS OF): each click enriched
+    with the user's most recent purchase time at or before it. Uses the
+    union-and-fill window lowering (operators/asof.py); the DuckDB oracle
+    uses its native ASOF JOIN — matching results validate the lowering."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("last_purchase_ts")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        probe_ts="ts",
+        ref_ts="last_purchase_ts",
+        value_cols=["last_purchase_ts"],
+    ).select("event_id", "user_id", "ts", "last_purchase_ts")

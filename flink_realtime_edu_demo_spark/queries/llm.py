@@ -1,1 +1,312 @@
-"""Placeholder — populated in Phase 1+."""
+"""LLM-data-pipeline operators (SURVEY.md §2.11, driver extension):
+dedup (exact / fuzzy / MinHash-LSH), similarity search (brute-force +
+LSH-bucketed ANN), text analysis (tokens, TF-IDF, quality, language-ID,
+fingerprinting) over the documents/embeddings fixtures.
+
+Scale design: nothing here crossJoins the corpus against itself except
+the bounded brute-force kNN baseline (|queries| fixed). Fuzzy dedup
+goes through an inverted shingle index; ANN goes through SimHash
+buckets; all text metrics are JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.annsearch import cosine_topk, lsh_topk
+from ..operators.minhash import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+)
+from ..registry import query
+from ..tables import load
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+@query(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies,
+           md5(text) AS text_md5
+    FROM documents
+    GROUP BY text
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical texts, keep the smallest doc_id.
+    At 100 TB group on a hash of the text (shuffle moves 16-byte keys,
+    not documents) — md5 doubles as the oracle-checkable fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("keep_doc_id", "n_copies", "text_md5")
+    )
+
+
+@query(
+    "q_llm_dedup_fuzzy",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+           FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+               FROM sh a JOIN sh b USING (shingle)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           ca.n_sh AS n_a, cb.n_sh AS n_b,
+           n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+    """,
+)
+def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-word-shingle Jaccard >= 0.5 through
+    an inverted shingle index (operators/minhash.jaccard_pairs) — the
+    exact-answer formulation that stays 100 TB-safe (no crossJoin; the
+    only quadratic term is within shared-shingle groups)."""
+    d = load(spark, sf_dir, "documents")
+    return jaccard_pairs(shingles(d), threshold=0.5)
+
+
+@query("q_llm_minhash_lsh")  # rows-only: LSH candidates are probabilistic
+def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (64 hashes) + banded LSH (16×4) candidate pairs — the
+    sub-quadratic scale path whose recall target is the q_llm_dedup_fuzzy
+    exact answer (tests assert recall=1.0 on the fixtures at j>=0.85)."""
+    d = load(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(shingles(d)))
+
+
+@query(
+    "q_llm_knn",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS vec_id, c.vec_id AS c_id,
+               list_reduce(list_transform(generate_series(1, len(q.e)),
+                                          i -> q.e[i] * c.e[i]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(c.e, x -> x * x), (a, b) -> a + b)))
+                   AS cosine
+        FROM q, v c
+        WHERE q.vec_id <> c.vec_id
+    )
+    SELECT vec_id, c_id AS neighbor_id, rank, round(cosine, 6) AS cosine_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, c_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for 10 query vectors
+    (operators/annsearch.cosine_topk). The dot product is a left fold
+    seeded at 0.0 in both engines → bit-identical doubles; cosine is
+    surfaced rounded to 6."""
+    e = load(spark, sf_dir, "embeddings")
+    out = cosine_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+    return out.select(
+        "vec_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+@query("q_llm_knn_ivf")  # rows-only: bucketed ANN is approximate by design
+def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-bucketed ANN (8 fixed hyperplanes, Hamming<=1 multi-probe,
+    exact re-rank within candidates) — the 100 TB path where each query
+    touches ~9/256 of the corpus instead of all of it."""
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_topk(e, k=5)
+
+
+@query(
+    "q_llm_tfidf",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, t.tok FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        WHERE length(t.tok) > 0
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok AS token, tf.tf, df.df,
+           round(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6) AS idf_r,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf_r
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    WHERE tf.doc_id < 50
+    """,
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + smoothed TF-IDF (sklearn-style idf = ln((N+1)/(df+1))+1).
+    tf/df are exact ints; idf rounded to 6 (ln is the only 1-ulp risk).
+    df is computed over the FULL corpus; output restricted to doc_id<50."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; at scale read from table stats instead
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(df, "token")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(idf, 6).alias("idf_r"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf_r"),
+        )
+    )
+
+
+@query(
+    "q_llm_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w,
+               length(text) AS len_txt,
+               length(replace(text, ' ', '')) AS len_nospace
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio,
+           len_nospace * 1.0 / len(w) AS avg_token_len,
+           CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','in','to','is'], t)))
+                AS BIGINT) AS n_stop,
+           len(list_filter(w, t -> list_contains(['the','a','of','and','in','to','is'], t)))
+               * 1.0 / len(w) AS stop_ratio,
+           (n_chars BETWEEN 100 AND 2000)
+               AND len(w) >= 20
+               AND len(list_distinct(w)) * 1.0 / len(w) >= 0.2 AS passes_quality
+    FROM toks
+    """,
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token stats, type-token ratio,
+    stopword ratio, and a Gopher-style length/diversity filter flag.
+    All ratios are int/int divisions on identical operands → exact."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_tok = F.size(w)
+    n_dis = F.size(F.array_distinct(w))
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct"),
+        (n_dis / n_tok).alias("distinct_ratio"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tok).alias(
+            "avg_token_len"
+        ),
+        n_stop.cast("long").alias("n_stop"),
+        (n_stop / n_tok).alias("stop_ratio"),
+        (
+            F.col("n_chars").between(100, 2000)
+            & (n_tok >= 20)
+            & ((n_dis / n_tok) >= 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+@query(
+    "q_llm_lang_id",
+    oracle="""
+    WITH sc AS (
+        SELECT doc_id, lang AS lang_label, string_split(text, ' ') AS w FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang_label,
+               len(list_filter(w, t -> list_contains(['the','and','of','is','a'], t))) AS s_en,
+               len(list_filter(w, t -> list_contains(['le','la','et','un','est'], t))) AS s_fr,
+               len(list_filter(w, t -> list_contains(['el','y','de','que','es'], t))) AS s_es,
+               len(list_filter(w, t -> list_contains(['der','und','die','das','ist'], t))) AS s_de
+        FROM sc
+    )
+    SELECT doc_id, lang_label, s_en, s_fr, s_es, s_de,
+           CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS lang_pred
+    FROM scored
+    """,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (n-gram/stopword scoring with a
+    deterministic argmax tie-break order en>fr>es>de). The fixture text
+    is synthetic word-soup, so the interesting output is the score
+    columns + deterministic prediction, compared exactly."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    markers = {
+        "s_en": ("the", "and", "of", "is", "a"),
+        "s_fr": ("le", "la", "et", "un", "est"),
+        "s_es": ("el", "y", "de", "que", "es"),
+        "s_de": ("der", "und", "die", "das", "ist"),
+    }
+    def marker_count(ms: tuple[str, ...]):
+        return lambda t: t.isin(*ms)
+
+    scores = {
+        k: F.size(F.filter(w, marker_count(ms))).cast("long").alias(k)
+        for k, ms in markers.items()
+    }
+    scored = d.select("doc_id", F.col("lang").alias("lang_label"), *scores.values())
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") >= F.col("s_de")), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return scored.withColumn("lang_pred", pred)
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           substring(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8)
+               AS fp_prefix,
+           length(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_len
+    FROM documents
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text (the content-defined key used for cross-shard dedup joins at
+    100 TB — the shuffle moves 16-byte keys, never documents)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = F.md5(norm.cast("binary"))
+    return d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("fp_prefix"),
+        F.length(F.regexp_replace("text", r"\s+", " ")).cast("long").alias("norm_len"),
+    )

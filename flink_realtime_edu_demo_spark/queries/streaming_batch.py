@@ -1,1 +1,227 @@
-"""Placeholder — populated in Phase 1+."""
+"""Streaming operators in their batch-verifiable form (SURVEY.md §2.9).
+
+Each transform here is the exact DataFrame function the streaming mode
+reuses (streaming/ wires the same functions behind readStream +
+withWatermark); running it on a batch read gives the DuckDB oracle a
+target. Window semantics are Flink's: tumble/hop windows are epoch-
+aligned half-open [start, end); session windows close after a gap with
+end = last_event + gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..operators.funnel import funnel
+from ..registry import dsum, query, sql_dsum
+from ..tables import load
+
+
+@query(
+    "q_stream_tumble",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE(ts, 1 hour) per event_type — Spark window() aggregate.
+    In streaming: same plan behind withWatermark (streaming/jobs.py)."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_stream_hop",
+    oracle=f"""
+    WITH grid AS (
+        SELECT *,
+               to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+                   AT TIME ZONE 'UTC' AS slot
+        FROM events
+    ),
+    hopped AS (
+        SELECT g.*, CAST(g.slot - k.k * INTERVAL 15 MINUTE AS TIMESTAMP) AS window_start
+        FROM grid g, unnest(generate_series(0, 3)) AS k(k)
+    )
+    SELECT window_start,
+           CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM hopped
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP(ts, slide 15 min, size 1 hour): each event lands in 4 windows.
+    Spark window(ts, size, slide) replicates rows per hop — same
+    expansion the oracle builds explicitly with generate_series."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, sess
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION(ts, gap 30 min) per user — Spark session_window. A new
+    session starts when the gap since the previous event exceeds 30 min;
+    session_end = last event + gap (Flink/Spark agree). The oracle is
+    the classic gaps-and-islands rewrite."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup, keep-first semantics (Flink's row_number()=1 dedup
+    pattern; dropDuplicatesWithinWatermark in stream mode). Deterministic
+    first = earliest (ts, event_id), unlike bare dropDuplicates."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS step_1_ts
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS step_2_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.step_1_ts
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS step_3_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.step_2_ts
+               GROUP BY e.user_id)
+    SELECT v.user_id, v.step_1_ts, c.step_2_ts, p.step_3_ts
+    FROM v JOIN c ON v.user_id = c.user_id
+           JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel per user (CEP/MATCH_RECOGNIZE special
+    case): earliest strictly-ordered chain via operators.funnel."""
+    ev = load(spark, sf_dir, "events")
+    return funnel(ev, steps=["view", "click", "purchase"]).select(
+        "user_id", "step_1_ts", "step_2_ts", "step_3_ts"
+    )
+
+
+@query(
+    "q_stream_late_branch",
+    oracle="""
+    WITH marked AS (
+        SELECT *,
+               max(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_ts_so_far
+        FROM events
+    )
+    SELECT CASE WHEN ts < max_ts_so_far - INTERVAL 10 MINUTE THEN 'late' ELSE 'ontime' END
+               AS lateness,
+           COUNT(*) AS n
+    FROM marked
+    GROUP BY 1
+    """,
+)
+def q_stream_late_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data side-output emulation (§7 hard part #3): Spark drops
+    late rows silently, so the 'late branch' is a filter against the
+    running max event time (arrival order ≈ event_id). Counts how many
+    rows a 10-minute bounded-out-of-orderness watermark would have
+    dropped — the observable half of Flink's allowed-lateness side
+    output. VLDB'21 (PAPERS.md) is the semantics citation."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("max_ts_so_far", F.max("ts").over(w))
+        .select(
+            F.when(
+                F.col("ts") < F.col("max_ts_so_far") - F.expr("INTERVAL 10 MINUTE"),
+                "late",
+            )
+            .otherwise("ontime")
+            .alias("lateness")
+        )
+        .groupBy("lateness")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

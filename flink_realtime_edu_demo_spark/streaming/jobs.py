@@ -1,0 +1,119 @@
+"""Streaming jobs (SURVEY.md §2.9) — the genuinely streaming half of the
+engine: watermarks, windowed aggregates, streaming dedup, and
+stream-stream joins as ready-to-run Structured Streaming pipelines.
+
+Design rule: every transformation is a pure DataFrame→DataFrame
+function that also accepts a batch frame — the batch twin is what the
+DuckDB oracle checks (queries/streaming_batch.py); this module adds the
+stream-only pieces: watermark assignment, update/append output modes,
+and state cleanup.
+
+Flink↔Spark semantic deltas (VLDB'21 watermark comparison, PAPERS.md):
+- Flink: per-operator watermark punctuations, per-partition idleness
+  handling, allowed-lateness side outputs.
+- Spark: one global watermark = min over partitions, advanced per
+  micro-batch; late rows beyond it are dropped silently. The
+  late-branch emulation lives in queries/streaming_batch.py
+  (q_stream_late_branch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def with_event_time(df: DataFrame, delay: str = DEFAULT_WATERMARK,
+                    ts_col: str = "ts") -> DataFrame:
+    """WATERMARK FOR ts AS ts - INTERVAL delay. On a batch DataFrame
+    withWatermark is a no-op, which is exactly what makes the batch
+    oracle apply."""
+    if not df.isStreaming:
+        return df
+    # Watermarks require TIMESTAMP (instant); NTZ event time is cast here
+    # and back after windowing.
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, delay
+    )
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour",
+                    delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    """TUMBLE window count+sum per event_type (streaming twin of
+    q_stream_tumble)."""
+    ev = with_event_time(events, delay)
+    return (
+        ev.groupBy(F.window("ts", size).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, size: str = "1 hour", slide: str = "15 minutes",
+                   delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    """HOP window (streaming twin of q_stream_hop)."""
+    ev = with_event_time(events, delay)
+    return (
+        ev.groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n", "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    """SESSION window per user (streaming twin of q_stream_session)."""
+    ev = with_event_time(events, delay)
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
+                    delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming dedup: dropDuplicatesWithinWatermark on the key set —
+    state for a key is dropped once the watermark passes it (Flink's
+    dedup + state TTL). Batch fallback: plain dropDuplicates."""
+    keys = keys or ["user_id", "event_type"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    ev = with_event_time(events, delay)
+    return ev.dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join(views: DataFrame, purchases: DataFrame,
+                  within: str = "1 hour", delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stream-stream interval join (Flink interval join): purchase within
+    `within` after a view, same user. Watermarks on both sides bound the
+    join state; the time-range condition lets Spark GC rows older than
+    watermark - range."""
+    v = with_event_time(views, delay).select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = with_event_time(purchases, delay).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(F.col("v_user").alias("user_id"), "v_ts", "p_ts")

@@ -1,0 +1,60 @@
+"""Sinks (SURVEY.md §2.1/§2.9): checkpointed writeStream +
+idempotent foreachBatch — Spark's answer to Flink's two-phase-commit
+exactly-once sinks.
+
+Exactly-once recipe: checkpointing makes each micro-batch replayable
+with a stable batch_id; the foreachBatch writer keys its write on
+(batch_id) so a replayed batch overwrites rather than duplicates
+(idempotent upsert — same end state as 2PC without the coordinator).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def start_parquet_sink(df: DataFrame, path: str, checkpoint: str,
+                       mode: str = "append") -> StreamingQuery:
+    """File sink with checkpointing (Flink filesystem sink + checkpoints)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .start()
+    )
+
+
+def idempotent_foreach_batch(
+    df: DataFrame,
+    checkpoint: str,
+    write_batch: Callable[[DataFrame, int], None],
+    mode: str = "update",
+) -> StreamingQuery:
+    """foreachBatch wrapper: ``write_batch(batch_df, batch_id)`` MUST be
+    idempotent per batch_id (e.g. partition-overwrite by batch_id, or a
+    keyed MERGE). With checkpointing this yields exactly-once end-to-end
+    effects for replayable sources."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch(batch_df, batch_id)
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .start()
+    )
+
+
+def partition_overwrite_writer(base_path: str) -> Callable[[DataFrame, int], None]:
+    """An idempotent write_batch: each micro-batch lands in its own
+    batch_id=N directory; replays overwrite the same directory."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
+
+    return write

@@ -1,0 +1,104 @@
+"""Operator unit + property tests (SURVEY.md §5.2 items 3/5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_demo_spark.operators.asof import asof_join, asof_join_pandas
+from flink_realtime_edu_demo_spark.operators.funnel import funnel
+from flink_realtime_edu_demo_spark.operators.minhash import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+)
+from flink_realtime_edu_demo_spark.streaming.stateful import user_accumulator_batch
+from flink_realtime_edu_demo_spark.tables import load
+
+
+def test_asof_window_equals_pandas_impl(spark, sf_dir):
+    """The scale-path (window) and reference-path (merge_asof) as-of
+    implementations must agree exactly."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    kw = dict(keys=["user_id"], probe_ts="ts", ref_ts="p_ts", value_cols=["p_ts"])
+    a = asof_join(clicks, purch, **kw)
+    b = asof_join_pandas(clicks, purch, **kw)
+    rows_a = sorted(map(repr, a.select("event_id", "user_id", "ts", "p_ts").collect()))
+    rows_b = sorted(map(repr, b.select("event_id", "user_id", "ts", "p_ts").collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_minhash_lsh_recall_on_near_dups(spark, sf_dir):
+    """LSH candidates must cover every strongly-similar pair (j >= 0.85)
+    found by the exact inverted-index Jaccard — no false negatives on
+    the fixture's planted near-dups."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(sh, threshold=0.85).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(minhash_signatures(sh)).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    assert exact <= cand, f"LSH missed {exact - cand}"
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    once = d.dropDuplicates(["text"])
+    twice = once.dropDuplicates(["text"])
+    assert once.count() == twice.count()
+
+
+def test_funnel_strict_ordering(spark, sf_dir):
+    out = funnel(load(spark, sf_dir, "events"), ["view", "click", "purchase"]).collect()
+    assert out, "some user should complete the funnel"
+    for r in out:
+        assert r.step_1_ts < r.step_2_ts < r.step_3_ts
+
+
+def test_group_sums_equal_total(spark, sf_dir):
+    """Property: sum of group sums == total sum (exact: integral doubles)."""
+    li = load(spark, sf_dir, "lineitem")
+    total = li.agg(F.sum("l_quantity")).collect()[0][0]
+    by_group = (
+        li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+        .agg(F.sum("s")).collect()[0][0]
+    )
+    assert total == by_group
+
+
+def test_union_count_additive(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F")
+    b = o.filter(F.col("o_orderstatus") != "F")
+    assert a.unionByName(b).count() == o.count()
+
+
+def test_stateful_batch_twin_matches_sql(spark, sf_dir):
+    """The applyInPandas accumulator core must agree with the plain SQL
+    aggregate on counts (float sums compared to 1e-9 relative)."""
+    ev = load(spark, sf_dir, "events")
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in user_accumulator_batch(ev).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) <= 1e-9 * max(1.0, abs(want[k][1]))

@@ -1,0 +1,129 @@
+"""Streaming-mode tests (SURVEY.md §5.2 item 4): the same transforms the
+DuckDB oracle checks in batch are run through a real file-based
+Structured Streaming pipeline (multi-file source → micro-batches →
+foreachBatch collect) and must converge to the batch answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_demo_spark.sources.readers import (
+    materialize_stream_input,
+    stream_table,
+)
+from flink_realtime_edu_demo_spark.streaming.jobs import (
+    interval_join,
+    session_counts,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+from flink_realtime_edu_demo_spark.streaming.sinks import (
+    idempotent_foreach_batch,
+    partition_overwrite_writer,
+)
+from flink_realtime_edu_demo_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_in"))
+    materialize_stream_input(spark, sf_dir, "events", out, n_splits=4)
+    return out
+
+
+def run_to_completion(sdf, mode="complete"):
+    """Run a streaming frame until the file source is exhausted; return
+    the final result as a list of Rows (memory sink)."""
+    name = f"mem_{abs(hash(sdf)) % 10_000_000}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def canon_rows(df):
+    return sorted(tuple(repr(v) for v in row) for row in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, stream_dir):
+    stream_result = run_to_completion(
+        tumbling_counts(stream_table(spark, stream_dir, "events"))
+    )
+    batch_result = tumbling_counts(load(spark, sf_dir, "events"))
+    assert canon_rows(stream_result) == canon_rows(batch_result)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, stream_dir):
+    stream_result = run_to_completion(
+        sliding_counts(stream_table(spark, stream_dir, "events"))
+    )
+    batch_result = sliding_counts(load(spark, sf_dir, "events"))
+    assert canon_rows(stream_result) == canon_rows(batch_result)
+
+
+def test_session_stream_matches_batch(spark, sf_dir, stream_dir):
+    stream_result = run_to_completion(
+        session_counts(stream_table(spark, stream_dir, "events"))
+    )
+    batch_result = session_counts(load(spark, sf_dir, "events"))
+    assert canon_rows(stream_result) == canon_rows(batch_result)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, stream_dir):
+    """dropDuplicatesWithinWatermark semantics: duplicates are suppressed
+    while a key's state lives (watermark window); after eviction the key
+    may be re-emitted. So: strictly fewer rows than the input, at least
+    one row per distinct key."""
+    sdf = streaming_dedup(stream_table(spark, stream_dir, "events"))
+    out = run_to_completion(sdf, mode="append")
+    n_in = load(spark, sf_dir, "events").count()
+    n_keys = (
+        load(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
+    )
+    assert n_keys <= out.count() < n_in
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, stream_dir):
+    ev_s = stream_table(spark, stream_dir, "events")
+    views_s = ev_s.filter(F.col("event_type") == "view")
+    purch_s = ev_s.filter(F.col("event_type") == "purchase")
+    out = run_to_completion(interval_join(views_s, purch_s), mode="append")
+
+    ev_b = load(spark, sf_dir, "events")
+    expected = interval_join(
+        ev_b.filter(F.col("event_type") == "view"),
+        ev_b.filter(F.col("event_type") == "purchase"),
+    )
+    # Streaming inner joins may withhold rows near the final watermark;
+    # with availableNow over a bounded file source all rows flush.
+    assert canon_rows(out) == canon_rows(expected)
+
+
+def test_idempotent_sink_replay_safe(spark, stream_dir, tmp_path):
+    """Same batch written twice (simulated replay) must leave one copy —
+    the exactly-once property of the batch_id-keyed overwrite sink."""
+    base = str(tmp_path / "sink_out")
+    writer = partition_overwrite_writer(base)
+    sdf = tumbling_counts(stream_table(spark, stream_dir, "events"))
+    q = idempotent_foreach_batch(
+        sdf, checkpoint=str(tmp_path / "ckpt"), write_batch=writer, mode="complete"
+    )
+    q.awaitTermination(15)
+    q.stop()
+    first = spark.read.parquet(f"{base}/batch_id=0")
+    n_first = first.count()
+    # materialize before replay — the replay overwrites the files the
+    # lazy frame would otherwise re-read
+    snapshot = spark.createDataFrame(first.collect(), first.schema)
+    writer(snapshot, 0)  # replay batch 0 verbatim
+    replayed = spark.read.parquet(f"{base}/batch_id=0")
+    assert replayed.count() == n_first > 0
