@@ -1,0 +1,67 @@
+"""Benchmark runner — times every registered query at the bench scale
+factor and prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_REPEAT  timing repeats per query, best-of (default 1)
+
+Timing = full query wall clock: plan + execute + collect to the driver
+(the driver's own verify collects too). Session startup is excluded;
+a warm-up query primes the JVM/codegen caches first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import flink_realtime_edu_demo_spark.queries  # noqa: F401 — populate registry
+from flink_realtime_edu_demo_spark.registry import QUERIES
+from flink_realtime_edu_demo_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footer caches + codegen
+    QUERIES["q_agg_basic"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for key in sorted(QUERIES):
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 4)
+        print(f"# {key}: {timings[key]:.3f}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "n_queries": len(timings),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

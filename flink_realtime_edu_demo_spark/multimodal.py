@@ -1,0 +1,187 @@
+"""Multimodal columns (SURVEY.md §2.11): image/audio/video as opaque
+BinaryType payloads + typed metadata, with the full Spark-side plumbing
+— schema, partition-friendly layout, Arrow-batched UDF boundaries —
+real and tested, and only the codec itself stubbed (no image/audio
+libraries exist in this container).
+
+100 TB layout rules encoded here:
+- payload is ONE BinaryType column; metadata is a flat struct so
+  predicates on it prune row groups without touching payload bytes
+  (parquet column pruning keeps scans narrow — filtering by mime/width
+  never reads the media bytes);
+- payload-hash dedup ships 16-byte md5 keys through the shuffle, never
+  payloads;
+- decode/feature-extract run via mapInPandas (Arrow batches, bounded
+  batch size) so a 100 MB video row can't blow a worker: batches are
+  bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_KINDS = ("image", "audio", "video")
+_MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table derived from the documents
+    fixture (no media fixtures exist): payload = utf8 bytes of the text,
+    kind/meta derived from doc_id/n_chars. Fully expressible in SQL, so
+    metadata/dedup queries stay oracle-checkable."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    mime = F.element_at(
+        F.array(*[F.lit(_MIMES[k]) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode payloads to fixed-shape feature vectors via mapInPandas.
+
+    ``fake=True`` (default in this container) runs a deterministic
+    stand-in decoder: 8 pseudo-features from the payload's md5 — the
+    Spark plumbing (schema, Arrow batching, partition behavior) is
+    identical to a real codec. ``fake=False`` is the real-codec slot and
+    raises NotImplementedError until PIL/ffmpeg exist in the image.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        if not fake:
+            raise NotImplementedError(
+                "real media decode requires PIL/soundfile/ffmpeg, not present "
+                "in this container; use fake=True for the deterministic stub"
+            )
+        for pdf in batches:
+            feats = [
+                [b / 255.0 for b in hashlib.md5(p).digest()[:8]]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": feats}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def dedup_by_payload(df: DataFrame) -> DataFrame:
+    """Exact media dedup on md5(payload) — the shuffle carries 16-byte
+    hashes + ids only."""
+    return (
+        df.groupBy(F.md5("payload").alias("payload_md5"))
+        .agg(F.min("media_id").alias("keep_media_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def register_queries() -> None:
+    """Register the oracle-checkable multimodal queries."""
+    from .registry import query
+    from .tables import load
+
+    @query(
+        "q_mm_meta_filter",
+        oracle="""
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                               ELSE 'video/mp4' END AS mime,
+               n_chars % 1920 AS width,
+               length(text) AS payload_bytes
+        FROM documents
+        WHERE (n_chars % 1920) >= 200 AND doc_id % 3 = 0
+        """,
+    )
+    def q_mm_meta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Metadata predicate over media without touching payloads: the
+        filter runs on meta/kind columns only (parquet would prune the
+        payload column entirely — verified by ReadSchema in .explain)."""
+        media = media_from_documents(load(spark, sf_dir, "documents"))
+        return media.filter(
+            (F.col("meta.width") >= 200) & (F.col("kind") == "image")
+        ).select(
+            "media_id",
+            "kind",
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").cast("long").alias("width"),
+            F.length("payload").cast("long").alias("payload_bytes"),
+        )
+
+    @query(
+        "q_mm_dedup_payload",
+        oracle="""
+        SELECT md5(text) AS payload_md5,
+               min(doc_id) AS keep_media_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+        HAVING COUNT(*) > 1
+        """,
+    )
+    def q_mm_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Binary payload dedup by content hash."""
+        media = media_from_documents(load(spark, sf_dir, "documents"))
+        return dedup_by_payload(media).filter(F.col("n_copies") > 1).select(
+            "payload_md5", "keep_media_id", "n_copies"
+        )
+
+    @query("q_mm_features")  # rows-only: stub decoder, plumbing-real
+    def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """mapInPandas decode → fixed-shape feature vectors (stubbed codec,
+        real Arrow/schema/partition plumbing)."""
+        media = media_from_documents(load(spark, sf_dir, "documents"))
+        return decode_media(media, fake=True)

@@ -18,12 +18,16 @@ _MODULES = (
     "setops",
     "streaming_batch",
     "llm",
+    "udfs",
 )
 
 
 def load_all() -> None:
     for m in _MODULES:
         import_module(f"{__name__}.{m}")
+    from ..multimodal import register_queries
+
+    register_queries()
 
 
 load_all()

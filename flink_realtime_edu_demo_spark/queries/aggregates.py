@@ -208,6 +208,34 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_cube",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           GROUPING(c_mktsegment) AS g_seg,
+           GROUPING(c_nationkey) AS g_nat,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^n grouping-set combinations (Flink SQL GROUPING SETS
+    family; complements q_agg_rollup)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.cube("c_mktsegment", "c_nationkey")
+        .agg(
+            F.grouping("c_mktsegment").cast("long").alias("g_seg"),
+            F.grouping("c_nationkey").cast("long").alias("g_nat"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("c_acctbal", "bal_sum"),
+        )
+        .select("c_mktsegment", "c_nationkey", "g_seg", "g_nat", "n", "bal_sum")
+    )
+
+
+@query(
     "q_agg_having",
     oracle=f"""
     SELECT o_custkey,

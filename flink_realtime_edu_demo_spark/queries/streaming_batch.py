@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..operators.cumulate import cumulate_window
 from ..operators.funnel import funnel
 from ..registry import dsum, query, sql_dsum
 from ..tables import load
@@ -127,6 +128,36 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
         )
+    )
+
+
+@query(
+    "q_stream_cumulate",
+    oracle=f"""
+    WITH base AS (
+        SELECT *, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start
+        FROM events
+    ),
+    grown AS (
+        SELECT b.*, CAST(b.window_start + k.k * INTERVAL 15 MINUTE AS TIMESTAMP)
+                   AS window_end
+        FROM base b, unnest(generate_series(1, 4)) AS k(k)
+        WHERE b.ts < b.window_start + k.k * INTERVAL 15 MINUTE
+    )
+    SELECT window_start, window_end, COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM grown
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE(ts, step 15 min, max 1 hour) — Flink 1.13 cumulative
+    window via the explode lowering in operators/cumulate.py (Spark has
+    no native cumulate)."""
+    ev = load(spark, sf_dir, "events")
+    grown = cumulate_window(ev, "ts", step="15 minutes", max_size="1 hour")
+    return grown.groupBy("window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
     )
 
 

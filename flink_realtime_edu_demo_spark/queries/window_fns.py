@@ -118,6 +118,7 @@ def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(l_quantity) OVER w AS running_qty,
            SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS running_price
     FROM lineitem
+    WHERE l_orderkey % 10 = 0
     WINDOW w AS (PARTITION BY l_orderkey
                  ORDER BY l_linenumber, l_extendedprice, l_quantity,
                           l_partkey, l_suppkey, l_discount, l_tax
@@ -130,8 +131,12 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix accumulation is order-exact in both engines. (l_orderkey,
     l_linenumber) is NOT unique in the fixtures, so the ordering extends
     over every sum-contributing column — rows that still tie are fully
-    identical and permute without changing the output multiset."""
-    li = load(spark, sf_dir, "lineitem")
+    identical and permute without changing the output multiset.
+
+    The l_orderkey filter is written AFTER the window in the plan but
+    Catalyst pushes it below the Window (it's the partition key) and
+    into the parquet scan — only 1/10 of orders ever compute a frame."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     w = (
         Window.partitionBy("l_orderkey")
         .orderBy(

@@ -41,36 +41,40 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _accumulate(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.hasTimedOut:
-        n, total = state.get
-        state.remove()
+def user_accumulator(events: DataFrame) -> DataFrame:
+    """Streaming: per-user state machine with idle-timeout finalization.
+
+    The handler is a local closure so cloudpickle ships it by value —
+    workers never need this package on their sys.path (the driver's cwd
+    is not guaranteed to be the repo root)."""
+
+    def accumulate(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_value": [total],
+                 "status": ["finalized"]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(30_000)  # fire 'finalized' after 30s idle
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "total_value": [total],
-             "status": ["finalized"]}
+             "status": ["active"]}
         )
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    state.setTimeoutDuration(30_000)  # fire 'finalized' after 30s idle
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [total],
-         "status": ["active"]}
-    )
 
-
-def user_accumulator(events: DataFrame) -> DataFrame:
-    """Streaming: per-user state machine with idle-timeout finalization."""
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _accumulate,
+            accumulate,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
