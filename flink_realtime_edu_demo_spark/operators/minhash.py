@@ -109,12 +109,24 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
     operands → engine-exact.
     """
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # Invert: shingle → sorted doc list, then expand ordered pairs with a
+    # narrow higher-order expression. Same exact pair multiset as the
+    # self-join formulation but one groupBy instead of a two-sided join
+    # shuffle — the pair count (the true quadratic term) is unchanged.
+    inverted = sh.groupBy("shingle").agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        inverted.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))

@@ -41,8 +41,9 @@ STATE_SCHEMA = StructType(
 )
 
 
-def user_accumulator(events: DataFrame) -> DataFrame:
-    """Streaming: per-user state machine with idle-timeout finalization.
+def user_accumulator(events: DataFrame, idle_ms: int = 30_000) -> DataFrame:
+    """Streaming: per-user state machine with idle-timeout finalization
+    after ``idle_ms`` of processing-time inactivity.
 
     The handler is a local closure so cloudpickle ships it by value —
     workers never need this package on their sys.path (the driver's cwd
@@ -65,7 +66,7 @@ def user_accumulator(events: DataFrame) -> DataFrame:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
-        state.setTimeoutDuration(30_000)  # fire 'finalized' after 30s idle
+        state.setTimeoutDuration(idle_ms)  # fire 'finalized' after idle_ms
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "total_value": [total],
              "status": ["active"]}

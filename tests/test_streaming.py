@@ -127,3 +127,58 @@ def test_idempotent_sink_replay_safe(spark, stream_dir, tmp_path):
     writer(snapshot, 0)  # replay batch 0 verbatim
     replayed = spark.read.parquet(f"{base}/batch_id=0")
     assert replayed.count() == n_first > 0
+
+
+def test_stateful_accumulator_timers_fire(spark, stream_dir, tmp_path):
+    """applyInPandasWithState with ProcessingTimeTimeout: after the
+    source drains and the idle timeout elapses, every user's state must
+    fire a 'finalized' row whose totals equal the batch aggregate —
+    Flink KeyedProcessFunction + processing-time timer semantics."""
+    import time
+
+    from flink_realtime_edu_demo_spark.streaming.stateful import user_accumulator
+
+    sdf = user_accumulator(
+        stream_table(spark, stream_dir, "events"), idle_ms=2_000
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("acc_out")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 120
+    finalized = 0
+    while time.time() < deadline:
+        finalized = (
+            spark.sql("SELECT count(DISTINCT user_id) n FROM acc_out WHERE status='finalized'")
+            .collect()[0].n
+        )
+        if finalized > 0:
+            break
+        time.sleep(1)
+    q.stop()
+    assert finalized > 0, "no finalized rows — timers never fired"
+    # finalized totals equal the batch aggregate for those users
+    from pyspark.sql import functions as F2
+
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            "SELECT * FROM acc_out WHERE status='finalized'"
+        ).collect()
+    }
+    ev = spark.read.schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+                           "event_type STRING, value DOUBLE, props STRING").parquet(
+        f"{stream_dir}/events_stream"
+    )
+    want = {
+        r.user_id: (r.n, round(r.tv, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("value").alias("tv"))
+        .collect()
+    }
+    for uid, (n, tv) in got.items():
+        assert want[uid][0] == n
+        assert abs(want[uid][1] - tv) <= 1e-6
