@@ -102,7 +102,11 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
             "days_since"
         ),
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("unix_s"),
+        # timestampdiff on NTZ is timezone-independent, unlike
+        # unix_timestamp(cast) which would shift under a non-UTC session
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias(
+            "unix_s"
+        ),
         F.col("ts").cast("date").alias("d_date"),
     )
 
@@ -150,6 +154,33 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(p), 6).alias("p_ln"),
         F.round(F.log10(p), 6).alias("p_log10"),
         (F.round(F.pow(p, 0.5) - F.sqrt(p), 6) + 0.0).alias("pow_chk"),
+    )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           substring(md5(text), 1, 16) AS h_md5_16,
+           length(md5(text)) AS md5_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family (the pipeline workhorses for dedup keys, bucketing,
+    and fingerprints): md5 / sha2-256, hex-encoded identically by both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text").cast("binary")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.md5(t).alias("h_md5"),
+        F.sha2(t, 256).alias("h_sha256"),
+        F.substring(F.md5(t), 1, 16).alias("h_md5_16"),
+        F.length(F.md5(t)).cast("long").alias("md5_len"),
     )
 
 
