@@ -43,8 +43,16 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded).
     Returns (vec_id, neighbor_id, rank, cosine)."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    # Norms are computed once per vector, not per pair — at N corpus
+    # rows × Q queries that's N+Q norm folds instead of N·Q.
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("q_id") != F.col("c_id"))
@@ -52,7 +60,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
             "q_id",
             "c_id",
             (_dot(F.col("q_vec"), F.col("c_vec"))
-             / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine"),
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -98,6 +106,7 @@ def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
     sk = df.select(
         F.col(id_col), F.col(vec_col),
         _hyperplane_sketch(F.col(vec_col), n_planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("norm"),
     )
     # multi-probe: each vector is also registered in every bucket at
     # Hamming distance 1 (n_planes extra copies) on the *query* side only.
@@ -107,16 +116,20 @@ def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
     )
     q = sk.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
         F.explode(probes).alias("bucket"),
     )
-    c = sk.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "bucket")
+    c = sk.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+        F.col("norm").alias("c_norm"), "bucket",
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
             (_dot(F.col("q_vec"), F.col("c_vec"))
-             / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine"),
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
         .dropDuplicates(["q_id", "c_id"])
     )
