@@ -98,6 +98,88 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+def jaccard_pairs_prefix(sh: DataFrame, id_col: str = "doc_id",
+                         threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (the all-pairs similarity
+    trick from Bayardo et al., WWW'07): for Jaccard >= t, doc A must
+    share at least one shingle with B among A's first
+    |A| - ceil(t*|A|) + 1 shingles in a global rarity order (overlap >=
+    t*max(|A|,|B|) >= t*|A|). Candidates therefore come from exploding
+    only the rare-shingle prefixes; verification intersects the full
+    shingle-hash arrays per candidate pair — narrow per-pair work.
+
+    Same exact output as jaccard_pairs (tested). Trade-off measured on
+    the fixtures: at t=0.5 on the dense word-soup corpus the prefix is
+    ~half of each doc's shingles, so the candidate reduction does NOT
+    pay for the extra joins (sf0.1: 11s vs 6.4s naive) — jaccard_pairs
+    stays the default. Prefix filtering wins when the threshold is high
+    and/or the shingle distribution is Zipfian-sparse (prefix length
+    (1-t)·|A|+1 → tiny), which is the realistic web-corpus shape.
+    """
+    # global rarity order: hash shingles to 64-bit, order by (freq, hash)
+    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    freq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    ranked = hashed.join(freq, "h").select(
+        F.col(id_col), F.struct(F.col("f"), F.col("h")).alias("fh")
+    )
+    docs = ranked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("fh")).alias("fhs")
+    ).select(
+        F.col(id_col),
+        F.transform("fhs", lambda s: s.getField("h")).alias("hs"),
+        F.size("fhs").alias("n_sh"),
+    )
+    # prefix length: n - ceil(t*n) + 1
+    prefix = docs.select(
+        F.col(id_col),
+        F.slice(
+            "hs",
+            1,
+            (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1).cast("int"),
+        ).alias("pre"),
+    )
+    cand = (
+        prefix.select(F.col(id_col), F.explode("pre").alias("h"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"),
+                     F.col("n_sh").alias("n_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"),
+                     F.col("n_sh").alias("n_b"))
+    verified = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")).cast("long"))
+        .withColumn(
+            "jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "id_a", "id_b", "n_common",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )
+
+
 def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
                   threshold: float = 0.5) -> DataFrame:
     """Exact shingle-Jaccard similar pairs via inverted index — no

@@ -102,3 +102,14 @@ def test_stateful_batch_twin_matches_sql(spark, sf_dir):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) <= 1e-9 * max(1.0, abs(want[k][1]))
+
+
+def test_jaccard_prefix_filter_equals_naive(spark, sf_dir):
+    """Prefix-filtered all-pairs similarity must produce the exact same
+    pair set as the inverted-index formulation (no missed candidates)."""
+    from flink_realtime_edu_demo_spark.operators.minhash import jaccard_pairs_prefix
+
+    sh = shingles(load(spark, sf_dir, "documents"))
+    naive = sorted(map(repr, jaccard_pairs(sh, threshold=0.5).collect()))
+    pref = sorted(map(repr, jaccard_pairs_prefix(sh, threshold=0.5).collect()))
+    assert naive == pref
