@@ -65,7 +65,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
             F.col("q_id").alias(id_col),
@@ -135,7 +135,7 @@ def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(F.col("q_id").alias(id_col), F.col("c_id").alias("neighbor_id"),
                 "rank", "cosine")

@@ -262,7 +262,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-           json_array_length(json_keys(props)) AS n_keys,
+           CAST(json_array_length(json_keys(props)) AS BIGINT) AS n_keys,
            CAST(json_keys(props)[1] AS VARCHAR) AS first_key
     FROM events
     """,

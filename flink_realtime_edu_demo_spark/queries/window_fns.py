@@ -41,10 +41,12 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(ws).alias("rnk"),
-        F.dense_rank().over(ws).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        # cast to long: Spark rank fns return INT, DuckDB returns BIGINT —
+        # keep the output schema identical for type-aware comparators
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(ws).cast("long").alias("rnk"),
+        F.dense_rank().over(ws).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -68,7 +70,7 @@ def q_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -149,7 +151,12 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.sum("l_quantity").over(w).alias("running_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w).alias("running_price"),
+        # widen to DuckDB's SUM(DECIMAL) result precision so the output
+        # schema is identical for type-aware comparators
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .alias("running_price"),
     )
 
 
