@@ -158,6 +158,73 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fn_string2",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+           repeat(substring(c_mktsegment, 1, 2), 3) AS seg_rep,
+           reverse(c_mktsegment) AS seg_rev,
+           left(c_name, 4) AS name_l4,
+           right(c_name, 4) AS name_r4,
+           CAST(position('0' in c_name) AS BIGINT) AS pos_zero,
+           CAST(ascii(c_mktsegment) AS INT) AS seg_ascii,
+           chr(65 + CAST(c_custkey % 26 AS INT)) AS key_chr
+    FROM customer
+    """,
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: concat_ws, translate, repeat, reverse,
+    left/right, position, ascii, chr."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nat"
+        ),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("seg_rep"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.substring("c_name", 1, 4).alias("name_l4"),
+        F.substr(F.col("c_name"), F.length("c_name") - 3, F.lit(4)).alias("name_r4"),
+        F.instr(F.col("c_name"), "0").cast("long").alias("pos_zero"),
+        F.ascii("c_mktsegment").alias("seg_ascii"),
+        F.chr(65 + (F.col("c_custkey") % 26)).alias("key_chr"),
+    )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           user_id & 255 AS b_and,
+           user_id | 8 AS b_or,
+           xor(user_id, event_id) AS b_xor,
+           user_id << 2 AS b_shl,
+           event_id >> 3 AS b_shr,
+           CAST(bit_count(user_id) AS INT) AS b_pop,
+           ~user_id AS b_not
+    FROM events
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount/complement — used for
+    flag columns and hash mixing in pipeline code; all exact ints."""
+    ev = load(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    return ev.select(
+        "event_id",
+        uid.bitwiseAND(F.lit(255)).alias("b_and"),
+        uid.bitwiseOR(F.lit(8)).alias("b_or"),
+        uid.bitwiseXOR(eid).alias("b_xor"),
+        F.shiftleft(uid, 2).alias("b_shl"),
+        F.shiftright(eid, 3).alias("b_shr"),
+        F.bit_count(uid).alias("b_pop"),
+        F.bitwise_not(uid).alias("b_not"),
+    )
+
+
+@query(
     "q_fn_hash",
     oracle="""
     SELECT doc_id,
