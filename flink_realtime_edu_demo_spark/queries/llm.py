@@ -125,6 +125,41 @@ def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_llm_dedup_embed",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(generate_series(1, len(a.e)),
+                                          i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)))
+                   AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+    FROM p WHERE cosine >= 0.45
+    """,
+)
+def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.45; the fixture
+    corpus has no planted duplicates, so the threshold captures the
+    most-similar tail). Exact all-pairs at fixture scale — a declared
+    brute-force similarity query (BASELINE.md budget); the 100 TB path
+    is the SimHash-bucketed candidate generation of q_llm_knn_ivf with
+    the same exact re-scoring. Implementation: one numpy GEMM per Arrow
+    batch against the normalized corpus matrix (annsearch.
+    cosine_pairs_gemm) — the brief's 'vectorized Pandas UDF dot
+    product', ~100× faster than a per-pair JVM fold."""
+    from ..operators.annsearch import cosine_pairs_gemm
+
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_pairs_gemm(e, threshold=0.45).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 @query("q_llm_knn_ivf")  # rows-only: bucketed ANN is approximate by design
 def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-bucketed ANN (8 fixed hyperplanes, Hamming<=1 multi-probe,
