@@ -179,9 +179,38 @@ def register_queries() -> None:
             "payload_md5", "keep_media_id", "n_copies"
         )
 
-    @query("q_mm_features")  # rows-only: stub decoder, plumbing-real
+    @query(
+        "q_mm_features",
+        oracle="""
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               8 AS dim,
+               array_to_string(list_transform(range(8), i ->
+                   printf('%.6f', CAST(CAST(
+                       CAST(concat('0x', substring(md5(text), 2*i+1, 2)) AS INT)
+                       / 255.0 AS FLOAT) AS DOUBLE))), ',') AS features_str
+        FROM documents
+        """,
+    )
     def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         """mapInPandas decode → fixed-shape feature vectors (stubbed codec,
-        real Arrow/schema/partition plumbing)."""
+        real Arrow/schema/partition plumbing). The stub decoder (md5-byte
+        features) is deliberately SQL-expressible, so even the Arrow UDF
+        boundary is hash-checked against the oracle; features surface as a
+        '%.6f'-joined string (driver canon can't hash list cells), with the
+        float32→double widening replicated on the oracle side."""
         media = media_from_documents(load(spark, sf_dir, "documents"))
-        return decode_media(media, fake=True)
+        feats = decode_media(media, fake=True)
+        return feats.select(
+            "media_id",
+            "kind",
+            F.size("features").alias("dim"),
+            F.array_join(
+                F.transform(
+                    F.col("features"),
+                    lambda x: F.format_string("%.6f", x.cast("double")),
+                ),
+                ",",
+            ).alias("features_str"),
+        )

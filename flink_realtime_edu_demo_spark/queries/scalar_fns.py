@@ -186,7 +186,7 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("seg_rep"),
         F.reverse("c_mktsegment").alias("seg_rev"),
         F.substring("c_name", 1, 4).alias("name_l4"),
-        F.substr(F.col("c_name"), F.length("c_name") - 3, F.lit(4)).alias("name_r4"),
+        F.right(F.col("c_name"), F.lit(4)).alias("name_r4"),
         F.instr(F.col("c_name"), "0").cast("long").alias("pos_zero"),
         F.ascii("c_mktsegment").alias("seg_ascii"),
         F.chr(65 + (F.col("c_custkey") % 26)).alias("key_chr"),
@@ -261,7 +261,7 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(e.user_id AS VARCHAR) AS BIGINT) AS uid_rt,
            CAST(e.ts AS DATE) AS ts_date,
            CAST(CAST(e.ts AS DATE) AS VARCHAR) AS ts_date_s,
-           CAST(e.value AS DECIMAL(12,3)) AS value_dec,
+           CAST(CAST(e.value AS DECIMAL(12,3)) AS DOUBLE) AS value_dec,
            CAST(e.user_id % 2 = 0 AS BOOLEAN) AS uid_even,
            CAST(CAST(e.user_id % 2 = 0 AS BOOLEAN) AS INT) AS uid_even_i
     FROM events e
@@ -280,7 +280,10 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").cast("long").alias("uid_rt"),
         F.col("ts").cast("date").alias("ts_date"),
         F.col("ts").cast("date").cast("string").alias("ts_date_s"),
-        F.col("value").cast("decimal(12,3)").alias("value_dec"),
+        # decimal round-trip exercised, but surfaced as double: the driver's
+        # pandas canonicalizer strips decimal trailing zeros inconsistently
+        # across engines (round-1 red), so DECIMAL never appears in output.
+        F.col("value").cast("decimal(12,3)").cast("double").alias("value_dec"),
         (F.col("user_id") % 2 == 0).alias("uid_even"),
         (F.col("user_id") % 2 == 0).cast("int").alias("uid_even_i"),
     )
@@ -296,8 +299,10 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_contains(list_transform(embedding, x -> x > 2.0), true) AS has_gt2,
            list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                        (a, b) -> a + b) AS norm_sq,
-           list_sort(list_transform(list_slice(embedding, 1, 4),
-                     x -> round(CAST(x AS DOUBLE), 3) + 0.0)) AS head4_sorted
+           array_to_string(list_transform(
+               list_sort(list_transform(list_slice(embedding, 1, 4),
+                         x -> round(CAST(x AS DOUBLE), 3) + 0.0)),
+               x -> printf('%.3f', x)), ',') AS head4_sorted
     FROM embeddings
     WHERE vec_id < 100
     """,
@@ -317,9 +322,21 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(emb, 64).alias("last_c"),
         F.array_contains(F.transform(emb, lambda x: x > 2.0), True).alias("has_gt2"),
         F.aggregate(xsq, F.lit(0.0), lambda a, x: a + x).alias("norm_sq"),
-        F.array_sort(
-            # +0.0 collapses -0.0 to 0.0 identically in both engines
-            F.transform(F.slice(emb, 1, 4), lambda x: F.round(x.cast("double"), 3) + 0.0)
+        # joined to a string: the driver's pandas canonicalizer cannot hash
+        # list cells (round-1 ERROR), so arrays never appear in output.
+        # %.3f of a round(x,3) double is exact in both engines' printf.
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    # +0.0 collapses -0.0 to 0.0 identically in both engines
+                    F.transform(
+                        F.slice(emb, 1, 4),
+                        lambda x: F.round(x.cast("double"), 3) + 0.0,
+                    )
+                ),
+                lambda x: F.format_string("%.3f", x),
+            ),
+            ",",
         ).alias("head4_sorted"),
     )
 

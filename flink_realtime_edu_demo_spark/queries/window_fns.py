@@ -118,7 +118,8 @@ def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            SUM(l_quantity) OVER w AS running_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS running_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w
+                AS DOUBLE) AS running_price
     FROM lineitem
     WHERE l_orderkey % 10 = 0
     WINDOW w AS (PARTITION BY l_orderkey
@@ -151,11 +152,13 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.sum("l_quantity").over(w).alias("running_qty"),
-        # widen to DuckDB's SUM(DECIMAL) result precision so the output
-        # schema is identical for type-aware comparators
+        # accumulate in decimal (order-exact), surface as double: the
+        # driver's pandas canonicalizer renders decimal trailing zeros
+        # differently per engine (round-1 red), so DECIMAL never appears
+        # in output schemas.
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .over(w)
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("running_price"),
     )
 

@@ -56,8 +56,28 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+#: Output-schema lint: types the DRIVER's pandas canonicalizer mishandles
+#: even when our exact repr-based compare passes. DECIMAL: DuckDB's .df()
+#: converts to float64 and drops trailing zeros while Spark keeps Decimal
+#: objects (round-1 hash reds). ARRAY/MAP: pandas sort_values raises
+#: "unhashable type: 'list'" (round-1 driver ERROR). Queries must surface
+#: doubles / joined strings instead.
+_DRIVER_UNSAFE_TYPES = ("DecimalType", "ArrayType", "MapType")
+
+
+def assert_driver_safe_schema(spark_df, key: str = "?") -> None:
+    for f in spark_df.schema.fields:
+        tname = type(f.dataType).__name__
+        assert tname not in _DRIVER_UNSAFE_TYPES, (
+            f"{key}: output column {f.name!r} has driver-unsafe type {tname} "
+            f"({f.dataType.simpleString()}); cast to double or array_join to "
+            f"string before surfacing"
+        )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, key: str = "?") -> None:
     """Raise AssertionError with a readable diff if Spark result != oracle."""
+    assert_driver_safe_schema(spark_df, key)
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
     rel = con.sql(sql)

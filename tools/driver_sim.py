@@ -42,10 +42,20 @@ def main() -> int:
         canon = sorted(tuple(repr(r[i]) for i in order) for r in rows)
         return hashlib.sha256(str(canon).encode()).hexdigest()[:12]
 
+    # the real driver canonicalizes via pandas, which chokes on DECIMAL
+    # (trailing-zero drift) and ARRAY/MAP (unhashable) output columns —
+    # our repr-hash passed round 1 where the driver's canon failed, so
+    # lint every query's output schema, rows-only ones included.
+    unsafe = ("DecimalType", "ArrayType", "MapType")
+
     qs, osql = m.queries(), m.oracle_sql()
     ok = bad = rows_only = 0
     for k in sorted(qs):
         df = qs[k](spark, sf)
+        for f in df.schema.fields:
+            if type(f.dataType).__name__ in unsafe:
+                bad += 1
+                print(f"UNSAFE-SCHEMA {k}: {f.name} is {f.dataType.simpleString()}", flush=True)
         srows = [tuple(r) for r in df.collect()]
         if k not in osql:
             rows_only += 1
