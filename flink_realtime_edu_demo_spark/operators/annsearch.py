@@ -76,51 +76,101 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
-def cosine_pairs_gemm(df: DataFrame, threshold: float,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact all-pairs cosine >= threshold via a vectorized Pandas UDF:
-    the corpus matrix (normalized rows) is captured into the closure and
-    each Arrow batch does one numpy GEMM against it — ~100× faster than
-    a per-pair JVM fold at fixture scale.
+def cosine_pairs_blocked(df: DataFrame, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_blocks: int = 8) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, fully distributed (no driver
+    materialization — replaces a round-1 collect-to-driver GEMM).
 
-    Scale contract: the captured side must fit in executor memory
-    (N×dim floats — 2000×64 ≈ 512 KB here; viable to ~10M×64). Beyond
-    that, generate candidates with the SimHash buckets (lsh_topk) and
-    re-score exactly, or block the GEMM by bucket.
+    Block-matrix self-join: rows hash into ``n_blocks`` blocks; every
+    unordered block pair (i ≤ j) becomes one task holding block i as the
+    A side and block j as the B side, scored with a vectorized numpy
+    loop inside ``applyInPandas``. Each row is replicated to the
+    ~n_blocks block pairs it participates in, the textbook shuffle cost
+    of exact all-pairs; per-task memory is 2N/n_blocks vectors, so at
+    100 TB you raise n_blocks until a block (~N/n_blocks × dim × 8 B)
+    fits an executor — compute stays the unavoidable O(N²·d) but no
+    single node ever holds the corpus.
 
-    Returns (id_a, id_b, cosine) with id_a < id_b.
+    Exactness contract (drives DuckDB-oracle hash parity): the dot and
+    the squared norms accumulate in ascending-dimension order, seeded
+    0.0 — bit-identical to a SQL engine's left-fold list_reduce over
+    float64 (0.0 + x₁ == x₁ exactly) — and cosine is dot/(‖a‖·‖b‖) on
+    RAW vectors, the same operation order as the oracle, not a
+    pre-normalized GEMM (which differs in the last ulp). Zero-norm
+    vectors are excluded (cosine undefined) rather than emitted as NaN.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, each pair exactly once.
     """
     import numpy as np
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    rows = df.select(id_col, vec_col).collect()
-    rows.sort(key=lambda r: r[0])
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # A side of pair (i, j): block i rows, replicated for every j >= i.
+    # B side: block j rows, replicated for every i <= j. Keys are always
+    # (min, max), so each unordered block pair materializes exactly once.
+    a = d.select(
+        F.col("_blk").alias("_pi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("_pj"),
+        F.lit(0).alias("_side"), "_id", "_vec",
+    )
+    b = d.select(
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_pi"),
+        F.col("_blk").alias("_pj"),
+        F.lit(1).alias("_side"), "_id", "_vec",
+    )
 
     out_schema = StructType(
         [StructField("id_a", LongType()), StructField("id_b", LongType()),
          StructField("cosine", DoubleType())]
     )
 
-    def score(batches):
+    def score(key, pdf):
         import pandas as pd
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf[vec_col]), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ mat.T
-            ii, jj = np.nonzero((sims >= threshold) & (a_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
+        i, j = key
+        a_pdf = pdf[pdf["_side"] == 0]
+        b_pdf = pdf[pdf["_side"] == 1]
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
+        a_ids = a_pdf["_id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["_id"].to_numpy(dtype=np.int64)
+        A = np.array(list(a_pdf["_vec"]), dtype=np.float64)
+        B = np.array(list(b_pdf["_vec"]), dtype=np.float64)
+        dim = A.shape[1]
+        # ascending-dimension accumulation == the oracle's left fold
+        dots = np.zeros((len(a_ids), len(b_ids)))
+        na_sq = np.zeros(len(a_ids))
+        nb_sq = np.zeros(len(b_ids))
+        for k in range(dim):
+            dots += np.outer(A[:, k], B[:, k])
+            na_sq += A[:, k] * A[:, k]
+            nb_sq += B[:, k] * B[:, k]
+        na, nb = np.sqrt(na_sq), np.sqrt(nb_sq)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / np.outer(na, nb)
+        mask = (np.outer(na > 0, nb > 0)) & (sims >= threshold)
+        if i == j:  # A == B: keep each unordered pair once, drop self-pairs
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ii, jj = np.nonzero(mask)
+        ia, ib = a_ids[ii], b_ids[jj]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
+             "cosine": sims[ii, jj]}
+        )
 
-    return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    return (
+        a.unionByName(b)
+        .groupBy("_pi", "_pj")
+        .applyInPandas(score, schema=out_schema)
+    )
 
 
 def _hyperplane_sketch(vec: Column, n_planes: int = N_PLANES) -> Column:

@@ -36,20 +36,31 @@ def asof_join(
     probe_ts: str,
     ref_ts: str,
     value_cols: list[str],
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Left as-of join, window lowering (scale path).
 
     Returns ``probe.* + value_cols`` where value_cols come from the most
     recent ``ref`` row with ``ref_ts <= probe_ts`` for the same keys.
     Equal timestamps match (the reference sorts before the probe).
+    ``tie_break``: a ref column (pass a unique one) ordering reference
+    rows that share ``ref_ts`` — the one sorting last wins; without it,
+    equal-timestamp reference rows resolve nondeterministically.
     """
     probe_cols = probe.columns
     # side=0 sorts reference rows before probe rows at equal ts, so a
     # reference at exactly probe_ts is visible to that probe.
+    tb_ref = [F.col(tie_break).alias("__tb")] if tie_break else []
+    tb_probe = (
+        [F.lit(None).cast(ref.schema[tie_break].dataType).alias("__tb")]
+        if tie_break
+        else []
+    )
     ref_tagged = ref.select(
         *[F.col(k) for k in keys],
         F.col(ref_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        *tb_ref,
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_cols if c not in keys],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
@@ -57,12 +68,19 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(probe_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        *tb_probe,
         *[F.col(c) for c in probe_cols if c not in keys],
         *[F.lit(None).cast(ref.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
     )
+    order = [F.col("__ts"), F.col("__side")]
+    if tie_break:
+        # among equal-ts reference rows the last in __tb order wins (the
+        # running last() overwrites); probe rows carry NULL __tb, which is
+        # irrelevant since __side already orders them after references.
+        order.append(F.col("__tb").asc_nulls_last())
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = probe_tagged.unionByName(ref_tagged).select(
@@ -85,8 +103,12 @@ def asof_join_pandas(
     probe_ts: str,
     ref_ts: str,
     value_cols: list[str],
+    tie_break: str | None = None,
 ) -> DataFrame:
-    """Left as-of join via cogrouped ``pandas.merge_asof`` (reference path)."""
+    """Left as-of join via cogrouped ``pandas.merge_asof`` (reference path).
+    ``tie_break`` as in :func:`asof_join`: orders equal-``ref_ts``
+    reference rows; merge_asof takes the last sorted row, so the row
+    sorting last on tie_break wins in both implementations."""
     import pandas as pd
 
     from pyspark.sql.types import StructField, StructType
@@ -107,7 +129,11 @@ def asof_join_pandas(
         mf["__on"] = right[ref_ts]
         for c in value_cols:
             mf[f"__r_{c}"] = right[c]
-        mf = mf.sort_values("__on", kind="mergesort")
+        if tie_break is not None:
+            mf["__tb"] = right[tie_break]
+            mf = mf.sort_values(["__on", "__tb"], kind="mergesort").drop(columns="__tb")
+        else:
+            mf = mf.sort_values("__on", kind="mergesort")
         merged = pd.merge_asof(
             left, mf, on="__on", by=keys, direction="backward", allow_exact_matches=True
         )

@@ -180,22 +180,42 @@ def jaccard_pairs_prefix(sh: DataFrame, id_col: str = "doc_id",
     )
 
 
+MAX_DF = 256  # candidate-side document-frequency cap (skew guard)
+
+
 def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
-                  threshold: float = 0.5) -> DataFrame:
-    """Exact shingle-Jaccard similar pairs via inverted index — no
-    crossJoin: join docs through shared shingles, count intersections,
-    derive union from per-doc shingle counts.
+                  threshold: float = 0.5, max_df: int | None = MAX_DF) -> DataFrame:
+    """Shingle-Jaccard similar pairs via a df-capped inverted index.
+
+    Candidate generation explodes only inverted lists of width in
+    [2, max_df]; a shingle shared by D documents otherwise expands to
+    D²/2 pairs, so one stopword-like shingle across 1M docs is 5·10¹¹
+    rows — the cap bounds per-shingle expansion at max_df²/2, same
+    spirit as the LSH path's MAX_BUCKET. Verification then computes the
+    EXACT intersection per candidate pair (array_intersect of full
+    per-doc shingle-hash sets — narrow per-pair work), so every emitted
+    jaccard value is exact; the cap affects only recall: a qualifying
+    pair is missed iff every one of its ≥ t·max(|A|,|B|) common
+    shingles occurs in more than max_df documents — i.e. the pair is
+    similar only through corpus-wide boilerplate, the class near-dup
+    pipelines intentionally ignore. ``max_df=None`` removes the cap
+    (fixture-scale baseline; both paths agree on the fixtures, tested).
 
     Returns (id_a, id_b, n_common, n_a, n_b, jaccard) with id_a < id_b
     and jaccard >= threshold. The division is int/int on identical
     operands → engine-exact.
     """
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    docs = hashed.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("h")).alias("hs"), F.count(F.lit(1)).alias("n_sh")
+    )
     # Invert: shingle → sorted doc list, then expand ordered pairs with a
-    # narrow higher-order expression. Same exact pair multiset as the
-    # self-join formulation but one groupBy instead of a two-sided join
-    # shuffle — the pair count (the true quadratic term) is unchanged.
-    inverted = sh.groupBy("shingle").agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    # narrow higher-order expression — one groupBy, no two-sided self-join
+    # shuffle, and the quadratic term is bounded by the df cap.
+    inverted = hashed.groupBy("h").agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    width_ok = F.size("ids") >= 2
+    if max_df is not None:
+        width_ok = width_ok & (F.size("ids") <= max_df)
     pair_structs = F.flatten(
         F.transform(
             "ids",
@@ -205,17 +225,20 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
             ),
         )
     )
-    common = (
-        inverted.filter(F.size("ids") >= 2)
+    cand = (
+        inverted.filter(width_ok)
         .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"),
+                     F.col("n_sh").alias("n_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"),
+                     F.col("n_sh").alias("n_b"))
     return (
-        common.join(ca, "id_a")
-        .join(cb, "id_b")
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")).cast("long"))
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

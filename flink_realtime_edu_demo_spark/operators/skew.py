@@ -36,11 +36,23 @@ def salted_join(
 ) -> DataFrame:
     """Join fact⋈dim on ``key`` with ``salt``-way key splitting.
 
-    salt_source: a fact column whose hash picks the salt (defaults to
-    the key itself combined with all columns via xxhash64 of the key +
-    monotonically varying input — pass a unique column for perfect
-    spread)."""
-    src = F.col(salt_source) if salt_source else F.spark_partition_id()
+    salt_source: a fact column whose hash picks the salt; defaults to a
+    per-row monotonically_increasing_id so a hot key concentrated in few
+    input partitions is still spread across all ``salt`` reducers (a
+    partition-level salt would leave it whole). The salt choice never
+    changes the *result* for the supported join types — only the
+    physical split — so outputs stay reproducible run-to-run.
+
+    Only ``inner`` and ``left`` are supported: the dim side is
+    replicated ``salt`` times, so right/full outer would emit each
+    unmatched dim row once per replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated dim side would duplicate unmatched rows under "
+            "right/full outer"
+        )
+    src = F.col(salt_source) if salt_source else F.monotonically_increasing_id()
     salted_fact = fact.withColumn("__salt", F.pmod(F.xxhash64(src), F.lit(salt)))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     salted_dim = dim.select("*", salts)
@@ -51,7 +63,7 @@ def salted_join(
 def salted_agg_count(df: DataFrame, key: str, salt: int = 8,
                      salt_source: str | None = None) -> DataFrame:
     """Skew-safe exact count per key: partial per (key, salt) → final."""
-    src = F.col(salt_source) if salt_source else F.spark_partition_id()
+    src = F.col(salt_source) if salt_source else F.monotonically_increasing_id()
     partial = (
         df.withColumn("__salt", F.pmod(F.xxhash64(src), F.lit(salt)))
         .groupBy(key, "__salt")

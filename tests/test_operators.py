@@ -113,3 +113,20 @@ def test_jaccard_prefix_filter_equals_naive(spark, sf_dir):
     naive = sorted(map(repr, jaccard_pairs(sh, threshold=0.5).collect()))
     pref = sorted(map(repr, jaccard_pairs_prefix(sh, threshold=0.5).collect()))
     assert naive == pref
+
+
+def test_asof_tie_break_deterministic(spark, sf_dir):
+    """Equal-ref_ts reference rows resolve to the one sorting LAST on
+    tie_break, identically in both implementations."""
+    probe = spark.createDataFrame(
+        [(1, 10), (1, 20)], "k int, ts int"
+    )
+    ref = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 10, "b", 2), (1, 10, "c", 0)],
+        "k int, rts int, val string, seq int",
+    )
+    kw = dict(keys=["k"], probe_ts="ts", ref_ts="rts",
+              value_cols=["val"], tie_break="seq")
+    a = {(r.ts, r.val) for r in asof_join(probe, ref, **kw).collect()}
+    b = {(r.ts, r.val) for r in asof_join_pandas(probe, ref, **kw).collect()}
+    assert a == b == {(10, "b"), (20, "b")}  # seq=2 sorts last -> wins

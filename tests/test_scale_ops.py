@@ -85,3 +85,16 @@ def test_checkpoint_recovery_no_duplicates(spark, sf_dir, tmp_path):
     got = spark.sql(f"SELECT * FROM {out_tbl}")
     want = tumbling_counts(load(spark, sf_dir, "events"))
     assert sorted(map(repr, got.collect())) == sorted(map(repr, want.collect()))
+
+
+def test_salted_join_default_salt_and_how_guard(spark, sf_dir):
+    import pytest
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    # default salt source (row-level id) must not change results, and must
+    # actually spread a key concentrated in one input partition
+    plain = li.join(o, "l_orderkey").count()
+    assert salted_join(li.coalesce(1), o, key="l_orderkey", salt=4).count() == plain
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(li, o, key="l_orderkey", how="full")
