@@ -34,6 +34,12 @@ def main() -> int:
 
     # warm-up: JVM + parquet footer caches + codegen
     QUERIES["q_agg_basic"](spark, sf_dir).collect()
+    # warm the Arrow/pandas python workers too — first-spawn costs ~1s+
+    # and would otherwise be billed to whichever UDF query runs first
+    from pyspark.sql import functions as F
+
+    _noop = F.pandas_udf(lambda s: s, "long")
+    spark.range(32).repartition(32).select(_noop("id")).collect()
 
     timings: dict[str, float] = {}
     for key in sorted(QUERIES):

@@ -85,6 +85,24 @@ def materialize_stream_input(
     return out_dir
 
 
+# Kafka wire schema: what format("kafka") delivers per record.
+_KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT, "
+    "timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def decode_kafka_value(raw: DataFrame,
+                       value_schema_ddl: str = _EVENTS_STREAM_SCHEMA) -> DataFrame:
+    """The Kafka deserialization step (Flink's JsonDeserializationSchema):
+    value bytes → JSON → typed columns. Shared by the real kafka source
+    and the file-backed stand-in so the schema path is testable without
+    a broker."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema_ddl).alias("v")
+    ).select("v.*")
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -94,8 +112,9 @@ def kafka_stream(
 ) -> DataFrame:
     """Kafka source → parsed event columns (Flink KafkaSource + JSON
     deserialization). Requires the spark-sql-kafka package on the
-    classpath; not invocable in this harness (no broker) — kept as the
-    production wiring."""
+    classpath; no broker exists in this harness, so the reader wiring is
+    production-only — the decode stage it shares with
+    ``kafka_topic_stand_in`` is what the tests drive."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -103,9 +122,64 @@ def kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), value_schema_ddl).alias("v")
-    ).select("v.*")
+    return decode_kafka_value(raw, value_schema_ddl)
+
+
+def materialize_kafka_topic(
+    spark: SparkSession, sf_dir: str, name: str, out_dir: str, n_splits: int = 4
+) -> str:
+    """Encode a fixture table as a Kafka-wire-shaped parquet 'topic dump':
+    one row per record with (key, value BINARY, topic, partition, offset,
+    timestamp) where value = JSON bytes of the payload — the same bytes a
+    producer would put on the wire."""
+    import os
+    import time
+
+    from ..tables import load
+
+    df = load(spark, sf_dir, name)
+    # μs-precision serialization (default to_json truncates to millis)
+    payload = F.to_json(
+        F.struct(*df.columns),
+        {"timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"},
+    )
+    key_col = df.columns[0]
+    path = f"{out_dir}/{name}_topic"
+    wire = df.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit(name).alias("topic"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_splits)).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    wire.repartition(n_splits).write.mode("overwrite").parquet(path)
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time() - len(parts) * 10
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(path, f), (base + i * 10, base + i * 10))
+    return path
+
+
+def kafka_topic_stand_in(
+    spark: SparkSession,
+    topic_path: str,
+    value_schema_ddl: str = _EVENTS_STREAM_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-backed stand-in for ``kafka_stream``: streams a
+    ``materialize_kafka_topic`` dump with the Kafka wire schema and runs
+    the SAME ``decode_kafka_value`` stage — everything after the source
+    format is identical to the broker path."""
+    raw = (
+        spark.readStream.schema(StructType.fromDDL(_KAFKA_WIRE_SCHEMA))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(topic_path)
+    )
+    return decode_kafka_value(raw, value_schema_ddl)
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

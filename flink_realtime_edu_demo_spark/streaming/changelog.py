@@ -1,0 +1,98 @@
+"""Changelog / retract-stream semantics (SURVEY.md §1.1, §7 hard part 1).
+
+Flink models an updating aggregate as a retract stream: every change to
+a key emits a retraction of the old row (RowKind -U) plus the new row
+(+U), which lets a *downstream* aggregate stay correct under updates —
+the classic aggregate-of-aggregate (`COUNT(*)` over an updating
+`GROUP BY`) silently double-counts without it.
+
+Spark Structured Streaming has no retract stream on the wire: update
+output mode re-emits the latest row per changed key, and chaining a
+second streaming aggregate behind it is rejected by the planner. The
+idiomatic Spark lowering, demonstrated here end-to-end:
+
+1. run the inner aggregate in update mode;
+2. land it in a KEYED UPSERT SINK via foreachBatch (at scale: MERGE
+   INTO a Delta/JDBC keyed table — here an in-memory dict standing in
+   for that store);
+3. the sink derives the retract stream Flink would have shipped —
+   comparing each upsert against the stored row yields +I / -U / +U
+   rows — so any downstream consumer that folds (+ on insert, - on
+   retract) maintains the outer aggregate incrementally, never seeing
+   a double count.
+
+`fold_changelog` is that downstream consumer; the stream test asserts
+its final state equals the batch aggregate-of-aggregate answer exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Hashable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from .sinks import idempotent_foreach_batch
+
+INSERT = "+I"
+UPDATE_BEFORE = "-U"  # retraction of the previous row for the key
+UPDATE_AFTER = "+U"
+
+
+class ChangelogUpsertSink:
+    """Keyed upsert store that also emits a Flink-style retract changelog.
+
+    ``write_batch`` is a foreachBatch body: idempotent per batch_id (a
+    replayed batch re-derives the same upserts against the same prior
+    state, so the store converges; batch_ids are tracked to make replay
+    a no-op). The in-memory dict is the test stand-in for a keyed
+    external store; the derivation of (+I, -U, +U) from compare-on-merge
+    is the part that carries to a MERGE INTO at scale.
+    """
+
+    def __init__(self, key_cols: list[str]):
+        self.key_cols = key_cols
+        self.state: dict[tuple[Hashable, ...], dict] = {}
+        self.changelog: list[tuple[str, dict]] = []
+        self._seen_batches: set[int] = set()
+
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen_batches:  # replay after recovery: no-op
+            return
+        self._seen_batches.add(batch_id)
+        # update-mode micro-batch output = changed keys only; small by
+        # construction (this is sink-side landing, not an engine hot path)
+        for r in batch_df.collect():
+            row = r.asDict()
+            k = tuple(row[c] for c in self.key_cols)
+            old = self.state.get(k)
+            if old is None:
+                self.changelog.append((INSERT, row))
+            elif old != row:
+                self.changelog.append((UPDATE_BEFORE, old))
+                self.changelog.append((UPDATE_AFTER, row))
+            self.state[k] = row
+
+
+def start_changelog_sink(
+    agg_df: DataFrame, checkpoint: str, sink: ChangelogUpsertSink
+) -> StreamingQuery:
+    """Run an update-mode aggregate into a ChangelogUpsertSink."""
+    return idempotent_foreach_batch(
+        agg_df, checkpoint, sink.write_batch, mode="update"
+    )
+
+
+def fold_changelog(
+    changelog: list[tuple[str, dict]],
+    group_fn: Callable[[dict], Hashable],
+) -> dict[Hashable, int]:
+    """Downstream aggregate-of-aggregate over a retract stream: COUNT(*)
+    grouped by ``group_fn(row)``, folding +I/+U as +1 and -U as -1 —
+    the consumer Flink generates for a second GROUP BY over an updating
+    source. Correct under updates precisely because retractions arrive."""
+    out: dict[Hashable, int] = {}
+    for kind, row in changelog:
+        g = group_fn(row)
+        out[g] = out.get(g, 0) + (1 if kind in (INSERT, UPDATE_AFTER) else -1)
+    return {g: n for g, n in out.items() if n != 0}

@@ -182,3 +182,60 @@ def test_stateful_accumulator_timers_fire(spark, stream_dir, tmp_path):
     for uid, (n, tv) in got.items():
         assert want[uid][0] == n
         assert abs(want[uid][1] - tv) <= 1e-6
+
+
+def test_changelog_upsert_downstream_agg_matches_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Aggregate-of-aggregate under updates (SURVEY §7 hard part 1): an
+    update-mode per-user count lands in a keyed upsert sink that derives
+    the Flink-style retract stream (+I/-U/+U); the downstream consumer
+    folds it into 'how many users have n events' and must equal the
+    batch answer exactly — without retractions it would double-count
+    every user whose count grew across micro-batches."""
+    from flink_realtime_edu_demo_spark.streaming.changelog import (
+        ChangelogUpsertSink,
+        fold_changelog,
+        start_changelog_sink,
+    )
+
+    ev = stream_table(spark, stream_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    sink = ChangelogUpsertSink(key_cols=["user_id"])
+    q = start_changelog_sink(agg, str(tmp_path / "ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    batch = load(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    batch_state = {(r.user_id,): r.n for r in batch.collect()}
+    assert {k: v["n"] for k, v in sink.state.items()} == {
+        k: n for k, n in batch_state.items()
+    }
+
+    # the downstream aggregate-of-aggregate: users per event-count
+    downstream = fold_changelog(sink.changelog, lambda row: row["n"])
+    batch_hist = {
+        r.n: r.n_users
+        for r in batch.groupBy("n").agg(F.count(F.lit(1)).alias("n_users")).collect()
+    }
+    assert downstream == batch_hist
+    # updates really happened (multi-batch source), so retractions flowed
+    assert any(kind == "-U" for kind, _ in sink.changelog)
+
+
+def test_kafka_shaped_decode_converges_to_batch(spark, sf_dir, stream_dir):
+    """The kafka_stream from_json decode stage, driven through a
+    file-backed topic dump with the Kafka wire schema, converges to the
+    batch events table (and therefore to everything downstream of it,
+    e.g. q_json_extract)."""
+    from flink_realtime_edu_demo_spark.sources.readers import (
+        kafka_topic_stand_in,
+        materialize_kafka_topic,
+    )
+
+    topic_path = materialize_kafka_topic(spark, sf_dir, "events", stream_dir)
+    decoded = kafka_topic_stand_in(spark, topic_path)
+    got = run_to_completion(decoded, mode="append")
+    want = load(spark, sf_dir, "events")
+    assert sorted(got.columns) == sorted(want.columns)
+    assert canon_rows(got.select(*want.columns)) == canon_rows(want)
