@@ -312,3 +312,106 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_st,
+           GROUPING(o_orderpriority) AS g_pr,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'price_sum')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general Flink SQL form that ROLLUP/CUBE
+    abbreviate): a chosen subset of grouping combinations in one pass —
+    at scale one shuffle with a grouping-set expand, not one job per
+    set."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_st"),
+            F.grouping("o_orderpriority").cast("long").alias("g_pr"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "price_sum"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_st", "g_pr", "n", "price_sum")
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (l_returnflag = 'A') AS DOUBLE) AS price_A,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (l_returnflag = 'N') AS DOUBLE) AS price_N,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (l_returnflag = 'R') AS DOUBLE) AS price_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one output column per l_returnflag value. Pivot values are
+    given explicitly — at scale never let Spark run the extra distinct
+    job to discover them. Lowered to conditional aggregation (exactly
+    what the oracle spells out), so it stays a single shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"))
+    )
+    return piv.select(
+        "l_linestatus",
+        F.col("A").alias("price_A"),
+        F.col("N").alias("price_N"),
+        F.col("R").alias("price_R"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide metric columns → (metric, val) rows. Spark's
+    unpivot is a narrow expand (no shuffle, no 4× scan — the oracle's
+    UNION ALL spelling rescans; Spark's plan reads once)."""
+    li = load(spark, sf_dir, "lineitem")
+    name_map = {"l_quantity": "quantity", "l_extendedprice": "price",
+                "l_discount": "discount", "l_tax": "tax"}
+    melted = li.select(
+        "l_orderkey", "l_linenumber",
+        *[F.col(c).cast("double").alias(c) for c in name_map],
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=list(name_map),
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    mapping = F.create_map(*[x for c, n in name_map.items() for x in (F.lit(c), F.lit(n))])
+    return melted.select(
+        "l_orderkey", "l_linenumber", mapping[F.col("metric")].alias("metric"), "val"
+    )

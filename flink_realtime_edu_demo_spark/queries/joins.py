@@ -290,3 +290,34 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_ts="last_purchase_ts",
         value_cols=["last_purchase_ts"],
     ).select("event_id", "user_id", "ts", "last_purchase_ts")
+
+
+@query(
+    "q_join_range_bin",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
+    FROM customer c
+    JOIN supplier s
+      ON c.c_acctbal BETWEEN s.s_acctbal - 10.0 AND s.s_acctbal + 10.0
+    """,
+)
+def q_join_range_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric range join (point-in-interval) lowered to a bin equi-join
+    (operators/rangejoin.range_join_binned): customers whose balance
+    falls within ±10 of a supplier's. The oracle spells the naive
+    BETWEEN theta join; the Spark plan is a hash join on floor(bal/20)
+    with interval replication ≤2 — the formulation that survives when
+    both sides are 10⁹ rows and a nested-loop would be 10¹⁸ predicate
+    evaluations."""
+    from ..operators.rangejoin import range_join_binned
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        (F.col("s_acctbal") - 10.0).alias("lo"),
+        (F.col("s_acctbal") + 10.0).alias("hi"),
+    )
+    out = range_join_binned(c, s, point_col="c_acctbal", lo_col="lo",
+                            hi_col="hi", bin_width=20.0)
+    return out.select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")

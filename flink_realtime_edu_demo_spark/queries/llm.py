@@ -355,3 +355,117 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(fp, 1, 8).alias("fp_prefix"),
         F.length(F.regexp_replace("text", r"\s+", " ")).cast("long").alias("norm_len"),
     )
+
+
+@query(
+    "q_llm_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+                AS BIGINT) AS n_bpe,
+           round(n_chars * 1.0 /
+                 len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')), 6)
+               AS chars_per_tok
+    FROM documents
+    """,
+)
+def q_llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for pipeline budgeting: whitespace tokens and a
+    BPE-ish pre-tokenizer regex (GPT-2-style ' ?letters | ?digits |
+    ?punct' alternation — disjoint first-char classes, so leftmost-first
+    (Java) and RE2 (DuckDB) agree), plus chars-per-token, the standard
+    tokens-from-bytes estimator. All JVM-side regex — no UDF."""
+    d = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(bpe).cast("long").alias("n_bpe"),
+        F.round(F.col("n_chars") / F.size(bpe), 6).alias("chars_per_tok"),
+    )
+
+
+_SIMHASH_BIT_SUMS = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(32)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(32)
+)
+
+
+@query(
+    "q_llm_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT DISTINCT doc_id, t.tok
+                  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+                  WHERE length(t.tok) > 0),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+          FROM toks),
+    bits AS (SELECT doc_id,
+           {_SIMHASH_BIT_SUMS}
+             FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash text dedup (Charikar / Manku WWW'07): 32-bit md5-derived
+    fingerprint per document, then all pairs within Hamming distance 3 —
+    found EXACTLY via pigeonhole banding (4 bands; a pair ≤3 bits apart
+    must agree on one band) as a bucket equi-join, not the oracle's
+    naive self-join. operators/minhash.simhash_md5 + simhash_pairs."""
+    from ..operators.minhash import simhash_md5, simhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    return simhash_pairs(simhash_md5(toks), max_hamming=3)
+
+
+@query(
+    "q_llm_winnow",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, i, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+           FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+    h AS (SELECT doc_id, i,
+                 CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh),
+    fps AS (SELECT doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+            FROM h)
+    SELECT DISTINCT doc_id, fp FROM fps
+    """,
+)
+def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS scheme): hash every 3-word shingle in position order (rolling
+    k-gram hashes), slide a window of 4 over the hash sequence, record
+    the window minimum — a position-robust fingerprint set ~1/4 the
+    shingle count. All relational: posexplode + one window min + distinct;
+    md5-derived 32-bit hashes keep it engine-reproducible."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, 3), " "))
+    pos = d.select("doc_id", F.posexplode(sh).alias("i", "shingle"))
+    h = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    return (
+        pos.select("doc_id", F.min(h).over(w).alias("fp"))
+        .distinct()
+    )

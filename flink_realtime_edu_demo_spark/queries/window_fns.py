@@ -211,3 +211,75 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@query(
+    "q_win_dist",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + navigation window family: percent_rank, cume_dist,
+    first_value/last_value/nth_value over an explicit running frame.
+    percent_rank/cume_dist are (rank-1)/(n-1)-style double divisions on
+    identical operands in both engines; the ordering is unique
+    (totalprice desc, orderkey) so frames are deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(wo), 6).alias("pr"),
+        F.round(F.cume_dist().over(wo), 6).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame (Flink's OVER ... RANGE BETWEEN INTERVAL '1' HOUR
+    PRECEDING): per-user trailing-hour count and exact decimal sum.
+    Spark's rangeBetween needs a numeric ordering, so the frame runs on
+    epoch seconds — the same instant arithmetic DuckDB applies to the
+    interval frame. RANGE includes all ts-peers, so ties don't affect
+    determinism; the sum accumulates in decimal, surfaces as double."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
+    )

@@ -209,3 +209,31 @@ def jdbc_dim(spark: SparkSession, url: str, table: str, **options: str) -> DataF
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def csv_table(spark: SparkSession, path: str, schema_ddl: str,
+              header: bool = True, streaming: bool = False) -> DataFrame:
+    """CSV file source (Flink filesystem connector, format=csv). Always
+    pass an explicit schema: at 100 TB schema inference is a full extra
+    scan, and a drifting inferred type breaks downstream plans."""
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.schema(StructType.fromDDL(schema_ddl))
+        .option("header", str(header).lower())
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def json_table(spark: SparkSession, path: str, schema_ddl: str,
+               streaming: bool = False) -> DataFrame:
+    """JSON-lines file source (Flink filesystem connector, format=json).
+    Explicit schema for the same reasons as csv_table; timestamps use the
+    μs format round-trip (see materialize_kafka_topic)."""
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.schema(StructType.fromDDL(schema_ddl))
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("mode", "FAILFAST")
+        .json(path)
+    )

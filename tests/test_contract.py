@@ -62,3 +62,31 @@ def test_entry_module_exports_registry():
     spec.loader.exec_module(m)
     assert set(m.queries()) == set(QUERIES)
     assert set(m.oracle_sql()) == set(ORACLE)
+
+
+def test_csv_json_sources_roundtrip(spark, sf_dir, tmp_path):
+    """CSV/JSON filesystem sources read back the events table exactly
+    (explicit schema, FAILFAST, us-precision timestamps)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_demo_spark.sources.readers import csv_table, json_table
+    from flink_realtime_edu_demo_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields)
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    ev.write.option("timestampNTZFormat", fmt).json(jdir)
+    ev.write.option("timestampNTZFormat", fmt).option("header", True).csv(cdir)
+
+    want = sorted(map(repr, ev.collect()))
+    got_j = json_table(spark, jdir, ddl).select(*ev.columns)
+    assert sorted(map(repr, got_j.collect())) == want
+    got_c = csv_table(spark, cdir, ddl).select(*ev.columns)
+    # CSV has no NULL-vs-empty-string distinction for props; compare on a
+    # normalized frame
+    norm = lambda df: sorted(
+        map(repr, df.withColumn("props", F.coalesce("props", F.lit(""))).collect())
+    )
+    assert norm(got_c) == norm(ev)
