@@ -248,79 +248,91 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
     )
 
 
-SIMHASH_BITS = 32
-
-
 def simhash_md5(tokens: DataFrame, id_col: str = "doc_id",
-                tok_col: str = "tok", n_bits: int = SIMHASH_BITS) -> DataFrame:
-    """Per-document SimHash (Charikar STOC'02 / Manku WWW'07) over a
-    (id, token) frame → (id_col, simhash BIGINT).
+                tok_col: str = "tok") -> DataFrame:
+    """Per-document 64-bit SimHash (Charikar STOC'02; Manku WWW'07 uses
+    the same 64-bit size) over a (id, token) frame → (id_col, s1, s2):
+    two 32-bit halves, bits from md5 hex chars 1-8 and 9-16.
 
-    Token hashes come from the first 8 hex chars of md5 rather than
-    xxhash64 so the construction is reproducible in any engine with an
-    md5 function (that keeps the whole fingerprint oracle-checkable);
-    bit i of the fingerprint is the sign of Σ_tokens (±1 on hash bit i).
-    One groupBy with n_bits algebraic aggregates — a single shuffle of
-    (id, token-hash) pairs at scale, no state beyond the agg buffers.
+    Token hashes come from md5 rather than xxhash64 so the construction
+    is reproducible in any engine with an md5 function (that keeps the
+    whole fingerprint oracle-checkable); the two-halves layout keeps
+    every value inside a signed BIGINT. Bit i of each half is the sign
+    of Σ_tokens (±1 on hash bit i). One groupBy with 64 algebraic
+    aggregates — a single shuffle of (id, token-hash) pairs at scale.
     """
-    h = F.conv(F.substring(F.md5(F.col(tok_col).cast("binary")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    hashed = tokens.select(F.col(id_col), h.alias("_h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(n_bits)
-    ]
-    agg = hashed.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for i in range(n_bits):
-        term = F.when(F.col(f"b{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+    def half(hex_start: int, prefix: str) -> list:
+        h = F.conv(
+            F.substring(F.md5(F.col(tok_col).cast("binary")), hex_start, 8), 16, 10
+        ).cast("long")
+        return [
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"{prefix}{i}")
+            for i in range(32)
+        ]
+
+    agg = tokens.groupBy(id_col).agg(*half(1, "a"), *half(9, "b"))
+
+    def assemble(prefix: str) -> F.Column:
+        sim = None
+        for i in range(32):
+            term = F.when(F.col(f"{prefix}{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        return sim.cast("long")
+
+    return agg.select(F.col(id_col), assemble("a").alias("s1"), assemble("b").alias("s2"))
 
 
 def simhash_pairs(sims: DataFrame, id_col: str = "doc_id",
-                  max_hamming: int = 3, n_bits: int = SIMHASH_BITS) -> DataFrame:
-    """All pairs with Hamming(simhash_a, simhash_b) <= max_hamming —
-    EXACT, but without the all-pairs join: the fingerprint is split into
-    max_hamming+1 bands, and by pigeonhole any pair within the Hamming
-    budget agrees exactly on at least one band → candidates are a
-    bucket equi-join on (band, band_bits), verified with
-    bit_count(xor). Same output as a naive self-join (the oracle's
-    spelling), one narrow bucket shuffle at scale (Manku et al.'s
-    rotated-table scheme, WWW'07).
+                  max_hamming: int = 3) -> DataFrame:
+    """All pairs with 64-bit Hamming distance <= max_hamming — EXACT,
+    but without the all-pairs join: the fingerprint is split into
+    max_hamming+1 bands of 64/(max_hamming+1) bits, and by pigeonhole
+    any pair within the Hamming budget agrees exactly on at least one
+    band → candidates are a bucket equi-join on (band, band_bits),
+    verified with bit_count(xor). Same output as a naive self-join (the
+    oracle's spelling), one narrow bucket shuffle at scale (Manku et
+    al.'s rotated-table scheme, WWW'07).
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
     n_bands = max_hamming + 1
-    width = n_bits // n_bands
+    width = 64 // n_bands
+    halves = {1: F.col("s1"), 2: F.col("s2")}
+
+    def band_bits(b: int) -> F.Column:
+        # bands tile s1 then s2 (each half holds 32 bits)
+        start = b * width
+        half, off = (1, start) if start < 32 else (2, start - 32)
+        return (
+            F.shiftright(halves[half], off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bits")
+        )
+
     bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("bits"),
-            )
-            for b in range(n_bands)
-        ]
+        *[F.struct(F.lit(b).alias("band"), band_bits(b)) for b in range(n_bands)]
     )
-    buckets = sims.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bb")).select(
-        F.col(id_col), "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
+    buckets = sims.select(
+        F.col(id_col), "s1", "s2", F.explode(bands).alias("bb")
+    ).select(
+        F.col(id_col), "s1", "s2",
+        F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"),
     )
-    a = buckets.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("s_a"),
-                       "band", "bits")
-    b = buckets.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("s_b"),
-                       "band", "bits")
+    a = buckets.select(F.col(id_col).alias("id_a"), F.col("s1").alias("a1"),
+                       F.col("s2").alias("a2"), "band", "bits")
+    b = buckets.select(F.col(id_col).alias("id_b"), F.col("s1").alias("b1"),
+                       F.col("s2").alias("b2"), "band", "bits")
+    ham = (
+        F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
+    ).cast("long")
     return (
         a.join(b, ["band", "bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))).cast("long").alias("hamming"),
-        )
+        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -383,23 +383,22 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_unpivot",
     oracle="""
+    WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 5 = 0)
     SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
-           CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+           CAST(l_quantity AS DOUBLE) AS val FROM li
     UNION ALL
-    SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE)
-    FROM lineitem
+    SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE) FROM li
     UNION ALL
-    SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
-    FROM lineitem
+    SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE) FROM li
     UNION ALL
-    SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE) FROM li
     """,
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT / melt: wide metric columns → (metric, val) rows. Spark's
     unpivot is a narrow expand (no shuffle, no 4× scan — the oracle's
     UNION ALL spelling rescans; Spark's plan reads once)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
     name_map = {"l_quantity": "quantity", "l_extendedprice": "price",
                 "l_discount": "discount", "l_tax": "tax"}
     melted = li.select(

@@ -387,12 +387,12 @@ def q_llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_BIT_SUMS = ",\n           ".join(
-    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    f"SUM(CASE WHEN (h1 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS a{i},"
+    f" SUM(CASE WHEN (h2 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
     for i in range(32)
 )
-_SIMHASH_ASSEMBLE = " + ".join(
-    f"(CASE WHEN s{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(32)
-)
+_SIMHASH_S1 = " + ".join(f"(CASE WHEN a{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(32))
+_SIMHASH_S2 = " + ".join(f"(CASE WHEN b{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(32))
 
 
 @query(
@@ -402,24 +402,28 @@ _SIMHASH_ASSEMBLE = " + ".join(
                   FROM documents, unnest(string_split(text, ' ')) AS t(tok)
                   WHERE length(t.tok) > 0),
     h AS (SELECT doc_id,
-                 CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+                 CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h1,
+                 CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT) AS h2
           FROM toks),
     bits AS (SELECT doc_id,
            {_SIMHASH_BIT_SUMS}
              FROM h GROUP BY doc_id),
-    sim AS (SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash FROM bits)
+    sim AS (SELECT doc_id, CAST({_SIMHASH_S1} AS BIGINT) AS s1,
+                           CAST({_SIMHASH_S2} AS BIGINT) AS s2 FROM bits)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           CAST(bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS BIGINT)
+               AS hamming
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
     """,
 )
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash text dedup (Charikar / Manku WWW'07): 32-bit md5-derived
-    fingerprint per document, then all pairs within Hamming distance 3 —
-    found EXACTLY via pigeonhole banding (4 bands; a pair ≤3 bits apart
-    must agree on one band) as a bucket equi-join, not the oracle's
-    naive self-join. operators/minhash.simhash_md5 + simhash_pairs."""
+    """SimHash text dedup (Charikar / Manku WWW'07): 64-bit md5-derived
+    fingerprint per document (two 32-bit halves, signed-BIGINT-safe),
+    then all pairs within Hamming distance 3 — found EXACTLY via
+    pigeonhole banding (4×16-bit bands; a pair ≤3 bits apart must agree
+    on one band) as a bucket equi-join, not the oracle's naive
+    self-join. operators/minhash.simhash_md5 + simhash_pairs."""
     from ..operators.minhash import simhash_md5, simhash_pairs
 
     d = load(spark, sf_dir, "documents")

@@ -242,9 +242,34 @@ def q_stream_late_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped — the observable half of Flink's allowed-lateness side
     output. VLDB'21 (PAPERS.md) is the semantics citation."""
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    # Parallel prefix-scan: a single ORDER BY event_id window would drag
+    # the whole stream into one partition (the WindowExec warning — a
+    # 100 TB killer). Instead: per-chunk running max (parallel), then a
+    # prefix max over the tiny chunk-summary table (N/8192 rows), then
+    # greatest() of the two. Identical output, no global shuffle-to-one.
+    chunk = (F.col("event_id") / F.lit(8192)).cast("long")
+    w_local = (
+        Window.partitionBy("__chunk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = Window.orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = ev.withColumn("__chunk", chunk)
+    prev_chunk_max = (
+        chunked.groupBy("__chunk")
+        .agg(F.max("ts").alias("__cmax"))
+        .withColumn("__prev_max", F.max("__cmax").over(w_prev))
+        .select("__chunk", "__prev_max")
+    )
     return (
-        ev.withColumn("max_ts_so_far", F.max("ts").over(w))
+        chunked.withColumn("__local_run", F.max("ts").over(w_local))
+        .join(F.broadcast(prev_chunk_max), "__chunk")
+        .withColumn(
+            "max_ts_so_far",
+            F.greatest(F.col("__local_run"), F.coalesce("__prev_max", "__local_run")),
+        )
         .select(
             F.when(
                 F.col("ts") < F.col("max_ts_so_far") - F.expr("INTERVAL 10 MINUTE"),
