@@ -473,3 +473,38 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.select("doc_id", F.min(h).over(w).alias("fp"))
         .distinct()
     )
+
+
+@query(
+    "q_llm_centroids",
+    oracle="""
+    SELECT label,
+           CAST(i - 1 AS BIGINT) AS dim,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the reduce step of k-means / the
+    class-prototype builder): posexplode to (label, dim, value) and
+    aggregate per (label, dim) — the array never travels through the
+    shuffle whole, and the sum is decimal-exact so partition order
+    cannot perturb the mean. Output is (label, dim, centroid) rows, the
+    shuffle-friendly layout; re-assembly to array<float> is a narrow
+    collect_list sorted by dim when a consumer needs vectors."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vecs")
+    )

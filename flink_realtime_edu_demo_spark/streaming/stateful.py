@@ -99,3 +99,62 @@ def user_accumulator_batch(events: DataFrame) -> DataFrame:
         )
 
     return events.groupBy("user_id").applyInPandas(fold, schema=OUTPUT_SCHEMA)
+
+
+def tws_available() -> bool:
+    """True iff the runtime can execute transformWithStateInPandas
+    (its driver worker imports google.protobuf)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_accumulator_tws(events: DataFrame) -> DataFrame:
+    """Same per-user accumulator on Spark 4.x ``transformWithStateInPandas``
+    — the successor API to applyInPandasWithState and the closest Spark
+    analog of Flink's KeyedProcessFunction: named state variables from a
+    handle (getValueState/getListState/getMapState ≈ ValueState/
+    ListState/MapState), explicit timers, per-key row iteration.
+    Requires the RocksDB state store provider (callers/tests set
+    spark.sql.streaming.stateStore.providerClass).
+
+    Emits the running (n_events, total_value) per user on every update,
+    status fixed 'active' (timer-based finalization stays demonstrated
+    in user_accumulator; this twin demonstrates the state API itself).
+
+    Environment gate: the transformWithState wire protocol needs the
+    google.protobuf Python package, absent from this container (and
+    installs are out of scope) — tws_available() reports whether the
+    runtime can execute this; tests skip when it can't. The
+    applyInPandasWithState path (user_accumulator) carries the verified
+    stateful coverage either way.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Accumulate(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.acc = handle.getValueState("acc", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, total = self.acc.get() if self.acc.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.acc.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total],
+                 "status": ["active"]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Accumulate(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -239,3 +239,50 @@ def test_kafka_shaped_decode_converges_to_batch(spark, sf_dir, stream_dir):
     want = load(spark, sf_dir, "events")
     assert sorted(got.columns) == sorted(want.columns)
     assert canon_rows(got.select(*want.columns)) == canon_rows(want)
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, stream_dir, tmp_path):
+    """The transformWithStateInPandas accumulator (Spark 4.x stateful API)
+    converges to the batch per-user aggregate: final upserted state per
+    user equals groupBy count/sum."""
+    from flink_realtime_edu_demo_spark.streaming.changelog import (
+        ChangelogUpsertSink,
+        start_changelog_sink,
+    )
+    from flink_realtime_edu_demo_spark.streaming.stateful import (
+        tws_available,
+        user_accumulator_tws,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState driver worker needs google.protobuf, "
+                    "not present in this container")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_table(spark, stream_dir, "events")
+        sink = ChangelogUpsertSink(key_cols=["user_id"])
+        q = start_changelog_sink(user_accumulator_tws(ev), str(tmp_path / "ck"), sink)
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    want = {r.user_id: (r.n, round(r.total, 6)) for r in batch.collect()}
+    got = {
+        k[0]: (v["n_events"], round(v["total_value"], 6))
+        for k, v in sink.state.items()
+    }
+    assert got == want and len(got) > 0
