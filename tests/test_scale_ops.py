@@ -98,3 +98,40 @@ def test_salted_join_default_salt_and_how_guard(spark, sf_dir):
     assert salted_join(li.coalesce(1), o, key="l_orderkey", salt=4).count() == plain
     with pytest.raises(ValueError, match="inner"):
         salted_join(li, o, key="l_orderkey", how="full")
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """The SCALE.md claim 'bucket both fact tables by the join key at
+    write -> zero join shuffle' — demonstrated: lineitem and orders
+    written bucketed by orderkey, joined, and the physical plan contains
+    NO Exchange (vs 2 exchanges unbucketed)."""
+    from flink_realtime_edu_demo_spark.tables import load
+
+    # warehouse dir is a static conf — managed tables land in the session
+    # default and are dropped (files included) in the finally block
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("li_b")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("o_b")
+
+        joined = spark.table("li_b").join(
+            spark.table("o_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        want = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        )
+        assert joined.count() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

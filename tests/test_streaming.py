@@ -286,3 +286,55 @@ def test_transform_with_state_matches_batch(spark, sf_dir, stream_dir, tmp_path)
         for k, v in sink.state.items()
     }
     assert got == want and len(got) > 0
+
+
+def test_metrics_listener_and_broadcast_dim_join(spark, sf_dir, stream_dir):
+    """MetricsCollector sees every micro-batch's counters (Flink metrics
+    parity) while a broadcast-state-style dim join enriches the stream;
+    the dim snapshot is swapped mid-run and later batches must see the
+    NEW mapping — the property Flink's broadcast state provides."""
+    from flink_realtime_edu_demo_spark.streaming.metrics import (
+        MetricsCollector,
+        broadcast_dim_join,
+    )
+
+    collector = MetricsCollector()
+    spark.streams.addListener(collector)
+
+    dim_state = {"gen": 0}
+    def load_dim(s):
+        g = dim_state["gen"]
+        return s.createDataFrame(
+            [(t, f"seg{g}") for t in ("click", "view", "purchase", "error", "signup")],
+            "event_type string, segment string",
+        )
+
+    seen: list[tuple[int, set]] = []
+    def sink(df, batch_id):
+        seen.append((batch_id, {r.segment for r in df.select("segment").distinct().collect()}))
+        dim_state["gen"] += 1  # swap the dim between batches
+
+    try:
+        ev = stream_table(spark, stream_dir, "events")
+        q = broadcast_dim_join(ev, load_dim, on="event_type", sink=sink)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        # progress events are delivered asynchronously — wait for the
+        # listener queue to drain before asserting on totals
+        import time as _t
+
+        want_rows = load(spark, sf_dir, "events").count()
+        deadline = _t.time() + 30
+        while (
+            sum(b["num_input_rows"] for b in collector.batches) < want_rows
+            and _t.time() < deadline
+        ):
+            _t.sleep(0.5)
+    finally:
+        spark.streams.removeListener(collector)
+
+    assert len(seen) >= 2
+    segs = [s for _, s in seen if s]
+    assert segs[0] == {"seg0"} and segs[-1] != segs[0]  # refresh visible
+    assert sum(b["num_input_rows"] for b in collector.batches) == want_rows
