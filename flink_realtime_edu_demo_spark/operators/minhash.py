@@ -209,10 +209,16 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
     docs = hashed.groupBy(id_col).agg(
         F.array_sort(F.collect_set("h")).alias("hs"), F.count(F.lit(1)).alias("n_sh")
     )
-    # Invert: shingle → sorted doc list, then expand ordered pairs with a
-    # narrow higher-order expression — one groupBy, no two-sided self-join
-    # shuffle, and the quadratic term is bounded by the df cap.
-    inverted = hashed.groupBy("h").agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    # Invert FROM the per-doc arrays (explode of the already-aggregated
+    # frame), not from the raw shingle stream: the scan→tokenize→shingle
+    # pipeline then runs once, and the three consumers of `docs` below
+    # share one exchange (ReusedExchange in the plan) — one groupBy, no
+    # two-sided self-join shuffle, quadratic term bounded by the df cap.
+    inverted = (
+        docs.select(F.col(id_col), F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    )
     width_ok = F.size("ids") >= 2
     if max_df is not None:
         width_ok = width_ok & (F.size("ids") <= max_df)

@@ -19,6 +19,7 @@ _MODULES = (
     "streaming_batch",
     "llm",
     "udfs",
+    "analytics",
 )
 
 

@@ -362,3 +362,75 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
         F.element_at(F.map_keys(m), 1).alias("first_key"),
     )
+
+
+@query(
+    "q_fn_trig",
+    oracle="""
+    SELECT o_orderkey,
+           round(sin(o_totalprice / 100000.0), 6) + 0.0 AS v_sin,
+           round(cos(o_totalprice / 100000.0), 6) + 0.0 AS v_cos,
+           round(atan2(o_totalprice, 100000.0), 6) AS v_atan2,
+           round(degrees(atan2(o_totalprice, 100000.0)), 6) AS v_deg,
+           round(radians(45.0) * o_orderkey % 7, 6) AS v_rad,
+           round(exp(o_totalprice / 1000000.0), 6) AS v_exp,
+           round(tan(o_totalprice / 1000000.0), 6) + 0.0 AS v_tan
+    FROM orders
+    """,
+)
+def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig/exponential family — rounded to 6 decimals (libm vs JVM
+    intrinsics differ in the last ulp), -0.0 collapsed with +0.0."""
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        (F.round(F.sin(p / 100000.0), 6) + 0.0).alias("v_sin"),
+        (F.round(F.cos(p / 100000.0), 6) + 0.0).alias("v_cos"),
+        F.round(F.atan2(p, F.lit(100000.0)), 6).alias("v_atan2"),
+        F.round(F.degrees(F.atan2(p, F.lit(100000.0))), 6).alias("v_deg"),
+        F.round(F.radians(F.lit(45.0)) * F.col("o_orderkey") % 7, 6).alias("v_rad"),
+        F.round(F.exp(p / 1000000.0), 6).alias("v_exp"),
+        (F.round(F.tan(p / 1000000.0), 6) + 0.0).alias("v_tan"),
+    )
+
+
+@query(
+    "q_fn_datetime2",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(ts AS DATE) + INTERVAL 30 DAY AS DATE) AS d_plus,
+           CAST(CAST(ts AS DATE) - INTERVAL 7 DAY AS DATE) AS d_minus,
+           last_day(CAST(ts AS DATE)) AS d_lastday,
+           CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS d_week,
+           CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS d_month,
+           CAST(date_part('doy', ts) AS INT) AS d_doy,
+           CAST(date_part('week', ts) AS INT) AS d_weeknum,
+           make_date(2024, CAST(month(ts) AS INT), 1) AS d_made,
+           CAST(strptime('2024-03-15 12:30:45', '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+               AS ts_parsed
+    FROM events
+    """,
+)
+def q_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date/time family: date arithmetic, last_day, week/month
+    truncation, day-of-year, ISO week number, make_date, string→timestamp
+    parsing. DuckDB's date +/- INTERVAL widens to TIMESTAMP, so the
+    oracle casts back to DATE (Spark date_add/date_sub stay DATE);
+    'week' truncation is ISO-Monday in both engines."""
+    ev = load(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return ev.select(
+        "event_id",
+        F.date_add(d, 30).alias("d_plus"),
+        F.date_sub(d, 7).alias("d_minus"),
+        F.last_day(d).alias("d_lastday"),
+        F.date_trunc("week", d).cast("date").alias("d_week"),
+        F.date_trunc("month", d).cast("date").alias("d_month"),
+        F.dayofyear("ts").alias("d_doy"),
+        F.weekofyear("ts").alias("d_weeknum"),
+        F.make_date(F.lit(2024), F.month("ts"), F.lit(1)).alias("d_made"),
+        F.to_timestamp(F.lit("2024-03-15 12:30:45"), "yyyy-MM-dd HH:mm:ss")
+        .cast("timestamp_ntz")
+        .alias("ts_parsed"),
+    )
