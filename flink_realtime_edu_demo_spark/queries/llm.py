@@ -508,3 +508,122 @@ def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vecs")
     )
+
+
+@query(
+    "q_llm_dedup_chargram",
+    oracle="""
+    WITH raw_grams AS (
+        SELECT DISTINCT doc_id, substring(text, i, 4) AS shingle
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - 3, 1))) AS t(i)
+    ),
+    grams AS (SELECT * FROM raw_grams
+              WHERE CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT) % 4 = 0),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY 1),
+    gdf AS (SELECT shingle FROM grams GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 256),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM grams a JOIN grams b USING (shingle) JOIN gdf USING (shingle)
+             WHERE a.doc_id < b.doc_id),
+    common AS (SELECT cand.id_a, cand.id_b, COUNT(*) AS n_common
+               FROM cand
+               JOIN grams a ON a.doc_id = cand.id_a
+               JOIN grams b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           ca.n_sh AS n_a, cb.n_sh AS n_b,
+           n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.6
+    """,
+)
+def q_llm_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup pairs (threshold 0.6) — the
+    language-agnostic n-gram variant (robust to tokenization and
+    whitespace differences, the standard CJK-safe fallback), over a
+    deterministic 1/4 MOD-sample of the gram universe (Broder's sketch
+    family: J over A∩S vs B∩S for a fixed hash-defined S is an unbiased
+    Jaccard estimate, and both engines select the identical S from the
+    md5-derived gram hash). Char-grams are ~4× denser than word
+    shingles; the sample keeps the inverted index the same size as the
+    word variant's. Same df-capped candidates + exact-verify machinery
+    downstream — only the shingling and sampling change."""
+    d = load(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 3, F.lit(1)))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("text"), i, 4)))
+        ).alias("shingle"),
+    ).filter(
+        (F.length("shingle") > 0)
+        & (
+            F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 4 == 0
+        )
+    )
+    return jaccard_pairs(grams, threshold=0.6)
+
+
+@query(
+    "q_llm_clean_corpus",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, text, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_dis
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM q
+        WHERE n_chars BETWEEN 100 AND 2000
+          AND n_tok >= 20
+          AND n_dis * 1.0 / n_tok >= 0.2
+          AND lang IN ('en', 'fr', 'es', 'de')
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, text,
+               min(lang) AS lang, min(n_tok) AS n_tok
+        FROM filtered GROUP BY text
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS total_tokens,
+           CAST(SUM(CASE WHEN n_tok > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def q_llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pipeline as ONE plan: quality
+    filters (length / token count / type-token ratio) → language
+    whitelist → exact dedup keeping the smallest doc_id → per-language
+    token budget report. The shape every LLM data pipeline runs nightly;
+    here it is narrow-ops + two shuffles (dedup groupBy text-hash, final
+    agg), with all filters pushed ahead of the dedup shuffle so
+    discarded docs never shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_tok, n_dis = F.size(w), F.size(F.array_distinct(w))
+    filtered = (
+        d.select("doc_id", "text", "lang", "n_chars",
+                 n_tok.alias("n_tok"), n_dis.alias("n_dis"))
+        .filter(
+            F.col("n_chars").between(100, 2000)
+            & (F.col("n_tok") >= 20)
+            & (F.col("n_dis") / F.col("n_tok") >= 0.2)
+            & F.col("lang").isin("en", "fr", "es", "de")
+        )
+    )
+    deduped = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tok").alias("n_tok"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tok") > 50, 1).otherwise(0)).cast("long").alias("n_long"),
+    )
