@@ -204,6 +204,12 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
     Returns (id_a, id_b, n_common, n_a, n_b, jaccard) with id_a < id_b
     and jaccard >= threshold. The division is int/int on identical
     operands → engine-exact.
+
+    Shuffle budget (the plan audit counts 5 exchanges): per-doc index
+    build, inverted index build (off the same exchange, reused),
+    candidate dedup, and the two verification joins — the latter
+    AQE-convert to broadcast whenever the candidate set is small, which
+    is the common case at a meaningful threshold.
     """
     hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
     docs = hashed.groupBy(id_col).agg(

@@ -267,14 +267,19 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE frame (Flink's OVER ... RANGE BETWEEN INTERVAL '1' HOUR
     PRECEDING): per-user trailing-hour count and exact decimal sum.
     Spark's rangeBetween needs a numeric ordering, so the frame runs on
-    epoch seconds — the same instant arithmetic DuckDB applies to the
-    interval frame. RANGE includes all ts-peers, so ties don't affect
-    determinism; the sum accumulates in decimal, surfaces as double."""
+    epoch MICROseconds — whole-second epoch would truncate and disagree
+    with DuckDB's μs-precise interval frame for events straddling a
+    second boundary (caught by the sf0.1 sweep). RANGE includes all
+    ts-peers, so ties don't affect determinism; the sum accumulates in
+    decimal, surfaces as double."""
     ev = load(spark, sf_dir, "events")
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
-        .rangeBetween(-3600, 0)
+        .orderBy(epoch_us)
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

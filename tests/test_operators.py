@@ -130,3 +130,79 @@ def test_asof_tie_break_deterministic(spark, sf_dir):
     a = {(r.ts, r.val) for r in asof_join(probe, ref, **kw).collect()}
     b = {(r.ts, r.val) for r in asof_join_pandas(probe, ref, **kw).collect()}
     assert a == b == {(10, "b"), (20, "b")}  # seq=2 sorts last -> wins
+
+
+def test_range_join_binned_equals_naive(spark, sf_dir):
+    """Binned range join == naive theta join, including interval lengths
+    spanning many bins and points exactly on bin edges."""
+    import random
+
+    from flink_realtime_edu_demo_spark.operators.rangejoin import range_join_binned
+
+    rnd = random.Random(7)
+    pts = [(i, rnd.uniform(-100, 100)) for i in range(300)]
+    ivs = []
+    for j in range(80):
+        lo = rnd.uniform(-120, 100)
+        ivs.append((j, lo, lo + rnd.uniform(0, 37.5)))  # up to ~4 bins wide
+    p = spark.createDataFrame(pts, "pid int, x double")
+    iv = spark.createDataFrame(ivs, "iid int, lo double, hi double")
+
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_binned(p, iv, "x", "lo", "hi", bin_width=10.0).collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in p.crossJoin(iv)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_range_join_binned_degenerate_interval_raises(spark, sf_dir):
+    from pyspark.sql.utils import PythonException
+
+    from flink_realtime_edu_demo_spark.operators.rangejoin import range_join_binned
+
+    p = spark.createDataFrame([(1, 0.0)], "pid int, x double")
+    iv = spark.createDataFrame([(1, 0.0, 1e6)], "iid int, lo double, hi double")
+    import pytest
+
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        range_join_binned(p, iv, "x", "lo", "hi", bin_width=1.0,
+                          max_bins_per_interval=16).collect()
+
+
+def test_simhash_banding_equals_naive(spark, sf_dir):
+    """Pigeonhole-banded simhash_pairs == naive all-pairs Hamming filter."""
+    from flink_realtime_edu_demo_spark.operators.minhash import (
+        simhash_md5,
+        simhash_pairs,
+    )
+    from flink_realtime_edu_demo_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").limit(200)
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    sims = simhash_md5(toks)
+    got = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(sims, max_hamming=3).collect()}
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("s1").alias("a1"), F.col("s2").alias("a2"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("s1").alias("b1"), F.col("s2").alias("b2"))
+    ham = (
+        F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
+    ).cast("long")
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == want and len(want) > 0
