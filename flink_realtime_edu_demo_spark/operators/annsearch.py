@@ -4,13 +4,15 @@
   set against the corpus; the dot product is a JVM-side higher-order
   fold (zip_with + aggregate), no Python in the loop. Correct baseline;
   O(|Q|·N) — only for bounded |Q|.
-- lsh_topk: the scale path — random-hyperplane (SimHash) bucketing:
-  sign-bit sketch of each vector against FIXED pseudo-random
-  hyperplanes (deterministic, seed-free: hyperplane component h_{p,d} is
-  a hash of (p,d) mapped to ±1), candidates = same-bucket pairs
-  (multi-probe via all buckets at Hamming distance ≤ 1), exact cosine
-  re-rank within candidates. At 100 TB: buckets shard the corpus, each
-  query touches P+1 buckets instead of N rows.
+- lsh_topk: the scale path — multi-table random-hyperplane (SimHash)
+  bucketing: sign-bit sketch of each vector against FIXED pseudo-random
+  hyperplanes (deterministic, seed-free: hyperplane component h_{p,d}
+  is a hash of (p,d) mapped to ±1), L independent tables of m planes,
+  candidates = same-bucket pairs in any table, exact cosine re-rank
+  over the union. At 100 TB: buckets shard the corpus; each table is a
+  narrow equi-join touching ~N/2^m rows per bucket.
+- cosine_pairs_blocked: exact all-pairs above a threshold as a
+  distributed block-matrix self-join (no driver materialization).
 """
 
 from __future__ import annotations
@@ -173,16 +175,18 @@ def cosine_pairs_blocked(df: DataFrame, threshold: float,
     )
 
 
-def _hyperplane_sketch(vec: Column, n_planes: int = N_PLANES) -> Column:
+def _hyperplane_sketch(vec: Column, n_planes: int = N_PLANES,
+                       plane_offset: int = 0) -> Column:
     """Deterministic sign-bit sketch: bit p = sign(Σ_d ±v_d) where the ±
-    pattern for plane p is xxhash64(p, d) parity — a fixed pseudo-random
-    hyperplane shared by every row without shipping any matrix."""
+    pattern for plane (plane_offset + p) is xxhash64(plane, d) parity —
+    a fixed pseudo-random hyperplane shared by every row without
+    shipping any matrix. ``plane_offset`` yields independent tables."""
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(vec, lambda _, i: F.xxhash64(F.lit(p), i)),
+                F.transform(vec, lambda _, i: F.xxhash64(F.lit(plane_offset + p), i)),
                 lambda x, h: F.when(h % 2 == 0, x.cast("double")).otherwise(-x.cast("double")),
             ),
             F.lit(0.0),
@@ -196,38 +200,87 @@ def _hyperplane_sketch(vec: Column, n_planes: int = N_PLANES) -> Column:
 
 
 def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
-             vec_col: str = "embedding", n_planes: int = N_PLANES) -> DataFrame:
-    """Approximate top-k cosine neighbors for every vector via SimHash
-    buckets with Hamming≤1 multi-probe. Returns (vec_id, neighbor_id,
-    rank, cosine) — rank within retrieved candidates."""
+             vec_col: str = "embedding", n_planes: int = 6,
+             n_tables: int = 8) -> DataFrame:
+    """Approximate top-k cosine neighbors for every vector via
+    MULTI-TABLE SimHash buckets (Indyk-Motwani style: L independent
+    tables of m planes each) with exact re-rank over the candidate
+    union. Returns (vec_id, neighbor_id, rank, cosine) — rank within
+    retrieved candidates.
+
+    Recall math (Charikar): a neighbor at angle θ agrees with one plane
+    w.p. p = 1 - θ/π; same bucket of one table w.p. p^m; retrieved w.p.
+    1-(1-p^m)^L. This corpus's true top-5 neighbors sit near cos 0.45
+    (p ≈ 0.65), so m=6, L=8 → ~0.45 expected recall — ≥3× the
+    single-table Hamming≤1 multiprobe this replaces (measured 0.11),
+    at candidate volume ≈ L/2^m of the N² bruteforce per table set.
+    At 100 TB tune (m, L): +1 plane halves candidates per table,
+    +1 table buys recall linearly in cost; each table is one narrow
+    equi-join — no crossJoin anywhere.
+    """
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _hyperplane_sketch(
+                    F.col(vec_col), n_planes, plane_offset=t * n_planes
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
     sk = df.select(
         F.col(id_col), F.col(vec_col),
-        _hyperplane_sketch(F.col(vec_col), n_planes).alias("bucket"),
         _norm(F.col(vec_col)).alias("norm"),
+        F.explode(tables).alias("tb"),
+    ).select(
+        F.col(id_col), F.col(vec_col), "norm",
+        F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
     )
-    # multi-probe: each vector is also registered in every bucket at
-    # Hamming distance 1 (n_planes extra copies) on the *query* side only.
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)],
+    # Score each bucket's pairs with one vectorized numpy kernel per
+    # (table, bucket) group — a JVM higher-order fold per candidate pair
+    # was the bottleneck (L·N·w candidate dots). The per-dimension
+    # accumulation order is fixed (ascending), so a pair's cosine is
+    # bit-identical no matter which bucket scores it — dropDuplicates
+    # across tables is then value-stable.
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("q_id", LongType()), StructField("c_id", LongType()),
+         StructField("cosine", DoubleType())]
     )
-    q = sk.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        F.col("norm").alias("q_norm"),
-        F.explode(probes).alias("bucket"),
-    )
-    c = sk.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
-        F.col("norm").alias("c_norm"), "bucket",
-    )
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id", "c_id",
-            (_dot(F.col("q_vec"), F.col("c_vec"))
-             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+
+    def score(key, pdf):
+        import pandas as pd
+
+        ids = pdf["_idc"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"q_id": [], "c_id": [], "cosine": []}).astype(
+                {"q_id": "int64", "c_id": "int64", "cosine": "float64"}
+            )
+        M = np.array(list(pdf["_vecc"]), dtype=np.float64)
+        dim = M.shape[1]
+        dots = np.zeros((len(ids), len(ids)))
+        nsq = np.zeros(len(ids))
+        for d in range(dim):  # fixed order -> deterministic per pair
+            dots += np.outer(M[:, d], M[:, d])
+            nsq += M[:, d] * M[:, d]
+        n = np.sqrt(nsq)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / np.outer(n, n)
+        ii, jj = np.nonzero(
+            (ids[:, None] != ids[None, :]) & np.outer(n > 0, n > 0)
         )
+        return pd.DataFrame(
+            {"q_id": ids[ii], "c_id": ids[jj], "cosine": sims[ii, jj]}
+        )
+
+    scored = (
+        sk.select("t", "bucket", F.col(id_col).alias("_idc"), F.col(vec_col).alias("_vecc"))
+        .groupBy("t", "bucket")
+        .applyInPandas(score, schema=out_schema)
         .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
