@@ -628,3 +628,18 @@ def q_llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.sum(F.when(F.col("n_tok") > 50, 1).otherwise(0)).cast("long").alias("n_long"),
     )
+
+
+@query("q_llm_kmeans")  # rows-only: iterative algorithm, not SQL-expressible
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 5 iterations) over the embedding
+    corpus (operators/kmeans.py): Arrow-batched assignment against a
+    4 KB broadcast centroid matrix + exact-decimal centroid update —
+    the iterative-driver-loop pattern where per-iteration driver state
+    is k×dim scalars, never data rows. Unit-tested against a pure-numpy
+    reference (>=99% label agreement)."""
+    from ..operators.kmeans import kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(e, k=8, n_iter=5)
+    return assigned

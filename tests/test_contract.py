@@ -90,3 +90,36 @@ def test_csv_json_sources_roundtrip(spark, sf_dir, tmp_path):
         map(repr, df.withColumn("props", F.coalesce("props", F.lit(""))).collect())
     )
     assert norm(got_c) == norm(ev)
+
+
+def test_missing_sf_dir_raises_clean_path_error(spark):
+    from py4j.protocol import Py4JJavaError
+    import pytest
+
+    from flink_realtime_edu_demo_spark.tables import load
+
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        load(spark, "/root/testdata/sf-nope", "events").collect()
+
+
+def test_events_loader_overrides_preset_nanos_conf(spark, sf_dir):
+    """A caller (the driver uses a vanilla session) may have set
+    nanosAsLong=false; tables.load must still read the ns-parquet events
+    fixture by overriding the runtime conf itself."""
+    from flink_realtime_edu_demo_spark.tables import load
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        assert load(spark, sf_dir, "events").count() > 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
+def test_same_query_twice_one_session_is_stable(spark, sf_dir):
+    from flink_realtime_edu_demo_spark.registry import QUERIES
+
+    a = sorted(map(repr, QUERIES["q_agg_basic"](spark, sf_dir).collect()))
+    b = sorted(map(repr, QUERIES["q_agg_basic"](spark, sf_dir).collect()))
+    assert a == b

@@ -221,3 +221,35 @@ def test_lsh_topk_recall_floor(spark, sf_dir):
     approx = {(r.vec_id, r.neighbor_id) for r in lsh_topk(e, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.25, f"recall@5 regressed: {recall:.3f}"
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    """Distributed Lloyd's == a pure-numpy reference run from the same
+    deterministic init (>=99% agreement; the 1% slack covers last-ulp
+    distance ties between decimal-exact and numpy means)."""
+    import numpy as np
+
+    from flink_realtime_edu_demo_spark.operators.kmeans import kmeans
+    from flink_realtime_edu_demo_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans(e, k=8, n_iter=3)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+
+    rows = sorted((r.vec_id, list(r.embedding)) for r in e.collect())
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    C = X[:8].copy()
+    for _ in range(3):
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        lab = np.argmin(d, axis=1)
+        for c in range(8):
+            if (lab == c).any():
+                C[c] = X[lab == c].mean(axis=0)
+    d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+    lab = np.argmin(d, axis=1)
+    want = dict(zip(ids.tolist(), lab.tolist()))
+
+    agree = sum(got[i] == want[i] for i in got) / len(got)
+    assert agree >= 0.99, f"label agreement {agree:.3f}"
+    assert len(set(got.values())) == 8
