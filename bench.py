@@ -42,12 +42,18 @@ def main() -> int:
     spark.range(32).repartition(32).select(_noop("id")).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for key in sorted(QUERIES):
         best = float("inf")
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            QUERIES[key](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                QUERIES[key](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # one broken query must not void the artifact
+            errors[key] = str(e).split("\n")[0][:200]
+            print(f"# {key}: ERROR {errors[key]}", file=sys.stderr, flush=True)
+            continue
         timings[key] = round(best, 4)
         print(f"# {key}: {timings[key]:.3f}s", file=sys.stderr, flush=True)
 
@@ -61,6 +67,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf),
                 "n_queries": len(timings),
+                **({"errors": errors} if errors else {}),
             }
         ),
         flush=True,

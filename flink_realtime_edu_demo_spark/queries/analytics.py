@@ -75,8 +75,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (region→nation→customer→orders→lineitem) with revenue per nation.
     region/nation/customer all broadcast (each orders-of-magnitude
     smaller than the facts), so the whole chain costs one fact⋈fact
-    shuffle plus one tiny agg shuffle — the plan shape that holds when
-    lineitem is 100 TB."""
+    shuffle plus one tiny agg shuffle. Honest scale note: the broadcast
+    of the filtered customer dim assumes it fits the broadcast budget
+    (true to ~10⁸ customers); past that, drop the hint and the
+    customer⋈orders edge becomes the plan's second shuffle join —
+    the rest of the shape is unchanged."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")

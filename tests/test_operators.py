@@ -253,3 +253,24 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     agree = sum(got[i] == want[i] for i in got) / len(got)
     assert agree >= 0.99, f"label agreement {agree:.3f}"
     assert len(set(got.values())) == 8
+
+
+def test_async_lookup_bulk_enrichment(spark, sf_dir):
+    """async_lookup (Flink Async-I/O analog): one bulk service call per
+    Arrow batch, NULL for missing keys, values correct for every row."""
+    from flink_realtime_edu_demo_spark.operators.lookup import async_lookup
+    from flink_realtime_edu_demo_spark.tables import load
+
+    def fake_service(keys):
+        # deterministic fake: even user ids known, odd ids missing
+        return {k: f"tier-{k % 3}" for k in keys if k % 2 == 0}
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    out = async_lookup(ev, fake_service, key_col="user_id", value_col="tier")
+    rows = out.collect()
+    assert len(rows) == ev.count()
+    for r in rows:
+        if r.user_id % 2 == 0:
+            assert r.tier == f"tier-{r.user_id % 3}"
+        else:
+            assert r.tier is None
