@@ -148,3 +148,13 @@ def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a dimension table with a broadcast hint when it qualifies."""
     df = load(spark, sf_dir, name)
     return F.broadcast(df) if name in BROADCAST_DIMS else df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so users run plain
+    ``spark.sql(...)`` — the migration path for a Flink-SQL user: same
+    table names, ANSI SQL, window TVF semantics via ``window()``/
+    ``session_window()``. Views are lazy: each query still gets full
+    pushdown/pruning against the parquet scan."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

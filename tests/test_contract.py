@@ -123,3 +123,25 @@ def test_same_query_twice_one_session_is_stable(spark, sf_dir):
     a = sorted(map(repr, QUERIES["q_agg_basic"](spark, sf_dir).collect()))
     b = sorted(map(repr, QUERIES["q_agg_basic"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_spark_sql_surface_over_registered_views(spark, sf_dir):
+    """A Flink-SQL user's migration path: register_views + spark.sql.
+    A grouped agg and a TUMBLE-equivalent windowed agg both run as raw
+    SQL and match their DataFrame twins."""
+    from flink_realtime_edu_demo_spark.registry import QUERIES
+    from flink_realtime_edu_demo_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql_agg = spark.sql("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
+        FROM events GROUP BY event_type
+    """)
+    df_agg = QUERIES["q_agg_count_distinct"](spark, sf_dir)
+    assert sorted(map(repr, sql_agg.collect())) == sorted(map(repr, df_agg.collect()))
+
+    sql_win = spark.sql("""
+        SELECT window.start AS ws, event_type, COUNT(*) AS n
+        FROM events GROUP BY window(ts, '1 hour'), event_type
+    """)
+    assert sql_win.count() > 0
