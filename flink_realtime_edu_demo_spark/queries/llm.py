@@ -459,11 +459,10 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window minimum — a position-robust fingerprint set ~1/4 the
     shingle count. All relational: posexplode + one window min + distinct;
     md5-derived 32-bit hashes keep it engine-reproducible."""
+    from ..operators.minhash import shingle_array
+
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, 3), " "))
-    pos = d.select("doc_id", F.posexplode(sh).alias("i", "shingle"))
+    pos = d.select("doc_id", F.posexplode(shingle_array()).alias("i", "shingle"))
     h = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast(
         "long"
     )
