@@ -20,8 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-N_PLANES = 8  # 256 buckets
-
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -175,30 +173,6 @@ def cosine_pairs_blocked(df: DataFrame, threshold: float,
     )
 
 
-def _hyperplane_sketch(vec: Column, n_planes: int = N_PLANES,
-                       plane_offset: int = 0) -> Column:
-    """Deterministic sign-bit sketch: bit p = sign(Σ_d ±v_d) where the ±
-    pattern for plane (plane_offset + p) is xxhash64(plane, d) parity —
-    a fixed pseudo-random hyperplane shared by every row without
-    shipping any matrix. ``plane_offset`` yields independent tables."""
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(vec, lambda _, i: F.xxhash64(F.lit(plane_offset + p), i)),
-                lambda x, h: F.when(h % 2 == 0, x.cast("double")).otherwise(-x.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
              vec_col: str = "embedding", n_planes: int = 6,
              n_tables: int = 8) -> DataFrame:
@@ -218,24 +192,42 @@ def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
     +1 table buys recall linearly in cost; each table is one narrow
     equi-join — no crossJoin anywhere.
     """
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                _hyperplane_sketch(
-                    F.col(vec_col), n_planes, plane_offset=t * n_planes
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    # All L·m plane projections in ONE Arrow pass per batch (a JVM fold
+    # per plane per row was the remaining bottleneck): S is a ±1 matrix
+    # derived from md5(plane, dim) — deterministic, seed-free, built
+    # identically on every worker without shipping anything.
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    total_planes = n_planes * n_tables
+    pow2 = 2 ** np.arange(n_planes)
+
+    def _buckets(v):
+        import hashlib
+
+        X = np.array(list(v), dtype=np.float64)
+        dim = X.shape[1]
+        S = np.array(
+            [
+                [
+                    1.0
+                    if hashlib.md5(f"{j}:{d}".encode()).digest()[0] % 2 == 0
+                    else -1.0
+                    for j in range(total_planes)
+                ]
+                for d in range(dim)
+            ]
+        )
+        bits = (X @ S) >= 0  # n × (L·m) sign bits
+        per_table = bits.reshape(len(X), n_tables, n_planes) @ pow2
+        return pd.Series(list(per_table.astype("int32")))
+
+    buckets_udf = F.pandas_udf(_buckets, ArrayType(IntegerType()))
     sk = df.select(
         F.col(id_col), F.col(vec_col),
-        _norm(F.col(vec_col)).alias("norm"),
-        F.explode(tables).alias("tb"),
-    ).select(
-        F.col(id_col), F.col(vec_col), "norm",
-        F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("t", "bucket"),
     )
     # Score each bucket's pairs with one vectorized numpy kernel per
     # (table, bucket) group — a JVM higher-order fold per candidate pair
