@@ -90,3 +90,54 @@ def test_funnel_matches_bruteforce(spark, evs):
             continue
         want[k] = (a, b, c)
     assert got == want
+
+
+words_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=1, max_size=12),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=words_docs)
+def test_jaccard_pairs_matches_python_reference(spark, docs):
+    """jaccard_pairs (uncapped) == a pure-python set-Jaccard reference on
+    random word docs; the capped default emits a subset with identical
+    values for every pair it keeps."""
+    from flink_realtime_edu_demo_spark.operators.minhash import jaccard_pairs, shingles
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df)
+
+    def ref_shingles(ws):
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: ref_shingles(ws) for i, ws in enumerate(docs)}
+    want = {}
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x < y and sets[x] and sets[y]:
+                inter = len(sets[x] & sets[y])
+                j = inter / len(sets[x] | sets[y])
+                if j >= 0.5:
+                    want[(x, y)] = (inter, len(sets[x]), len(sets[y]), j)
+
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in jaccard_pairs(sh, threshold=0.5, max_df=None).collect()
+    }
+    assert got == want
+
+    capped = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in jaccard_pairs(sh, threshold=0.5, max_df=4).collect()
+    }
+    assert set(capped) <= set(want)
+    for pair, vals in capped.items():
+        assert vals == want[pair]
