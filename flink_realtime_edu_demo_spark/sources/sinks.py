@@ -37,3 +37,23 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
     for k, v in options.items():
         w = w.option(k, v)
     w.save()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink — the write-side half of the zero-
+    shuffle fact⋈fact join (SCALE.md): both join sides written with
+    ``write_bucketed(..., bucket_col=<join key>, n_buckets=N)`` sort-
+    merge-join with NO Exchange (asserted in tests/test_scale_ops.py).
+    Bucketed output requires the table catalog (saveAsTable), not a
+    bare path — that is a Spark constraint, not a layout choice."""
+    w = df.write.bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.mode(mode).saveAsTable(table)

@@ -105,6 +105,7 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     write -> zero join shuffle' — demonstrated: lineitem and orders
     written bucketed by orderkey, joined, and the physical plan contains
     NO Exchange (vs 2 exchanges unbucketed)."""
+    from flink_realtime_edu_demo_spark.sources.sinks import write_bucketed
     from flink_realtime_edu_demo_spark.tables import load
 
     # warehouse dir is a static conf — managed tables land in the session
@@ -113,12 +114,8 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     try:
         li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
         o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-            "overwrite"
-        ).saveAsTable("li_b")
-        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-            "overwrite"
-        ).saveAsTable("o_b")
+        write_bucketed(li, "li_b", "l_orderkey", n_buckets=8)
+        write_bucketed(o, "o_b", "o_orderkey", n_buckets=8)
 
         joined = spark.table("li_b").join(
             spark.table("o_b"),
