@@ -338,3 +338,20 @@ def test_metrics_listener_and_broadcast_dim_join(spark, sf_dir, stream_dir):
     segs = [s for _, s in seen if s]
     assert segs[0] == {"seg0"} and segs[-1] != segs[0]  # refresh visible
     assert sum(b["num_input_rows"] for b in collector.batches) == want_rows
+
+
+def test_cumulate_stream_matches_batch(spark, sf_dir, stream_dir):
+    """CUMULATE lowering runs unchanged on a streaming frame (narrow
+    explode + groupBy) and converges to the batch answer."""
+    from flink_realtime_edu_demo_spark.operators.cumulate import cumulate_window
+
+    def transform(ev):
+        grown = cumulate_window(ev, "ts", step="15 minutes", max_size="1 hour")
+        return grown.groupBy("window_start", "window_end").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+
+    stream_result = run_to_completion(transform(stream_table(spark, stream_dir, "events")))
+    batch_result = transform(load(spark, sf_dir, "events"))
+    assert canon_rows(stream_result) == canon_rows(batch_result)
