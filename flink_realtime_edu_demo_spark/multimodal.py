@@ -180,6 +180,29 @@ def register_queries() -> None:
         )
 
     @query(
+        "q_mm_frames",
+        oracle="""
+        WITH vids AS (
+            SELECT doc_id AS media_id, md5(text) AS pmd5,
+                   (n_chars * 10) // 1000 AS n_frames
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT media_id,
+               CAST(k.k AS BIGINT) AS frame_idx,
+               CAST(k.k * 1000 AS BIGINT) AS t_ms,
+               md5(concat(pmd5, CAST(k.k AS VARCHAR))) AS frame_md5
+        FROM vids, unnest(generate_series(0, greatest(CAST(n_frames AS INT) - 1, 0)))
+             AS k(k)
+        """,
+    )
+    def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Video frame sampling (1 frame/s): narrow explode over the frame
+        grid with payload-derived deterministic fingerprints — the stub
+        decoder is SQL-expressible, so even this path is hash-checked."""
+        media = media_from_documents(load(spark, sf_dir, "documents"))
+        return sample_frames(media, every_ms=1000)
+
+    @query(
         "q_mm_features",
         oracle="""
         SELECT doc_id AS media_id,
@@ -214,3 +237,38 @@ def register_queries() -> None:
                 ",",
             ).alias("features_str"),
         )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  fake: bool = True) -> DataFrame:
+    """Frame sampling for video payloads: one row per sampled frame with
+    (media_id, frame_idx, t_ms, frame_md5). ``fake=True`` derives a
+    deterministic frame fingerprint from md5(payload ‖ idx) — the real
+    decoder slot (ffmpeg seek + decode) raises until media libs exist.
+    The plumbing is the part that matters at scale: frame expansion is
+    a narrow explode over sequence(0, duration/step), so a 2-hour video
+    fans out to rows without the payload being copied per frame
+    (payload column is dropped before the explode)."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling needs ffmpeg/PyAV, not present in this "
+            "container; use fake=True for the deterministic stub"
+        )
+    vids = media.filter(F.col("kind") == "video")
+    n_frames = F.floor(F.col("meta.duration_ms") / F.lit(every_ms)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias(
+        "frame_idx"
+    )
+    frames = vids.select(
+        "media_id",
+        F.md5(F.col("payload")).alias("_pmd5"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        idx,
+    )
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx") * every_ms).cast("long").alias("t_ms"),
+        F.md5(F.concat(F.col("_pmd5"), F.col("frame_idx").cast("string")).cast("binary"))
+        .alias("frame_md5"),
+    )
