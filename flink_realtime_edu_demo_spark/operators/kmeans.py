@@ -53,7 +53,13 @@ def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
 
     Each iteration: one Arrow assignment pass + one exact-decimal
     centroid aggregation (two shuffles), k×dim floats to the driver.
+    The input is persisted for the duration of the loop (the canonical
+    Spark idiom for iterative algorithms — every iteration re-reads the
+    same working set) and released before returning; the returned
+    assignment frame is locally checkpointed so its lineage doesn't
+    depend on the unpersisted input.
     """
+    df = df.persist()
     first = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [list(map(float, r[0])) for r in first]
 
@@ -79,4 +85,6 @@ def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
             new_c[c] = [dims[i] for i in range(len(dims))]
         centroids = new_c
 
-    return kmeans_assign(df, centroids, id_col, vec_col), centroids
+    out = kmeans_assign(df, centroids, id_col, vec_col).localCheckpoint(eager=True)
+    df.unpersist()
+    return out, centroids

@@ -30,20 +30,32 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 MAX_BUCKET = 64  # drop degenerate buckets wider than this (skew guard)
 
 
+def _ngram_zip(arr: F.Column, n: int, sep: str) -> F.Column:
+    """n-gram array over ``arr`` in O(len): zip n shifted copies with
+    ``concat_ws`` (which skips the nulls zip_with pads with), then slice
+    to the full windows plus the single partial for short inputs — a
+    per-position ``slice``/``substring`` is O(len²) per doc and
+    dominated every shingle-family query before this form."""
+    zipped = arr
+    for k in range(1, n):
+        shifted = F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0)))
+        zipped = F.zip_with(zipped, shifted, lambda x, y: F.concat_ws(sep, x, y))
+    return F.slice(zipped, 1, F.greatest(F.size(arr) - (n - 1), F.lit(1)))
+
+
 def shingle_array(text_col: str = "text", w: int = 3) -> F.Column:
-    """w-word shingle array for a text column, built in O(words) per doc
-    by zipping w shifted copies of the token array (a per-position
-    ``slice`` is O(words²) per doc — measured 4.8s of a 7.4s query at
-    sf0.1 before this rewrite). ``concat_ws`` skips the nulls zip_with
-    pads with, so docs shorter than w yield their single partial
-    shingle, matching the oracle's ``list_slice`` spelling exactly."""
-    words = F.split(F.col(text_col), r"\s+")
-    zipped = words
-    for k in range(1, w):
-        shifted = F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
-        zipped = F.zip_with(zipped, shifted, lambda x, y: F.concat_ws(" ", x, y))
-    # keep only full-window positions (plus the single partial for short docs)
-    return F.slice(zipped, 1, F.greatest(F.size(words) - (w - 1), F.lit(1)))
+    """w-word shingle array for a text column, O(words) per doc; docs
+    shorter than w yield their single partial shingle, matching the
+    oracle's ``list_slice`` spelling exactly."""
+    return _ngram_zip(F.split(F.col(text_col), r"\s+"), w, " ")
+
+
+def chargram_array(text_col: str = "text", n: int = 4) -> F.Column:
+    """Character n-gram array, O(len) per doc (``substring(text, i, n)``
+    per position is O(len²): each call re-scans for UTF-8 boundaries).
+    Texts shorter than n yield themselves, matching the oracle's
+    ``substring`` spelling."""
+    return _ngram_zip(F.split(F.col(text_col), ""), n, "")
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -21,7 +21,7 @@ from ..operators.minhash import (
     shingles,
 )
 from ..registry import query
-from ..tables import load
+from ..tables import load, load_spread
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
@@ -88,7 +88,7 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted jaccard values are exact. The oracle implements the same
     df-cap rule, so this is hash-checked end to end. 100 TB-safe: no
     crossJoin, no uncapped quadratic term."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return jaccard_pairs(shingles(d), threshold=0.5)
 
 
@@ -97,7 +97,7 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (64 hashes) + banded LSH (16×4) candidate pairs — the
     sub-quadratic scale path whose recall target is the q_llm_dedup_fuzzy
     exact answer (tests assert recall=1.0 on the fixtures at j>=0.85)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return lsh_candidate_pairs(minhash_signatures(shingles(d)))
 
 
@@ -164,7 +164,7 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash-bucketed candidates of q_llm_knn_ivf."""
     from ..operators.annsearch import cosine_pairs_blocked
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     return cosine_pairs_blocked(e, threshold=0.45).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
     )
@@ -176,7 +176,7 @@ def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring, exact re-rank over the candidate union; recall@5 ~0.31 vs
     exact, floor-tested) — the 100 TB path where each query touches
     ~L/2^m of the corpus instead of all of it."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     return lsh_topk(e, k=5)
 
 
@@ -427,7 +427,7 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join. operators/minhash.simhash_md5 + simhash_pairs."""
     from ..operators.minhash import simhash_md5, simhash_pairs
 
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.length("tok") > 0)
@@ -461,7 +461,7 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived 32-bit hashes keep it engine-reproducible."""
     from ..operators.minhash import shingle_array
 
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     pos = d.select("doc_id", F.posexplode(shingle_array()).alias("i", "shingle"))
     h = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast(
         "long"
@@ -550,19 +550,22 @@ def q_llm_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles; the sample keeps the inverted index the same size as the
     word variant's. Same df-capped candidates + exact-verify machinery
     downstream — only the shingling and sampling change."""
-    d = load(spark, sf_dir, "documents")
-    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 3, F.lit(1)))
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("text"), i, 4)))
-        ).alias("shingle"),
-    ).filter(
-        (F.length("shingle") > 0)
-        & (
-            F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
-            .cast("long") % 4 == 0
+    from ..operators.minhash import chargram_array
+
+    d = load_spread(spark, sf_dir, "documents")
+    # O(len) gram generation (chargram_array) + row-level distinct AFTER
+    # the 1/4 sample — both the per-position substring and a whole-array
+    # array_distinct are O(len²) per doc and dominated this query
+    grams = (
+        d.select("doc_id", F.explode(chargram_array()).alias("shingle"))
+        .filter(
+            (F.length("shingle") > 0)
+            & (
+                F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+                .cast("long") % 4 == 0
+            )
         )
+        .distinct()
     )
     return jaccard_pairs(grams, threshold=0.6)
 

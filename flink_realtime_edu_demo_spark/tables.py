@@ -158,3 +158,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     pushdown/pruning against the parquet scan."""
     for name in TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str,
+                key: str | None = None) -> DataFrame:
+    """load() + hash-repartition to the session's default parallelism —
+    the local-mode equalizer for single-file fixtures: a heavy narrow
+    pipeline downstream (shingle explode, sketching, GEMM scoring)
+    otherwise runs on ONE core because one parquet file is one input
+    split. The extra shuffle moves only the raw table (tiny next to its
+    expansion); on a real cluster the many input splits already provide
+    this width, and the repartition simply becomes the explicit
+    contract. Used by the shingle/embedding-heavy queries."""
+    df = load(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism, key or df.columns[0])
