@@ -50,14 +50,6 @@ def shingle_array(text_col: str = "text", w: int = 3) -> F.Column:
     return _ngram_zip(F.split(F.col(text_col), r"\s+"), w, " ")
 
 
-def chargram_array(text_col: str = "text", n: int = 4) -> F.Column:
-    """Character n-gram array, O(len) per doc (``substring(text, i, n)``
-    per position is O(len²): each call re-scans for UTF-8 boundaries).
-    Texts shorter than n yield themselves, matching the oracle's
-    ``substring`` spelling."""
-    return _ngram_zip(F.split(F.col(text_col), ""), n, "")
-
-
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              w: int = 3) -> DataFrame:
     """Distinct w-word shingles per document: (id_col, shingle)."""

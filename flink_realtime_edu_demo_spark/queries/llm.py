@@ -550,14 +550,19 @@ def q_llm_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles; the sample keeps the inverted index the same size as the
     word variant's. Same df-capped candidates + exact-verify machinery
     downstream — only the shingling and sampling change."""
-    from ..operators.minhash import chargram_array
-
     d = load_spread(spark, sf_dir, "documents")
-    # O(len) gram generation (chargram_array) + row-level distinct AFTER
-    # the 1/4 sample — both the per-position substring and a whole-array
-    # array_distinct are O(len²) per doc and dominated this query
+    # per-position substring generation (A/B-measured faster than char-
+    # array zipping for ASCII text) with row-level distinct AFTER the
+    # 1/4 sample — a whole-array array_distinct is O(len²) per doc and
+    # dominated this query before the restructure
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 3, F.lit(1)))
     grams = (
-        d.select("doc_id", F.explode(chargram_array()).alias("shingle"))
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.substring(F.col("text"), i, 4))
+            ).alias("shingle"),
+        )
         .filter(
             (F.length("shingle") > 0)
             & (
