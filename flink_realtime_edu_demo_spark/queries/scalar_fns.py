@@ -434,3 +434,41 @@ def q_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp_ntz")
         .alias("ts_parsed"),
     )
+
+
+@query(
+    "q_fn_editdist",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.c_name AS name_a, b.c_name AS name_b
+        FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    )
+    SELECT key_a, key_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist,
+           CAST(levenshtein(name_a, reverse(name_b)) AS BIGINT) AS edit_dist_rev,
+           (levenshtein(name_a, name_b) <= 2) AS near_name
+    FROM pairs
+    """,
+)
+def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance family (levenshtein — the record-linkage workhorse
+    for name/address dedup): exact integer distances over a bounded
+    consecutive-key pairing, never an unbounded self-join. At scale the
+    pairing side comes from a blocking key (phonetic bucket, n-gram
+    LSH) exactly like the text-dedup candidates."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    b = c.select((F.col("c_custkey") - 1).alias("key_a"),
+                 F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    pairs = a.join(b, "key_a")
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return pairs.select(
+        "key_a",
+        "key_b",
+        lev.cast("long").alias("edit_dist"),
+        F.levenshtein(F.col("name_a"), F.reverse(F.col("name_b"))).cast("long").alias(
+            "edit_dist_rev"
+        ),
+        (lev <= 2).alias("near_name"),
+    )
