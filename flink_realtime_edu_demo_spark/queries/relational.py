@@ -168,3 +168,59 @@ def q_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = ev.filter(main_pred).select(F.lit("ok").alias("branch"), *cols)
     err = ev.filter(~main_pred).select(F.lit("err").alias("branch"), *cols)
     return ok.unionByName(err)
+
+
+@query(
+    "q_sort_nulls",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+    ORDER BY o.o_totalprice DESC NULLS LAST, c.c_custkey, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering over a nullable join output — a
+    classic cross-engine pitfall: Spark's default for DESC is nulls
+    LAST while DuckDB's is nulls FIRST, so portable queries must spell
+    the null position. Unique tie-break keeps the LIMIT deterministic."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (F.col("o_custkey") == F.col("c_custkey")) & (F.col("o_totalprice") > 250000),
+        "left",
+    )
+    return (
+        joined.select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("c_custkey"),
+                 F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "q_agg_null_group",
+    oracle="""
+    SELECT o.o_orderpriority AS prio,
+           COUNT(*) AS n_customers,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_agg_null_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a NULLABLE group key: customers without a
+    qualifying order land in the NULL group (one group, not dropped —
+    ANSI GROUP BY treats all NULLs as equal), and COUNT(col) vs
+    COUNT(*) differ exactly on those rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    joined = c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+    return joined.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+    )
