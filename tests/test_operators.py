@@ -274,3 +274,38 @@ def test_async_lookup_bulk_enrichment(spark, sf_dir):
             assert r.tier == f"tier-{r.user_id % 3}"
         else:
             assert r.tier is None
+
+
+def test_cosine_pairs_blocked_zero_norm_and_naive_equivalence(spark, sf_dir):
+    """cosine_pairs_blocked == naive all-pairs on random vectors, and
+    zero-norm vectors are excluded rather than emitted as NaN."""
+    import random
+
+    from flink_realtime_edu_demo_spark.operators.annsearch import cosine_pairs_blocked
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((60, [0.0] * 8))  # zero-norm vector
+    rows.append((61, rows[5][1][:]))  # exact duplicate of id 5 -> cosine 1.0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in cosine_pairs_blocked(df, threshold=0.6, n_blocks=4).collect()
+    }
+    import math
+
+    want = {}
+    for i, vi in rows:
+        for j, vj in rows:
+            if i < j:
+                ni = math.sqrt(sum(x * x for x in vi))
+                nj = math.sqrt(sum(x * x for x in vj))
+                if ni > 0 and nj > 0:
+                    c = sum(a * b for a, b in zip(vi, vj)) / (ni * nj)
+                    if c >= 0.6:
+                        want[(i, j)] = round(c, 9)
+    assert set(got) == set(want) and (5, 61) in got
+    assert all(60 not in pair for pair in got)
+    for pair in got:
+        assert abs(got[pair] - want[pair]) < 1e-9
