@@ -598,7 +598,7 @@ def q_llm_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            CAST(SUM(CASE WHEN n_tok > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
     FROM deduped
     GROUP BY lang

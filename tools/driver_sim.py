@@ -4,6 +4,17 @@ Vanilla SparkSession (no engine-side config), t1 smoke via entry(), t2
 differential vs DuckDB at sf0.01 with an order-insensitive value hash —
 the same shape of comparison the driver records in CORRECTNESS_r{N}.json.
 
+Canonicalization mirrors the REAL driver: both sides go through pandas
+(`DataFrame.toPandas()` for Spark, `rel.df()` for DuckDB) before
+hashing.  Round 2 proved this matters: `rel.fetchall()` returns a
+HUGEINT as a Python int (repr "11474") while `rel.df()` converts it to
+float64 (repr "11474.0"), so a repr-hash over fetchall() green-lit an
+oracle the driver then failed (q_llm_clean_corpus, VERDICT_r02 #1).
+
+Both result schemas are linted, not just Spark's: DuckDB outputs typed
+HUGEINT / DECIMAL / LIST / STRUCT / MAP are flagged because the pandas
+conversion mangles them (float64 drift, unhashable cells).
+
 Usage: python tools/driver_sim.py [sf_dir]
 """
 
@@ -21,6 +32,22 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# DuckDB result types whose pandas (.df()) conversion drifts from the
+# logical value: HUGEINT -> float64, DECIMAL -> float64 w/ trailing-zero
+# drift, nested types -> unhashable python objects.
+_DUCK_UNSAFE = ("HUGEINT", "DECIMAL", "[]", "STRUCT", "MAP", "LIST")
+
+
+def _pdf_hash(pdf) -> str:
+    """Order-insensitive value hash of a pandas DataFrame (columns sorted
+    by name, rows canonicalized via repr) — the driver-equivalent canon."""
+    cols = sorted(pdf.columns)
+    canon = sorted(
+        tuple(repr(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    return hashlib.sha256(str(canon).encode()).hexdigest()[:12]
+
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -37,14 +64,8 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
-    def vhash(cols: list[str], rows: list[tuple]) -> str:
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        canon = sorted(tuple(repr(r[i]) for i in order) for r in rows)
-        return hashlib.sha256(str(canon).encode()).hexdigest()[:12]
-
     # the real driver canonicalizes via pandas, which chokes on DECIMAL
     # (trailing-zero drift) and ARRAY/MAP (unhashable) output columns —
-    # our repr-hash passed round 1 where the driver's canon failed, so
     # lint every query's output schema, rows-only ones included.
     unsafe = ("DecimalType", "ArrayType", "MapType")
 
@@ -56,22 +77,27 @@ def main() -> int:
             if type(f.dataType).__name__ in unsafe:
                 bad += 1
                 print(f"UNSAFE-SCHEMA {k}: {f.name} is {f.dataType.simpleString()}", flush=True)
-        srows = [tuple(r) for r in df.collect()]
+        spdf = df.toPandas()
         if k not in osql:
             rows_only += 1
-            print(f"  rows-only {k}: {len(srows)} rows", flush=True)
+            print(f"  rows-only {k}: {len(spdf)} rows", flush=True)
             continue
         rel = con.sql(osql[k])
-        drows = rel.fetchall()
+        for name, typ in zip(rel.columns, rel.types):
+            ts = str(typ).upper()
+            if any(u in ts for u in _DUCK_UNSAFE):
+                bad += 1
+                print(f"UNSAFE-ORACLE-TYPE {k}: {name} is {ts}", flush=True)
+        dpdf = rel.df()
         match = (
-            len(srows) == len(drows)
-            and sorted(df.columns) == sorted(rel.columns)
-            and vhash(df.columns, srows) == vhash(list(rel.columns), drows)
+            len(spdf) == len(dpdf)
+            and sorted(spdf.columns) == sorted(dpdf.columns)
+            and _pdf_hash(spdf) == _pdf_hash(dpdf)
         )
         ok += match
         bad += not match
         if not match:
-            print(f"MISMATCH {k}: spark={len(srows)} oracle={len(drows)}", flush=True)
+            print(f"MISMATCH {k}: spark={len(spdf)} oracle={len(dpdf)}", flush=True)
     print(f"t2: {ok} hash-match, {bad} mismatch, {rows_only} rows-only", flush=True)
     spark.stop()
     return 1 if bad else 0
