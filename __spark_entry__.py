@@ -44,7 +44,7 @@ _VERIFIED_GREEN = (
     "q_fn_math", "q_fn_string2", "q_fn_bitwise", "q_fn_hash", "q_fn_map",
     "q_join_inner", "q_join_left", "q_join_full", "q_join_semi", "q_join_anti",
     "q_join_theta", "q_join_cross_topk", "q_join_interval", "q_join_window",
-    "q_join_asof", "q_win_rank", "q_topn_per_key", "q_win_laglead",
+    "q_win_rank", "q_topn_per_key", "q_win_laglead",
     "q_win_moving_avg", "q_sort_limit", "q_set_union", "q_set_union_all",
     "q_set_intersect", "q_set_except", "q_stream_tumble", "q_stream_hop",
     "q_stream_session",
@@ -55,12 +55,12 @@ _VERIFIED_GREEN = (
     "q_join_range_bin", "q_win_running_sum", "q_win_dist", "q_win_range_frame",
     "q_set_intersect_all", "q_set_except_all", "q_stream_cumulate",
     "q_dedup_exact", "q_funnel", "q_stream_late_branch", "q_llm_dedup_exact",
-    "q_llm_dedup_fuzzy", "q_llm_minhash_lsh", "q_llm_knn", "q_llm_dedup_embed",
+    "q_llm_minhash_lsh", "q_llm_knn", "q_llm_dedup_embed",
     # q_llm_knn_ivf deliberately NOT listed: round-3 bucket-width cap in
     # lsh_topk changes its plan, so it must surface for a fresh verdict.
-    "q_llm_tfidf", "q_llm_quality", "q_llm_lang_id",
+    "q_llm_quality", "q_llm_lang_id",
     "q_llm_fingerprint", "q_llm_tokens", "q_llm_dedup_simhash", "q_llm_winnow",
-    "q_llm_centroids", "q_llm_dedup_chargram", "q_llm_kmeans", "q_udf_scalar",
+    "q_llm_centroids", "q_llm_kmeans", "q_udf_scalar",
     "q_udaf_groupagg", "q_udtf_split", "q_tpch_q3", "q_tpch_q5",
     "q_mm_meta_filter", "q_mm_dedup_payload", "q_mm_frames", "q_mm_features",
     "q_agg_basic", "q_agg_count_distinct",
@@ -68,9 +68,12 @@ _VERIFIED_GREEN = (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # q_warmup absolutely first: it absorbs the cold-harness JVM/Arrow
+    # start-up cost that round-2 bench billed to the first real queries.
     back = [k for k in _VERIFIED_GREEN if k in QUERIES]
-    front = [k for k in QUERIES if k not in _VERIFIED_GREEN]
-    return {k: QUERIES[k] for k in front + back}
+    front = [k for k in QUERIES if k not in _VERIFIED_GREEN and k != "q_warmup"]
+    order = ["q_warmup"] + front + back
+    return {k: QUERIES[k] for k in order if k in QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -173,9 +173,12 @@ def cosine_pairs_blocked(df: DataFrame, threshold: float,
     )
 
 
+MAX_ANN_BUCKET = 256  # per-(table,bucket) width cap — the O(w²) kernel guard
+
+
 def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
              vec_col: str = "embedding", n_planes: int = 6,
-             n_tables: int = 8) -> DataFrame:
+             n_tables: int = 8, max_bucket: int = MAX_ANN_BUCKET) -> DataFrame:
     """Approximate top-k cosine neighbors for every vector via
     MULTI-TABLE SimHash buckets (Indyk-Motwani style: L independent
     tables of m planes each) with exact re-rank over the candidate
@@ -191,6 +194,17 @@ def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
     At 100 TB tune (m, L): +1 plane halves candidates per table,
     +1 table buys recall linearly in cost; each table is one narrow
     equi-join — no crossJoin anywhere.
+
+    Bucket-width cap (the MinHash path's MAX_BUCKET analog): a dense
+    region of the embedding space can put w ≫ ``max_bucket`` vectors in
+    one (table, bucket) — an O(w²) kernel on an unbounded w is the one
+    straggler/OOM risk of the plan. Buckets wider than ``max_bucket``
+    are split into ``ceil(w/max_bucket)`` sub-blocks and scored as
+    block PAIRS (the ``cosine_pairs_blocked`` idiom), so every
+    within-bucket pair is still scored exactly — recall is unchanged,
+    per-kernel memory is bounded by ~2·``max_bucket`` vectors, and the
+    extra cost is the textbook ×n_sub replication only inside the
+    oversized buckets.
     """
     # All L·m plane projections in ONE Arrow pass per batch (a JVM fold
     # per plane per row was the remaining bottleneck): S is a ±1 matrix
@@ -244,34 +258,87 @@ def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
          StructField("cosine", DoubleType())]
     )
 
+    def _directed(a_ids, b_ids, A, B):
+        """Directed candidate pairs A→B with ascending-dim cosine."""
+        import pandas as pd
+
+        dim = A.shape[1]
+        dots = np.zeros((len(a_ids), len(b_ids)))
+        na_sq = np.zeros(len(a_ids))
+        nb_sq = np.zeros(len(b_ids))
+        for d in range(dim):  # fixed order -> deterministic per pair
+            dots += np.outer(A[:, d], B[:, d])
+            na_sq += A[:, d] * A[:, d]
+            nb_sq += B[:, d] * B[:, d]
+        na, nb = np.sqrt(na_sq), np.sqrt(nb_sq)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / np.outer(na, nb)
+        ii, jj = np.nonzero(
+            (a_ids[:, None] != b_ids[None, :]) & np.outer(na > 0, nb > 0)
+        )
+        return pd.DataFrame(
+            {"q_id": a_ids[ii], "c_id": b_ids[jj], "cosine": sims[ii, jj]}
+        )
+
     def score(key, pdf):
         import pandas as pd
 
-        ids = pdf["_idc"].to_numpy(dtype=np.int64)
-        if len(ids) < 2:
+        a_pdf = pdf[pdf["_pa"] == pdf["_sub"]]
+        b_pdf = pdf[pdf["_pb"] == pdf["_sub"]]
+        if a_pdf.empty or b_pdf.empty:
             return pd.DataFrame({"q_id": [], "c_id": [], "cosine": []}).astype(
                 {"q_id": "int64", "c_id": "int64", "cosine": "float64"}
             )
-        M = np.array(list(pdf["_vecc"]), dtype=np.float64)
-        dim = M.shape[1]
-        dots = np.zeros((len(ids), len(ids)))
-        nsq = np.zeros(len(ids))
-        for d in range(dim):  # fixed order -> deterministic per pair
-            dots += np.outer(M[:, d], M[:, d])
-            nsq += M[:, d] * M[:, d]
-        n = np.sqrt(nsq)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = dots / np.outer(n, n)
-        ii, jj = np.nonzero(
-            (ids[:, None] != ids[None, :]) & np.outer(n > 0, n > 0)
-        )
-        return pd.DataFrame(
-            {"q_id": ids[ii], "c_id": ids[jj], "cosine": sims[ii, jj]}
-        )
+        a_ids = a_pdf["_idc"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["_idc"].to_numpy(dtype=np.int64)
+        A = np.array(list(a_pdf["_vecc"]), dtype=np.float64)
+        B = np.array(list(b_pdf["_vecc"]), dtype=np.float64)
+        out = [_directed(a_ids, b_ids, A, B)]
+        if key[2] != key[3]:  # off-diagonal sub-block pair: both directions
+            out.append(_directed(b_ids, a_ids, B, A))
+        return pd.concat(out, ignore_index=True)
 
+    # Width-capped grouping: rows are numbered within each (t, bucket)
+    # (same shuffle key as the kernel groupBy — one exchange, the window
+    # partitioning is reused by the aggregation), assigned a sub-block
+    # in [0, n_sub), and replicated to every sub-block PAIR (pa <= pb)
+    # they participate in. For w <= max_bucket, n_sub == 1 and the plan
+    # degenerates to exactly one (0, 0) diagonal group per bucket with
+    # no replication.
+    rows = sk.select(
+        "t", "bucket", F.col(id_col).alias("_idc"), F.col(vec_col).alias("_vecc")
+    )
+    wb = Window.partitionBy("t", "bucket")
+    sub = rows.withColumn(
+        "_nsub",
+        F.ceil(F.count(F.lit(1)).over(wb) / F.lit(max_bucket)).cast("int"),
+    ).withColumn(
+        "_sub",
+        ((F.row_number().over(wb.orderBy("_idc")) - 1) % F.col("_nsub")).cast("int"),
+    )
+    replicated = sub.select(
+        "t", "bucket", "_idc", "_vecc", "_sub",
+        F.explode(
+            F.flatten(F.array(
+                # as the A side: pairs (_sub, j) for j >= _sub
+                F.transform(
+                    F.sequence(F.col("_sub"), F.col("_nsub") - 1),
+                    lambda j: F.struct(F.col("_sub").alias("_pa"), j.alias("_pb")),
+                ),
+                # as the B side: pairs (i, _sub) for i < _sub.
+                # (sequence(0, -1) is DESCENDING in Spark, not empty —
+                # guard _sub == 0 explicitly.)
+                F.transform(
+                    F.when(F.col("_sub") > 0,
+                           F.sequence(F.lit(0), F.col("_sub") - F.lit(1)))
+                    .otherwise(F.array().cast("array<int>")),
+                    lambda i: F.struct(i.alias("_pa"), F.col("_sub").alias("_pb")),
+                ),
+            ))
+        ).alias("_p"),
+    ).select("t", "bucket", "_idc", "_vecc", "_sub", "_p._pa", "_p._pb")
     scored = (
-        sk.select("t", "bucket", F.col(id_col).alias("_idc"), F.col(vec_col).alias("_vecc"))
-        .groupBy("t", "bucket")
+        replicated.groupBy("t", "bucket", "_pa", "_pb")
         .applyInPandas(score, schema=out_schema)
         .dropDuplicates(["q_id", "c_id"])
     )

@@ -18,9 +18,11 @@ Spark has no native as-of join. Two implementations behind one API:
 
 Semantics (both): for each probe row, the reference row with the
 greatest ``ref_ts <= probe_ts`` per key; ties on ``ref_ts`` take the
-reference row that sorts last on ``tie_break`` (pass a unique column to
-make results deterministic). Probe rows with no earlier reference get
-NULL values (left as-of join).
+reference row that sorts last on ``tie_break`` under NULLS-FIRST
+ordering, so a reference row with a real tie_break value always beats
+one with NULL (pass a unique non-null column to make results fully
+deterministic). Probe rows with no earlier reference get NULL values
+(left as-of join).
 """
 
 from __future__ import annotations
@@ -77,7 +79,10 @@ def asof_join(
         # among equal-ts reference rows the last in __tb order wins (the
         # running last() overwrites); probe rows carry NULL __tb, which is
         # irrelevant since __side already orders them after references.
-        order.append(F.col("__tb").asc_nulls_last())
+        # nulls FIRST so a reference row with a NULL tie_break value can
+        # never beat one carrying a real value (asc_nulls_last would let
+        # the NULL row sort last and silently win the tie).
+        order.append(F.col("__tb").asc_nulls_first())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
@@ -131,7 +136,11 @@ def asof_join_pandas(
             mf[f"__r_{c}"] = right[c]
         if tie_break is not None:
             mf["__tb"] = right[tie_break]
-            mf = mf.sort_values(["__on", "__tb"], kind="mergesort").drop(columns="__tb")
+            # na_position="first" mirrors the window path's
+            # asc_nulls_first: a NULL tie_break never wins a ts tie.
+            mf = mf.sort_values(
+                ["__on", "__tb"], kind="mergesort", na_position="first"
+            ).drop(columns="__tb")
         else:
             mf = mf.sort_values("__on", kind="mergesort")
         merged = pd.merge_asof(

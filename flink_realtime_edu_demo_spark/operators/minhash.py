@@ -204,17 +204,25 @@ MAX_DF = 256  # candidate-side document-frequency cap (skew guard)
 
 
 def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
-                  threshold: float = 0.5, max_df: int | None = MAX_DF) -> DataFrame:
-    """Shingle-Jaccard similar pairs via a df-capped inverted index.
+                  threshold: float = 0.5, max_df: int | None = None) -> DataFrame:
+    """Shingle-Jaccard similar pairs via an inverted index, optionally
+    df-capped. The DEFAULT is exact (``max_df=None``): callers opt into
+    the reduced-recall capped behavior explicitly (the ``q_llm_dedup_*``
+    scale queries pass ``max_df=MAX_DF``) so nobody mistakes the capped
+    operator for the exact one.
 
     Candidate generation explodes only inverted lists of width in
     [2, max_df]; a shingle shared by D documents otherwise expands to
     D²/2 pairs, so one stopword-like shingle across 1M docs is 5·10¹¹
     rows — the cap bounds per-shingle expansion at max_df²/2, same
     spirit as the LSH path's MAX_BUCKET. Verification then computes the
-    EXACT intersection per candidate pair (array_intersect of full
-    per-doc shingle-hash sets — narrow per-pair work), so every emitted
-    jaccard value is exact; the cap affects only recall: a qualifying
+    intersection per candidate pair (array_intersect of full per-doc
+    shingle-hash sets — narrow per-pair work), exact modulo 64-bit
+    xxhash64 shingle collisions (a collision within or across a pair's
+    shingle sets perturbs n_common/df by 1 — at P(collision) ≈ n²/2⁶⁵
+    per doc pair, never observed on fixtures, and the string-intersecting
+    DuckDB oracle would catch one as a hash mismatch); the cap affects
+    only recall: a qualifying
     pair is missed iff every one of its ≥ t·max(|A|,|B|) common
     shingles occurs in more than max_df documents — i.e. the pair is
     similar only through corpus-wide boilerplate, the class near-dup

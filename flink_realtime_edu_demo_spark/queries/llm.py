@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.annsearch import cosine_topk, lsh_topk
 from ..operators.minhash import (
+    MAX_DF,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -89,7 +90,7 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cap rule, so this is hash-checked end to end. 100 TB-safe: no
     crossJoin, no uncapped quadratic term."""
     d = load_spread(spark, sf_dir, "documents")
-    return jaccard_pairs(shingles(d), threshold=0.5)
+    return jaccard_pairs(shingles(d), threshold=0.5, max_df=MAX_DF)
 
 
 @query("q_llm_minhash_lsh")  # rows-only: LSH candidates are probabilistic
@@ -207,10 +208,14 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("token") > 0)
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; at scale read from table stats instead
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # corpus size as a 1-row agg crossJoined into the plan (broadcast
+    # nested loop of a single row) — one job, no separate d.count()
+    # driver action / extra scan.
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
         tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
         .filter(F.col("doc_id") < 50)
         .select(
             "doc_id",
@@ -572,7 +577,7 @@ def q_llm_dedup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return jaccard_pairs(grams, threshold=0.6)
+    return jaccard_pairs(grams, threshold=0.6, max_df=MAX_DF)
 
 
 @query(
@@ -650,3 +655,79 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     assigned, _ = kmeans(e, k=8, n_iter=5)
     return assigned
+
+
+# Fixed literal centroids for the oracle-able assignment step: k=4,
+# dim=64, every component an EXACT 4-decimal value ((h-500)*4/10000 for
+# an integer hash h < 1000), so the decimal literal in the oracle SQL
+# and the Python float in the Spark plan parse to the same double.
+def _assign_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
+    return [
+        [
+            ((((ki * dim + d) * 2654435761) % 1000) - 500) * 4 / 10000.0
+            for d in range(dim)
+        ]
+        for ki in range(k)
+    ]
+
+
+def _assign_oracle() -> str:
+    cents = _assign_centroids()
+    dists = []
+    for ki, c in enumerate(cents):
+        lits = "[" + ", ".join(repr(v) for v in c) + "]"
+        dists.append(
+            f"list_reduce(list_transform(embedding, (x, i) ->"
+            f" (CAST(x AS DOUBLE) - ({lits})[i])"
+            f" * (CAST(x AS DOUBLE) - ({lits})[i])), (a, b) -> a + b) AS d{ki}"
+        )
+    d = ",\n               ".join(dists)
+    return f"""
+    WITH dist AS (
+        SELECT vec_id, label,
+               {d}
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                WHEN d2 <= d3 THEN 2
+                ELSE 3 END AS cluster
+    FROM dist
+    """
+
+
+@query("q_llm_kmeans_assign", oracle=_assign_oracle())
+def q_llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means ASSIGNMENT step with fixed literal centroids — the
+    oracle-able derivative of the (rows-only) iterative q_llm_kmeans:
+    argmin over k squared distances is plain relational algebra, so the
+    driver hash-checks this one. Pure JVM higher-order folds (zip_with +
+    aggregate, ascending-dimension accumulation seeded 0.0 — the exact
+    fold order of the oracle's list_reduce), ties to the lowest cluster
+    id via the CASE chain, identical in both engines because every
+    distance is bit-identical. No UDF, no shuffle: a narrow map over the
+    embedding scan. Cross-checked against operators/kmeans.kmeans_assign
+    (the numpy/BLAS twin) in tests."""
+    cents = _assign_centroids()
+    e = load(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dist_cols = []
+    for ki, c in enumerate(cents):
+        lit = F.array(*[F.lit(v) for v in c])
+        dist_cols.append(
+            F.aggregate(
+                F.zip_with(vec_d, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias(f"d{ki}")
+        )
+    dist = e.select("vec_id", "label", *dist_cols)
+    cluster = (
+        F.when((F.col("d0") <= F.col("d1")) & (F.col("d0") <= F.col("d2"))
+               & (F.col("d0") <= F.col("d3")), 0)
+        .when((F.col("d1") <= F.col("d2")) & (F.col("d1") <= F.col("d3")), 1)
+        .when(F.col("d2") <= F.col("d3"), 2)
+        .otherwise(3)
+    )
+    return dist.select("vec_id", "label", cluster.cast("int").alias("cluster"))

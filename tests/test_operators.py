@@ -132,6 +132,22 @@ def test_asof_tie_break_deterministic(spark, sf_dir):
     assert a == b == {(10, "b"), (20, "b")}  # seq=2 sorts last -> wins
 
 
+def test_asof_null_tie_break_loses(spark, sf_dir):
+    """A reference row with a NULL tie_break value sorts FIRST
+    (nulls-first), so a real value always wins the ref_ts tie —
+    identically in both implementations."""
+    probe = spark.createDataFrame([(1, 10)], "k int, ts int")
+    ref = spark.createDataFrame(
+        [(1, 10, "real", 1), (1, 10, "nullish", None)],
+        "k int, rts int, val string, seq int",
+    )
+    kw = dict(keys=["k"], probe_ts="ts", ref_ts="rts",
+              value_cols=["val"], tie_break="seq")
+    a = {(r.ts, r.val) for r in asof_join(probe, ref, **kw).collect()}
+    b = {(r.ts, r.val) for r in asof_join_pandas(probe, ref, **kw).collect()}
+    assert a == b == {(10, "real")}
+
+
 def test_range_join_binned_equals_naive(spark, sf_dir):
     """Binned range join == naive theta join, including interval lengths
     spanning many bins and points exactly on bin edges."""
@@ -223,6 +239,20 @@ def test_lsh_topk_recall_floor(spark, sf_dir):
     assert recall >= 0.25, f"recall@5 regressed: {recall:.3f}"
 
 
+def test_lsh_topk_bucket_cap_is_lossless(spark, sf_dir):
+    """The bucket-width cap splits oversized (table, bucket) groups into
+    sub-block PAIRS, so every within-bucket pair is still scored — a
+    tiny max_bucket must reproduce the uncapped result exactly (ids,
+    ranks, and bit-identical cosines)."""
+    from flink_realtime_edu_demo_spark.operators.annsearch import lsh_topk
+    from flink_realtime_edu_demo_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    uncapped = {tuple(r) for r in lsh_topk(e, k=5, max_bucket=10**9).collect()}
+    capped = {tuple(r) for r in lsh_topk(e, k=5, max_bucket=8).collect()}
+    assert capped == uncapped and len(uncapped) > 0
+
+
 def test_kmeans_matches_numpy_reference(spark, sf_dir):
     """Distributed Lloyd's == a pure-numpy reference run from the same
     deterministic init (>=99% agreement; the 1% slack covers last-ulp
@@ -309,3 +339,23 @@ def test_cosine_pairs_blocked_zero_norm_and_naive_equivalence(spark, sf_dir):
     assert all(60 not in pair for pair in got)
     for pair in got:
         assert abs(got[pair] - want[pair]) < 1e-9
+
+
+def test_kmeans_assign_jvm_fold_matches_numpy_kernel(spark, sf_dir):
+    """q_llm_kmeans_assign's pure-JVM distance folds must agree with the
+    numpy/BLAS kmeans_assign kernel on the same literal centroids (they
+    could only diverge on a sub-ulp distance tie, absent on fixtures)."""
+    from flink_realtime_edu_demo_spark.operators.kmeans import kmeans_assign
+    from flink_realtime_edu_demo_spark.queries.llm import (
+        _assign_centroids,
+        q_llm_kmeans_assign,
+    )
+    from flink_realtime_edu_demo_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    jvm = {(r.vec_id, r.cluster) for r in q_llm_kmeans_assign(spark, sf_dir).collect()}
+    np_ = {
+        (r.vec_id, r.cluster)
+        for r in kmeans_assign(e, _assign_centroids()).collect()
+    }
+    assert jvm == np_ and len(jvm) > 0

@@ -5,11 +5,14 @@ differential vs DuckDB at sf0.01 with an order-insensitive value hash —
 the same shape of comparison the driver records in CORRECTNESS_r{N}.json.
 
 Canonicalization mirrors the REAL driver: both sides go through pandas
-(`DataFrame.toPandas()` for Spark, `rel.df()` for DuckDB) before
-hashing.  Round 2 proved this matters: `rel.fetchall()` returns a
-HUGEINT as a Python int (repr "11474") while `rel.df()` converts it to
-float64 (repr "11474.0"), so a repr-hash over fetchall() green-lit an
-oracle the driver then failed (q_llm_clean_corpus, VERDICT_r02 #1).
+(`DataFrame.toPandas()` for Spark, `rel.df(date_as_object=True)` for
+DuckDB) before hashing.  Round 2 proved this matters: `rel.fetchall()`
+returns a HUGEINT as a Python int (repr "11474") while `rel.df()`
+converts it to float64 (repr "11474.0"), so a repr-hash over fetchall()
+green-lit an oracle the driver then failed (q_llm_clean_corpus,
+VERDICT_r02 #1).  date_as_object keeps DATE columns as datetime.date on
+both sides (the driver's r1+r2 verdicts prove it equates them; a plain
+.df() would false-flag every DATE-emitting query).
 
 Both result schemas are linted, not just Spark's: DuckDB outputs typed
 HUGEINT / DECIMAL / LIST / STRUCT / MAP are flagged because the pandas
@@ -88,7 +91,12 @@ def main() -> int:
             if any(u in ts for u in _DUCK_UNSAFE):
                 bad += 1
                 print(f"UNSAFE-ORACLE-TYPE {k}: {name} is {ts}", flush=True)
-        dpdf = rel.df()
+        # date_as_object=True: DATE columns come back as datetime.date,
+        # matching Spark's toPandas() — the driver demonstrably treats
+        # Spark DATE vs DuckDB DATE as equal (q_fn_datetime/q_fn_cast/
+        # q_fn_datetime2 green in r1+r2), while a plain .df() turns them
+        # into midnight Timestamps and false-mismatches all three.
+        dpdf = rel.df(date_as_object=True)
         match = (
             len(spdf) == len(dpdf)
             and sorted(spdf.columns) == sorted(dpdf.columns)
