@@ -465,3 +465,27 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL LISTAGG / string_agg: per-group ordered string
+    concatenation. Lowered as collect_list → array_sort → concat_ws so
+    the result is deterministic under any partition/arrival order — the
+    same reason the SQL form carries ORDER BY inside the aggregate.
+    One shuffle; list size bounded by group cardinality (names per
+    region), not input rows."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,7 +1,8 @@
 """LLM-data-pipeline operators (SURVEY.md §2.11, driver extension):
-dedup (exact / fuzzy / MinHash-LSH), similarity search (brute-force +
-LSH-bucketed ANN), text analysis (tokens, TF-IDF, quality, language-ID,
-fingerprinting) over the documents/embeddings fixtures.
+dedup (exact / fuzzy / MinHash-LSH), similarity search (brute-force,
+SimHash-LSH-bucketed ANN, hash-verified IVF), vector quantization, text
+analysis (tokens, TF-IDF, quality, language-ID, fingerprinting) over
+the documents/embeddings fixtures.
 
 Scale design: nothing here crossJoins the corpus against itself except
 the bounded brute-force kNN baseline (|queries| fixed). Fuzzy dedup
@@ -12,6 +13,7 @@ buckets; all text metrics are JVM-side expressions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..operators.annsearch import cosine_topk, lsh_topk
 from ..operators.minhash import (
@@ -671,17 +673,54 @@ def _assign_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
     ]
 
 
-def _assign_oracle() -> str:
-    cents = _assign_centroids()
+def _sqdist_sql() -> str:
+    """SQL expressions d0..d{k-1}: squared distance of ``embedding`` to
+    each literal centroid, left-fold accumulation (== Spark's
+    0.0-seeded ascending F.aggregate, bit-identical)."""
     dists = []
-    for ki, c in enumerate(cents):
+    for ki, c in enumerate(_assign_centroids()):
         lits = "[" + ", ".join(repr(v) for v in c) + "]"
         dists.append(
             f"list_reduce(list_transform(embedding, (x, i) ->"
             f" (CAST(x AS DOUBLE) - ({lits})[i])"
             f" * (CAST(x AS DOUBLE) - ({lits})[i])), (a, b) -> a + b) AS d{ki}"
         )
-    d = ",\n               ".join(dists)
+    return ",\n               ".join(dists)
+
+
+_SQL_ARGMIN4 = """CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                WHEN d2 <= d3 THEN 2
+                ELSE 3 END"""
+
+
+def _sqdist_cols(vec_d):
+    """Spark twins of _sqdist_sql: one distance Column per centroid."""
+    cols = []
+    for ki, c in enumerate(_assign_centroids()):
+        lit = F.array(*[F.lit(v) for v in c])
+        cols.append(
+            F.aggregate(
+                F.zip_with(vec_d, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias(f"d{ki}")
+        )
+    return cols
+
+
+def _argmin4_col():
+    return (
+        F.when((F.col("d0") <= F.col("d1")) & (F.col("d0") <= F.col("d2"))
+               & (F.col("d0") <= F.col("d3")), 0)
+        .when((F.col("d1") <= F.col("d2")) & (F.col("d1") <= F.col("d3")), 1)
+        .when(F.col("d2") <= F.col("d3"), 2)
+        .otherwise(3)
+    )
+
+
+def _assign_oracle() -> str:
+    d = _sqdist_sql()
     return f"""
     WITH dist AS (
         SELECT vec_id, label,
@@ -709,25 +748,152 @@ def q_llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance is bit-identical. No UDF, no shuffle: a narrow map over the
     embedding scan. Cross-checked against operators/kmeans.kmeans_assign
     (the numpy/BLAS twin) in tests."""
-    cents = _assign_centroids()
     e = load(spark, sf_dir, "embeddings")
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dist_cols = []
-    for ki, c in enumerate(cents):
-        lit = F.array(*[F.lit(v) for v in c])
-        dist_cols.append(
-            F.aggregate(
-                F.zip_with(vec_d, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ).alias(f"d{ki}")
-        )
-    dist = e.select("vec_id", "label", *dist_cols)
-    cluster = (
-        F.when((F.col("d0") <= F.col("d1")) & (F.col("d0") <= F.col("d2"))
-               & (F.col("d0") <= F.col("d3")), 0)
-        .when((F.col("d1") <= F.col("d2")) & (F.col("d1") <= F.col("d3")), 1)
-        .when(F.col("d2") <= F.col("d3"), 2)
-        .otherwise(3)
+    dist = e.select("vec_id", "label", *_sqdist_cols(vec_d))
+    return dist.select(
+        "vec_id", "label", _argmin4_col().cast("int").alias("cluster")
     )
-    return dist.select("vec_id", "label", cluster.cast("int").alias("cluster"))
+
+
+def _ivf_oracle() -> str:
+    d = _sqdist_sql()
+    qd_union = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {ki} AS c, d{ki} AS d FROM dist WHERE vec_id < 10"
+        for ki in range(4)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dist AS (
+        SELECT vec_id,
+               {d}
+        FROM embeddings
+    ),
+    asgn AS (
+        SELECT v.vec_id, v.e,
+               {_SQL_ARGMIN4} AS cluster
+        FROM dist JOIN v ON v.vec_id = dist.vec_id
+    ),
+    qd AS ({qd_union}),
+    qp AS (SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM qd) WHERE rn <= 2),
+    scored AS (
+        SELECT q.vec_id, a.vec_id AS c_id,
+               list_reduce(list_transform(generate_series(1, len(q.e)),
+                                          i -> q.e[i] * a.e[i]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y)))
+                   AS cosine
+        FROM qp
+        JOIN v q ON q.vec_id = qp.vec_id
+        JOIN asgn a ON a.cluster = qp.c AND a.vec_id <> q.vec_id
+    )
+    SELECT vec_id, c_id AS neighbor_id, rank, round(cosine, 6) AS cosine_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, c_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@query("q_llm_ann_ivf", oracle=_ivf_oracle())
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors, fully
+    hash-verified: corpus vectors are assigned to their nearest literal
+    coarse centroid (the trained-quantizer role q_llm_kmeans plays at
+    scale), each query probes its nprobe=2 nearest clusters, and only
+    those clusters' members are exactly re-ranked — the candidate set is
+    ~nprobe/k of the corpus instead of all of it. Everything is
+    relational: JVM distance folds (bit-identical to the oracle's
+    list_reduce), a tiny probe table broadcast onto the cluster-
+    partitioned assignment, one window for the top-5. At 100 TB the
+    assignment is a narrow map over the embedding scan (optionally
+    written bucketed BY cluster so probes prune partitions), and recall
+    tunes with nprobe/k like any IVF index. Complements the SimHash-LSH
+    path (q_llm_knn_ivf): that one is rows-only/probabilistic, this one
+    is deterministic and driver-hash-checked end to end."""
+    from ..operators.annsearch import _dot, _norm
+
+    e = load(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dist = e.select("vec_id", vec_d.alias("e"), *_sqdist_cols(vec_d))
+    asgn = dist.select(
+        "vec_id", "e", _argmin4_col().cast("int").alias("cluster")
+    )
+    qd = dist.filter(F.col("vec_id") < 10).select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(ki).alias("c"), F.col(f"d{ki}").alias("d"))
+            for ki in range(4)
+        ])).alias("p"),
+    ).select("vec_id", "p.c", "p.d")
+    wq = Window.partitionBy("vec_id").orderBy("d", "c")
+    qp = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("q_id"), F.col("c").alias("cluster"))
+    )
+    q = asgn.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("q_e")
+    )
+    scored = (
+        asgn.join(F.broadcast(qp), "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q), "q_id")
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("vec_id").alias("c_id"),
+            (_dot(F.col("q_e"), F.col("e"))
+             / (_norm(F.col("q_e")) * _norm(F.col("e")))).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", F.col("c_id").alias("neighbor_id"), "rank",
+                F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+@query(
+    "q_llm_embed_quant",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(e, x -> x * x),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v)
+    SELECT vec_id,
+           CAST(i - 1 AS INT) AS dim,
+           CAST(floor(127.0 * e[i] / nrm) AS INT) AS q8,
+           round(nrm, 6) AS norm_r
+    FROM n, unnest(generate_series(1, len(e))) AS t(i)
+    WHERE nrm > 0
+    """,
+)
+def q_llm_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 vector quantization (the compression step before an
+    ANN index ships to serving): L2-normalize each embedding and floor
+    each component into [-127, 127]. floor (not round) because Spark
+    rounds HALF_UP and DuckDB HALF_EVEN — floor is the deterministic
+    cross-engine choice; the norm fold is the usual 0.0-seeded ascending
+    accumulation, bit-identical to the oracle's list_reduce. Output is
+    posexploded (vec_id, dim, q8) — arrays don't survive the driver's
+    pandas canonicalization, and the long layout is what a columnar
+    quantized index stores anyway. Zero-norm vectors are excluded
+    (normalization undefined)."""
+    from ..operators.annsearch import _norm
+
+    e = load(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n = e.select("vec_id", _norm(F.col("embedding")).alias("nrm"),
+                 F.posexplode(vec_d).alias("dim", "v")).filter(F.col("nrm") > 0)
+    return n.select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.lit(127.0) * F.col("v") / F.col("nrm")).cast("int").alias("q8"),
+        F.round("nrm", 6).alias("norm_r"),
+    )

@@ -359,3 +359,16 @@ def test_kmeans_assign_jvm_fold_matches_numpy_kernel(spark, sf_dir):
         for r in kmeans_assign(e, _assign_centroids()).collect()
     }
     assert jvm == np_ and len(jvm) > 0
+
+
+def test_ivf_ann_recall_floor(spark, sf_dir):
+    """The deterministic IVF path (literal coarse centroids, nprobe=2 of
+    k=4) must retrieve a meaningful share of the exact top-5 (measured
+    0.64 at sf0.01; floor guards regressions in the probe/assign logic)."""
+    from flink_realtime_edu_demo_spark.queries.llm import q_llm_ann_ivf, q_llm_knn
+
+    ivf = {(r.vec_id, r.neighbor_id) for r in q_llm_ann_ivf(spark, sf_dir).collect()}
+    exact = {(r.vec_id, r.neighbor_id) for r in q_llm_knn(spark, sf_dir).collect()}
+    assert exact, "exact kNN should return pairs"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.4, f"IVF recall@5 regressed: {recall:.3f}"
