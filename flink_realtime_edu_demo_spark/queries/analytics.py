@@ -277,3 +277,163 @@ def q_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check: EXISTS over lineitem
+    lowered to a LEFT SEMI join carrying both the equi key and the
+    non-equi ship-after-order predicate (evaluated inside the join, no
+    post-filter), then a one-shuffle count per priority. The quarter
+    filter reaches the orders parquet scan; at 100 TB the semi join is
+    the standard orderkey shuffle, removable by bucketing both facts on
+    the order key."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * promo_rev / total_rev AS promo_pct, promo_rev, total_rev
+    FROM (
+        SELECT
+            {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", "promo_rev", 6)},
+            {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "total_rev", 6)}
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    )
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promotion-revenue ratio: month-filtered lineitem
+    ⋈ broadcast part, conditional + total revenue in ONE aggregate pass
+    (no second scan), ratio as a single double division of two
+    decimal-exact sums — deterministic in both engines. The shipdate
+    range is pushed to the lineitem scan; part broadcasts (dim)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0), "promo_rev", 6),
+            dsum(rev, "total_rev", 6),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+        "promo_rev",
+        "total_rev",
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 200
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-customer query: per-order quantity
+    aggregate with HAVING (partial map-side combine, one shuffle), the
+    surviving orders joined back to orders + broadcast customer, global
+    top-100 via TakeOrderedAndProject. l_quantity is integer-valued
+    (1..50) so plain double SUM is exact and order-independent; ties on
+    o_totalprice broken by o_orderkey for engine-identical order. At
+    100 TB the HAVING filter shrinks `big` by ~100×, and AQE converts
+    the big⋈orders join to broadcast at runtime when it fits."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue", 6)},
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped discounted-revenue query: OR-of-ANDs predicate
+    spanning both join sides. The part-only disjunction (brand ∈ the 3
+    branches) is implied and pushed to the broadcast part scan; the
+    mixed part×lineitem conjuncts evaluate inside the join. One
+    broadcast join + one 1-row aggregate — no shuffle of lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(dsum(rev, "revenue", 6), F.count(F.lit(1)).alias("n_lines"))
+    )
