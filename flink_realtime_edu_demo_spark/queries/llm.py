@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..operators.annsearch import cosine_topk, lsh_topk
+from ..operators.graph import connected_components
 from ..operators.minhash import (
     MAX_DF,
     jaccard_pairs,
@@ -896,4 +897,145 @@ def q_llm_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         F.floor(F.lit(127.0) * F.col("v") / F.col("nrm")).cast("int").alias("q8"),
         F.round("nrm", 6).alias("norm_r"),
+    )
+
+
+@query(
+    "q_llm_split",
+    oracle="""
+    SELECT doc_id, lang,
+           (doc_id * 2654435761 + 104729) % 4294967296 % 100 AS bucket,
+           CASE WHEN (doc_id * 2654435761 + 104729) % 4294967296 % 100 < 80
+                THEN 'train'
+                WHEN (doc_id * 2654435761 + 104729) % 4294967296 % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by key hash — the
+    reproducible-split idiom every training pipeline needs: membership
+    is a pure function of doc_id, so re-runs, backfills, and incremental
+    appends land each doc in the same split with no stored assignment
+    table. Narrow map, zero shuffle, zero UDF. The mixer here is a
+    Knuth multiplicative hash kept exactly expressible in both engines'
+    int64 arithmetic; at 100 TB swap in xxhash64(doc_id) — same shape,
+    same guarantees — once cross-engine verification isn't needed."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(104729))
+        % F.lit(4294967296) % F.lit(100)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "q_llm_repetition",
+    oracle="""
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           COUNT(*) AS n_uniq,
+           round(COUNT(*) * 1.0 / SUM(c), 6) AS uniq_ratio_r,
+           round(MAX(c) * 1.0 / SUM(c), 6) AS top_share_r
+    FROM wc GROUP BY doc_id
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / diversity quality signals (the Gopher-style filters
+    that catch boilerplate and degenerate generations): per-doc word
+    count, unique-word count, unique ratio, and top-word share. Lowered
+    as explode → two-level aggregate with map-side partial combine; the
+    first groupBy keys on (doc_id, word) so the heavy stream shrinks
+    before the per-doc rollup. Ratios are single double divisions of
+    exact integer counts — bit-identical cross-engine."""
+    d = load_spread(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rep = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("c").alias("top_c"),
+    )
+    return rep.select(
+        "doc_id",
+        "n_words",
+        "n_uniq",
+        F.round(F.col("n_uniq") / F.col("n_words"), 6).alias("uniq_ratio_r"),
+        F.round(F.col("top_c") / F.col("n_words"), 6).alias("top_share_r"),
+    )
+
+
+@query(
+    "q_llm_dup_groups",
+    oracle="""
+    WITH RECURSIVE
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+           FROM words,
+                unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    sdf AS (SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) BETWEEN 2 AND 256),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh a JOIN sh b USING (shingle) JOIN sdf USING (shingle)
+             WHERE a.doc_id < b.doc_id),
+    common AS (SELECT cand.id_a, cand.id_b, COUNT(*) AS n_common
+               FROM cand
+               JOIN sh a ON a.doc_id = cand.id_a
+               JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+    edges AS (SELECT id_a, id_b FROM common
+              JOIN counts ca ON ca.doc_id = id_a
+              JOIN counts cb ON cb.doc_id = id_b
+              WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+        SELECT DISTINCT a AS id, a AS label FROM sym
+        UNION
+        SELECT s.a AS id, r.label FROM sym s JOIN reach r ON r.id = s.b
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS group_id
+             FROM reach GROUP BY id)
+    SELECT c.doc_id, c.group_id, s.n_members
+    FROM comp c
+    JOIN (SELECT group_id, COUNT(*) AS n_members
+          FROM comp GROUP BY 1) s USING (group_id)
+    """,
+)
+def q_llm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS (not just pairs): connected components over
+    the exact-verified jaccard>=0.5 edge list, labelling every member
+    with its group's min doc_id — the step that turns pairwise dedup
+    output into 'keep one doc per cluster' decisions. Spark side is
+    min-label propagation (operators/graph.py: one shuffle per round,
+    rounds = component diameter, driver holds one scalar per round); the
+    oracle is the same fixpoint via a recursive CTE. Deterministic: the
+    fixpoint is unique, so the iterative path hash-matches exact SQL."""
+    d = load_spread(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingles(d), threshold=0.5, max_df=MAX_DF).select(
+        "id_a", "id_b"
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("group_id"),
+        "n_members",
     )

@@ -372,3 +372,19 @@ def test_ivf_ann_recall_floor(spark, sf_dir):
     assert exact, "exact kNN should return pairs"
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.4, f"IVF recall@5 regressed: {recall:.3f}"
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and an isolated edge: labels must converge to each
+    component's min id regardless of propagation order (chain 1-2-3-4
+    needs multiple rounds: 4 only touches 3)."""
+    from flink_realtime_edu_demo_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {(r.id, r.label) for r in connected_components(edges).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20)}
+    assert got == want
