@@ -27,9 +27,10 @@ def connected_components(
     is the smallest node id reachable from the node. Deterministic: the
     fixpoint of min-label propagation is unique regardless of partition
     or iteration order, so the result is hash-stable."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    # materialize the (possibly expensive) edge plan ONCE before the
+    # symmetrizing union references it twice
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
@@ -52,11 +53,12 @@ def connected_components(
                 F.col("label").alias("old_label"),
             )
         )
-        # one scalar to the driver: did anything improve this round?
-        changed = new.filter(F.col("new_label") < F.col("old_label")).limit(1).count()
-        labels = new.select(
-            "id", F.col("new_label").alias("label")
-        ).localCheckpoint()
+        # checkpoint once, then both the changed-probe and the next
+        # round's labels read the materialized result — one job per
+        # round, one scalar to the driver
+        cp = new.localCheckpoint()
+        changed = cp.filter(F.col("new_label") < F.col("old_label")).limit(1).count()
+        labels = cp.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels
