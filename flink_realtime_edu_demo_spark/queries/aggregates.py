@@ -489,3 +489,88 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("names"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+               FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY cnt DESC, o_orderpriority) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE() per group, lowered relationally (count per value → window
+    top-1) instead of the native mode aggregate because native mode's
+    tie choice is engine-defined; here ties break on the value itself,
+    so the answer is deterministic and cross-engine identical. Two
+    map-side-combined shuffles on shrinking keys."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus",
+                F.col("o_orderpriority").alias("mode_priority"), "cnt")
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr_r,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta_r
+    FROM m
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope per group WITHOUT the native
+    corr()/regr_slope() aggregates: those accumulate doubles in
+    partition order, so their low bits differ run-to-run and between
+    engines. Here the five moment sums go through exact DECIMAL(30,2)
+    accumulation (order-independent), and the closed-form combine is a
+    single identically-shaped double expression on both sides —
+    bit-stable. DECIMAL(30,2) holds Σy² up to 10^28 (fixture max
+    ~10^16); at larger scale widen toward (38,2). One shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dsum30(c, a):
+        return F.sum(c.cast("decimal(30,2)")).cast("double").alias(a)
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum30(x, "sx"), dsum30(y, "sy"),
+        dsum30(x * y, "sxy"), dsum30(x * x, "sxx"), dsum30(y * y, "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag", "n",
+        F.round((n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6)
+        .alias("corr_r"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("beta_r"),
+    )
