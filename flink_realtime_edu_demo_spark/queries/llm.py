@@ -1039,3 +1039,62 @@ def q_llm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("group_id"),
         "n_members",
     )
+
+
+@query(
+    "q_llm_entropy",
+    oracle="""
+    WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                   FROM documents),
+    hist AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars
+             WHERE ch <> '' GROUP BY 1, 2),
+    folded AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars,
+               COUNT(*) AS n_distinct,
+               list_reduce(
+                   list_transform(list(CAST(c AS DOUBLE) ORDER BY ch),
+                                  x -> x * log2(x)),
+                   (a, b) -> a + b) AS acc
+        FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct,
+           round(log2(n_chars) - acc / n_chars, 6) AS entropy_r
+    FROM folded
+    """,
+)
+def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (bits/char): low entropy flags
+    degenerate/repetitive text, high flags binary junk — a standard
+    cheap corpus filter. Uses H = log2(N) - (1/N)·Σ c·log2(c) so the
+    only float accumulation is the Σ c·log2(c) fold, which BOTH engines
+    evaluate over the per-doc histogram sorted by character — identical
+    fold order, bit-stable cross-engine. Explode → two map-side-combined
+    shuffles on shrinking keys (histogram rows ≤ alphabet size per doc),
+    then a narrow fold; no UDF."""
+    d = load_spread(spark, sf_dir, "documents")
+    hist = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    folded = hist.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ch", "c"))),
+                lambda s: s["c"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x * F.log2(x),
+        ).alias("acc"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        F.round(F.log2("n_chars") - F.col("acc") / F.col("n_chars"), 6)
+        .alias("entropy_r"),
+    )
