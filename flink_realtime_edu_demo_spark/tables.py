@@ -7,11 +7,13 @@ DuckDB hash-match needs stable column types.
 Timestamp handling (SURVEY.md §5.3):
 - ``orders.o_orderdate`` / ``lineitem.l_shipdate`` are parquet
   timestamp[ms], isAdjustedToUTC=false → read as TIMESTAMP_NTZ.
-- ``events.ts`` is parquet timestamp[ns], which Spark's parquet reader
-  rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw int64
+- ``events.ts`` has shipped as both parquet timestamp[ns] (rounds 1-2)
+  and timestamp[us] (round 3+). load() sniffs the footer: the μs shape
+  reads directly as TIMESTAMP_NTZ; the ns shape (which Spark's parquet
+  reader rejects outright, PARQUET_TYPE_ILLEGAL) is read as raw int64
   nanos via the runtime-settable ``spark.sql.legacy.parquet.nanosAsLong``
-  conf and rebuild a TIMESTAMP_NTZ at microsecond precision (fixture
-  data is exactly μs-aligned, verified; DuckDB's ns→μs cast agrees).
+  conf and rebuilt at μs precision (fixture data is exactly μs-aligned,
+  verified; DuckDB's ns→μs cast agrees).
 """
 
 from __future__ import annotations
@@ -102,11 +104,12 @@ SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampNTZType()),
     ),
-    # events.ts declared as Long here (raw nanos); load() rebuilds the
-    # TIMESTAMP_NTZ column. Public schema (post-load) has ts: timestamp_ntz.
+    # events.ts public schema (post-load) is ts: timestamp_ntz. The raw
+    # fixture has shipped as both timestamp[ns] and timestamp[us] across
+    # driver rounds; load() sniffs the footer and normalizes (see below).
     "events": _s(
         ("event_id", LongType()),
-        ("ts", LongType()),
+        ("ts", TimestampNTZType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),
@@ -127,17 +130,41 @@ SCHEMAS: dict[str, StructType] = {
 }
 
 
+# Sniffed events.ts physical unit per fixture file ("ns" | "us"); one
+# driver-side footer read per path per process — negligible even at
+# 100 TB, where it would be one footer out of many.
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    unit = _EVENTS_TS_UNIT.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        try:
+            unit = pq.read_schema(path).field("ts").type.unit
+        except (OSError, KeyError, AttributeError):
+            # Missing/odd file: take the direct-read path so Spark raises
+            # its usual PATH_NOT_FOUND / schema error, not a sniff error.
+            unit = "us"
+        _EVENTS_TS_UNIT[path] = unit
+    return unit
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a batch DataFrame with its declared schema."""
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        # Runtime-settable legacy conf; required because the fixture is
-        # TIMESTAMP(NANOS) which the parquet reader otherwise rejects.
+    if name == "events" and _events_ts_unit(path) == "ns":
+        # Legacy fixture shape: TIMESTAMP(NANOS), which the parquet reader
+        # rejects outright (PARQUET_TYPE_ILLEGAL). Read as raw int64 nanos
+        # via the runtime-settable conf and rebuild a μs-precision NTZ
+        # (fixture data is exactly μs-aligned; DuckDB's ns→μs cast agrees).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(SCHEMAS[name]).parquet(path)
-        # ns → μs is exact on this data (μs-aligned); `div` keeps it integral.
-        # timestamp_micros yields TIMESTAMP; cast to NTZ under UTC session
-        # semantics matches DuckDB's naive read of the same file.
+        ns_schema = _s(*[
+            (f.name, LongType() if f.name == "ts" else f.dataType)
+            for f in SCHEMAS[name].fields
+        ])
+        df = spark.read.schema(ns_schema).parquet(path)
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
