@@ -1098,3 +1098,165 @@ def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log2("n_chars") - F.col("acc") / F.col("n_chars"), 6)
         .alias("entropy_r"),
     )
+
+
+@query(
+    "q_llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, source,
+           (doc_id * 2246822519 + 3266489917) % 4294967296 % 100 AS bucket
+    FROM documents
+    WHERE (doc_id * 2246822519 + 3266489917) % 4294967296 % 100 <
+          CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 50 ELSE 20 END
+    """,
+)
+def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each source stratum keeps its
+    own rate (50% / 20% here; a real pipeline reads rates from a config
+    dim) with membership a pure hash of doc_id — the reproducible
+    downsampling idiom for re-balancing a training mix. Unlike
+    ``TABLESAMPLE`` this is stable across re-runs, backfills, and
+    partitioning changes, and it's a narrow map: zero shuffle, zero UDF,
+    filter pushed to the scan. The mixer is a Knuth-style multiplicative
+    hash (decorrelated from q_llm_split's constants so split and sample
+    decisions are independent)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") * F.lit(2246822519) + F.lit(3266489917))
+        % F.lit(4294967296) % F.lit(100)
+    )
+    rate = F.when(
+        F.substring("source", 4, 8).cast("int") % 2 == 0, F.lit(50)
+    ).otherwise(F.lit(20))
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"), rate.alias("r"))
+        .filter(F.col("bucket") < F.col("r"))
+        .drop("r")
+    )
+
+
+@query(
+    "q_llm_mix_weights",
+    oracle="""
+    WITH src AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, src_tokens,
+           round(src_tokens * 1.0 / SUM(src_tokens) OVER (), 6) AS share_r,
+           round((1.0 / COUNT(*) OVER ()) /
+                 (src_tokens * 1.0 / SUM(src_tokens) OVER ()), 6) AS weight_r
+    FROM src
+    """,
+)
+def q_llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing weights: per-source token share and the up/down-
+    sampling multiplier that flattens the mix to uniform (target share =
+    1/n_sources; swap the literal target for a config dim join in a real
+    pipeline — the DoReMi/data-mixing prep step). Token totals reduce
+    with map-side partial aggregation to one row per source; the
+    unpartitioned window then runs over n_sources rows (20 here, maybe
+    thousands at 100 TB) — trivially single-partition AFTER the
+    reduction, which is the only safe place for a global window."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("src_tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("src_tokens") / F.sum("src_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return src.select(
+        "source",
+        "src_tokens",
+        F.round(share, 6).alias("share_r"),
+        F.round(target / share, 6).alias("weight_r"),
+    )
+
+
+@query(
+    "q_llm_pack_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tok AS BIGINT) AS start_off,
+           CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tok) / 256) AS BIGINT) AS chunk_id
+    FROM toks
+    """,
+)
+def q_llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-then-chunk): within each source
+    stream, docs are laid head-to-tail in doc_id order and cut into
+    256-token training chunks; each doc gets its byte^W token offset and
+    chunk id. This is the GPT-style packing layout expressed as a pure
+    running-sum window — one hash exchange on source, per-partition
+    sort, no stateful scan needed because chunk boundaries are fixed
+    multiples of the budget (close-on-overflow greedy packing is the
+    applyInPandas variant; this form stays whole-stage-codegen). Offsets
+    are exact int64 both engines."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        start.alias("start_off"),
+        F.floor(start / F.lit(256)).cast("long").alias("chunk_id"),
+    )
+
+
+@query(
+    "q_llm_decontam",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(w, i, i + 4), ' ') AS shingle
+           FROM words,
+                unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id,
+           CAST(COUNT(b.shingle) AS BIGINT) AS n_hits,
+           COUNT(b.shingle) >= 1 AS contaminated
+    FROM sh s LEFT JOIN bench b USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def q_llm_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-word
+    shingle with the held-out benchmark set (docs with doc_id % 97 = 0
+    stand in for an eval suite). The benchmark gram set is small by
+    nature — eval suites are MBs while training corpora are TBs — so it
+    broadcasts, and the check is a broadcast left join counted per doc:
+    the 100 TB plan never shuffles the training-side grams. Shingling
+    reuses the dedup machinery (operators/minhash.py shingles, w=5)."""
+    d = load_spread(spark, sf_dir, "documents")
+    sh = shingles(d, w=5)
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    joined = train.join(F.broadcast(bench), "shingle", "left")
+    n_hits = F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).cast("long")
+    return joined.groupBy("doc_id").agg(
+        n_hits.alias("n_hits"),
+        (n_hits >= 1).alias("contaminated"),
+    )

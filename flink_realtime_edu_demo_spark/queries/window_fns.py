@@ -288,3 +288,29 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+             AS quartile
+    FROM orders
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing (Flink's ntile() ranking window fn family): price
+    quartiles within each order status. Deterministic: the order-by ends
+    in the unique o_orderkey, so tile assignment is a pure function of
+    the data on both engines (SQL-standard ntile remainder rule: the
+    first n_rows % 4 tiles get the extra row). One hash exchange on the
+    partition key, per-partition sort — the same shape at any scale."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+    )
