@@ -437,3 +437,39 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(rev, "revenue", 6), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@query(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue', 6)},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecasting-revenue query: the canonical
+    scan-filter-aggregate. Every predicate reaches the parquet scan as a
+    PushedFilter (shipdate range + discount band + quantity cap), the
+    projection prunes to four columns, and the whole plan is one
+    WholeStageCodegen span with a map-side partial sum — zero exchanges
+    beyond the final 1-row reduce. At 100 TB with date-partitioned
+    lineitem the shipdate range also prunes partitions."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 6),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -1260,3 +1260,66 @@ def q_llm_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.alias("n_hits"),
         (n_hits >= 1).alias("contaminated"),
     )
+
+
+@query(
+    "q_llm_pack_greedy",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pack AS (
+        SELECT source, rn, doc_id, n_tok,
+               CAST(0 AS BIGINT) AS bin_id, n_tok AS fill_after
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.rn, t.doc_id, t.n_tok,
+               CASE WHEN p.fill_after + t.n_tok > 256
+                    THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.fill_after + t.n_tok > 256
+                    THEN t.n_tok ELSE p.fill_after + t.n_tok END
+        FROM toks t
+        JOIN pack p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tok, bin_id, fill_after FROM pack
+    """,
+)
+def q_llm_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy close-on-overflow sequence packing: within each source
+    stream (doc_id order), a bin closes when the next doc would push it
+    past the 256-token budget — the first-fit packing loaders use when
+    docs must not split. This is inherently a stateful sequential scan
+    (bin state depends on every prior doc), so it lowers to
+    applyInPandas per source — the batch analog of a Flink keyed
+    ProcessFunction: groups are independent, parallelism = stream
+    count, and each group is one Arrow batch scanned once in pandas.
+    The oracle proves the exact same assignment via a recursive CTE.
+    At 100 TB a single giant stream would serialize; shard sources
+    first (the chunked q_llm_pack_chunks form is the fully-parallel
+    alternative)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_ids, fills = [], []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tok"]:
+            if fill > 0 and fill + n > 256:
+                bin_id += 1
+                fill = 0
+            fill += int(n)
+            bin_ids.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = bin_ids
+        pdf["fill_after"] = fills
+        return pdf
+
+    return toks.groupBy("source").applyInPandas(
+        pack, "doc_id long, source string, n_tok long, bin_id long, fill_after long"
+    )

@@ -145,3 +145,28 @@ def test_spark_sql_surface_over_registered_views(spark, sf_dir):
         FROM events GROUP BY window(ts, '1 hour'), event_type
     """)
     assert sql_win.count() > 0
+
+
+def test_events_loader_handles_ns_and_us_fixtures(spark, tmp_path):
+    """The driver has shipped events.ts as both timestamp[ns] (rounds
+    1-2) and timestamp[us] (round-3 regen). load() sniffs the footer;
+    both encodings must yield identical timestamp_ntz values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_realtime_edu_demo_spark.tables import load
+
+    src = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{src}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    ns_t = t.set_column(
+        idx, "ts", t.column("ts").cast(pa.timestamp("ns"))
+    )
+    ns_dir = tmp_path / "ns_fixture"
+    ns_dir.mkdir()
+    pq.write_table(ns_t, str(ns_dir / "events.parquet"),
+                   store_schema=False, coerce_timestamps=None,
+                   version="2.6")
+    want = sorted(map(repr, load(spark, src, "events").collect()))
+    got = sorted(map(repr, load(spark, str(ns_dir), "events").collect()))
+    assert got == want
