@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..operators.annsearch import cosine_topk, lsh_topk
 from ..operators.graph import connected_components
+from ..operators.packing import greedy_pack
 from ..operators.minhash import (
     MAX_DF,
     jaccard_pairs,
@@ -1304,22 +1305,4 @@ def q_llm_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
-
-    def pack(pdf):
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bin_ids, fills = [], []
-        bin_id, fill = 0, 0
-        for n in pdf["n_tok"]:
-            if fill > 0 and fill + n > 256:
-                bin_id += 1
-                fill = 0
-            fill += int(n)
-            bin_ids.append(bin_id)
-            fills.append(fill)
-        pdf["bin_id"] = bin_ids
-        pdf["fill_after"] = fills
-        return pdf
-
-    return toks.groupBy("source").applyInPandas(
-        pack, "doc_id long, source string, n_tok long, bin_id long, fill_after long"
-    )
+    return greedy_pack(toks, budget=256)

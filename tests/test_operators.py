@@ -388,3 +388,49 @@ def test_connected_components_known_graph(spark):
     want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
             (20, 20), (21, 20), (22, 20)}
     assert got == want
+
+
+def test_greedy_pack_edge_cases(spark):
+    """Close-on-overflow packing against a local python reference,
+    covering paths the fixture corpus never hits: a doc larger than the
+    budget (gets its own bin, then the bin closes), an exact-fit bin,
+    and a 1-token tail. Budget=10."""
+    from flink_realtime_edu_demo_spark.operators.packing import greedy_pack
+
+    rows = [
+        # key a: 4+6 fill bin0 exactly, 30 oversized alone in bin1,
+        #        1+9 fill bin2 exactly, 2 opens bin3
+        ("a", 1, 4), ("a", 2, 6), ("a", 3, 30), ("a", 4, 1),
+        ("a", 5, 9), ("a", 6, 2),
+        # key b: single oversized doc -> bin0
+        ("b", 1, 11),
+        # key c: 5+5 exact, then 10 exact alone
+        ("c", 1, 5), ("c", 2, 5), ("c", 3, 10),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, n_tok bigint")
+    got = {
+        (r.source, r.doc_id): (r.bin_id, r.fill_after)
+        for r in greedy_pack(df, budget=10).collect()
+    }
+
+    def reference(rows):
+        out = {}
+        by_key = {}
+        for k, i, n in sorted(rows, key=lambda r: (r[0], r[1])):
+            by_key.setdefault(k, []).append((i, n))
+        for k, docs in by_key.items():
+            bin_id, fill = 0, 0
+            for i, n in docs:
+                if fill > 0 and fill + n > 10:
+                    bin_id, fill = bin_id + 1, 0
+                fill += n
+                out[(k, i)] = (bin_id, fill)
+        return out
+
+    assert got == reference(rows)
+    # structural invariants: oversized docs sit alone; fills never
+    # exceed the budget except for a single oversized doc
+    assert got[("a", 3)] == (1, 30) and got[("b", 1)] == (0, 11)
+    for (k, i), (b, fill) in got.items():
+        n_tok = next(n for kk, ii, n in rows if (kk, ii) == (k, i))
+        assert fill <= 10 or fill == n_tok > 10
