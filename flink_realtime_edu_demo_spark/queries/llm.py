@@ -1246,7 +1246,10 @@ def q_llm_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     nature — eval suites are MBs while training corpora are TBs — so it
     broadcasts, and the check is a broadcast left join counted per doc:
     the 100 TB plan never shuffles the training-side grams. Shingling
-    reuses the dedup machinery (operators/minhash.py shingles, w=5)."""
+    reuses the dedup machinery (operators/minhash.py shingles, w=5).
+    This is the published n-gram-overlap decontamination scheme from
+    public LM reports (GPT-2/GPT-3 appendices use 8/13-gram overlap;
+    5-gram here to fire on fixture-scale documents)."""
     d = load_spread(spark, sf_dir, "documents")
     sh = shingles(d, w=5)
     bench = (
