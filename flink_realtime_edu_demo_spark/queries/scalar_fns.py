@@ -472,3 +472,51 @@ def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (lev <= 2).alias("near_name"),
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber = 3 THEN NULL
+                ELSE round(l_extendedprice / (l_linenumber - 3), 6) END
+             AS safe_div_r,
+           TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS name_num,
+           TRY_CAST(c_name AS BIGINT) AS name_as_num,
+           CASE WHEN 9223372036854775707 + CAST(l_orderkey AS HUGEINT)
+                     > 9223372036854775807
+                THEN NULL
+                ELSE CAST(9223372036854775707 + l_orderkey AS BIGINT) END
+             AS near_max_add,
+           list_extract(string_split(c_name, '#'), 3) AS part3
+    FROM lineitem
+    JOIN customer ON c_custkey = l_orderkey % 150
+    WHERE l_orderkey < 500
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_* error-handling family (Flink/ANSI TRY_CAST and Spark's
+    try_* twins — the functions that keep a 100 TB job alive when one
+    malformed row would otherwise kill the stage under ANSI mode):
+    try_divide (NULL on /0), try_cast (NULL on bad parse, both the
+    numeric tail of c_name and the full non-numeric string), try_add
+    (NULL on int64 overflow — the oracle reproduces the boundary in
+    HUGEINT), try_element_at (NULL past the end of an array). Narrow
+    map over a broadcast join, every expression JVM-side."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    c = load(spark, sf_dir, "customer")
+    j = li.join(F.broadcast(c), c["c_custkey"] == li["l_orderkey"] % 150)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 3), 6
+        ).alias("safe_div_r"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2))
+        .try_cast("long").alias("name_num"),
+        F.col("c_name").try_cast("long").alias("name_as_num"),
+        F.try_add(
+            F.lit(9223372036854775707), F.col("l_orderkey")
+        ).alias("near_max_add"),
+        F.try_element_at(F.split(F.col("c_name"), "#"), F.lit(3)).alias("part3"),
+    )

@@ -237,3 +237,14 @@ def json_table(spark: SparkSession, path: str, schema_ddl: str,
         .option("mode", "FAILFAST")
         .json(path)
     )
+
+
+def orc_table(spark: SparkSession, path: str, schema_ddl: str,
+              streaming: bool = False) -> DataFrame:
+    """ORC file source (Flink filesystem connector, format=orc — the
+    other columnar format the Flink ecosystem reads besides parquet).
+    Spark's native ORC reader gives the same pushdown/pruning surface
+    as parquet (PushedFilters in the scan node); explicit schema for
+    the same reasons as csv_table."""
+    reader = spark.readStream if streaming else spark.read
+    return reader.schema(StructType.fromDDL(schema_ddl)).orc(path)

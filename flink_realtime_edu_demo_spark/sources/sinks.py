@@ -57,3 +57,18 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.mode(mode).saveAsTable(table)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC filesystem sink (Flink filesystem connector, format=orc).
+    Same partitioning guidance as write_parquet; ORC keeps the
+    predicate-pushdown + column-pruning surface on re-read."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

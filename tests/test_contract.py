@@ -170,3 +170,27 @@ def test_events_loader_handles_ns_and_us_fixtures(spark, tmp_path):
     want = sorted(map(repr, load(spark, src, "events").collect()))
     got = sorted(map(repr, load(spark, str(ns_dir), "events").collect()))
     assert got == want
+
+
+def test_orc_source_sink_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC filesystem source/sink: exact events round-trip with explicit
+    schema, and the ORC scan keeps the predicate-pushdown surface
+    (PushedFilters on the scan node) like parquet."""
+    from flink_realtime_edu_demo_spark.sources.readers import orc_table
+    from flink_realtime_edu_demo_spark.sources.sinks import write_orc
+    from flink_realtime_edu_demo_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields)
+    odir = str(tmp_path / "o")
+    write_orc(ev, odir)
+
+    got = orc_table(spark, odir, ddl).select(*ev.columns)
+    assert sorted(map(repr, got.collect())) == sorted(map(repr, ev.collect()))
+
+    plan = (
+        orc_table(spark, odir, ddl)
+        .filter("event_type = 'click'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "event_type" in plan
