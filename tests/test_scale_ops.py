@@ -157,3 +157,49 @@ def test_partition_pruning_on_date_partitioned_write(spark, sf_dir, tmp_path):
     assert q.count() == ev.filter(F.col("dt") == one).count()
     scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "dt" in scan_line
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """SCALE.md's skew story, demonstrated: with one hot key holding
+    ~95% of the left side, AQE's OptimizeSkewedJoin must split the
+    oversized shuffle partition (SortMergeJoin(skew=true) in the final
+    adaptive plan) and the join result must be identical to the
+    unsplit one. Thresholds are shrunk so fixture-scale data trips the
+    same code path a 100 TB hot key would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 20 == 0, F.col("id") % 10)
+            .otherwise(F.lit(0)).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        # every left row has exactly one match; w == k*100 throughout
+        assert len(rows) == 300_000
+        assert all(r.w == r.k * 100 for r in rows[:1000])
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
