@@ -127,6 +127,46 @@ def dedup_by_payload(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_media(media: DataFrame, box: int = 256,
+                 fake: bool = True) -> DataFrame:
+    """Image resize-to-fit (square ``box``, aspect preserved): the
+    metadata math (target dims) is exact integer arithmetic — scale =
+    box / max(w, h), i.e. ``new_w = w * box div max(w, h, 1)`` — and the
+    re-encoded payload is the deterministic stub md5(payload ‖ WxH)
+    until PIL exists in the image (``fake=False`` raises). The shape
+    that matters at 100 TB: resize is a narrow map — no shuffle, no
+    payload duplication, and the real decoder drops in behind the same
+    column contract (mapInPandas, like decode_media)."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize needs PIL, not present in this container; "
+            "use fake=True for the deterministic stub"
+        )
+    imgs = media.filter(F.col("kind") == "image")
+    w, h = F.col("meta.width"), F.col("meta.height")
+    m = F.greatest(w, h, F.lit(1))
+    fits = (w <= box) & (h <= box)
+    new_w = F.when(fits, w).otherwise(F.expr(
+        f"div(meta.width * {box}, greatest(meta.width, meta.height, 1))"
+    ).cast("int"))
+    new_h = F.when(fits, h).otherwise(F.expr(
+        f"div(meta.height * {box}, greatest(meta.width, meta.height, 1))"
+    ).cast("int"))
+    return imgs.select(
+        "media_id",
+        w.cast("long").alias("width"),
+        h.cast("long").alias("height"),
+        new_w.cast("long").alias("new_width"),
+        new_h.cast("long").alias("new_height"),
+        F.md5(
+            F.concat(
+                F.col("payload").cast("string"),
+                new_w.cast("string"), F.lit("x"), new_h.cast("string"),
+            )
+        ).alias("resized_md5"),
+    )
+
+
 def register_queries() -> None:
     """Register the oracle-checkable multimodal queries."""
     from .registry import query
@@ -201,6 +241,38 @@ def register_queries() -> None:
         decoder is SQL-expressible, so even this path is hash-checked."""
         media = media_from_documents(load(spark, sf_dir, "documents"))
         return sample_frames(media, every_ms=1000)
+
+    @query(
+        "q_mm_resize",
+        oracle="""
+        WITH dims AS (
+            SELECT doc_id AS media_id, text,
+                   n_chars % 1920 AS w, n_chars % 1080 AS h,
+                   greatest(greatest(n_chars % 1920, n_chars % 1080), 1) AS m
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT media_id, w AS width, h AS height,
+               CASE WHEN w <= 256 AND h <= 256 THEN CAST(w AS BIGINT)
+                    ELSE w * 256 // m END AS new_width,
+               CASE WHEN w <= 256 AND h <= 256 THEN CAST(h AS BIGINT)
+                    ELSE h * 256 // m END AS new_height,
+               md5(concat(text,
+                   CASE WHEN w <= 256 AND h <= 256 THEN CAST(w AS BIGINT)
+                        ELSE w * 256 // m END,
+                   'x',
+                   CASE WHEN w <= 256 AND h <= 256 THEN CAST(h AS BIGINT)
+                        ELSE h * 256 // m END)) AS resized_md5
+        FROM dims
+        """,
+    )
+    def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Image resize-to-fit (256 box): exact integer target-dim math +
+        stubbed re-encode fingerprint, hash-checked end-to-end. The real
+        PIL decoder slot sits behind fake=False (NotImplementedError in
+        this container); everything Spark-side — filter on kind,
+        metadata arithmetic, payload-hash contract — is the real path."""
+        media = media_from_documents(load(spark, sf_dir, "documents"))
+        return resize_media(media, box=256)
 
     @query(
         "q_mm_features",

@@ -43,3 +43,36 @@ def test_payload_dedup_groups_identical_payloads(spark, sf_dir):
     deduped = dedup_by_payload(m)
     assert deduped.count() == docs.select("text").distinct().count()
     assert deduped.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_resize_media_edge_dims(spark):
+    """Resize-to-fit dim math on the boundaries the fixture never hits:
+    zero-dim (degenerate metadata must not divide by zero), exact-box,
+    1-px-over, and extreme aspect ratios; aspect preserved and no
+    upscaling anywhere."""
+    from flink_realtime_edu_demo_spark.multimodal import resize_media
+
+    rows = [
+        (1, "image", bytearray(b"a"), ("image/png", 0, 0, 0)),
+        (2, "image", bytearray(b"b"), ("image/png", 256, 256, 0)),
+        (3, "image", bytearray(b"c"), ("image/png", 257, 100, 0)),
+        (4, "image", bytearray(b"d"), ("image/png", 1920, 2, 0)),
+        (5, "image", bytearray(b"e"), ("image/png", 2, 1080, 0)),
+        (6, "video", bytearray(b"f"), ("video/mp4", 999, 999, 1000)),
+    ]
+    schema = (
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r.media_id: r for r in resize_media(media, box=256).collect()}
+
+    assert set(got) == {1, 2, 3, 4, 5}          # video row filtered out
+    assert (got[1].new_width, got[1].new_height) == (0, 0)      # no /0
+    assert (got[2].new_width, got[2].new_height) == (256, 256)  # exact fit
+    assert (got[3].new_width, got[3].new_height) == (256, 99)   # 257->256
+    assert (got[4].new_width, got[4].new_height) == (256, 0)    # extreme AR
+    assert (got[5].new_width, got[5].new_height) == (0, 256)
+    for r in got.values():
+        assert r.new_width <= max(r.width, 0) or r.width <= 256
+        assert r.new_width <= 256 and r.new_height <= 256
