@@ -131,12 +131,14 @@ def resize_media(media: DataFrame, box: int = 256,
                  fake: bool = True) -> DataFrame:
     """Image resize-to-fit (square ``box``, aspect preserved): the
     metadata math (target dims) is exact integer arithmetic — scale =
-    box / max(w, h), i.e. ``new_w = w * box div max(w, h, 1)`` — and the
-    re-encoded payload is the deterministic stub md5(payload ‖ WxH)
-    until PIL exists in the image (``fake=False`` raises). The shape
-    that matters at 100 TB: resize is a narrow map — no shuffle, no
-    payload duplication, and the real decoder drops in behind the same
-    column contract (mapInPandas, like decode_media)."""
+    box / max(w, h), i.e. ``new_w = w * box div max(w, h, 1)``, scaled
+    dims clamped to >= 1 px (a real codec cannot emit a 0-height image,
+    so extreme aspect ratios fit to 1 px like PIL's thumbnail does) —
+    and the re-encoded payload is the deterministic stub
+    md5(payload ‖ WxH) until PIL exists in the image (``fake=False``
+    raises). The shape that matters at 100 TB: resize is a narrow map —
+    no shuffle, no payload duplication, and the real decoder drops in
+    behind the same column contract (mapInPandas, like decode_media)."""
     if not fake:
         raise NotImplementedError(
             "real image resize needs PIL, not present in this container; "
@@ -144,14 +146,16 @@ def resize_media(media: DataFrame, box: int = 256,
         )
     imgs = media.filter(F.col("kind") == "image")
     w, h = F.col("meta.width"), F.col("meta.height")
-    m = F.greatest(w, h, F.lit(1))
     fits = (w <= box) & (h <= box)
-    new_w = F.when(fits, w).otherwise(F.expr(
-        f"div(meta.width * {box}, greatest(meta.width, meta.height, 1))"
-    ).cast("int"))
-    new_h = F.when(fits, h).otherwise(F.expr(
-        f"div(meta.height * {box}, greatest(meta.width, meta.height, 1))"
-    ).cast("int"))
+
+    def scaled(dim: str) -> F.Column:
+        return F.greatest(
+            F.expr(f"div(meta.{dim} * {box}, greatest(meta.width, meta.height, 1))"),
+            F.lit(1),
+        ).cast("int")
+
+    new_w = F.when(fits, w).otherwise(scaled("width"))
+    new_h = F.when(fits, h).otherwise(scaled("height"))
     return imgs.select(
         "media_id",
         w.cast("long").alias("width"),
@@ -253,15 +257,15 @@ def register_queries() -> None:
         )
         SELECT media_id, w AS width, h AS height,
                CASE WHEN w <= 256 AND h <= 256 THEN CAST(w AS BIGINT)
-                    ELSE w * 256 // m END AS new_width,
+                    ELSE greatest(w * 256 // m, 1) END AS new_width,
                CASE WHEN w <= 256 AND h <= 256 THEN CAST(h AS BIGINT)
-                    ELSE h * 256 // m END AS new_height,
+                    ELSE greatest(h * 256 // m, 1) END AS new_height,
                md5(concat(text,
                    CASE WHEN w <= 256 AND h <= 256 THEN CAST(w AS BIGINT)
-                        ELSE w * 256 // m END,
+                        ELSE greatest(w * 256 // m, 1) END,
                    'x',
                    CASE WHEN w <= 256 AND h <= 256 THEN CAST(h AS BIGINT)
-                        ELSE h * 256 // m END)) AS resized_md5
+                        ELSE greatest(h * 256 // m, 1) END)) AS resized_md5
         FROM dims
         """,
     )

@@ -37,11 +37,13 @@ def greedy_pack(
     ``key_col`` stream, in ``order_col`` order. Returns the input
     columns plus ``bin_id`` (0-based per key) and ``fill_after`` (bin
     token total after placing the row). Output schema keeps only
-    (order_col, key_col, tok_col) of the input — project first if more
-    columns are needed downstream (join back on order_col)."""
+    (order_col, key_col, tok_col) of the input — with their input types,
+    whatever they are — project first if more columns are needed
+    downstream (join back on order_col)."""
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        f"{order_col} long, {key_col} string, {tok_col} long, "
-        "bin_id long, fill_after long"
+        f"{order_col} {in_types[order_col]}, {key_col} {in_types[key_col]}, "
+        f"{tok_col} {in_types[tok_col]}, bin_id long, fill_after long"
     )
 
     def pack(pdf):

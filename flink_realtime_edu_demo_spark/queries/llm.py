@@ -1259,7 +1259,8 @@ def q_llm_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = sh.filter(F.col("doc_id") % 97 != 0)
     joined = train.join(F.broadcast(bench), "shingle", "left")
-    n_hits = F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).cast("long")
+    # count of non-null markers == the oracle's COUNT(b.shingle)
+    n_hits = F.count("hit")
     return joined.groupBy("doc_id").agg(
         n_hits.alias("n_hits"),
         (n_hits >= 1).alias("contaminated"),

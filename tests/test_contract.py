@@ -102,10 +102,9 @@ def test_missing_sf_dir_raises_clean_path_error(spark):
         load(spark, "/root/testdata/sf-nope", "events").collect()
 
 
-def test_events_loader_overrides_preset_nanos_conf(spark, sf_dir):
-    """A caller (the driver uses a vanilla session) may have set
-    nanosAsLong=false; tables.load must still read the ns-parquet events
-    fixture by overriding the runtime conf itself."""
+def test_events_loader_reads_us_fixture_regardless_of_nanos_conf(spark, sf_dir):
+    """The us-encoded fixture path must not depend on the legacy nanos
+    conf in either state (the driver uses a vanilla session)."""
     from flink_realtime_edu_demo_spark.tables import load
 
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
@@ -147,17 +146,18 @@ def test_spark_sql_surface_over_registered_views(spark, sf_dir):
     assert sql_win.count() > 0
 
 
-def test_events_loader_handles_ns_and_us_fixtures(spark, tmp_path):
+def test_events_loader_handles_ns_and_us_fixtures(spark, sf_dir, tmp_path):
     """The driver has shipped events.ts as both timestamp[ns] (rounds
     1-2) and timestamp[us] (round-3 regen). load() sniffs the footer;
-    both encodings must yield identical timestamp_ntz values."""
+    both encodings must yield identical timestamp_ntz values — and the
+    ns path must override a caller-preset nanosAsLong=false (the driver
+    uses a vanilla session; load() owns that conf)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from flink_realtime_edu_demo_spark.tables import load
 
-    src = "/root/testdata/sf0.001"
-    t = pq.read_table(f"{src}/events.parquet")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
     idx = t.schema.get_field_index("ts")
     ns_t = t.set_column(
         idx, "ts", t.column("ts").cast(pa.timestamp("ns"))
@@ -167,8 +167,14 @@ def test_events_loader_handles_ns_and_us_fixtures(spark, tmp_path):
     pq.write_table(ns_t, str(ns_dir / "events.parquet"),
                    store_schema=False, coerce_timestamps=None,
                    version="2.6")
-    want = sorted(map(repr, load(spark, src, "events").collect()))
-    got = sorted(map(repr, load(spark, str(ns_dir), "events").collect()))
+    want = sorted(map(repr, load(spark, sf_dir, "events").collect()))
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        got = sorted(map(repr, load(spark, str(ns_dir), "events").collect()))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     assert got == want
 
 

@@ -68,11 +68,10 @@ def test_resize_media_edge_dims(spark):
     got = {r.media_id: r for r in resize_media(media, box=256).collect()}
 
     assert set(got) == {1, 2, 3, 4, 5}          # video row filtered out
-    assert (got[1].new_width, got[1].new_height) == (0, 0)      # no /0
+    assert (got[1].new_width, got[1].new_height) == (0, 0)      # degenerate in, degenerate out (fits branch)
     assert (got[2].new_width, got[2].new_height) == (256, 256)  # exact fit
     assert (got[3].new_width, got[3].new_height) == (256, 99)   # 257->256
-    assert (got[4].new_width, got[4].new_height) == (256, 0)    # extreme AR
-    assert (got[5].new_width, got[5].new_height) == (0, 256)
+    assert (got[4].new_width, got[4].new_height) == (256, 1)    # extreme AR clamps to 1 px
+    assert (got[5].new_width, got[5].new_height) == (1, 256)
     for r in got.values():
-        assert r.new_width <= max(r.width, 0) or r.width <= 256
         assert r.new_width <= 256 and r.new_height <= 256

@@ -181,9 +181,14 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
+        # 95% of rows on hot key 0; the other 5% spread over keys 1-9
+        # (id%20==0 -> (id div 20) % 9 + 1, never 0) so the skew-split
+        # partition coexists with genuinely non-skewed ones.
         left = spark.range(0, 300_000).select(
-            F.when(F.col("id") % 20 == 0, F.col("id") % 10)
-            .otherwise(F.lit(0)).alias("k"),
+            F.when(
+                F.col("id") % 20 == 0,
+                (F.col("id") / 20).cast("long") % 9 + 1,
+            ).otherwise(F.lit(0)).alias("k"),
             F.col("id").alias("v"),
         )
         right = spark.range(0, 10).select(
@@ -194,9 +199,12 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
         assert "SortMergeJoin(skew=true)" in plan
-        # every left row has exactly one match; w == k*100 throughout
+        # every left row has exactly one match; w == k*100 throughout;
+        # both the hot key and the spread keys are present in the result
         assert len(rows) == 300_000
         assert all(r.w == r.k * 100 for r in rows[:1000])
+        keys = {r.k for r in rows}
+        assert keys == set(range(10))
     finally:
         for k, v in prev.items():
             if v is not None:
