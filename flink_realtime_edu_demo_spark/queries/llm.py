@@ -1120,7 +1120,10 @@ def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning changes, and it's a narrow map: zero shuffle, zero UDF,
     filter pushed to the scan. The mixer is a Knuth-style multiplicative
     hash (decorrelated from q_llm_split's constants so split and sample
-    decisions are independent)."""
+    decisions are independent); like q_llm_split, at 100 TB key ranges
+    swap in xxhash64(doc_id) — the multiplicative form would overflow
+    int64 under ANSI for doc_id ≳ 4e9 and exists for cross-engine
+    oracle expressibility."""
     d = load(spark, sf_dir, "documents")
     bucket = (
         (F.col("doc_id") * F.lit(2246822519) + F.lit(3266489917))
