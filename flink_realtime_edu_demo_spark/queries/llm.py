@@ -1313,3 +1313,41 @@ def q_llm_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
     return greedy_pack(toks, budget=256)
+
+
+@query(
+    "q_llm_sample_exact_k",
+    oracle="""
+    SELECT doc_id, source, pos
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435769 + 40503) % 4294967296, doc_id
+               ) AS pos
+        FROM documents
+    )
+    WHERE pos <= 10
+    """,
+)
+def q_llm_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum sampling: exactly 10 docs per source (fewer
+    if the stratum is smaller), chosen by ranking on a deterministic
+    doc_id hash — the eval-set/holdout idiom when you need a fixed
+    COUNT per stratum rather than q_llm_stratified_sample's fixed RATE.
+    Reproducible across re-runs and partitioning changes; one hash
+    exchange on source, per-partition top-k (rank ≤ k prunes with a
+    WindowGroupLimit before the full sort materializes). Same 100 TB
+    note as the other mixers: swap xxhash64 in once cross-engine
+    expressibility isn't needed; the doc_id tie-break keeps the order
+    total so both engines pick identical rows."""
+    d = load(spark, sf_dir, "documents")
+    mix = (F.col("doc_id") * F.lit(2654435769) + F.lit(40503)) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(mix, "doc_id")
+    return (
+        d.select(
+            "doc_id", "source",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .filter(F.col("pos") <= 10)
+    )
