@@ -141,3 +141,45 @@ def test_jaccard_pairs_matches_python_reference(spark, docs):
     assert set(capped) <= set(want)
     for pair, vals in capped.items():
         assert vals == want[pair]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # key (stream)
+            st.integers(1, 40),     # n_tok — crosses the budget freely
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    budget=st.integers(1, 25),
+)
+def test_greedy_pack_matches_reference(spark, docs, budget):
+    """greedy_pack == the sequential close-on-overflow scan, for random
+    streams and budgets (including docs larger than the budget and
+    budget=1, where every doc gets its own bin)."""
+    from flink_realtime_edu_demo_spark.operators.packing import greedy_pack
+
+    rows = [(str(k), i, n) for i, (k, n) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id bigint, n_tok bigint"
+    )
+    got = {
+        (r.source, r.doc_id): (r.bin_id, r.fill_after)
+        for r in greedy_pack(df, budget=budget).collect()
+    }
+
+    want = {}
+    by_key: dict = {}
+    for k, i, n in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_key.setdefault(k, []).append((i, n))
+    for k, ds in by_key.items():
+        bin_id, fill = 0, 0
+        for i, n in ds:
+            if fill > 0 and fill + n > budget:
+                bin_id, fill = bin_id + 1, 0
+            fill += n
+            want[(k, i)] = (bin_id, fill)
+    assert got == want
