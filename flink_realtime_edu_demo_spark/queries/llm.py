@@ -1323,7 +1323,7 @@ def q_llm_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source,
                row_number() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * 2654435769 + 40503) % 4294967296, doc_id
+                   ORDER BY (doc_id * 2971215073 + 433494437) % 4294967296, doc_id
                ) AS pos
         FROM documents
     )
@@ -1342,7 +1342,7 @@ def q_llm_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressibility isn't needed; the doc_id tie-break keeps the order
     total so both engines pick identical rows."""
     d = load(spark, sf_dir, "documents")
-    mix = (F.col("doc_id") * F.lit(2654435769) + F.lit(40503)) % F.lit(4294967296)
+    mix = (F.col("doc_id") * F.lit(2971215073) + F.lit(433494437)) % F.lit(4294967296)
     w = Window.partitionBy("source").orderBy(mix, "doc_id")
     return (
         d.select(
