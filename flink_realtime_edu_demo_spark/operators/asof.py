@@ -31,6 +31,38 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def assert_tiebreak_unique(
+    ref: DataFrame,
+    keys: list[str],
+    ref_ts: str,
+    tie_break: str | None,
+) -> None:
+    """Probe the as-of determinism contract: ``(keys, ref_ts, tie_break)``
+    must be unique in the reference (and tie_break non-null), otherwise
+    ties resolve by partition-internal order and results are
+    nondeterministic. One aggregation with ``limit(1)`` — a single
+    cheap job over the reference side, independent of probe size.
+    Raises ValueError on the first violation instead of letting
+    NULLS-FIRST ordering resolve it silently."""
+    group = [*keys, ref_ts, *( [tie_break] if tie_break else [] )]
+    checks = F.col("n") > 1
+    if tie_break:
+        checks = checks | F.col(tie_break).isNull()
+    dup = (
+        ref.groupBy(*group)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(checks)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        row = dup[0].asDict()
+        raise ValueError(
+            "as-of tie_break contract violated: reference rows are not "
+            f"unique/non-null on {group} (first offender: {row})"
+        )
+
+
 def asof_join(
     probe: DataFrame,
     ref: DataFrame,
@@ -39,6 +71,7 @@ def asof_join(
     ref_ts: str,
     value_cols: list[str],
     tie_break: str | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Left as-of join, window lowering (scale path).
 
@@ -48,7 +81,12 @@ def asof_join(
     ``tie_break``: a ref column (pass a unique one) ordering reference
     rows that share ``ref_ts`` — the one sorting last wins; without it,
     equal-timestamp reference rows resolve nondeterministically.
+    ``validate=True`` runs :func:`assert_tiebreak_unique` first (one
+    extra small job) so a contract violation raises instead of being
+    silently resolved by the NULLS-FIRST ordering.
     """
+    if validate:
+        assert_tiebreak_unique(ref, keys, ref_ts, tie_break)
     probe_cols = probe.columns
     # side=0 sorts reference rows before probe rows at equal ts, so a
     # reference at exactly probe_ts is visible to that probe.
@@ -109,11 +147,15 @@ def asof_join_pandas(
     ref_ts: str,
     value_cols: list[str],
     tie_break: str | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Left as-of join via cogrouped ``pandas.merge_asof`` (reference path).
     ``tie_break`` as in :func:`asof_join`: orders equal-``ref_ts``
     reference rows; merge_asof takes the last sorted row, so the row
-    sorting last on tie_break wins in both implementations."""
+    sorting last on tie_break wins in both implementations.
+    ``validate`` as in :func:`asof_join`."""
+    if validate:
+        assert_tiebreak_unique(ref, keys, ref_ts, tie_break)
     import pandas as pd
 
     from pyspark.sql.types import StructField, StructType

@@ -118,6 +118,118 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+def minhash_signatures_md5(sh: DataFrame, id_col: str = "doc_id",
+                           num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Oracle-replayable MinHash: (id_col, h0..h{n-1}) where
+    hj = lexicographic MIN over shingles of md5(shingle || '#j') as a
+    lowercase hex STRING. Same sketch quality as the xxhash64 path
+    (md5(x||'#j') is an independent uniform draw per j), but every
+    ingredient — md5 of a UTF-8 string, string concat, lexicographic
+    min — is bit-identical in any engine with an md5(), so a DuckDB
+    oracle can replay the full 64-hash/16-band construction (the same
+    trick simhash_md5 uses). Cost: md5 is ~3× xxhash64 per call —
+    xxhash64 ``minhash_signatures`` stays the raw-throughput path;
+    this one is the verified path `q_llm_minhash_lsh` ships.
+
+    One groupBy (single shuffle of (id, shingle) pairs) with num_hashes
+    algebraic min() aggregates — identical shuffle profile to the
+    xxhash64 variant."""
+    mins = [
+        F.min(
+            F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")).cast("binary"))
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs_md5(sigs: DataFrame, id_col: str = "doc_id",
+                            bands: int = BANDS,
+                            rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Banded LSH over :func:`minhash_signatures_md5` columns: band b's
+    bucket key is md5(h_{4b} || '|' || ... || h_{4b+3}); candidates are
+    distinct (id_a < id_b) pairs sharing any band bucket, with the same
+    MAX_BUCKET skew guard (degenerate buckets dropped) and the same
+    single-shuffle collect_set + narrow pairwise expansion as the
+    xxhash64 path."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    ).cast("binary")
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+    )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def lsh_oracle_sql_md5(w: int = 3, num_hashes: int = NUM_HASHES,
+                       bands: int = BANDS,
+                       rows_per_band: int = ROWS_PER_BAND,
+                       max_bucket: int = MAX_BUCKET) -> str:
+    """DuckDB SQL replaying minhash_signatures_md5 + lsh_candidate_pairs_md5
+    on the documents view, generated for the given geometry."""
+    mins = ",\n             ".join(
+        f"min(md5(shingle || '#{j}')) AS h{j}" for j in range(num_hashes)
+    )
+    branches = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(w, i, i + {w - 1}), ' ') AS shingle
+           FROM words,
+                unnest(generate_series(1, greatest(len(w) - {w - 1}, 1))) AS t(i)),
+    sigs AS (SELECT doc_id,
+             {mins}
+             FROM sh GROUP BY doc_id),
+    buckets AS (
+      {branches}
+    ),
+    sized AS (SELECT band, bucket FROM buckets
+              GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {max_bucket})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a
+    JOIN buckets b USING (band, bucket)
+    JOIN sized USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
 def jaccard_pairs_prefix(sh: DataFrame, id_col: str = "doc_id",
                          threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard pairs via prefix filtering (the all-pairs similarity

@@ -47,6 +47,11 @@ def greedy_pack(
     )
 
     def pack(pdf):
+        if pdf[tok_col].isna().any() or pdf[order_col].isna().any():
+            raise ValueError(
+                f"greedy_pack requires non-null {tok_col!r} and {order_col!r} "
+                f"(key={pdf[key_col].iloc[0]!r})"
+            )
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
         bin_ids, fills = [], []
         bin_id, fill = 0, 0

@@ -21,8 +21,9 @@ from ..operators.packing import greedy_pack
 from ..operators.minhash import (
     MAX_DF,
     jaccard_pairs,
-    lsh_candidate_pairs,
-    minhash_signatures,
+    lsh_candidate_pairs_md5,
+    lsh_oracle_sql_md5,
+    minhash_signatures_md5,
     shingles,
 )
 from ..registry import query
@@ -97,13 +98,20 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingles(d), threshold=0.5, max_df=MAX_DF)
 
 
-@query("q_llm_minhash_lsh")  # rows-only: LSH candidates are probabilistic
+@query("q_llm_minhash_lsh", oracle=lsh_oracle_sql_md5())
 def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (64 hashes) + banded LSH (16×4) candidate pairs — the
     sub-quadratic scale path whose recall target is the q_llm_dedup_fuzzy
-    exact answer (tests assert recall=1.0 on the fixtures at j>=0.85)."""
+    exact answer (tests assert recall=1.0 on the fixtures at j>=0.85).
+
+    Hash-verified since r4: the md5-string construction
+    (operators/minhash.minhash_signatures_md5 + lsh_candidate_pairs_md5)
+    is deterministic and engine-portable, so the DuckDB oracle replays
+    the exact 64-hash/16-band pipeline and the driver hash-matches the
+    candidate set — LSH is probabilistic over the *hash-function draw*,
+    which both engines share, not over runtime randomness."""
     d = load_spread(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(minhash_signatures(shingles(d)))
+    return lsh_candidate_pairs_md5(minhash_signatures_md5(shingles(d)))
 
 
 @query(
@@ -1190,9 +1198,9 @@ def q_llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              - n_tok AS BIGINT) AS start_off,
-           CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       - n_tok) / 256) AS BIGINT) AS chunk_id
+                       - n_tok) // 256 AS BIGINT) AS chunk_id
     FROM toks
     """,
 )
@@ -1205,7 +1213,8 @@ def q_llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no stateful scan needed because chunk boundaries are fixed
     multiples of the budget (close-on-overflow greedy packing is the
     applyInPandas variant; this form stays whole-stage-codegen). Offsets
-    are exact int64 both engines."""
+    and chunk ids are exact int64 in both engines: chunk_id is integer
+    division (`div` / `//`), never a double round-trip."""
     d = load(spark, sf_dir, "documents")
     w = (
         Window.partitionBy("source")
@@ -1221,8 +1230,7 @@ def q_llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tok",
         start.alias("start_off"),
-        F.floor(start / F.lit(256)).cast("long").alias("chunk_id"),
-    )
+    ).withColumn("chunk_id", F.expr("start_off div 256"))
 
 
 @query(

@@ -131,23 +131,34 @@ SCHEMAS: dict[str, StructType] = {
 
 
 # Sniffed events.ts physical unit per fixture file ("ns" | "us"); one
-# driver-side footer read per path per process — negligible even at
-# 100 TB, where it would be one footer out of many.
-_EVENTS_TS_UNIT: dict[str, str] = {}
+# driver-side footer read per (path, mtime, size) per process —
+# negligible even at 100 TB, where it would be one footer out of many.
+# Keyed on the stat triple, not the bare path: the round driver rewrites
+# fixtures in place between rounds and the encoding has flipped ns<->us
+# at the same path before — a path-keyed cache would serve the stale unit.
+_EVENTS_TS_UNIT: dict[tuple, str] = {}
 
 
 def _events_ts_unit(path: str) -> str:
-    unit = _EVENTS_TS_UNIT.get(path)
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    unit = _EVENTS_TS_UNIT.get(key)
     if unit is None:
         import pyarrow.parquet as pq
 
         try:
             unit = pq.read_schema(path).field("ts").type.unit
-        except (OSError, KeyError, AttributeError):
-            # Missing/odd file: take the direct-read path so Spark raises
+        except Exception:
+            # Missing/odd/corrupt file (incl. pyarrow ArrowInvalid on a
+            # truncated footer): take the direct-read path so Spark raises
             # its usual PATH_NOT_FOUND / schema error, not a sniff error.
             unit = "us"
-        _EVENTS_TS_UNIT[path] = unit
+        _EVENTS_TS_UNIT[key] = unit
     return unit
 
 

@@ -11,7 +11,9 @@ from flink_realtime_edu_demo_spark.operators.funnel import funnel
 from flink_realtime_edu_demo_spark.operators.minhash import (
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_candidate_pairs_md5,
     minhash_signatures,
+    minhash_signatures_md5,
     shingles,
 )
 from flink_realtime_edu_demo_spark.streaming.stateful import user_accumulator_batch
@@ -50,6 +52,13 @@ def test_minhash_lsh_recall_on_near_dups(spark, sf_dir):
     }
     assert exact, "fixture should contain planted near-dups"
     assert exact <= cand, f"LSH missed {exact - cand}"
+    # The md5 (oracle-replayable) construction is an independent uniform
+    # hash draw — must hold the same recall bar as the xxhash64 path.
+    cand_md5 = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs_md5(minhash_signatures_md5(sh)).collect()
+    }
+    assert exact <= cand_md5, f"md5-LSH missed {exact - cand_md5}"
 
 
 def test_dedup_idempotent(spark, sf_dir):
@@ -146,6 +155,54 @@ def test_asof_null_tie_break_loses(spark, sf_dir):
     a = {(r.ts, r.val) for r in asof_join(probe, ref, **kw).collect()}
     b = {(r.ts, r.val) for r in asof_join_pandas(probe, ref, **kw).collect()}
     assert a == b == {(10, "real")}
+
+
+def test_asof_validate_raises_on_tie_break_violation(spark, sf_dir):
+    """validate=True turns a tie_break contract violation (duplicate or
+    NULL (keys, ref_ts, tie_break) in the reference) into a ValueError
+    instead of a silently-NULLS-FIRST-resolved answer; a clean reference
+    passes the probe untouched."""
+    import pytest
+
+    probe = spark.createDataFrame([(1, 10)], "k int, ts int")
+    kw = dict(keys=["k"], probe_ts="ts", ref_ts="rts",
+              value_cols=["val"], tie_break="seq", validate=True)
+    dup_ref = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 10, "b", 1)], "k int, rts int, val string, seq int"
+    )
+    null_ref = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 10, "b", None)], "k int, rts int, val string, seq int"
+    )
+    ok_ref = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 10, "b", 2)], "k int, rts int, val string, seq int"
+    )
+    for bad in (dup_ref, null_ref):
+        with pytest.raises(ValueError, match="tie_break contract"):
+            asof_join(probe, bad, **kw)
+        with pytest.raises(ValueError, match="tie_break contract"):
+            asof_join_pandas(probe, bad, **kw)
+    assert {(r.ts, r.val) for r in asof_join(probe, ok_ref, **kw).collect()} == {(10, "b")}
+
+
+def test_approx_uv_within_5pct_of_exact(spark, sf_dir):
+    """q_agg_approx_uv's HLL estimate (rsd=0.01) must land within ±5% of
+    the exact count(distinct) per group, computed side-by-side in one
+    aggregation — upgrades the rows-only key from "runs" to "checked"
+    without needing a cross-engine sketch hash (VERDICT r3 #3)."""
+    from flink_realtime_edu_demo_spark.queries.aggregates import q_agg_approx_uv
+
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.exact_uv
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_uv"))
+        .collect()
+    }
+    rows = q_agg_approx_uv(spark, sf_dir).collect()
+    assert rows and {r.event_type for r in rows} == exact.keys()
+    for r in rows:
+        e = exact[r.event_type]
+        assert abs(r.approx_uv - e) <= max(1, 0.05 * e), (r.event_type, r.approx_uv, e)
 
 
 def test_range_join_binned_equals_naive(spark, sf_dir):
