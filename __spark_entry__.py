@@ -36,11 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # hashes (regenerate with tools/gen_green_hashes.py after a driver round).
 _VERIFIED_GREEN = (
     # --- round-1 verdicts, not re-checked since (stalest) ---
-    "q_agg_approx_uv", "q_agg_filtered",
-    "q_agg_stats", "q_agg_collect", "q_agg_rollup", "q_agg_cube",
-    "q_agg_having", "q_agg_percentile", "q_upsert_latest", "q_project_arith",
-    "q_filter_pred", "q_explode_array", "q_distinct", "q_case_when",
-    "q_json_extract", "q_side_output", "q_fn_string", "q_fn_datetime",
+    "q_side_output", "q_fn_string", "q_fn_datetime",
     "q_fn_math", "q_fn_string2", "q_fn_bitwise", "q_fn_hash", "q_fn_map",
     "q_join_inner", "q_join_left", "q_join_full", "q_join_semi", "q_join_anti",
     "q_join_theta", "q_join_cross_topk", "q_join_interval", "q_join_window",
@@ -48,22 +44,40 @@ _VERIFIED_GREEN = (
     "q_win_moving_avg", "q_sort_limit", "q_set_union", "q_set_union_all",
     "q_set_intersect", "q_set_except", "q_stream_tumble", "q_stream_hop",
     "q_stream_session",
-    # --- round-2 verdicts (freshest last) ---
+    # --- round-2 verdicts ---
     "q_agg_grouping_sets", "q_pivot", "q_unpivot", "q_agg_bool",
     "q_agg_argminmax", "q_sort_nulls", "q_agg_null_group", "q_fn_cast",
     "q_fn_array", "q_fn_trig", "q_fn_datetime2", "q_fn_editdist",
     "q_join_range_bin", "q_win_running_sum", "q_win_dist", "q_win_range_frame",
     "q_set_intersect_all", "q_set_except_all", "q_stream_cumulate",
     "q_dedup_exact", "q_funnel", "q_stream_late_branch", "q_llm_dedup_exact",
-    "q_llm_minhash_lsh", "q_llm_knn", "q_llm_dedup_embed",
-    # q_llm_knn_ivf deliberately NOT listed: round-3 bucket-width cap in
-    # lsh_topk changes its plan, so it must surface for a fresh verdict.
+    "q_llm_knn", "q_llm_dedup_embed",
     "q_llm_quality", "q_llm_lang_id",
     "q_llm_fingerprint", "q_llm_tokens", "q_llm_dedup_simhash", "q_llm_winnow",
     "q_llm_centroids", "q_llm_kmeans", "q_udf_scalar",
     "q_udaf_groupagg", "q_udtf_split", "q_tpch_q3", "q_tpch_q5",
     "q_mm_meta_filter", "q_mm_dedup_payload", "q_mm_frames", "q_mm_features",
     "q_agg_basic", "q_agg_count_distinct",
+    # --- round-3 verdicts (freshest last; CORRECTNESS_r03.json) ---
+    # NOT listed, so they surface for fresh round-4 verdicts: every key
+    # whose query body OR operator dependency changed this round —
+    # q_llm_minhash_lsh (md5 oracle upgrade), q_llm_dedup_fuzzy /
+    # q_llm_dedup_chargram (persisted-index plan), q_llm_pack_chunks
+    # (integer-div chunk_id), q_join_asof (operators/asof.py validate),
+    # q_llm_dup_groups (operators/graph.py star method), q_llm_pack_greedy
+    # (operators/packing.py null guard) — plus the new q_cep_pattern.
+    "q_agg_approx_uv", "q_agg_listagg", "q_agg_mode", "q_agg_corr",
+    "q_fn_try", "q_win_ntile", "q_llm_knn_ivf",
+    "q_llm_tfidf", "q_llm_clean_corpus", "q_llm_kmeans_assign",
+    "q_llm_ann_ivf", "q_llm_embed_quant", "q_llm_split", "q_llm_repetition",
+    "q_llm_entropy", "q_llm_stratified_sample",
+    "q_llm_mix_weights", "q_llm_decontam",
+    "q_llm_sample_exact_k", "q_tpch_q7", "q_tpch_q10", "q_subquery_scalar",
+    "q_subquery_corr", "q_tpch_q4", "q_tpch_q14", "q_tpch_q18", "q_tpch_q19",
+    "q_tpch_q6", "q_mm_resize", "q_agg_filtered", "q_agg_stats",
+    "q_agg_collect", "q_agg_rollup", "q_agg_cube", "q_agg_having",
+    "q_agg_percentile", "q_upsert_latest", "q_project_arith", "q_filter_pred",
+    "q_explode_array", "q_distinct", "q_case_when", "q_json_extract",
 )
 
 

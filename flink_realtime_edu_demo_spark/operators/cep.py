@@ -1,0 +1,163 @@
+"""MATCH_RECOGNIZE subset — contiguous row-pattern matching per key
+(SURVEY.md §2.9 / §7 hard part #6, generalizing operators/funnel.py).
+
+Scope (the useful core of Flink's MATCH_RECOGNIZE):
+- PARTITION BY key, ORDER BY (ts, id) — total order per key;
+- PATTERN = a SEQUENCE of variables, each defined by an event-type
+  equality predicate, with quantifiers ``1`` (exactly one), ``?``,
+  ``+``, ``*`` — contiguous rows, as in SQL row-pattern matching
+  (a non-matching row breaks adjacency; Flink CEP's relaxed
+  ``followedBy`` is the funnel operator instead);
+- greedy quantifiers, ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST
+  ROW — matches per key are enumerated left to right, non-overlapping.
+
+Spark-first lowering — regex over an id-carrying token string:
+each event becomes a token ``<type_char><event_id>;`` and each key's
+ordered token concatenation is scanned with one
+``regexp_extract_all`` (JVM regex, no Python in the loop). Because
+tokens EMBED the event id, every measure — first/last event id, row
+counts per variable — is recovered from the matched substring alone,
+which is exactly what any engine's regexp_extract_all returns; no
+match *positions* are needed, so a DuckDB oracle replays the whole
+pipeline verbatim (string_agg + regexp_extract_all) and hash-matches.
+One shuffle total (groupBy key); everything else is narrow.
+
+At 100 TB: per-key strings are bounded by events-per-key (~KBs for
+real user streams); for unbounded keys sessionize first (window the
+key by time) so each group's string stays small — same pattern
+semantics within a session, which is how MATCH_RECOGNIZE jobs are
+deployed on streams anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_QUANTS = {"1": "", "?": "?", "+": "+", "*": "*"}
+
+
+def _char_map(pattern: list[tuple[str, str, str]]) -> dict[str, str]:
+    """One char per distinct event type in the pattern, in first-use
+    order: 'a', 'b', ... ('z' is reserved for non-matching types)."""
+    types: list[str] = []
+    for _, etype, _ in pattern:
+        if etype not in types:
+            types.append(etype)
+    if len(types) > 25:
+        raise ValueError("at most 25 distinct event types per pattern")
+    return {t: chr(ord("a") + i) for i, t in enumerate(types)}
+
+
+def _validate(pattern: list[tuple[str, str, str]]) -> None:
+    if not pattern:
+        raise ValueError("pattern needs at least one variable")
+    seen = set()
+    for var, etype, quant in pattern:
+        if quant not in _QUANTS:
+            raise ValueError(f"quantifier {quant!r} not in {sorted(_QUANTS)}")
+        if var in seen:
+            raise ValueError(f"duplicate pattern variable {var!r}")
+        seen.add(var)
+
+
+def _token_regex(pattern: list[tuple[str, str, str]],
+                 chars: dict[str, str]) -> str:
+    """The token-level regex: ``(?:<char>[0-9]+;)<quant>`` per variable.
+    Digits-only id class keeps the string free of backslash escapes in
+    both Spark SQL and DuckDB literals."""
+    return "".join(
+        f"(?:{chars[etype]}[0-9]+;){_QUANTS[quant]}" for _, etype, quant in pattern
+    )
+
+
+def match_recognize(
+    events: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Contiguous row-pattern matching; ``pattern`` is a list of
+    ``(variable, event_type, quantifier)`` with quantifier in
+    ``{'1', '?', '+', '*'}``.
+
+    Returns one row per match:
+    ``key, match_no (1-based per key, left to right), first_event_id,
+    last_event_id, n_rows, n_<variable.lower()>...`` where n_<var> is
+    the number of rows the variable's type-char absorbed inside the
+    match (per TYPE: two variables sharing an event type share counts).
+    """
+    _validate(pattern)
+    chars = _char_map(pattern)
+    regex = _token_regex(pattern, chars)
+
+    tok_char: F.Column = F.lit("z")
+    for etype, ch in reversed(chars.items()):
+        tok_char = F.when(F.col(type_col) == etype, ch).otherwise(tok_char)
+    toks = events.select(
+        F.col(key),
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";")).alias("tok"),
+        ).alias("t"),
+    )
+    seq = toks.groupBy(key).agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list("t")), lambda s: s["tok"])
+        ).alias("s")
+    )
+    matched = seq.select(
+        F.col(key), F.posexplode(F.regexp_extract_all("s", F.lit(regex), F.lit(0)))
+    ).select(
+        F.col(key),
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract("col", "^[a-z]([0-9]+);", 1).cast("long").alias("first_event_id"),
+        F.regexp_extract("col", "([0-9]+);$", 1).cast("long").alias("last_event_id"),
+        (F.length("col") - F.length(F.translate("col", ";", ""))).cast("long").alias("n_rows"),
+        *[
+            (
+                F.length("col") - F.length(F.translate("col", chars[etype], ""))
+            ).cast("long").alias(f"n_{var.lower()}")
+            for var, etype, _ in pattern
+        ],
+    )
+    return matched
+
+
+def match_recognize_oracle_sql(
+    pattern: list[tuple[str, str, str]],
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize` token-for-token."""
+    _validate(pattern)
+    chars = _char_map(pattern)
+    regex = _token_regex(pattern, chars)
+    case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+    var_counts = ",\n           ".join(
+        f"CAST(length(l[i]) - length(replace(l[i], '{chars[etype]}', '')) AS BIGINT)"
+        f" AS n_{var.lower()}"
+        for var, etype, _ in pattern
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {key},
+               CASE {type_col} {case} ELSE 'z' END || {id_col} || ';' AS tok,
+               {ts}, {id_col}
+        FROM {table}
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key}),
+    m AS (SELECT {key}, regexp_extract_all(s, '{regex}') AS l FROM seq)
+    SELECT {key}, CAST(i AS BIGINT) AS match_no,
+           CAST(regexp_extract(l[i], '^[a-z]([0-9]+);', 1) AS BIGINT) AS first_event_id,
+           CAST(regexp_extract(l[i], '([0-9]+);$', 1) AS BIGINT) AS last_event_id,
+           CAST(length(l[i]) - length(replace(l[i], ';', '')) AS BIGINT) AS n_rows,
+           {var_counts}
+    FROM m, unnest(generate_series(1, len(l))) AS t(i)
+    """

@@ -345,16 +345,25 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
     and jaccard >= threshold. The division is int/int on identical
     operands → engine-exact.
 
-    Shuffle budget (the plan audit counts 5 exchanges): per-doc index
-    build, inverted index build (off the same exchange, reused),
-    candidate dedup, and the two verification joins — the latter
-    AQE-convert to broadcast whenever the candidate set is small, which
-    is the common case at a meaningful threshold.
+    Shuffle budget (plan-audited at 3 exchanges): one partitioning for
+    the per-doc index build, one for the inverted index, one for the
+    candidate dedup; the two verification joins read the PERSISTED
+    per-doc index (InMemoryTableScan), so they add no exchange and
+    AQE-convert to broadcast whenever the candidate set is small, the
+    common case at a meaningful threshold. Without the persist, Catalyst
+    re-derives the scan→shingle→aggregate subtree once per consumer
+    (join-side pushed filters defeat ReuseExchange subtree identity) —
+    three full shingle passes and 5 exchanges, measured before this
+    restructure. MEMORY_AND_DISK: at 100 TB the per-doc hash arrays are
+    ~1% of corpus bytes and spill cleanly; LRU eviction reclaims the
+    cache after the query completes.
     """
+    from pyspark import StorageLevel
+
     hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
     docs = hashed.groupBy(id_col).agg(
         F.array_sort(F.collect_set("h")).alias("hs"), F.count(F.lit(1)).alias("n_sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Invert FROM the per-doc arrays (explode of the already-aggregated
     # frame), not from the raw shingle stream: the scan→tokenize→shingle
     # pipeline then runs once, and the three consumers of `docs` below

@@ -13,10 +13,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..operators.cep import match_recognize, match_recognize_oracle_sql
 from ..operators.cumulate import cumulate_window
 from ..operators.funnel import funnel
 from ..registry import dsum, query, sql_dsum
 from ..tables import load
+
+# PATTERN (S? V C+ E* P): an optional signup, a view, one-or-more
+# clicks, any number of errors, then a purchase — contiguous rows per
+# user in (ts, event_id) order. Exercises every supported quantifier.
+CEP_PATTERN = [
+    ("S", "signup", "?"),
+    ("V", "view", "1"),
+    ("C", "click", "+"),
+    ("E", "error", "*"),
+    ("P", "purchase", "1"),
+]
 
 
 @query(
@@ -216,6 +228,19 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, steps=["view", "click", "purchase"]).select(
         "user_id", "step_1_ts", "step_2_ts", "step_3_ts"
     )
+
+
+@query("q_cep_pattern", oracle=match_recognize_oracle_sql(CEP_PATTERN))
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE subset (SQL row-pattern matching, contiguous
+    rows): PATTERN (S? V C+ E* P) per user over (ts, event_id) order,
+    greedy, AFTER MATCH SKIP PAST LAST ROW — every quantifier the
+    operators/cep.py engine supports, on real event data. One row per
+    match with first/last event ids and per-variable row counts; the
+    DuckDB oracle replays the identical token-string construction, so
+    the match set is hash-verified end to end."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize(ev, CEP_PATTERN)
 
 
 @query(

@@ -48,29 +48,58 @@ class ChangelogUpsertSink:
     a no-op). The in-memory dict is the test stand-in for a keyed
     external store; the derivation of (+I, -U, +U) from compare-on-merge
     is the part that carries to a MERGE INTO at scale.
+
+    Driver-memory contract: the batch is streamed partition-at-a-time
+    (``toLocalIterator``), so peak per-batch driver memory is one
+    partition, not the whole changed-key set. The retained ``state`` is
+    one row per DISTINCT key — the bounded-cardinality contract every
+    keyed upsert store has (at scale the dict IS the external table).
+    The retained ``changelog`` list is capped by ``max_changelog``
+    (overflow raises, making an undrained consumer an explicit error
+    rather than silent driver growth); pass ``consumer`` to process
+    changelog entries incrementally with O(1) retention — the realistic
+    downstream shape, mirrored by ``fold_changelog``.
     """
 
-    def __init__(self, key_cols: list[str]):
+    def __init__(
+        self,
+        key_cols: list[str],
+        consumer: Callable[[str, dict], None] | None = None,
+        max_changelog: int | None = 1_000_000,
+    ):
         self.key_cols = key_cols
+        self.consumer = consumer
+        self.max_changelog = max_changelog
         self.state: dict[tuple[Hashable, ...], dict] = {}
         self.changelog: list[tuple[str, dict]] = []
         self._seen_batches: set[int] = set()
+
+    def _emit(self, kind: str, row: dict) -> None:
+        if self.consumer is not None:
+            self.consumer(kind, row)
+            return
+        if self.max_changelog is not None and len(self.changelog) >= self.max_changelog:
+            raise RuntimeError(
+                f"changelog exceeded max_changelog={self.max_changelog}; "
+                "attach a consumer= to drain incrementally or raise the cap"
+            )
+        self.changelog.append((kind, row))
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen_batches:  # replay after recovery: no-op
             return
         self._seen_batches.add(batch_id)
-        # update-mode micro-batch output = changed keys only; small by
-        # construction (this is sink-side landing, not an engine hot path)
-        for r in batch_df.collect():
+        # partition-at-a-time to the driver: wide update-mode batches
+        # (many changed keys) never materialize wholesale
+        for r in batch_df.toLocalIterator():
             row = r.asDict()
             k = tuple(row[c] for c in self.key_cols)
             old = self.state.get(k)
             if old is None:
-                self.changelog.append((INSERT, row))
+                self._emit(INSERT, row)
             elif old != row:
-                self.changelog.append((UPDATE_BEFORE, old))
-                self.changelog.append((UPDATE_AFTER, row))
+                self._emit(UPDATE_BEFORE, old)
+                self._emit(UPDATE_AFTER, row)
             self.state[k] = row
 
 

@@ -184,6 +184,101 @@ def test_asof_validate_raises_on_tie_break_violation(spark, sf_dir):
     assert {(r.ts, r.val) for r in asof_join(probe, ok_ref, **kw).collect()} == {(10, "b")}
 
 
+def test_match_recognize_semantics(spark, sf_dir):
+    """Contiguity, greedy quantifiers, and skip-past-last-row on a
+    hand-built stream: PATTERN (A B+ C) with A=view, B=click,
+    C=purchase."""
+    from flink_realtime_edu_demo_spark.operators.cep import match_recognize
+
+    rows = [
+        # user 1: v c c p  v x c p   -> match(1..4); second run broken by x
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "click"), (1, 4, "purchase"),
+        (1, 5, "view"), (1, 6, "error"), (1, 7, "click"), (1, 8, "purchase"),
+        # user 2: v c p v c p -> two matches, skip past last row
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "purchase"),
+        (2, 4, "view"), (2, 5, "click"), (2, 6, "purchase"),
+        # user 3: v p (no click) -> no match
+        (3, 1, "view"), (3, 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    pat = [("A", "view", "1"), ("B", "click", "+"), ("C", "purchase", "1")]
+    out = {
+        (r.user_id, r.match_no): (r.first_event_id, r.last_event_id, r.n_rows, r.n_b)
+        for r in match_recognize(ev, pat, ts="event_id").collect()
+    }
+    assert out == {
+        (1, 1): (1, 4, 4, 2),
+        (2, 1): (1, 3, 3, 1),
+        (2, 2): (4, 6, 3, 1),
+    }
+
+
+def test_match_recognize_optional_and_star(spark, sf_dir):
+    """'?' and '*' variables may absorb zero rows; greedy when present."""
+    from flink_realtime_edu_demo_spark.operators.cep import match_recognize
+
+    rows = [
+        (1, 1, "signup"), (1, 2, "view"), (1, 3, "click"),
+        (1, 4, "error"), (1, 5, "error"), (1, 6, "purchase"),
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    pat = [("S", "signup", "?"), ("V", "view", "1"), ("C", "click", "+"),
+           ("E", "error", "*"), ("P", "purchase", "1")]
+    out = {
+        r.user_id: (r.first_event_id, r.last_event_id, r.n_s, r.n_e)
+        for r in match_recognize(ev, pat, ts="event_id").collect()
+    }
+    assert out == {1: (1, 6, 1, 2), 2: (1, 3, 0, 0)}
+
+
+def test_cc_star_equals_label_propagation(spark, sf_dir):
+    """Large-star/small-star CC must reach the identical
+    (id, min-reachable-id) fixpoint as min-label propagation — checked
+    on a chain (worst case for label propagation) plus a multi-component
+    random graph."""
+    import random
+
+    from flink_realtime_edu_demo_spark.operators.graph import connected_components
+
+    rnd = random.Random(11)
+    chain = [(i, i + 1) for i in range(30)]
+    # 3 islands of 40 nodes with random internal edges, offset id spaces
+    blob = [
+        (base + rnd.randrange(40), base + rnd.randrange(40))
+        for base in (1000, 2000, 3000)
+        for _ in range(80)
+    ]
+    edges = spark.createDataFrame(chain + blob, "id_a long, id_b long")
+    lab = {
+        (r.id, r.label)
+        for r in connected_components(edges, method="label").collect()
+    }
+    star = {
+        (r.id, r.label)
+        for r in connected_components(edges, method="star").collect()
+    }
+    assert lab == star
+
+
+def test_cc_star_log_rounds_on_path(spark, sf_dir):
+    """On a 1000-node path graph (diameter 999 — pathological for
+    min-label propagation), the star method must converge in O(log n)
+    alternating rounds and label every node with the path minimum."""
+    import math
+
+    from flink_realtime_edu_demo_spark.operators.graph import connected_components_star
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_star(edges)
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
+    out = labels.collect()
+    assert len(out) == n and all(r.label == 0 for r in out)
+
+
 def test_approx_uv_within_5pct_of_exact(spark, sf_dir):
     """q_agg_approx_uv's HLL estimate (rsd=0.01) must land within ±5% of
     the exact count(distinct) per group, computed side-by-side in one

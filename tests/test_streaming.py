@@ -223,6 +223,52 @@ def test_changelog_upsert_downstream_agg_matches_batch(spark, sf_dir, stream_dir
     assert any(kind == "-U" for kind, _ in sink.changelog)
 
 
+def test_changelog_sink_bounded_driver_memory(spark, sf_dir, stream_dir, tmp_path):
+    """A wide batch (every user changes every micro-batch) through a sink
+    whose retained-changelog cap is far below the entry volume: an
+    incremental consumer drains entries with O(1) retention and still
+    folds to the exact batch aggregate-of-aggregate; without a consumer
+    the same cap raises instead of growing the driver."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.streaming.changelog import (
+        ChangelogUpsertSink,
+        start_changelog_sink,
+    )
+
+    ev = stream_table(spark, stream_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    folded: dict = {}
+
+    def consume(kind: str, row: dict) -> None:
+        folded[row["n"]] = folded.get(row["n"], 0) + (1 if kind != "-U" else -1)
+
+    sink = ChangelogUpsertSink(key_cols=["user_id"], consumer=consume, max_changelog=8)
+    q = start_changelog_sink(agg, str(tmp_path / "ckpt_c"), sink)
+    q.processAllAvailable()
+    q.stop()
+    assert sink.changelog == []  # nothing retained — all streamed through
+    batch = load(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    batch_hist = {
+        r.n: r.n_users
+        for r in batch.groupBy("n").agg(F.count(F.lit(1)).alias("n_users")).collect()
+    }
+    assert {k: v for k, v in folded.items() if v != 0} == batch_hist
+
+    capped = ChangelogUpsertSink(key_cols=["user_id"], max_changelog=8)
+    q2 = start_changelog_sink(agg, str(tmp_path / "ckpt_d"), capped)
+    with pytest.raises(Exception, match="max_changelog"):
+        try:
+            q2.processAllAvailable()
+        except Exception as e:  # unwrap the StreamingQueryException cause chain
+            raise RuntimeError(str(e)) from e
+        finally:
+            q2.stop()
+
+
 def test_kafka_shaped_decode_converges_to_batch(spark, sf_dir, stream_dir):
     """The kafka_stream from_json decode stage, driven through a
     file-backed topic dump with the Kafka wire schema, converges to the
