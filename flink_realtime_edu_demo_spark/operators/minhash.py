@@ -30,17 +30,21 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 MAX_BUCKET = 64  # drop degenerate buckets wider than this (skew guard)
 
 
-def _ngram_zip(arr: F.Column, n: int, sep: str) -> F.Column:
+def _ngram_zip(arr: F.Column, n: int, sep: str,
+               keep_partial: bool = True) -> F.Column:
     """n-gram array over ``arr`` in O(len): zip n shifted copies with
     ``concat_ws`` (which skips the nulls zip_with pads with), then slice
-    to the full windows plus the single partial for short inputs — a
-    per-position ``slice``/``substring`` is O(len²) per doc and
-    dominated every shingle-family query before this form."""
+    to the full windows — plus the single partial for short inputs when
+    ``keep_partial`` (the shingle convention), or full windows only
+    (empty array for short inputs) otherwise. A per-position
+    ``slice``/``substring`` is O(len²) per doc and dominated every
+    shingle-family query before this form."""
     zipped = arr
     for k in range(1, n):
         shifted = F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0)))
         zipped = F.zip_with(zipped, shifted, lambda x, y: F.concat_ws(sep, x, y))
-    return F.slice(zipped, 1, F.greatest(F.size(arr) - (n - 1), F.lit(1)))
+    floor = F.lit(1) if keep_partial else F.lit(0)
+    return F.slice(zipped, 1, F.greatest(F.size(arr) - (n - 1), floor))
 
 
 def shingle_array(text_col: str = "text", w: int = 3) -> F.Column:
@@ -121,26 +125,37 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 def minhash_signatures_md5(sh: DataFrame, id_col: str = "doc_id",
                            num_hashes: int = NUM_HASHES) -> DataFrame:
     """Oracle-replayable MinHash: (id_col, h0..h{n-1}) where
-    hj = lexicographic MIN over shingles of md5(shingle || '#j') as a
-    lowercase hex STRING. Same sketch quality as the xxhash64 path
-    (md5(x||'#j') is an independent uniform draw per j), but every
-    ingredient — md5 of a UTF-8 string, string concat, lexicographic
-    min — is bit-identical in any engine with an md5(), so a DuckDB
-    oracle can replay the full 64-hash/16-band construction (the same
-    trick simhash_md5 uses). Cost: md5 is ~3× xxhash64 per call —
-    xxhash64 ``minhash_signatures`` stays the raw-throughput path;
-    this one is the verified path `q_llm_minhash_lsh` ships.
+    h_{4j+r} = lexicographic MIN over shingles of hex chars
+    [8r+1, 8r+8] of md5(shingle || '#j') — i.e. each md5 call yields
+    FOUR independent 32-bit draws (8 hex chars each), so 64 hash
+    functions cost 16 md5 calls per shingle, not 64. Every ingredient —
+    md5 of a UTF-8 string, substring, lexicographic min — is
+    bit-identical in any engine with an md5(), so a DuckDB oracle
+    replays the full 64-hash/16-band construction (the same trick
+    simhash_md5 uses). 32-bit minhash values collide at ~n²/2³³ per
+    doc — immaterial for real shingle-set sizes. xxhash64
+    ``minhash_signatures`` stays the raw-throughput path; this one is
+    the verified path `q_llm_minhash_lsh` ships.
 
-    One groupBy (single shuffle of (id, shingle) pairs) with num_hashes
-    algebraic min() aggregates — identical shuffle profile to the
-    xxhash64 variant."""
+    The md5 columns are materialized in a narrow projection BEFORE the
+    groupBy so each is computed once per shingle regardless of
+    aggregate-side common-subexpression behavior; the shuffle then
+    carries (id, 16 md5 hex strings) and runs num_hashes algebraic
+    min() aggregates over substrings — same single-shuffle profile as
+    the xxhash64 variant."""
+    n_calls = (num_hashes + 3) // 4
+    proj = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")).cast("binary")).alias(f"m{j}")
+            for j in range(n_calls)
+        ],
+    )
     mins = [
-        F.min(
-            F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")).cast("binary"))
-        ).alias(f"h{j}")
+        F.min(F.substring(F.col(f"m{j // 4}"), 8 * (j % 4) + 1, 8)).alias(f"h{j}")
         for j in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return proj.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs_md5(sigs: DataFrame, id_col: str = "doc_id",
@@ -197,7 +212,8 @@ def lsh_oracle_sql_md5(w: int = 3, num_hashes: int = NUM_HASHES,
     """DuckDB SQL replaying minhash_signatures_md5 + lsh_candidate_pairs_md5
     on the documents view, generated for the given geometry."""
     mins = ",\n             ".join(
-        f"min(md5(shingle || '#{j}')) AS h{j}" for j in range(num_hashes)
+        f"min(substring(md5(shingle || '#{j // 4}'), {8 * (j % 4) + 1}, 8)) AS h{j}"
+        for j in range(num_hashes)
     )
     branches = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs".format(

@@ -654,6 +654,106 @@ def q_llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_llm_substring_dedup",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    win AS (SELECT doc_id,
+                   md5(array_to_string(list_slice(w, i, i + 19), ' ')) AS win_md5
+            FROM words,
+                 unnest(generate_series(1, len(w) - 19)) AS t(i))
+    SELECT win_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM win
+    GROUP BY win_md5
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUBSTRING-level dedup (the Lee et al., ACL'22 'Deduplicating
+    Training Data' shape): every 20-token sliding window (stride 1, full
+    windows only) is hashed, and windows occurring in ≥2 distinct docs
+    are reported with corpus occurrence counts and the canonical keeper.
+    Downstream, a cutter removes the duplicated spans from non-keeper
+    docs — the reporting half is the distributed-heavy part.
+
+    One groupBy shuffle over (window-hash, doc_id); windows travel as
+    16-byte md5 strings, never text. At 100 TB the stride-1 window
+    stream is ~20× the token stream — apply the chargram query's
+    MOD-sampling (deterministic hash-defined sample S; matches on A∩S
+    estimate the full overlap unbiasedly) or a stride >1; both engines
+    would select the identical S, keeping the oracle exact."""
+    d = load_spread(spark, sf_dir, "documents")
+    from ..operators.minhash import _ngram_zip
+
+    arr = F.split(F.col("text"), " ")
+    win = d.select(
+        "doc_id",
+        F.explode(_ngram_zip(arr, 20, " ", keep_partial=False)).alias("win"),
+    ).select("doc_id", F.md5(F.col("win").cast("binary")).alias("win_md5"))
+    return (
+        win.groupBy("win_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "q_llm_bigram_score",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS bigram
+           FROM words,
+                unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    cnt AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS df FROM bg GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(df) AS BIGINT) AS sum_df,
+           CAST(SUM(df) AS BIGINT) * 1.0 / COUNT(*) AS avg_df
+    FROM bg JOIN cnt USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def q_llm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram LM familiarity score — the relational heart
+    of perplexity-style quality filtering: count every bigram over the
+    whole corpus, then score each document by the mean corpus frequency
+    of its bigrams (all occurrences, duplicates included). Low scores
+    flag gibberish/outlier docs; high scores flag boilerplate — both
+    tails get cut in real pipelines.
+
+    Integer-exact across engines: counts are BIGINT sums, and avg_df is
+    the single double division at the end (int/int, same operands both
+    engines). Two shuffles (corpus bigram count; per-doc score agg) plus
+    one equi-join on the bigram key — big-big sort-merge at 100 TB,
+    where the bigram count table is itself corpus-sized before the
+    usual min-df floor."""
+    d = load_spread(spark, sf_dir, "documents")
+    from ..operators.minhash import _ngram_zip
+
+    arr = F.split(F.col("text"), " ")
+    bg = d.select(
+        "doc_id",
+        F.explode(_ngram_zip(arr, 2, " ", keep_partial=False)).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("df").cast("long").alias("sum_df"),
+            (F.sum("df").cast("long") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_df"),
+        )
+    )
+
+
 @query("q_llm_kmeans")  # rows-only: iterative algorithm, not SQL-expressible
 def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 5 iterations) over the embedding
