@@ -54,7 +54,7 @@ _VERIFIED_GREEN = (
     "q_llm_knn", "q_llm_dedup_embed",
     "q_llm_quality", "q_llm_lang_id",
     "q_llm_fingerprint", "q_llm_tokens", "q_llm_dedup_simhash", "q_llm_winnow",
-    "q_llm_centroids", "q_llm_kmeans", "q_udf_scalar",
+    "q_llm_centroids", "q_udf_scalar",
     "q_udaf_groupagg", "q_udtf_split", "q_tpch_q3", "q_tpch_q5",
     "q_mm_meta_filter", "q_mm_dedup_payload", "q_mm_frames", "q_mm_features",
     "q_agg_basic", "q_agg_count_distinct",
@@ -65,9 +65,12 @@ _VERIFIED_GREEN = (
     # q_llm_dedup_chargram (persisted-index plan), q_llm_pack_chunks
     # (integer-div chunk_id), q_join_asof (operators/asof.py validate),
     # q_llm_dup_groups (operators/graph.py star method), q_llm_pack_greedy
-    # (operators/packing.py null guard) — plus the new q_cep_pattern.
+    # (operators/packing.py null guard), q_llm_knn_ivf (new end-to-end
+    # LSH-ANN oracle + ordered-fold projections), q_llm_kmeans (new
+    # unrolled-CTE oracle + ordered-fold distances) — plus the new
+    # q_cep_pattern, q_llm_substring_dedup, q_llm_bigram_score.
     "q_agg_approx_uv", "q_agg_listagg", "q_agg_mode", "q_agg_corr",
-    "q_fn_try", "q_win_ntile", "q_llm_knn_ivf",
+    "q_fn_try", "q_win_ntile",
     "q_llm_tfidf", "q_llm_clean_corpus", "q_llm_kmeans_assign",
     "q_llm_ann_ivf", "q_llm_embed_quant", "q_llm_split", "q_llm_repetition",
     "q_llm_entropy", "q_llm_stratified_sample",

@@ -173,6 +173,72 @@ def cosine_pairs_blocked(df: DataFrame, threshold: float,
     )
 
 
+def lsh_topk_oracle_sql(k: int = 5, n_planes: int = 6, n_tables: int = 8,
+                        table: str = "embeddings") -> str:
+    """DuckDB SQL replaying :func:`lsh_topk` end to end: the ±1 plane
+    matrix comes from the parity of md5(j||':'||d)'s first byte (its
+    second hex char), projections and cosines are ordered left-folds
+    (list_reduce) matching the engine's ascending-dimension
+    accumulation, buckets are integer bit-sums, and candidates are
+    distinct directed same-bucket pairs across tables. The bucket-width
+    cap needs no oracle counterpart: sub-block splitting changes the
+    compute shape, never the result set."""
+    total = n_planes * n_tables
+    return f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+    dim AS (SELECT max(len(e)) AS nd FROM emb),
+    planes AS (
+        SELECT j.j,
+               list(CASE WHEN substring(md5(CAST(j.j AS VARCHAR) || ':'
+                                        || CAST(d.d - 1 AS VARCHAR)), 2, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                    THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS sv
+        FROM generate_series(0, {total - 1}) AS j(j),
+             (SELECT unnest(generate_series(1, (SELECT nd FROM dim))) AS d) AS d
+        GROUP BY j.j
+    ),
+    proj AS (
+        SELECT emb.vec_id, planes.j,
+               list_reduce(list_transform(generate_series(1, len(e)),
+                                          d -> e[d] * sv[d]),
+                           (a, b) -> a + b) AS p
+        FROM emb, planes
+    ),
+    buckets AS (
+        SELECT vec_id, j // {n_planes} AS t,
+               CAST(SUM(CASE WHEN p >= 0
+                             THEN (1 << (j % {n_planes})) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id, j // {n_planes}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+        FROM buckets a JOIN buckets b USING (t, bucket)
+        WHERE a.vec_id <> b.vec_id
+    ),
+    norms AS (SELECT vec_id, e,
+                     sqrt(list_reduce(list_transform(e, x -> x * x),
+                                      (a, b) -> a + b)) AS nrm
+              FROM emb),
+    scored AS (
+        SELECT q_id, c_id,
+               list_reduce(list_transform(generate_series(1, len(qa.e)),
+                                          d -> qa.e[d] * ca.e[d]),
+                           (a, b) -> a + b) / (qa.nrm * ca.nrm) AS cosine
+        FROM cand
+        JOIN norms qa ON qa.vec_id = q_id
+        JOIN norms ca ON ca.vec_id = c_id
+        WHERE qa.nrm > 0 AND ca.nrm > 0
+    )
+    SELECT q_id AS vec_id, c_id AS neighbor_id, rank,
+           round(cosine, 6) AS cosine_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, c_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
 MAX_ANN_BUCKET = 256  # per-(table,bucket) width cap — the O(w²) kernel guard
 
 
@@ -234,7 +300,15 @@ def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
                 for d in range(dim)
             ]
         )
-        bits = (X @ S) >= 0  # n × (L·m) sign bits
+        # ascending-dimension accumulation instead of BLAS `X @ S`: a
+        # matmul's reduction order is implementation-defined, and a
+        # last-ulp difference flips the sign of a near-zero projection —
+        # the explicit fold makes every bucket bit reproducible by any
+        # engine's ordered left-fold (the DuckDB oracle's list_reduce).
+        proj = np.zeros((len(X), total_planes))
+        for d in range(dim):
+            proj += np.outer(X[:, d], S[d])
+        bits = proj >= 0  # n × (L·m) sign bits
         per_table = bits.reshape(len(X), n_tables, n_planes) @ pow2
         return pd.Series(list(per_table.astype("int32")))
 

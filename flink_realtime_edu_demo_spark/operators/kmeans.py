@@ -36,9 +36,19 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
         X = np.array(list(v), dtype=np.float64)
         # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row →
         # argmin over -2x·c + ||c||², ties to the lowest cluster id
-        # (np.argmin returns the first minimal index).
-        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+        # (np.argmin returns the first minimal index). Dots and ||c||²
+        # accumulate in ascending-dimension order (not BLAS matmul,
+        # whose reduction order is implementation-defined) so every
+        # distance is reproducible by an engine's ordered left-fold —
+        # what makes the unrolled DuckDB oracle hash-match.
+        dim = X.shape[1]
+        dots = np.zeros((len(X), C.shape[0]))
+        cc = np.zeros(C.shape[0])
+        for d in range(dim):
+            dots += np.outer(X[:, d], C[:, d])
+            cc += C[:, d] * C[:, d]
+        dmat = -2.0 * dots + cc[None, :]
+        return pd.Series(np.argmin(dmat, axis=1).astype("int32"))
 
     # functional form: string type hints don't resolve under
     # `from __future__ import annotations` with locally-imported pandas
@@ -88,3 +98,64 @@ def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
     out = kmeans_assign(df, centroids, id_col, vec_col).localCheckpoint(eager=True)
     df.unpersist()
     return out, centroids
+
+
+def kmeans_oracle_sql(k: int = 8, n_iter: int = 5,
+                      table: str = "embeddings") -> str:
+    """DuckDB SQL replaying :func:`kmeans` with the iterations UNROLLED
+    into chained CTEs (n_iter is a compile-time constant here, so Lloyd's
+    'iterative, not SQL-expressible' caveat reduces to SQL generation):
+    c0 = first k vectors by id; each round assigns by ordered-fold
+    distance (ties to the lowest cluster) and rebuilds centroids with
+    the same exact-DECIMAL(18,6) mean the engine uses, empty clusters
+    keeping their previous centroid. Output = the final assignment
+    pass, identical to the engine's (vec_id, cluster)."""
+    parts = [
+        f"WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),",
+        f"""c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cv
+        FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {k})
+    ),""",
+    ]
+    dist = (
+        "(-2.0 * list_reduce(list_transform(generate_series(1, len(e)),"
+        " i -> e[i] * cv[i]), (x, y) -> x + y)"
+        " + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y))"
+    )
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""a{it} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT emb.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY emb.vec_id
+                                      ORDER BY {dist}, c.cluster) AS rn
+            FROM emb, {prev} c)
+        WHERE rn = 1
+    ),
+    m{it} AS (
+        SELECT a{it}.cluster, t.i AS dim,
+               CAST(SUM(CAST(e[t.i] AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM emb JOIN a{it} USING (vec_id),
+             unnest(generate_series(1, len(e))) AS t(i)
+        GROUP BY a{it}.cluster, t.i
+    ),
+    p{it} AS (
+        SELECT cluster, d.d AS dim, cv[d.d] AS pv
+        FROM {prev}, unnest(generate_series(1, len(cv))) AS d(d)
+    ),
+    c{it} AS (
+        SELECT cluster, list(COALESCE(m, pv) ORDER BY dim) AS cv
+        FROM p{it} LEFT JOIN m{it} USING (cluster, dim)
+        GROUP BY cluster
+    ),""")
+    parts.append(f"""final_assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT emb.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY emb.vec_id
+                                      ORDER BY {dist}, c.cluster) AS rn
+            FROM emb, c{n_iter} c)
+        WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM final_assign""")
+    return "\n    ".join(parts)

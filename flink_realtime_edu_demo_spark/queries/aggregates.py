@@ -93,6 +93,69 @@ def q_agg_approx_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 256
+_KMV_SCALE = repr(float((_KMV_K - 1) * 2**60))  # exact double literal
+
+
+@query(
+    "q_agg_approx_uv_kmv",
+    oracle=f"""
+    WITH dis AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dis
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MAX(h) AS kth_hash,
+           CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*) * 1.0
+                ELSE {_KMV_SCALE} / MAX(h) END AS est_uv
+    FROM ranked
+    WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    """,
+)
+def q_agg_approx_uv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct via a K-MINIMUM-VALUES sketch
+    (Bar-Yossef et al., RANDOM'02) — the deterministic, oracle-verifiable
+    counterpart to q_agg_approx_uv's HLL: per group keep the k=256
+    smallest md5-derived 60-bit hashes of the value; the estimator is
+    (k-1)/U_(k) on the normalized kth minimum (exact count when fewer
+    than k distinct values exist). rsd ≈ 1/√(k-2) ≈ 6%.
+
+    Scale shape: distinct on (group, hash) — one shuffle with map-side
+    partial dedup, shuffling 8-byte hashes, never values — then a
+    per-group top-k window; the sketch is mergeable (union of k-min
+    sets), which is what makes KMV the distributed-friendly sketch
+    family. Every step is relational and hash-replayable in DuckDB —
+    unlike HLL's engine-specific register layout."""
+    ev = load(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+            16, 10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    dis = ev.select("event_type", h).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = dis.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.when(F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)) * F.lit(1.0))
+        .otherwise(F.lit(float((_KMV_K - 1) * 2**60)) / F.max("h"))
+        .alias("est_uv"),
+    )
+
+
 @query(
     "q_agg_filtered",
     oracle=f"""

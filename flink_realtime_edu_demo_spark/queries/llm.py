@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..operators.annsearch import cosine_topk, lsh_topk
+from ..operators.annsearch import cosine_topk, lsh_topk, lsh_topk_oracle_sql
+from ..operators.kmeans import kmeans_oracle_sql as _kmeans_oracle_sql
 from ..operators.graph import connected_components
 from ..operators.packing import greedy_pack
 from ..operators.minhash import (
@@ -183,14 +184,23 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_llm_knn_ivf")  # rows-only: bucketed ANN is approximate by design
+@query("q_llm_knn_ivf", oracle=lsh_topk_oracle_sql(k=5))
 def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table SimHash ANN (8 tables x 6 hyperplanes, numpy bucket
     scoring, exact re-rank over the candidate union; recall@5 ~0.31 vs
     exact, floor-tested) — the 100 TB path where each query touches
-    ~L/2^m of the corpus instead of all of it."""
+    ~L/2^m of the corpus instead of all of it.
+
+    Hash-verified since r4: the plane matrix is md5-derived (seed-free)
+    and every float reduction — projections, norms, dots — is an
+    ascending-dimension left fold, so the DuckDB oracle
+    (operators/annsearch.lsh_topk_oracle_sql) replays buckets,
+    candidates, and cosines bit-for-bit. 'Approximate' describes recall
+    vs exact kNN, not nondeterminism."""
     e = load_spread(spark, sf_dir, "embeddings")
-    return lsh_topk(e, k=5)
+    return lsh_topk(e, k=5).select(
+        "vec_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
+    )
 
 
 @query(
@@ -754,14 +764,21 @@ def q_llm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_llm_kmeans")  # rows-only: iterative algorithm, not SQL-expressible
+@query("q_llm_kmeans", oracle=_kmeans_oracle_sql(k=8, n_iter=5))
 def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 5 iterations) over the embedding
     corpus (operators/kmeans.py): Arrow-batched assignment against a
     4 KB broadcast centroid matrix + exact-decimal centroid update —
     the iterative-driver-loop pattern where per-iteration driver state
     is k×dim scalars, never data rows. Unit-tested against a pure-numpy
-    reference (>=99% label agreement)."""
+    reference (>=99% label agreement).
+
+    Hash-verified since r4: with deterministic init (first k ids),
+    ordered-fold distances, exact-DECIMAL centroid means, and a FIXED
+    iteration count, the whole run is a pure function of the input — the
+    DuckDB oracle (operators/kmeans.kmeans_oracle_sql) unrolls the 5
+    iterations into chained CTEs and matches the final assignment
+    bit-for-bit."""
     from ..operators.kmeans import kmeans
 
     e = load(spark, sf_dir, "embeddings")

@@ -300,6 +300,37 @@ def test_approx_uv_within_5pct_of_exact(spark, sf_dir):
         assert abs(r.approx_uv - e) <= max(1, 0.05 * e), (r.event_type, r.approx_uv, e)
 
 
+def test_kmv_estimator_branch_accuracy(spark, sf_dir):
+    """The KMV (k-minimum-values) estimator branch — which fixture
+    groups never reach (they have < k distinct users) — must estimate
+    within ~3 rsd (≈20% at k=256) on a synthetic group with 3000
+    distinct values, and the exact branch must be exact at < k."""
+    from flink_realtime_edu_demo_spark.queries.aggregates import _KMV_K
+
+    k = _KMV_K
+    rows = [(i, "big") for i in range(3000)] + [(i, "small") for i in range(40)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long").alias("h")
+    )
+    from pyspark.sql.window import Window
+
+    dis = ev.select("event_type", h).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = dis.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    out = {
+        r.event_type: r.est
+        for r in ranked.groupBy("event_type").agg(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)) * F.lit(1.0))
+            .otherwise(F.lit(float((k - 1) * 2**60)) / F.max("h"))
+            .alias("est")
+        ).collect()
+    }
+    assert out["small"] == 40.0
+    assert abs(out["big"] - 3000) <= 0.2 * 3000, out["big"]
+
+
 def test_range_join_binned_equals_naive(spark, sf_dir):
     """Binned range join == naive theta join, including interval lengths
     spanning many bins and points exactly on bin edges."""
