@@ -4,9 +4,10 @@
 Scope (the useful core of Flink's MATCH_RECOGNIZE):
 - PARTITION BY key, ORDER BY (ts, id) — total order per key;
 - PATTERN = a SEQUENCE of variables, each defined by an event-type
-  equality predicate, with quantifiers ``1`` (exactly one), ``?``,
-  ``+``, ``*`` — contiguous rows, as in SQL row-pattern matching
-  (a non-matching row breaks adjacency; Flink CEP's relaxed
+  equality predicate or an ALTERNATION over several types
+  (``("click", "error")`` ≡ ``C|E``), with quantifiers ``1`` (exactly
+  one), ``?``, ``+``, ``*`` — contiguous rows, as in SQL row-pattern
+  matching (a non-matching row breaks adjacency; Flink CEP's relaxed
   ``followedBy`` is the funnel operator instead);
 - greedy quantifiers, ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST
   ROW — matches per key are enumerated left to right, non-overlapping.
@@ -36,19 +37,26 @@ from pyspark.sql import DataFrame, functions as F
 _QUANTS = {"1": "", "?": "?", "+": "+", "*": "*"}
 
 
-def _char_map(pattern: list[tuple[str, str, str]]) -> dict[str, str]:
+def _types_of(etype) -> tuple:
+    """A variable's predicate: one event type, or an ALTERNATION over
+    several (`("click", "error")` ≡ MATCH_RECOGNIZE's `C|E` variable)."""
+    return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
+
+
+def _char_map(pattern: list[tuple[str, object, str]]) -> dict[str, str]:
     """One char per distinct event type in the pattern, in first-use
     order: 'a', 'b', ... ('z' is reserved for non-matching types)."""
     types: list[str] = []
     for _, etype, _ in pattern:
-        if etype not in types:
-            types.append(etype)
+        for t in _types_of(etype):
+            if t not in types:
+                types.append(t)
     if len(types) > 25:
         raise ValueError("at most 25 distinct event types per pattern")
     return {t: chr(ord("a") + i) for i, t in enumerate(types)}
 
 
-def _validate(pattern: list[tuple[str, str, str]]) -> None:
+def _validate(pattern: list[tuple[str, object, str]]) -> None:
     if not pattern:
         raise ValueError("pattern needs at least one variable")
     seen = set()
@@ -57,17 +65,28 @@ def _validate(pattern: list[tuple[str, str, str]]) -> None:
             raise ValueError(f"quantifier {quant!r} not in {sorted(_QUANTS)}")
         if var in seen:
             raise ValueError(f"duplicate pattern variable {var!r}")
+        if not _types_of(etype):
+            raise ValueError(f"variable {var!r} needs at least one event type")
         seen.add(var)
 
 
-def _token_regex(pattern: list[tuple[str, str, str]],
+def _var_class(etype, chars: dict[str, str]) -> str:
+    """The variable's token chars, first-use order, e.g. 'c' or 'ce'."""
+    return "".join(chars[t] for t in _types_of(etype))
+
+
+def _token_regex(pattern: list[tuple[str, object, str]],
                  chars: dict[str, str]) -> str:
-    """The token-level regex: ``(?:<char>[0-9]+;)<quant>`` per variable.
-    Digits-only id class keeps the string free of backslash escapes in
-    both Spark SQL and DuckDB literals."""
-    return "".join(
-        f"(?:{chars[etype]}[0-9]+;){_QUANTS[quant]}" for _, etype, quant in pattern
-    )
+    """The token-level regex: ``(?:<class>[0-9]+;)<quant>`` per variable
+    (`<class>` is a single char or a [..] alternation class). Digits-only
+    id class keeps the string free of backslash escapes in both Spark
+    SQL and DuckDB literals."""
+    pieces = []
+    for _, etype, quant in pattern:
+        cls = _var_class(etype, chars)
+        atom = cls if len(cls) == 1 else f"[{cls}]"
+        pieces.append(f"(?:{atom}[0-9]+;){_QUANTS[quant]}")
+    return "".join(pieces)
 
 
 def match_recognize(
@@ -79,8 +98,9 @@ def match_recognize(
     id_col: str = "event_id",
 ) -> DataFrame:
     """Contiguous row-pattern matching; ``pattern`` is a list of
-    ``(variable, event_type, quantifier)`` with quantifier in
-    ``{'1', '?', '+', '*'}``.
+    ``(variable, event_type_or_tuple, quantifier)`` with quantifier in
+    ``{'1', '?', '+', '*'}`` — a tuple of types is an alternation
+    (the variable matches any of them).
 
     Returns one row per match:
     ``key, match_no (1-based per key, left to right), first_event_id,
@@ -118,7 +138,8 @@ def match_recognize(
         (F.length("col") - F.length(F.translate("col", ";", ""))).cast("long").alias("n_rows"),
         *[
             (
-                F.length("col") - F.length(F.translate("col", chars[etype], ""))
+                F.length("col")
+                - F.length(F.translate("col", _var_class(etype, chars), ""))
             ).cast("long").alias(f"n_{var.lower()}")
             for var, etype, _ in pattern
         ],
@@ -139,9 +160,15 @@ def match_recognize_oracle_sql(
     chars = _char_map(pattern)
     regex = _token_regex(pattern, chars)
     case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+
+    def strip_class(expr: str, cls: str) -> str:
+        for c in cls:
+            expr = f"replace({expr}, '{c}', '')"
+        return expr
+
     var_counts = ",\n           ".join(
-        f"CAST(length(l[i]) - length(replace(l[i], '{chars[etype]}', '')) AS BIGINT)"
-        f" AS n_{var.lower()}"
+        f"CAST(length(l[i]) - length({strip_class('l[i]', _var_class(etype, chars))})"
+        f" AS BIGINT) AS n_{var.lower()}"
         for var, etype, _ in pattern
     )
     return f"""

@@ -230,6 +230,26 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PATTERN (V (C|E)+ P): a view, then a nonempty run of clicks OR
+# errors in any interleaving, then a purchase — the alternation-class
+# variable MATCH_RECOGNIZE writes as (C|E)+.
+CEP_ALT_PATTERN = [
+    ("V", "view", "1"),
+    ("CE", ("click", "error"), "+"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_alternation", oracle=match_recognize_oracle_sql(CEP_ALT_PATTERN))
+def q_cep_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE alternation subset: PATTERN (V (C|E)+ P) — one
+    variable may match a CLASS of event types, lowering to a regex
+    char class over the token string. Same single-shuffle plan and
+    DuckDB-replayed oracle as q_cep_pattern."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize(ev, CEP_ALT_PATTERN)
+
+
 @query("q_cep_pattern", oracle=match_recognize_oracle_sql(CEP_PATTERN))
 def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE subset (SQL row-pattern matching, contiguous

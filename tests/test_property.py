@@ -183,3 +183,91 @@ def test_greedy_pack_matches_reference(spark, docs, budget):
             fill += n
             want[(k, i)] = (bin_id, fill)
     assert got == want
+
+
+# --- match_recognize vs an independent greedy-backtracking matcher ---
+
+def _py_match_spans(types: list[str], pattern) -> list[tuple[int, int]]:
+    """Reference matcher for the CEP subset, written directly over the
+    event-type list (no regex): per start position, greedy quantifiers
+    with backtracking; AFTER MATCH SKIP PAST LAST ROW; empty matches
+    rejected. Returns [start, end) index spans."""
+
+    def norm(etype):
+        return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
+
+    vars_ = [(set(norm(t)), q) for _, t, q in pattern]
+
+    def rec(pos: int, vi: int):
+        if vi == len(vars_):
+            return pos
+        allowed, quant = vars_[vi]
+        if quant == "1":
+            if pos < len(types) and types[pos] in allowed:
+                return rec(pos + 1, vi + 1)
+            return None
+        if quant == "?":
+            if pos < len(types) and types[pos] in allowed:
+                r = rec(pos + 1, vi + 1)
+                if r is not None:
+                    return r
+            return rec(pos, vi + 1)
+        lo = 1 if quant == "+" else 0
+        cnt = 0
+        while pos + cnt < len(types) and types[pos + cnt] in allowed:
+            cnt += 1
+        for c in range(cnt, lo - 1, -1):  # greedy: longest first
+            r = rec(pos + c, vi + 1)
+            if r is not None:
+                return r
+        return None
+
+    spans, i = [], 0
+    while i < len(types):
+        e = rec(i, 0)
+        if e is not None and e > i:
+            spans.append((i, e))
+            i = e
+        else:
+            i += 1
+    return spans
+
+
+cep_pattern_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["view", "click", "purchase", ("view", "click"),
+                         ("click", "error")]),
+        st.sampled_from(["1", "?", "+", "*"]),
+    ),
+    min_size=1,
+    max_size=4,
+).filter(lambda p: any(q in ("1", "+") for _, q in p))  # at least one mandatory
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=0, max_size=40,
+    ),
+    pat=cep_pattern_strategy,
+)
+def test_match_recognize_matches_reference(spark, types, pat):
+    """The regex lowering must produce exactly the reference matcher's
+    greedy, skip-past-last-row, contiguous match spans — including
+    alternation variables and adjacent same-type variables (where
+    greedy backtracking matters)."""
+    from flink_realtime_edu_demo_spark.operators.cep import match_recognize
+
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    want = _py_match_spans(types, pattern)
+    if not types:
+        return
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    got = sorted(
+        (r.first_event_id, r.last_event_id + 1)
+        for r in match_recognize(ev, pattern, ts="event_id").collect()
+    )
+    assert got == [(s, e) for s, e in want], (types, pat, got, want)
