@@ -102,13 +102,17 @@ def match_recognize(
     ``{'1', '?', '+', '*'}`` — a tuple of types is an alternation
     (the variable matches any of them).
 
+    ``key`` may be a single column name or a list (e.g. a composite
+    (user, session) partition from :func:`sessionize`).
+
     Returns one row per match:
-    ``key, match_no (1-based per key, left to right), first_event_id,
+    ``key..., match_no (1-based per key, left to right), first_event_id,
     last_event_id, n_rows, n_<variable.lower()>...`` where n_<var> is
     the number of rows the variable's type-char absorbed inside the
     match (per TYPE: two variables sharing an event type share counts).
     """
     _validate(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
     regex = _token_regex(pattern, chars)
 
@@ -116,22 +120,23 @@ def match_recognize(
     for etype, ch in reversed(chars.items()):
         tok_char = F.when(F.col(type_col) == etype, ch).otherwise(tok_char)
     toks = events.select(
-        F.col(key),
+        *[F.col(k) for k in keys],
         F.struct(
             F.col(ts).alias("ts"),
             F.col(id_col).alias("id"),
             F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";")).alias("tok"),
         ).alias("t"),
     )
-    seq = toks.groupBy(key).agg(
+    seq = toks.groupBy(*keys).agg(
         F.concat_ws(
             "", F.transform(F.array_sort(F.collect_list("t")), lambda s: s["tok"])
         ).alias("s")
     )
     matched = seq.select(
-        F.col(key), F.posexplode(F.regexp_extract_all("s", F.lit(regex), F.lit(0)))
+        *[F.col(k) for k in keys],
+        F.posexplode(F.regexp_extract_all("s", F.lit(regex), F.lit(0))),
     ).select(
-        F.col(key),
+        *[F.col(k) for k in keys],
         (F.col("pos") + 1).cast("long").alias("match_no"),
         F.regexp_extract("col", "^[a-z]([0-9]+);", 1).cast("long").alias("first_event_id"),
         F.regexp_extract("col", "([0-9]+);$", 1).cast("long").alias("last_event_id"),
@@ -147,19 +152,21 @@ def match_recognize(
     return matched
 
 
-def match_recognize_oracle_sql(
-    pattern: list[tuple[str, str, str]],
-    table: str = "events",
-    key: str = "user_id",
-    ts: str = "ts",
-    type_col: str = "event_type",
-    id_col: str = "event_id",
+def _oracle_core(
+    pattern,
+    keys: list[str],
+    source_sql: str,
+    ts: str,
+    type_col: str,
+    id_col: str,
 ) -> str:
-    """DuckDB SQL replaying :func:`match_recognize` token-for-token."""
+    """Shared DuckDB replay of :func:`match_recognize` over an arbitrary
+    event source subquery and (possibly composite) partition keys."""
     _validate(pattern)
     chars = _char_map(pattern)
     regex = _token_regex(pattern, chars)
     case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+    ks = ", ".join(keys)
 
     def strip_class(expr: str, cls: str) -> str:
         for c in cls:
@@ -172,19 +179,106 @@ def match_recognize_oracle_sql(
         for var, etype, _ in pattern
     )
     return f"""
-    WITH toks AS (
-        SELECT {key},
+    WITH src AS ({source_sql}),
+    toks AS (
+        SELECT {ks},
                CASE {type_col} {case} ELSE 'z' END || {id_col} || ';' AS tok,
                {ts}, {id_col}
-        FROM {table}
+        FROM src
     ),
-    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
-            FROM toks GROUP BY {key}),
-    m AS (SELECT {key}, regexp_extract_all(s, '{regex}') AS l FROM seq)
-    SELECT {key}, CAST(i AS BIGINT) AS match_no,
+    seq AS (SELECT {ks}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {ks}),
+    m AS (SELECT {ks}, regexp_extract_all(s, '{regex}') AS l FROM seq)
+    SELECT {ks}, CAST(i AS BIGINT) AS match_no,
            CAST(regexp_extract(l[i], '^[a-z]([0-9]+);', 1) AS BIGINT) AS first_event_id,
            CAST(regexp_extract(l[i], '([0-9]+);$', 1) AS BIGINT) AS last_event_id,
            CAST(length(l[i]) - length(replace(l[i], ';', '')) AS BIGINT) AS n_rows,
            {var_counts}
     FROM m, unnest(generate_series(1, len(l))) AS t(i)
     """
+
+
+def match_recognize_oracle_sql(
+    pattern: list[tuple[str, str, str]],
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize` token-for-token."""
+    return _oracle_core(pattern, [key], f"SELECT * FROM {table}",
+                        ts, type_col, id_col)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-key ``session_id`` (0-based, time order): a new
+    session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Pure timestamp arithmetic (no epoch conversion, so
+    TIMESTAMP_NTZ never passes through a session-timezone cast) — one
+    sort-shuffle on the key, the same exchange the downstream
+    per-session aggregation reuses."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(ts, id_col)
+    prev = F.lag(ts).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col(ts) > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        (F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+        .cast("long"),
+    )
+
+
+def match_recognize_sessionized(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The 100 TB deployment shape promised in SCALE.md: sessionize the
+    key by ``gap_minutes``, then run :func:`match_recognize` within each
+    (key, session) — matches cannot span a session gap, and per-group
+    token strings are bounded by session length instead of a key's full
+    history. Output adds ``session_id`` to the match columns."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize(s, pattern, key=[key, "session_id"],
+                           ts=ts, type_col=type_col, id_col=id_col)
+
+
+def match_recognize_sessionized_oracle_sql(
+    pattern,
+    gap_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_sessionized`."""
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return _oracle_core(pattern, [key, "session_id"], source,
+                        ts, type_col, id_col)

@@ -520,3 +520,46 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("near_max_add"),
         F.try_element_at(F.split(F.col("c_name"), "#"), F.lit(3)).alias("part3"),
     )
+
+
+@query(
+    "q_fn_url",
+    oracle=r"""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id
+                   || '?lang=' || lang || '&n=' || n_chars AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+:', 0) AS protocol,
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family — Flink SQL's PARSE_URL (Hive semantics),
+    which Spark ships verbatim as `parse_url`: HOST / PROTOCOL / PATH /
+    QUERY extraction plus keyed query-parameter lookup, over URLs
+    synthesized from the documents columns (the fixtures carry no URL
+    column). All JVM-side; the oracle replays each part with anchored
+    regexes, exact for these well-formed URLs. PROTOCOL is emitted as
+    'https:' (scheme + colon) so both spellings agree byte-for-byte."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&n="), F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.concat(F.parse_url(F.col("url"), F.lit("PROTOCOL")), F.lit(":")).alias("protocol"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

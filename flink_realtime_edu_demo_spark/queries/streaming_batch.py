@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..operators.cep import match_recognize, match_recognize_oracle_sql
+from ..operators.cep import (
+    match_recognize,
+    match_recognize_oracle_sql,
+    match_recognize_sessionized,
+    match_recognize_sessionized_oracle_sql,
+)
 from ..operators.cumulate import cumulate_window
 from ..operators.funnel import funnel
 from ..registry import dsum, query, sql_dsum
@@ -227,6 +232,30 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return funnel(ev, steps=["view", "click", "purchase"]).select(
         "user_id", "step_1_ts", "step_2_ts", "step_3_ts"
+    )
+
+
+@query(
+    "q_cep_sessionized",
+    oracle=match_recognize_sessionized_oracle_sql(
+        [("V", "view", "1"), ("CE", ("click", "error"), "*"),
+         ("P", "purchase", "1")],
+        gap_minutes=720,
+    ),
+)
+def q_cep_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized row-pattern matching — the deployment shape for
+    unbounded keys (SCALE.md): 12-hour-gap sessions per user, then
+    PATTERN (V (C|E)* P) within each session. Matches cannot span a
+    session gap; per-group state is bounded by session length. One
+    sort-shuffle on user_id shared by the sessionize window and the
+    per-session aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_sessionized(
+        ev,
+        [("V", "view", "1"), ("CE", ("click", "error"), "*"),
+         ("P", "purchase", "1")],
+        gap_minutes=720,
     )
 
 

@@ -232,6 +232,36 @@ def test_match_recognize_optional_and_star(spark, sf_dir):
     assert out == {1: (1, 6, 1, 2), 2: (1, 3, 0, 0)}
 
 
+def test_match_recognize_sessionized_gap_boundary(spark, sf_dir):
+    """A match must never span a session gap: the same v-c-p chain
+    matches when contiguous in time but not when a > gap pause splits
+    it; session ids are 0-based per user in time order."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_sessionized,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, eid, minutes, typ):
+        return (uid, eid, t0 + dt.timedelta(minutes=minutes), typ)
+
+    rows = [
+        # user 1: v c p within one session -> match
+        ev(1, 1, 0, "view"), ev(1, 2, 5, "click"), ev(1, 3, 10, "purchase"),
+        # user 2: v c ... 100-minute gap ... p -> split sessions, no match
+        ev(2, 1, 0, "view"), ev(2, 2, 5, "click"), ev(2, 3, 110, "purchase"),
+    ]
+    evdf = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string"
+    )
+    pat = [("A", "view", "1"), ("B", "click", "+"), ("C", "purchase", "1")]
+    out = match_recognize_sessionized(evdf, pat, gap_minutes=30).collect()
+    assert [(r.user_id, r.session_id, r.first_event_id, r.last_event_id)
+            for r in out] == [(1, 0, 1, 3)]
+
+
 def test_cc_star_equals_label_propagation(spark, sf_dir):
     """Large-star/small-star CC must reach the identical
     (id, min-reachable-id) fixpoint as min-label propagation — checked
