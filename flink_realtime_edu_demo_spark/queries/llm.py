@@ -694,14 +694,26 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is ~20× the token stream — apply the chargram query's
     MOD-sampling (deterministic hash-defined sample S; matches on A∩S
     estimate the full overlap unbiasedly) or a stride >1; both engines
-    would select the identical S, keeping the oracle exact."""
-    d = load_spread(spark, sf_dir, "documents")
-    from ..operators.minhash import _ngram_zip
+    would select the identical S, keeping the oracle exact.
 
+    Window construction is per-position slice+join, not the n-pass
+    zip_with chain the w=3 shingles use: at w=20 the chain's
+    intermediate strings copy ~w²/2 chars per window and its 19-deep
+    expression tree bloats codegen; the crossover favors slices for
+    large w (A/B-measured). Spark's sequence(1, 0) is DESCENDING, not
+    empty, so short docs are guarded to an empty array explicitly."""
+    d = load_spread(spark, sf_dir, "documents")
     arr = F.split(F.col("text"), " ")
+    windows = F.when(
+        F.size(arr) >= 20,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 19),
+            lambda i: F.array_join(F.slice(arr, i, 20), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     win = d.select(
         "doc_id",
-        F.explode(_ngram_zip(arr, 20, " ", keep_partial=False)).alias("win"),
+        F.explode(windows).alias("win"),
     ).select("doc_id", F.md5(F.col("win").cast("binary")).alias("win_md5"))
     return (
         win.groupBy("win_md5")

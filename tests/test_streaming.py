@@ -269,6 +269,56 @@ def test_changelog_sink_bounded_driver_memory(spark, sf_dir, stream_dir, tmp_pat
             q2.stop()
 
 
+def test_streaming_cep_closed_sessions_match_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Streaming row-pattern matching (SessionCepSink): matches publish
+    only when their session is provably closed, never change after
+    publication, and the final published set equals the batch
+    sessionized answer restricted to closed sessions; emission is
+    progressive (some matches publish before the last micro-batch)."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    pat = [("V", "view", "1"), ("CE", ("click", "error"), "*"), ("P", "purchase", "1")]
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink(pat, gap_minutes=gap)
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES") <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no): (r.first_event_id, r.last_event_id, r.n_rows)
+        for r in match_recognize_sessionized(ev, pat, gap)
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    got = {
+        k: (v["first_event_id"], v["last_event_id"], v["n_rows"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))
+    # progressive: matches published before the final micro-batch
+    assert sum(sink.emitted_per_batch[:-1]) > 0, sink.emitted_per_batch
+
+
 def test_kafka_shaped_decode_converges_to_batch(spark, sf_dir, stream_dir):
     """The kafka_stream from_json decode stage, driven through a
     file-backed topic dump with the Kafka wire schema, converges to the
