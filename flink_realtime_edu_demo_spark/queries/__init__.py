@@ -18,8 +18,10 @@ _MODULES = (
     "setops",
     "streaming_batch",
     "llm",
+    "llm2",
     "udfs",
     "analytics",
+    "analytics2",
 )
 
 
