@@ -45,7 +45,9 @@ _VERIFIED_GREEN = (
     "q_set_intersect", "q_set_except", "q_stream_tumble", "q_stream_hop",
     "q_stream_session",
     # --- round-2 verdicts ---
-    "q_agg_grouping_sets", "q_pivot", "q_unpivot", "q_agg_bool",
+    # q_unpivot rotated OUT (round 4): pre-unpivot aliasing change —
+    # re-verify before it re-enters the green set.
+    "q_agg_grouping_sets", "q_pivot", "q_agg_bool",
     "q_agg_argminmax", "q_sort_nulls", "q_agg_null_group", "q_fn_cast",
     "q_fn_array", "q_fn_trig", "q_fn_datetime2", "q_fn_editdist",
     "q_join_range_bin", "q_win_running_sum", "q_win_dist", "q_win_range_frame",

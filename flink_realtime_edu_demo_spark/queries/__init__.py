@@ -17,6 +17,7 @@ _MODULES = (
     "window_fns",
     "setops",
     "streaming_batch",
+    "timeseries",
     "llm",
     "llm2",
     "udfs",

@@ -464,18 +464,16 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
     name_map = {"l_quantity": "quantity", "l_extendedprice": "price",
                 "l_discount": "discount", "l_tax": "tax"}
-    melted = li.select(
+    # aliasing BEFORE unpivot makes the variable column carry the output
+    # metric names directly — no post-hoc per-row map lookup
+    return li.select(
         "l_orderkey", "l_linenumber",
-        *[F.col(c).cast("double").alias(c) for c in name_map],
+        *[F.col(c).cast("double").alias(n) for c, n in name_map.items()],
     ).unpivot(
         ids=["l_orderkey", "l_linenumber"],
-        values=list(name_map),
+        values=list(name_map.values()),
         variableColumnName="metric",
         valueColumnName="val",
-    )
-    mapping = F.create_map(*[x for c, n in name_map.items() for x in (F.lit(c), F.lit(n))])
-    return melted.select(
-        "l_orderkey", "l_linenumber", mapping[F.col("metric")].alias("metric"), "val"
     )
 
 

@@ -469,21 +469,26 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXISTS(other supplier in order)        ⇔  #distinct suppliers ≥ 2
       NOT EXISTS(other LATE supplier)        ⇔  #distinct late suppliers = 1
 
-    Three shuffles over lineitem keyed by orderkey (late-pairs, supplier
-    counts, late counts) — all co-partitioned, so AQE coalesces them
-    onto one exchange footprint; supplier/nation broadcast. Ties on
-    numwait break on the unique s_name; the final top-20 is
-    TakeOrderedAndProject."""
+    The li⋈o join is computed once (persist) and feeds both the
+    per-order counts and the late-pair set; everything downstream is
+    keyed by orderkey (co-partitioned with the join output), then one
+    final s_name agg. PLANS.md counts 5 static exchanges — the two
+    consumers of the cached join plus the orderkey re-joins — which is
+    the honest cost of a doubly-nested EXISTS; supplier/nation
+    broadcast. Ties on numwait break on the unique s_name; the final
+    top-20 is TakeOrderedAndProject."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
 
+    # persist: per_order and late_pairs both consume this join — without
+    # the marker the li⋈o shuffle runs twice
     lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_suppkey",
         (F.col("l_shipdate")
          > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
-    )
+    ).persist()
     per_order = lo.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
         F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),

@@ -178,7 +178,11 @@ def q_llm_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.length("token") > 0)
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tokens.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # df falls out of tf for free: tf has one row per (doc, token), so
+    # counting rows per token IS the document frequency — no second
+    # pass over the exploded token stream (q_llm_tfidf re-aggregates
+    # the raw tokens; at 100 TB this variant is one full scan cheaper).
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored = (

@@ -1,0 +1,260 @@
+"""Time-series and data-quality operators over the events stream table:
+gap filling onto a dense calendar grid, last-observation-carried-forward
+interpolation, OHLC bar rollups, a one-pass column profiler, and an
+approximate quantile sketch.
+
+These are the "hypertable" conveniences a realtime-analytics user
+expects on top of the windowed aggregates in streaming_batch.py — all
+expressed as compositions of built-in DataFrame ops (sequence/explode,
+windows, conditional aggregation); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import dsum, query, sql_dsum
+from ..tables import load
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY event_type
+    ),
+    grid AS (
+        SELECT s.event_type, CAST(g.d AS DATE) AS day
+        FROM spans s, unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                             CAST(s.d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS g(d)
+    )
+    SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+    FROM grid g
+    LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: per event type, the daily count series
+    densified onto every day between that key's first and last
+    observation, zeros where no events landed — the dense grid a
+    dashboard or a seasonality model needs. Plan: one groupBy for the
+    sparse counts, a per-key span aggregate, `sequence()` + explode to
+    manufacture the grid (rows created ∝ span-days × keys — tiny next
+    to the input), LEFT join back. At 100 TB the expensive side is the
+    FIRST aggregate; the grid join touches only the already-reduced
+    series, so gap-filling costs nothing extra at scale. The grid
+    derives from each key's OWN span (no global scalar), so keys with
+    different lifetimes don't inflate each other."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type",
+                   F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spans = daily.groupBy(F.col("event_type").alias("et")).agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "et",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return (
+        grid.join(daily, (grid.et == daily.event_type) & (grid.day == daily.day),
+                  "left")
+        .select(
+            F.col("et").alias("event_type"),
+            grid.day.alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q_ts_interp",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'click' THEN value END AS val
+        FROM events
+        WHERE user_id < 100
+    )
+    SELECT user_id, ts, event_id, val,
+           last_value(val IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS val_ffill
+    FROM obs
+    """,
+)
+def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF interpolation (last observation carried forward): treat
+    non-click events as sensor gaps (NULL val) and fill each gap with
+    the key's most recent observed value — `last_value(... IGNORE
+    NULLS)` over an unbounded-preceding frame, identical semantics in
+    Spark and DuckDB. The window is partitioned by user (keys ≫
+    cores); (ts, event_id) ordering makes same-timestamp rows
+    deterministic. This is the batch analog of keyed streaming state
+    "hold last reading"; at scale it is one shuffle on the partition
+    key and a single sort within partitions."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    val = F.when(F.col("event_type") == "click", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "ts", "event_id", val.alias("val"),
+        F.last(val, ignorenulls=True).over(w).alias("val_ffill"),
+    )
+
+
+@query(
+    "q_ts_ohlc",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'vol_sum')}
+    FROM hourly
+    GROUP BY event_type, hour
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar rollup: per (event_type, hour) the opening/closing
+    values (first/last by event time, event_id tiebreak) plus
+    high/low/count/volume — the canonical downsample for any metric
+    or price series. Open/close are picked with two row_number
+    windows over the SAME partition (one shuffle; the second ordering
+    is a partition-local re-sort) and folded in the following
+    aggregate, which reuses that partitioning — Catalyst plans
+    window+agg on one exchange. Raw-parquet doubles are compared and
+    selected, never re-accumulated (only vol_sum sums, decimal-exact),
+    so cross-engine hashes can't drift."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    wa = Window.partitionBy("event_type", hour).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", hour).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = ev.select(
+        "event_type", hour.alias("hour"), "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return hourly.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "vol_sum"),
+    )
+
+
+@query(
+    "q_dq_profile",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               COUNT(o_custkey) AS nn_custkey,
+               COUNT(DISTINCT o_custkey) AS nd_custkey,
+               CAST(MIN(o_custkey) AS VARCHAR) AS min_custkey,
+               CAST(MAX(o_custkey) AS VARCHAR) AS max_custkey,
+               COUNT(o_orderstatus) AS nn_status,
+               COUNT(DISTINCT o_orderstatus) AS nd_status,
+               MIN(o_orderstatus) AS min_status,
+               MAX(o_orderstatus) AS max_status,
+               COUNT(o_totalprice) AS nn_price,
+               COUNT(DISTINCT o_totalprice) AS nd_price,
+               CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS min_price,
+               CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS max_price
+        FROM orders
+    )
+    SELECT 'o_custkey' AS col_name, n, n - nn_custkey AS n_null,
+           nd_custkey AS n_distinct, min_custkey AS min_s, max_custkey AS max_s
+    FROM m
+    UNION ALL
+    SELECT 'o_orderstatus', n, n - nn_status, nd_status, min_status, max_status
+    FROM m
+    UNION ALL
+    SELECT 'o_totalprice', n, n - nn_price, nd_price, min_price, max_price
+    FROM m
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profiler (ANALYZE-TABLE shape): row count,
+    null count, distinct count, min/max per profiled column, emitted as
+    one row per column. ALL metrics for all columns come from a SINGLE
+    aggregate over a single scan (the oracle's UNION ALL reads the
+    1-row metric set three times; Spark unpivots the same 1-row
+    aggregate with stack()) — at 100 TB the profiler costs exactly one
+    pass regardless of how many columns are profiled. Extremes are
+    stringified (doubles through DECIMAL) so heterogeneous columns
+    share one output schema."""
+    o = load(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("min_custkey"),
+        F.max("o_custkey").cast("string").alias("max_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("min_price"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("max_price"),
+    )
+    return m.selectExpr(
+        """stack(3,
+            'o_custkey', n, n - nn_custkey, nd_custkey, min_custkey, max_custkey,
+            'o_orderstatus', n, n - nn_status, nd_status, min_status, max_status,
+            'o_totalprice', n, n - nn_price, nd_price, min_price, max_price
+        ) AS (col_name, n, n_null, n_distinct, min_s, max_s)"""
+    ).select("col_name", "n", "n_null", "n_distinct", "min_s", "max_s")
+
+
+@query("q_agg_approx_quantile")  # rows-only: sketch internals are engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per key via Spark's approx_percentile
+    (Greenwald-Khanna sketch, accuracy 1/10000): p50/p90/p99 of the
+    event value per event type. Like the HLL key (q_agg_approx_uv),
+    the sketch's exact output is engine-specific, so the driver
+    records rows-only; tests/test_operators.py bracket-asserts each
+    estimate within the sketch's rank-error bound of the exact
+    percentile computed side-by-side. This is the 100 TB quantile
+    path: mergeable fixed-size sketches, one partial per partition —
+    the exact percentile (q_agg_percentile) needs a full sort of the
+    group, the sketch never materializes one."""
+    ev = load(spark, sf_dir, "events")
+    acc = 10_000
+    return ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
+        F.expr(f"approx_percentile(value, 0.9, {acc})").alias("p90"),
+        F.expr(f"approx_percentile(value, 0.99, {acc})").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

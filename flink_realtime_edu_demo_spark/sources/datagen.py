@@ -1,0 +1,192 @@
+"""Custom Spark Python DataSource: a deterministic education-analytics
+event generator — the PySpark-4-native equivalent of Flink's `datagen`
+connector (and of the rate-source stand-ins in readers.py), built on
+the public ``pyspark.sql.datasource`` API (SPARK-44076).
+
+Capabilities exercised on purpose, because they are the parts of a real
+connector that matter at 100 TB:
+
+- **partition planning**: the row range splits into N independent
+  ``InputPartition``s; every executor generates only its slice, so the
+  source scales out with zero coordination (same contract a parquet or
+  Kafka split reader has).
+- **filter pushdown** (``pushFilters``): EqualTo/GreaterThan(OrEqual)/
+  LessThan(OrEqual) on ``event_id`` narrow the generated range and
+  EqualTo on ``event_type`` prunes inside the generator — accepted
+  filters are REMOVED from Spark's post-scan Filter, observable in the
+  plan (tests assert both the row counts and the pruned plan).
+- **micro-batch streaming** (``DataSourceStreamReader``): offsets are
+  row positions; each trigger manufactures the next slice with the
+  SAME deterministic content as the batch path, so stream == batch is
+  testable exactly (the Flink "bounded stream replay" property).
+
+Determinism: row *i* is a pure function of (seed, i) via the same
+multiplicative mixers used by q_llm_split — re-reads, retries and
+speculative tasks always regenerate identical rows, which is what
+makes the source exactly-once-replayable.
+
+All classes are defined at module level (the package is importable in
+local mode); the generator row function is a plain function of ints —
+no state, no RNG objects shipped.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+_SCHEMA_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, course_id long"
+)
+_EVENT_TYPES = ("view", "click", "enroll", "play", "purchase")
+_MIX = 2654435761  # Knuth multiplicative constant (public)
+_MOD = 1 << 32
+_BASE_TS = _dt.datetime(2024, 1, 1)
+
+
+def _gen_row(seed: int, i: int, n_users: int):
+    h = (i * _MIX + seed) % _MOD
+    et = _EVENT_TYPES[h % len(_EVENT_TYPES)]
+    return (
+        i,
+        _BASE_TS + _dt.timedelta(seconds=i * 7 + h % 5),
+        (h // 5) % n_users,
+        et,
+        round((h % 10_000) / 100.0, 2),
+        (h // 7) % 200,
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class EduEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("users", 100))
+        self.lo = 0            # narrowed by pushed event_id predicates
+        self.hi = self.n_rows
+        self.event_type: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept range predicates on event_id and equality on
+        event_type; everything else stays with Spark. Returned filters
+        are the UNHANDLED ones (Spark re-applies only those)."""
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col == "event_id" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                v = int(f.value)
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:
+                    self.hi = min(self.hi, v + 1)
+            elif col == "event_type" and isinstance(f, EqualTo):
+                self.event_type = f.value
+            else:
+                yield f
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, self.n_parts)
+        span = max(1, -(-(hi - lo) // n)) if hi > lo else 1
+        parts = []
+        s = lo
+        while s < hi:
+            parts.append(_RangePartition(s, min(s + span, hi)))
+            s += span
+        return parts or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            row = _gen_row(self.seed, i, self.n_users)
+            if self.event_type is not None and row[3] != self.event_type:
+                continue
+            yield row
+
+
+class EduEventsStreamReader(DataSourceStreamReader):
+    """Row-position offsets; each micro-batch advances by
+    rows_per_batch until the configured total is exhausted — a bounded
+    replayable stream with batch-identical content."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("users", 100))
+        self.per_batch = int(options.get("rowsperbatch", 250))
+        self._pos = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        self._pos = min(self.n_rows, self._pos + self.per_batch)
+        return {"pos": self._pos}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        n = max(1, self.n_parts)
+        span = max(1, -(-(hi - lo) // n)) if hi > lo else 1
+        parts = []
+        s = lo
+        while s < hi:
+            parts.append(_RangePartition(s, min(s + span, hi)))
+            s += span
+        return parts or [_RangePartition(lo, lo)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _gen_row(self.seed, i, self.n_users)
+
+    def commit(self, end):
+        pass  # offsets are pure row positions; nothing to release
+
+
+class EduEventsDataSource(DataSource):
+    """format name: ``edu_events``. Options: rows, partitions, seed,
+    users, rowsPerBatch (stream)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "edu_events"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return EduEventsReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return EduEventsStreamReader(self.options)
+
+
+def register_edu_events(spark) -> None:
+    # pushFilters requires opting in (off by default in Spark 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(EduEventsDataSource)

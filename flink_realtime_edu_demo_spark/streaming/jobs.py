@@ -117,3 +117,31 @@ def interval_join(views: DataFrame, purchases: DataFrame,
         & (F.col("p_ts") > F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
     ).select(F.col("v_user").alias("user_id"), "v_ts", "p_ts")
+
+
+def interval_join_outer(views: DataFrame, purchases: DataFrame,
+                        within: str = "1 hour",
+                        delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (Flink's left interval
+    join): every view row emits — matched with each purchase by the
+    same user within `within` after it, or with NULL purchase columns
+    once the watermark proves no match can still arrive. In streaming
+    mode the NULL rows are therefore emitted LATE (state-eviction
+    time), which is exactly Flink's semantics too; in batch mode the
+    same plan is an ordinary left join. Watermarks on both sides plus
+    the two-sided time-range predicate are what let Spark bound the
+    join state — without them a left outer stream-stream join is
+    unsupported/unbounded."""
+    v = with_event_time(views, delay).select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = with_event_time(purchases, delay).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select(F.col("v_user").alias("user_id"), "v_ts", "p_ts")

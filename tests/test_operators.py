@@ -647,3 +647,35 @@ def test_greedy_pack_edge_cases(spark):
     for (k, i), (b, fill) in got.items():
         n_tok = next(n for kk, ii, n in rows if (kk, ii) == (k, i))
         assert fill <= 10 or fill == n_tok > 10
+
+
+def test_approx_quantile_within_rank_error(spark, sf_dir):
+    """q_agg_approx_quantile (GK sketch, accuracy 10^4): each estimate
+    must be an actual data value whose rank is within eps*n of the
+    target rank — the sketch's contract — checked against the exact
+    sorted values per group. Upgrades the rows-only key from "runs"
+    to "checked" (same treatment as the HLL key)."""
+    from flink_realtime_edu_demo_spark.queries.timeseries import q_agg_approx_quantile
+
+    ev = load(spark, sf_dir, "events")
+    vals = {
+        r.event_type: sorted(r.vs)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    rows = q_agg_approx_quantile(spark, sf_dir).collect()
+    assert rows and {r.event_type for r in rows} == vals.keys()
+    eps = 1.0 / 10_000
+    for r in rows:
+        vs = vals[r.event_type]
+        n = len(vs)
+        assert r.n == n
+        for q, est in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            import bisect
+            lo = bisect.bisect_left(vs, est)
+            hi = bisect.bisect_right(vs, est) - 1
+            target = q * (n - 1)
+            slack = eps * n + 1
+            assert lo - slack <= target <= hi + slack, (r.event_type, q, est)
+            assert vs[0] <= est <= vs[-1]

@@ -487,3 +487,43 @@ def test_rate_source_produces_typed_events(spark):
         assert r.event_type == ["click", "view", "purchase"][r.event_id % 3]
         assert 0 <= r.user_id < 100
         assert abs(r.value - (r.event_id % 1000) / 10.0) < 1e-12
+
+
+def test_interval_left_outer_join_stream_matches_batch(spark, sf_dir, stream_dir):
+    """Stream-stream LEFT OUTER interval join: with availableNow over a
+    bounded source the final watermark flushes every pending view, so
+    the streamed result (matches + NULL-padded no-match views) must
+    equal the batch left join of the same transform — and strictly
+    contain NULL rows (views with no purchase inside the hour exist in
+    the fixture)."""
+    from flink_realtime_edu_demo_spark.streaming.jobs import interval_join_outer
+
+    ev_s = stream_table(spark, stream_dir, "events")
+    out = run_to_completion(
+        interval_join_outer(
+            ev_s.filter(F.col("event_type") == "view"),
+            ev_s.filter(F.col("event_type") == "purchase"),
+        ),
+        mode="append",
+    )
+    ev_b = load(spark, sf_dir, "events")
+    expected = interval_join_outer(
+        ev_b.filter(F.col("event_type") == "view"),
+        ev_b.filter(F.col("event_type") == "purchase"),
+    )
+    got = canon_rows(out)
+    exp = canon_rows(expected)
+    # Streamed outer results are emitted on state eviction; after the
+    # LAST micro-batch the watermark never advances again, so NULL rows
+    # whose join window is still open at end-of-input are withheld
+    # (documented Spark semantics, same as Flink pre-final-watermark).
+    # Below that horizon the stream must equal the batch left join.
+    assert set(got) <= set(exp)
+    import datetime as dt
+    max_ts = ev_b.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=1, minutes=10)
+    exp_closed = canon_rows(expected.filter(F.col("v_ts") < F.lit(horizon)))
+    got_set = set(got)
+    missing = [r for r in exp_closed if r not in got_set]
+    assert not missing, missing[:5]
+    assert any("None" in r[2] for r in got), "expected NULL-padded no-match views"

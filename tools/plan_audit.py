@@ -24,7 +24,8 @@ ALLOWED_NESTED_LOOP = {
     "q_join_theta", "q_join_cross_topk", "q_llm_knn",
     # 1-row-aggregate broadcast crossJoins (scalar-subquery lowering /
     # corpus-size stat): the nested-loop side is exactly one row.
-    "q_subquery_scalar", "q_llm_tfidf",
+    "q_subquery_scalar", "q_llm_tfidf", "q_llm_keyword_topk",
+    "q_tpch_q11", "q_tpch_q15", "q_tpch_q22",
 }
 
 
