@@ -258,3 +258,127 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"approx_percentile(value, 0.99, {acc})").alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS version,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events
+        WHERE event_type IN ('enroll', 'purchase') AND user_id < 200
+    )
+    SELECT user_id, CAST(version AS INT) AS version, event_type AS state,
+           ts AS valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream: each user's
+    enroll/purchase events become versioned validity intervals —
+    valid_from = the change ts, valid_to = the NEXT change's ts (NULL
+    = current row). This is the standard warehouse pattern for
+    as-of-joinable dimensions (op/asof.py consumes exactly this
+    shape). One window over (user_id) does both the version number and
+    the interval close — single shuffle, no self-join; (ts, event_id)
+    ordering removes same-timestamp ambiguity. At 100 TB the incoming
+    CDC batch would be unioned with each key's current open row before
+    the window — same plan, one extra narrow union."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("enroll", "purchase") & (F.col("user_id") < 200)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
+    "q_ts_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+        FROM events WHERE event_type = 'play'
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                    OR max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    grp AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT user_id, island, MIN(s) AS m_start, MAX(e) AS m_end
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(date_diff('second', m_start, m_end)) AS BIGINT)
+               AS watch_seconds
+    FROM merged
+    GROUP BY user_id
+    """,
+)
+def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge (the course-play watch-time metric a
+    realtime education warehouse reports): each play event opens a
+    5-minute viewing interval; per user, overlapping/adjacent-by-
+    overlap intervals merge into sessions, and total covered seconds
+    is summed WITHOUT double-counting overlap. Classic gaps-and-
+    islands: an interval starts a new island iff its start exceeds the
+    running max end of everything before it; the running SUM of those
+    markers labels islands; min(start)/max(end) per island are the
+    merged bounds. Two windows + two aggs, ALL partitioned by user_id
+    — one shuffle, reused end-to-end. Duration arithmetic is integer
+    seconds (timestamps are μs-aligned), so the sums are exact."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "play")
+    iv = ev.select(
+        "user_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    prev = (
+        Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_e = F.max("e").over(prev)
+    marked = iv.select(
+        "user_id", "s", "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0).alias("new_island"),
+    )
+    grp = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(run).alias("island")
+    )
+    merged = grp.groupBy("user_id", "island").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.expr("timestampdiff(SECOND, m_start, m_end)")
+        ).cast("long").alias("watch_seconds"),
+    )

@@ -527,3 +527,61 @@ def test_interval_left_outer_join_stream_matches_batch(spark, sf_dir, stream_dir
     missing = [r for r in exp_closed if r not in got_set]
     assert not missing, missing[:5]
     assert any("None" in r[2] for r in got), "expected NULL-padded no-match views"
+
+
+def test_checkpoint_restart_recovers_state(spark, sf_dir, stream_dir, tmp_path):
+    """Kill-and-restart recovery (the Flink savepoint story): a windowed
+    aggregation runs 2 of 4 micro-batches, the query stops, and a NEW
+    query with the SAME checkpoint resumes. The restored state store
+    must carry the first half's counts: the post-restart complete-mode
+    output equals the full batch answer, and the restarted query must
+    NOT re-read the already-committed files (its progress shows fewer
+    input rows than the total)."""
+    import time as _t
+
+    from flink_realtime_edu_demo_spark.streaming.jobs import tumbling_counts
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(name):
+        return (
+            tumbling_counts(stream_table(spark, stream_dir, "events"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    q1 = start("ckpt_phase1")
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        p = q1.lastProgress
+        if p and p["batchId"] >= 1 and p["numInputRows"] > 0:
+            break
+        _t.sleep(0.3)
+    q1.stop()
+    q1.awaitTermination(30)
+
+    q2 = start("ckpt_phase2")
+    deadline = _t.time() + 90
+    seen_batches = {}
+    while _t.time() < deadline:
+        p = q2.lastProgress
+        if p is not None:
+            seen_batches[p["batchId"]] = p["numInputRows"]
+        if p and p["numInputRows"] == 0 and p["batchId"] >= 3:
+            break
+        _t.sleep(0.3)
+    q2.stop()
+    q2.awaitTermination(30)
+    rows_after = sum(seen_batches.values())
+
+    got = canon_rows(spark.sql("SELECT * FROM ckpt_phase2"))
+    expected = canon_rows(tumbling_counts(load(spark, sf_dir, "events")))
+    assert got == expected
+    total = load(spark, sf_dir, "events").count()
+    assert 0 < rows_after < total, (
+        f"restart should resume mid-stream, not replay all {total} rows "
+        f"(saw {rows_after})"
+    )
