@@ -749,3 +749,40 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) t
+    WHERE c.c_custkey < 300
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join through the SQL surface (Flink SQL's
+    LATERAL TABLE / top-N-per-correlation idiom), run as an actual
+    ``spark.sql`` LATERAL subquery — exercising the SQL-string entry
+    path end to end (views + parser + decorrelation), not the
+    DataFrame builder. Catalyst rewrites the per-customer ORDER BY ...
+    LIMIT 2 into a ranked window join (DomainJoin → window), so the
+    execution plan is the same scalable shape as q_topn_per_key — no
+    per-row re-execution of the subquery. Ties are impossible:
+    o_orderkey is unique."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_lat")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_customer_lat c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM v_orders_lat o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t
+        WHERE c.c_custkey < 300
+    """)

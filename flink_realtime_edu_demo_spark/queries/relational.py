@@ -224,3 +224,39 @@ def q_agg_null_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.count("o_orderkey").alias("n_orders"),
     )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    WITH arr AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN NULL
+                    WHEN o_orderpriority = '4-NOT SPECIFIED' THEN []
+                    ELSE string_split(o_orderpriority, '-') END AS parts
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, t.part
+    FROM arr, unnest(CASE WHEN parts IS NULL OR len(parts) = 0
+                          THEN [CAST(NULL AS VARCHAR)] ELSE parts END)
+                 AS t(part)
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer / LEFT JOIN LATERAL UNNEST semantics (Flink's
+    ``LEFT JOIN LATERAL TABLE(...) ON TRUE``): rows with NULL or empty
+    arrays survive with a NULL element instead of vanishing — the
+    difference that silently drops records in a plain CROSS JOIN
+    UNNEST pipeline. DuckDB has no explode_outer, so the oracle
+    spells out the exact lowering: substitute ``[NULL]`` for
+    NULL/empty before unnesting. Narrow op, zero shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    parts = (
+        F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("array<string>"))
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED",
+              F.array().cast("array<string>"))
+        .otherwise(F.split("o_orderpriority", "-"))
+    )
+    return o.select(
+        "o_orderkey", F.explode_outer(parts).alias("part")
+    )

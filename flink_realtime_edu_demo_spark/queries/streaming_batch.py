@@ -355,3 +355,67 @@ def q_stream_late_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lateness")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_stream_session_dyngap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL 10 MINUTE
+                         ELSE INTERVAL 30 MINUTE END AS e
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, e,
+               CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) IS NULL
+                    OR ts > max(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, ts, e,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sess
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(e) AS session_end,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, sess
+    """,
+)
+def q_stream_session_dyngap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION window with a DYNAMIC gap (Flink's
+    ``SessionWindowTimeGapExtractor`` / Spark's Column-typed
+    gapDuration): purchases time out after 10 minutes, everything else
+    after 30 — per-event gaps, sessions merge while any event's window
+    still overlaps the next event. The fixed-gap oracle's lag-rewrite
+    is WRONG here (a long-gap event can bridge past a short-gap
+    neighbor), so the oracle uses the running-max-of-window-end
+    islands form, which probe-matches Spark's merge rule exactly
+    (an event AT the previous end merges; strictly after starts a new
+    session). One shuffle on user_id, state = open session per key in
+    streaming mode."""
+    ev = load(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "10 minutes").otherwise(
+        "30 minutes"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )

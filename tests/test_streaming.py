@@ -585,3 +585,33 @@ def test_checkpoint_restart_recovers_state(spark, sf_dir, stream_dir, tmp_path):
         f"restart should resume mid-stream, not replay all {total} rows "
         f"(saw {rows_after})"
     )
+
+
+def test_stateful_funnel_single_pass_matches_batch(spark, sf_dir, stream_dir):
+    """The single-pass keyed-state streaming funnel must converge to the
+    N-shuffle batch funnel exactly: same completing users, same earliest
+    chain timestamps — including chains whose early steps arrive in a
+    LATER micro-batch than their late steps (the candidate-list state
+    makes late early-events improve the chain instead of losing it)."""
+    from flink_realtime_edu_demo_spark.operators.funnel import funnel
+    from flink_realtime_edu_demo_spark.streaming.funnel_state import funnel_stateful
+
+    out = run_to_completion(
+        funnel_stateful(stream_table(spark, stream_dir, "events")), mode="update"
+    )
+    # update mode: emissions only improve (more candidates => lexicographically
+    # <= chain), so the final answer per user is the MIN emission — robust to
+    # memory-sink row ordering across micro-batches
+    final = {}
+    for r in out.collect():
+        c = (r.step_1_us, r.step_2_us, r.step_3_us)
+        final[r.user_id] = min(final.get(r.user_id, c), c)
+
+    exp = {}
+    for r in funnel(load(spark, sf_dir, "events"),
+                    ["view", "click", "purchase"]).collect():
+        to_us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+        exp[r.user_id] = (to_us(r.step_1_ts), to_us(r.step_2_ts),
+                          to_us(r.step_3_ts))
+    assert exp, "fixture should contain completed funnels"
+    assert final == exp
