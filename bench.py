@@ -56,6 +56,10 @@ def main() -> int:
             continue
         timings[key] = round(best, 4)
         print(f"# {key}: {timings[key]:.3f}s", file=sys.stderr, flush=True)
+        # a few queries persist() intermediates they reuse within the
+        # plan; drop leftover cached blocks AFTER timing so they can't
+        # tax later keys' memory in this 150+-query session
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

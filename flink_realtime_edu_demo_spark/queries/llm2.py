@@ -209,11 +209,15 @@ def _rp_sign(p: int, i: int) -> float:
 
 
 def _rp_sql_proj(p: int) -> str:
+    # NO rounding: the ascending fold is bit-identical across engines,
+    # while round(x, 6) is NOT (DuckDB rounds via scaled multiply,
+    # Spark via exact decimal — values within ~1 ulp of a .5e-6
+    # boundary diverge; bit us at sf0.1).
     return (
-        "round(list_reduce(list_transform(generate_series(1, len(e)), "
+        "list_reduce(list_transform(generate_series(1, len(e)), "
         f"i -> e[i] * (CASE WHEN CAST(concat('0x', substring(md5(concat({p}, ':', i - 1)), 1, 1)) AS INT) % 2 = 0 "
         "THEN 1.0 ELSE -1.0 END)), "
-        f"(a, b) -> a + b), 6) AS proj_{p}"
+        f"(a, b) -> a + b) AS proj_{p}"
     )
 
 
@@ -238,7 +242,9 @@ def q_llm_rand_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions — no UDF. The sign matrix is derived from md5("p:i")
     (identical bytes in Python's hashlib and DuckDB's md5), and each
     projection is an ascending ordered fold seeded at 0.0, so both
-    engines accumulate in the same order; rounded to 6 decimals.
+    engines accumulate in the same order — emitted unrounded
+    (the fold is bit-identical; decimal rounding is the only thing the
+    two engines do differently).
     Output = one scalar column per target dim (long/pivoted layouts
     both defensible; scalar columns keep the driver's pandas
     canonicalization happy)."""
@@ -249,8 +255,7 @@ def q_llm_rand_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
         signs = F.array(*[F.lit(_rp_sign(p, i)) for i in range(_RP_DIM)])
         prod = F.zip_with(vec_d, signs, lambda x, s: x * s)
         cols.append(
-            F.round(
-                F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x), 6
-            ).alias(f"proj_{p}")
+            F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+            .alias(f"proj_{p}")
         )
     return e.select("vec_id", *cols)

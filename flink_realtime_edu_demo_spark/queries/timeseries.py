@@ -382,3 +382,78 @@ def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampdiff(SECOND, m_start, m_end)")
         ).cast("long").alias("watch_seconds"),
     )
+
+
+@query(
+    "q_agg_regression",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               o_totalprice AS y
+        FROM orders
+    ),
+    sums AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(x) AS sx,
+               SUM(x * x) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(28,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(y * y AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+               AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+    FROM sums
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear regression (price trend over order date) — the
+    Flink SQL REGR_SLOPE/REGR_INTERCEPT/R² family, computed from the
+    five classical sufficient statistics in ONE grouping pass. The
+    builtin regr_* aggregates accumulate floats in partition order
+    (non-deterministic across engines), so both sides instead fold
+    EXACT sums — integer x/x², decimal y/xy/y² — and derive
+    slope/intercept/r² with identical double arithmetic on identical
+    inputs: bit-stable. This is also the 100 TB shape: sufficient
+    statistics are algebraic (map-side partials, constant size per
+    group), where a two-pass covariance would re-scan."""
+    o = load(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1995-01-01").cast("date")).cast("long")
+    y = F.col("o_totalprice")
+    sums = o.select("o_orderpriority", x.alias("x"), y.alias("y")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,2)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,4)"))
+        .cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    # derived stats rounded to 9 dp: the inputs are exact, but the final
+    # double expression trees differ by ~2 ulp between engines (fused
+    # evaluation order) — rounding pins the hash without losing signal
+    return sums.select(
+        "o_orderpriority", "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9)
+        .alias("intercept"),
+        F.round(
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            9,
+        ).alias("r2"),
+    )

@@ -15,9 +15,11 @@ connector that matter at 100 TB:
   EqualTo on ``event_type`` prunes inside the generator — accepted
   filters are REMOVED from Spark's post-scan Filter, observable in the
   plan (tests assert both the row counts and the pruned plan).
-- **micro-batch streaming** (``DataSourceStreamReader``): offsets are
-  row positions; each trigger manufactures the next slice with the
-  SAME deterministic content as the batch path, so stream == batch is
+- **micro-batch streaming** (``SimpleDataSourceStreamReader``):
+  offsets are row positions handed BACK to ``read(start)`` from the
+  checkpoint, so a restarted query resumes exactly at the committed
+  position; each trigger manufactures the next slice with the SAME
+  deterministic content as the batch path, so stream == batch is
   testable exactly (the Flink "bounded stream replay" property).
 
 Determinism: row *i* is a pure function of (seed, i) via the same
@@ -38,7 +40,6 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -46,6 +47,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -94,10 +96,14 @@ class EduEventsReader(DataSourceReader):
         for f in filters:
             col = f.attribute[0] if len(f.attribute) == 1 else None
             if col == "event_id" and isinstance(
-                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                    LessThanOrEqual)
             ):
                 v = int(f.value)
-                if isinstance(f, GreaterThan):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
                     self.lo = max(self.lo, v + 1)
                 elif isinstance(f, GreaterThanOrEqual):
                     self.lo = max(self.lo, v)
@@ -129,40 +135,41 @@ class EduEventsReader(DataSourceReader):
             yield row
 
 
-class EduEventsStreamReader(DataSourceStreamReader):
-    """Row-position offsets; each micro-batch advances by
-    rows_per_batch until the configured total is exhausted — a bounded
-    replayable stream with batch-identical content."""
+class EduEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream reader with row-position offsets.
+
+    Implemented as a SimpleDataSourceStreamReader deliberately: the
+    simple API passes the COMMITTED start offset into ``read(start)``,
+    so position is a pure function of the checkpoint — a restarted
+    query resumes exactly where the offset log says, with no
+    driver-side mutable position that could regress and re-emit rows
+    (the partition-planning stream API gives latestOffset() no start
+    argument, making the restart path unfixable inside the reader).
+    Replays of an uncommitted batch go through readBetweenOffsets with
+    the logged range and regenerate identical rows (deterministic
+    generator), so the source is exactly-once under both failure
+    modes. tests/test_pyds.py drives the kill-and-restart path.
+    """
 
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 1000))
-        self.n_parts = int(options.get("partitions", 4))
         self.seed = int(options.get("seed", 42))
         self.n_users = int(options.get("users", 100))
         self.per_batch = int(options.get("rowsperbatch", 250))
-        self._pos = 0
 
     def initialOffset(self):
         return {"pos": 0}
 
-    def latestOffset(self):
-        self._pos = min(self.n_rows, self._pos + self.per_batch)
-        return {"pos": self._pos}
+    def _rows(self, lo: int, hi: int):
+        return [_gen_row(self.seed, i, self.n_users) for i in range(lo, hi)]
 
-    def partitions(self, start, end):
-        lo, hi = int(start["pos"]), int(end["pos"])
-        n = max(1, self.n_parts)
-        span = max(1, -(-(hi - lo) // n)) if hi > lo else 1
-        parts = []
-        s = lo
-        while s < hi:
-            parts.append(_RangePartition(s, min(s + span, hi)))
-            s += span
-        return parts or [_RangePartition(lo, lo)]
+    def read(self, start):
+        lo = int(start["pos"])
+        hi = min(self.n_rows, lo + self.per_batch)
+        return iter(self._rows(lo, hi)), {"pos": hi}
 
-    def read(self, partition: _RangePartition):
-        for i in range(partition.start, partition.end):
-            yield _gen_row(self.seed, i, self.n_users)
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(int(start["pos"]), int(end["pos"])))
 
     def commit(self, end):
         pass  # offsets are pure row positions; nothing to release
@@ -182,7 +189,7 @@ class EduEventsDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return EduEventsReader(self.options)
 
-    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
         return EduEventsStreamReader(self.options)
 
 

@@ -211,3 +211,26 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_tpch_q13_without_broadcast_matches_default(spark, sf_dir):
+    """Broadcast-budget degradation: when a dim outgrows the broadcast
+    threshold on a real cluster, hint-free joins fall back to
+    sort-merge — the answer must not change. q_tpch_q13 is hint-free,
+    so disabling autoBroadcast exercises the SMJ path end to end; the
+    plan must actually change strategy, the rows must not."""
+    import flink_realtime_edu_demo_spark.queries  # noqa: F401 — populate registry
+    from flink_realtime_edu_demo_spark.registry import QUERIES
+
+    q = QUERIES["q_tpch_q13"]
+    default_rows = sorted(map(repr, q(spark, sf_dir).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:600]
+        smj_rows = sorted(map(repr, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert smj_rows == default_rows

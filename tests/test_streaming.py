@@ -543,39 +543,39 @@ def test_checkpoint_restart_recovers_state(spark, sf_dir, stream_dir, tmp_path):
 
     ckpt = str(tmp_path / "ckpt")
 
-    def start(name):
+    def start(name, trigger):
         return (
             tumbling_counts(stream_table(spark, stream_dir, "events"))
             .writeStream.format("memory").queryName(name)
             .outputMode("complete")
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="500 milliseconds")
+            .trigger(processingTime=trigger)
             .start()
         )
 
-    q1 = start("ckpt_phase1")
+    # slow trigger: batch 1 won't start for 5s, so stopping right after
+    # batch 0 commits provably leaves 3 of 4 files unread
+    q1 = start("ckpt_phase1", "5 seconds")
     deadline = _t.time() + 60
     while _t.time() < deadline:
         p = q1.lastProgress
-        if p and p["batchId"] >= 1 and p["numInputRows"] > 0:
+        if p and p["numInputRows"] > 0:
             break
-        _t.sleep(0.3)
+        _t.sleep(0.2)
     q1.stop()
     q1.awaitTermination(30)
 
-    q2 = start("ckpt_phase2")
+    q2 = start("ckpt_phase2", "300 milliseconds")
     deadline = _t.time() + 90
-    seen_batches = {}
     while _t.time() < deadline:
         p = q2.lastProgress
-        if p is not None:
-            seen_batches[p["batchId"]] = p["numInputRows"]
         if p and p["numInputRows"] == 0 and p["batchId"] >= 3:
             break
         _t.sleep(0.3)
     q2.stop()
     q2.awaitTermination(30)
-    rows_after = sum(seen_batches.values())
+    # recentProgress keeps every batch's progress (no polling races)
+    rows_after = sum(pr["numInputRows"] for pr in q2.recentProgress)
 
     got = canon_rows(spark.sql("SELECT * FROM ckpt_phase2"))
     expected = canon_rows(tumbling_counts(load(spark, sf_dir, "events")))
@@ -607,10 +607,19 @@ def test_stateful_funnel_single_pass_matches_batch(spark, sf_dir, stream_dir):
         c = (r.step_1_us, r.step_2_us, r.step_3_us)
         final[r.user_id] = min(final.get(r.user_id, c), c)
 
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    us = dt.timedelta(microseconds=1)
+
+    def to_us(t):
+        # NTZ-safe integer conversion — t.timestamp() would interpret
+        # the naive datetime in the OS timezone and float-truncate
+        return (t - epoch) // us
+
     exp = {}
     for r in funnel(load(spark, sf_dir, "events"),
                     ["view", "click", "purchase"]).collect():
-        to_us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
         exp[r.user_id] = (to_us(r.step_1_ts), to_us(r.step_2_ts),
                           to_us(r.step_3_ts))
     assert exp, "fixture should contain completed funnels"
