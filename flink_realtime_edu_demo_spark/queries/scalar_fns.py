@@ -563,3 +563,43 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           {'p': o_orderpriority, 's': o_orderstatus}.p AS pri,
+           ({'a': o_totalprice, 'k': o_orderkey}
+            < {'a': 1000.0, 'k': CAST(0 AS BIGINT)}) AS under_1k_first,
+           CASE WHEN o_orderstatus = 'F'
+                THEN {'x': o_custkey, 'y': o_orderkey}.x
+                ELSE {'x': o_custkey, 'y': o_orderkey}.y END AS picked
+    FROM orders
+    WHERE o_orderkey < 5000
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW/struct value functions (Flink SQL ROW(...) constructor, field
+    access, and lexicographic row comparison): build nested structs
+    inline, read fields back, and use whole-struct `<` ordering — the
+    tuple-comparison idiom behind multi-key arg-min and as-of ties.
+    Both engines compare structs field-by-field lexicographically.
+    Output columns are scalars extracted FROM the structs (nested
+    output types don't survive the driver's pandas canonicalization —
+    same policy as the map/array keys). Narrow, zero shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    ps = F.struct(F.col("o_orderpriority").alias("p"),
+                  F.col("o_orderstatus").alias("s"))
+    cmp_l = F.struct(F.col("o_totalprice").alias("a"),
+                     F.col("o_orderkey").alias("k"))
+    cmp_r = F.struct(F.lit(1000.0).alias("a"),
+                     F.lit(0).cast("long").alias("k"))
+    xy = F.struct(F.col("o_custkey").alias("x"), F.col("o_orderkey").alias("y"))
+    return o.select(
+        "o_orderkey",
+        ps.getField("p").alias("pri"),
+        (cmp_l < cmp_r).alias("under_1k_first"),
+        F.when(F.col("o_orderstatus") == "F", xy.getField("x"))
+        .otherwise(xy.getField("y")).alias("picked"),
+    )
