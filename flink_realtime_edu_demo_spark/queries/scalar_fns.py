@@ -603,3 +603,39 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", xy.getField("x"))
         .otherwise(xy.getField("y")).alias("picked"),
     )
+
+
+@query(
+    "q_fn_monthmath",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 1 MONTH AS plus1m,
+           o_orderdate - INTERVAL 3 MONTH AS minus3m,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS am2,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST((2001 - year(o_orderdate)) * 12
+                + (6 - month(o_orderdate)) AS INT) AS months_to_mid01
+    FROM orders
+    WHERE o_orderkey < 4000
+    """,
+)
+def q_fn_monthmath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month arithmetic — the end-of-month clamp family
+    (Flink's TIMESTAMPADD(MONTH, ...) / LAST_DAY): Jan 31 + 1 month =
+    Feb 29, probe-verified identical clamping in Spark and DuckDB for
+    timestamp+INTERVAL, date+INTERVAL (add_months), and subtraction.
+    Whole-month distance is computed as the explicit
+    (Δyear·12 + Δmonth) formula in BOTH engines — months_between /
+    date_diff('month') have engine-specific fraction/boundary rules
+    and are deliberately avoided. Narrow, zero shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH")).alias("plus1m"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 3 MONTH")).alias("minus3m"),
+        F.add_months(d, 2).alias("am2"),
+        F.last_day(d).alias("eom"),
+        ((2001 - F.year("o_orderdate")) * 12 + (6 - F.month("o_orderdate")))
+        .cast("int").alias("months_to_mid01"),
+    )

@@ -457,3 +457,56 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("r2"),
     )
+
+
+@query(
+    "q_scd2_asof_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, ts AS valid_from, event_type AS state,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events
+        WHERE event_type IN ('enroll', 'purchase') AND user_id < 200
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.state, d.valid_from
+    FROM events e
+    JOIN dim d
+      ON d.user_id = e.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    WHERE e.event_type = 'view' AND e.user_id < 200
+    """,
+)
+def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table join end to end (Flink's ``FOR SYSTEM_TIME AS
+    OF``): view events enriched with the SCD2 state (q_scd2_build's
+    interval shape) valid AT each event's timestamp. Lowered to an
+    equi-join on the entity key plus the interval predicate — ONE
+    shuffle on user_id; within a key the interval scan is bounded by
+    that key's version count (tiny), so no range-join explosion. The
+    non-overlapping-intervals invariant (by construction: valid_to =
+    next valid_from) guarantees at most one match per event — exactly
+    the as-of semantics, without needing the op/asof.py union trick
+    because the dimension is already intervalized."""
+    ev = load(spark, sf_dir, "events")
+    changes = ev.filter(
+        F.col("event_type").isin("enroll", "purchase") & (F.col("user_id") < 200)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = changes.select(
+        F.col("user_id").alias("d_uid"),
+        F.col("ts").alias("valid_from"),
+        F.col("event_type").alias("state"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    views = ev.filter((F.col("event_type") == "view") & (F.col("user_id") < 200))
+    return (
+        views.join(
+            dim,
+            (views.user_id == dim.d_uid)
+            & (views.ts >= dim.valid_from)
+            & (dim.valid_to.isNull() | (views.ts < dim.valid_to)),
+        )
+        .select("event_id", "user_id", "ts", "state", "valid_from")
+    )
