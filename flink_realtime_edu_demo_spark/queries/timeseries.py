@@ -260,6 +260,25 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD2 interval construction — the single source of truth
+    for BOTH the build query and the temporal-join consumer, so the
+    change-event set, tie-break ordering, and interval-close rule can
+    never silently diverge between them. Columns: user_id, version,
+    state, valid_from, valid_to (NULL = current)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("enroll", "purchase") & (F.col("user_id") < 200)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
 @query(
     "q_scd2_build",
     oracle="""
@@ -289,17 +308,9 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering removes same-timestamp ambiguity. At 100 TB the incoming
     CDC batch would be unioned with each key's current open row before
     the window — same plan, one extra narrow union."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("enroll", "purchase") & (F.col("user_id") < 200)
+    return _scd2_dim(spark, sf_dir).withColumn(
+        "is_current", F.col("valid_to").isNull()
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        F.row_number().over(w).cast("int").alias("version"),
-        F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-    ).withColumn("is_current", F.col("valid_to").isNull())
 
 
 @query(
@@ -490,15 +501,8 @@ def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the as-of semantics, without needing the op/asof.py union trick
     because the dimension is already intervalized."""
     ev = load(spark, sf_dir, "events")
-    changes = ev.filter(
-        F.col("event_type").isin("enroll", "purchase") & (F.col("user_id") < 200)
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = changes.select(
-        F.col("user_id").alias("d_uid"),
-        F.col("ts").alias("valid_from"),
-        F.col("event_type").alias("state"),
-        F.lead("ts").over(w).alias("valid_to"),
+    dim = _scd2_dim(spark, sf_dir).select(
+        F.col("user_id").alias("d_uid"), "valid_from", "state", "valid_to"
     )
     views = ev.filter((F.col("event_type") == "view") & (F.col("user_id") < 200))
     return (

@@ -499,13 +499,30 @@ def test_interval_left_outer_join_stream_matches_batch(spark, sf_dir, stream_dir
     from flink_realtime_edu_demo_spark.streaming.jobs import interval_join_outer
 
     ev_s = stream_table(spark, stream_dir, "events")
-    out = run_to_completion(
-        interval_join_outer(
-            ev_s.filter(F.col("event_type") == "view"),
-            ev_s.filter(F.col("event_type") == "purchase"),
-        ),
-        mode="append",
+    sdf = interval_join_outer(
+        ev_s.filter(F.col("event_type") == "view"),
+        ev_s.filter(F.col("event_type") == "purchase"),
     )
+    name = "outer_join_mem"
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # the ACTUAL final event-time watermark the query reached — the
+    # mechanism that decides which NULL rows were eligible for emission
+    wm = None
+    for pr in reversed(q.recentProgress):
+        w = pr.get("eventTime", {}).get("watermark")
+        if w:
+            wm = w
+            break
+    assert wm is not None, "query reported no watermark"
+    import datetime as dt
+
+    final_wm = dt.datetime.fromisoformat(wm.replace("Z", ""))
+    out = spark.sql(f"SELECT * FROM {name}")
+
     ev_b = load(spark, sf_dir, "events")
     expected = interval_join_outer(
         ev_b.filter(F.col("event_type") == "view"),
@@ -513,24 +530,18 @@ def test_interval_left_outer_join_stream_matches_batch(spark, sf_dir, stream_dir
     )
     got = canon_rows(out)
     exp = canon_rows(expected)
-    # Streamed outer results are emitted on state eviction; after the
-    # LAST micro-batch the watermark never advances again, so NULL rows
-    # whose join window is still open at end-of-input are withheld
-    # (documented Spark semantics, same as Flink pre-final-watermark).
-    # Below that horizon the stream must equal the batch left join.
+    # Streamed outer results are emitted on state eviction: a view's
+    # NULL row becomes eligible exactly when the watermark passes
+    # v_ts + window(1h). Everything the stream emitted must be in the
+    # batch answer, and every batch row whose window closed BEFORE the
+    # final watermark must have been emitted — no slack, derived from
+    # the query's own reported watermark.
     assert set(got) <= set(exp)
-    import datetime as dt
-    max_ts = ev_b.agg(F.max("ts")).collect()[0][0]
-    # window(1h) + watermark delay(10m) + 1h slack: the final batch's
-    # watermark derives from the PENULTIMATE batch's max event time
-    # (watermark updates lag one micro-batch), so rows within roughly
-    # one batch's time-span of the exact horizon may legitimately be
-    # withheld at end-of-input
-    horizon = max_ts - dt.timedelta(hours=2, minutes=10)
+    horizon = final_wm - dt.timedelta(hours=1)
     exp_closed = canon_rows(expected.filter(F.col("v_ts") < F.lit(horizon)))
     got_set = set(got)
     missing = [r for r in exp_closed if r not in got_set]
-    assert not missing, missing[:5]
+    assert not missing, (wm, missing[:5])
     assert any("None" in r[2] for r in got), "expected NULL-padded no-match views"
 
 
