@@ -271,3 +271,147 @@ def test_match_recognize_matches_reference(spark, types, pat):
         for r in match_recognize(ev, pattern, ts="event_id").collect()
     )
     assert got == [(s, e) for s, e in want], (types, pat, got, want)
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # user
+        st.integers(0, 3_000),    # start offset (s)
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ivs=intervals_strategy)
+def test_interval_merge_matches_union_reference(spark, ivs):
+    """The gaps-and-islands overlap merge (q_ts_interval_merge's core)
+    must equal a brute-force interval-union calculator: per user, total
+    covered seconds and number of merged islands for 300s-wide
+    intervals at random offsets — overlap, containment, exact-touch
+    and duplicate starts all arise under random data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    width = 300
+    rows = [(u, BASE + dt.timedelta(seconds=s)) for u, s in ivs]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows,
+        StructType([StructField("user_id", LongType()),
+                    StructField("s", TimestampNTZType())]),
+    ).withColumn("e", F.col("s") + F.expr(f"INTERVAL {width} SECONDS"))
+
+    prev = (Window.partitionBy("user_id").orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    run = (Window.partitionBy("user_id").orderBy("s", "e")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pme = F.max("e").over(prev)
+    grp = (
+        df.select("user_id", "s", "e",
+                  F.when(pme.isNull() | (F.col("s") > pme), 1)
+                  .otherwise(0).alias("ni"))
+        .select("user_id", "s", "e", F.sum("ni").over(run).alias("island"))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_islands"),
+             F.sum(F.expr("timestampdiff(SECOND, ms, me)")).alias("covered"))
+    )
+    got = {r.user_id: (r.n_islands, r.covered) for r in grp.collect()}
+
+    # brute-force union per user (merge sorted [s, s+width) intervals;
+    # touching intervals merge, matching the islands `s > max_prev_e`)
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for u, s in ivs:
+        per_user[u].append((s, s + width))
+    exp = {}
+    for u, iv in per_user.items():
+        iv.sort()
+        merged = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        exp[u] = (len(merged), sum(e - s for s, e in merged))
+    assert got == exp
+
+
+scd2_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),           # user
+        st.integers(0, 5_000),       # ts offset
+        st.sampled_from(["enroll", "purchase", "view"]),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=scd2_events)
+def test_scd2_enrich_matches_pointwise_reference(spark, evs):
+    """Temporal-join invariant (q_scd2_asof_enrich's core): every view
+    event joined against SCD2 intervals gets exactly the state of the
+    LAST change at-or-before its timestamp (none if no prior change),
+    per a brute-force point-in-time lookup. Ties between a change and
+    a view at the same ts mean the view sees that change (valid_from
+    inclusive); duplicate change timestamps are ordered by event_id."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from pyspark.sql.types import StringType
+
+    rows = [
+        (i, u, BASE + dt.timedelta(seconds=s), et)
+        for i, (u, s, et) in enumerate(evs)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("event_type", StringType()),
+        ]),
+    )
+    changes = df.filter(F.col("event_type").isin("enroll", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = changes.select(
+        F.col("user_id").alias("d_uid"),
+        F.col("ts").alias("valid_from"),
+        F.col("event_id").alias("d_eid"),
+        F.col("event_type").alias("state"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    views = df.filter(F.col("event_type") == "view")
+    got = {
+        r.event_id: r.state
+        for r in views.join(
+            dim,
+            (views.user_id == dim.d_uid)
+            & (views.ts >= dim.valid_from)
+            & (dim.valid_to.isNull() | (views.ts < dim.valid_to)),
+        ).select("event_id", "state").collect()
+    }
+
+    exp = {}
+    for i, (u, s, et) in enumerate(evs):
+        if et != "view":
+            continue
+        # last change at-or-before this view's ts ((ts, event_id) order)
+        cand = [
+            (cs, ci, cet)
+            for ci, (cu, cs, cet) in enumerate(evs)
+            if cu == u and cet in ("enroll", "purchase") and cs <= s
+        ]
+        if cand:
+            exp[i] = max(cand)[2]
+    assert got == exp
