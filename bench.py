@@ -5,6 +5,8 @@ Env:
   SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   SPARK_GRAFT_BENCH_REPEAT  timing repeats per query, best-of (default 1)
+  SPARK_GRAFT_BENCH_KEYS    comma-separated key subset (default: all) —
+                            for fast artifact-contract tests/smokes
 
 Timing = full query wall clock: plan + execute + collect to the driver
 (the driver's own verify collects too). Session startup is excluded;
@@ -41,9 +43,15 @@ def main() -> int:
     _noop = F.pandas_udf(lambda s: s, "long")
     spark.range(32).repartition(32).select(_noop("id")).collect()
 
+    subset = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    keys = (
+        [k for k in subset.split(",") if k in QUERIES]
+        if subset
+        else sorted(QUERIES)
+    )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for key in sorted(QUERIES):
+    for key in keys:
         best = float("inf")
         try:
             for _ in range(repeat):

@@ -1,0 +1,45 @@
+"""The bench artifact is a per-round driver deliverable — guard its
+contract: exactly one JSON line on stdout with the agreed fields, and a
+broken query degrades to an `errors` entry instead of voiding the run.
+Runs bench.py as a real subprocess (its own SparkSession) over a 2-key
+subset at sf0.001 so the test stays fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(keys: str) -> tuple[str, str, int]:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_KEYS=keys,
+    )
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    return p.stdout, p.stderr, p.returncode
+
+
+def test_bench_emits_one_parseable_json_line():
+    out, err, rc = _run_bench("q_agg_basic,q_fn_hash")
+    assert rc == 0, err[-2000:]
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE json line on stdout, got: {lines}"
+    d = json.loads(lines[0])
+    assert d["metric"] == "total_wall_clock_all_queries"
+    assert d["unit"] == "sec"
+    assert d["sf"] == 0.001
+    assert set(d["queries"]) == {"q_agg_basic", "q_fn_hash"}
+    assert d["n_queries"] == 2
+    assert d["value"] > 0
+    assert all(v > 0 for v in d["queries"].values())
+    assert "errors" not in d
