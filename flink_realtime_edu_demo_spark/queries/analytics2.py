@@ -469,39 +469,37 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXISTS(other supplier in order)        ⇔  #distinct suppliers ≥ 2
       NOT EXISTS(other LATE supplier)        ⇔  #distinct late suppliers = 1
 
-    The li⋈o join is computed once (persist) and feeds both the
-    per-order counts and the late-pair set; everything downstream is
-    keyed by orderkey (co-partitioned with the join output), then one
-    final s_name agg. PLANS.md counts 5 static exchanges — the two
-    consumers of the cached join plus the orderkey re-joins — which is
-    the honest cost of a doubly-nested EXISTS; supplier/nation
-    broadcast. Ties on numwait break on the unique s_name; the final
-    top-20 is TakeOrderedAndProject."""
+    ONE aggregate carries everything: per order, the distinct-supplier
+    count, the distinct-LATE-supplier count, AND the late supplier's id
+    — when exactly one supplier is late, max(late suppkey) IS that
+    supplier, so the qualifying orders need no join back to the late
+    pairs at all. Plan: li⋈o (the one fact⋈fact shuffle), a per-order
+    agg that REUSES the join's orderkey partitioning (no exchange),
+    then the tiny s_name agg — 3 exchanges where the textbook
+    late-pair-join lowering costs 5; supplier/nation broadcast. Ties
+    on numwait break on the unique s_name; the final top-20 is
+    TakeOrderedAndProject."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
 
-    # persist: per_order and late_pairs both consume this join — without
-    # the marker the li⋈o shuffle runs twice
     lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_suppkey",
         (F.col("l_shipdate")
          > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
-    ).persist()
+    )
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
     per_order = lo.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
-    )
-    late_pairs = (
-        lo.filter("late").select("l_orderkey", "l_suppkey").distinct()
+        F.count_distinct(late_supp).alias("n_late"),
+        F.max(late_supp).alias("waiting_supp"),
     )
     return (
-        late_pairs.join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-                        "l_orderkey")
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(F.broadcast(s.join(F.broadcast(n),
                                  s.s_nationkey == n.n_nationkey)),
-              F.col("l_suppkey") == F.col("s_suppkey"))
+              F.col("waiting_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

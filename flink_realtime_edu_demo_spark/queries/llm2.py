@@ -172,7 +172,13 @@ def q_llm_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     values identically. df is computed over the FULL corpus before the
     doc_id<100 output restriction. The ranking runs in a window
     partitioned by doc_id (doc_id keys ≫ cores — never a
-    single-partition window)."""
+    single-partition window). PLANS.md counts 5 exchanges; the
+    breakdown is benign: the tf aggregate (Catalyst clones it so the
+    doc_id<100 pushdown reaches one copy while df's copy sees the full
+    corpus — required for correct document frequencies), df's two-level
+    distinct agg, the 1-row corpus count, and the window — every one
+    but the first carries already-aggregated vocabulary-sized data,
+    and df reaches tf as a broadcast, never re-exchanging tf."""
     d = load(spark, sf_dir, "documents")
     tokens = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -185,8 +191,11 @@ def q_llm_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # df is vocabulary-sized (distinct tokens ≪ corpus) — broadcast it
+    # so tf keeps its (doc_id, token) partitioning instead of
+    # re-exchanging by token for a sort-merge join
     scored = (
-        tf.join(df, "token")
+        tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "token", F.round(F.col("tf") * idf, 6).alias("tfidf_r"))
     )
