@@ -44,13 +44,17 @@ def main() -> int:
     spark.range(32).repartition(32).select(_noop("id")).collect()
 
     subset = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
-    keys = (
-        [k for k in subset.split(",") if k in QUERIES]
-        if subset
-        else sorted(QUERIES)
-    )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    if subset:
+        requested = [k for k in subset.split(",") if k]
+        keys = [k for k in requested if k in QUERIES]
+        for k in requested:  # a typo'd key must not silently shrink the run
+            if k not in QUERIES:
+                errors[k] = "unknown key (not in QUERIES)"
+                print(f"# {k}: UNKNOWN KEY", file=sys.stderr, flush=True)
+    else:
+        keys = sorted(QUERIES)
     for key in keys:
         best = float("inf")
         try:

@@ -213,13 +213,16 @@ def register_queries() -> None:
                COUNT(*) AS n_copies
         FROM documents
         GROUP BY md5(text)
-        HAVING COUNT(*) > 1
         """,
     )
     def q_mm_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Binary payload dedup by content hash."""
+        """Binary payload dedup by content hash — survivor manifest
+        (one row per distinct payload with its copy count), not a
+        HAVING>1 duplicate report: the small fixtures have no byte-
+        identical payloads, so duplicates-only output would be an
+        empty==empty vacuous oracle match."""
         media = media_from_documents(load(spark, sf_dir, "documents"))
-        return dedup_by_payload(media).filter(F.col("n_copies") > 1).select(
+        return dedup_by_payload(media).select(
             "payload_md5", "keep_media_id", "n_copies"
         )
 

@@ -222,7 +222,9 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(e.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM eligible e CROSS JOIN avg_bal
     WHERE e.c_acctbal > avg_bal.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
     GROUP BY e.cntrycode
     """,
 )
@@ -230,12 +232,16 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity): scalar-average subquery +
     NOT EXISTS anti-join + group. The fixture customer has no phone, so
     cntrycode = the custkey's last two digits via c_name (same
-    substring-classifier shape as the original's phone prefix). Plan:
-    the eligible slice is scanned once (persist) for both the scalar
-    average and the probe; the scalar broadcasts; NOT EXISTS lowers to
-    a LEFT ANTI join against orders on custkey — at 100 TB that is the
-    one real shuffle (both sides hashed on custkey); the final agg is
-    a handful of groups."""
+    substring-classifier shape as the original's phone prefix), and the
+    "never ordered" predicate is scoped to orders placed in 1995 — on
+    this fixture every customer has SOME order, so the unscoped
+    anti-join would be vacuously empty and prove nothing. Plan: the
+    eligible slice is scanned once (persist) for both the scalar
+    average and the probe; the scalar broadcasts; NOT EXISTS with the
+    pushed date predicate lowers to a LEFT ANTI join against the
+    filtered orders on custkey — at 100 TB that is the one real shuffle
+    (both sides hashed on custkey); the final agg is a handful of
+    groups."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     eligible = (
@@ -249,7 +255,16 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eligible.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+        .join(
+            o.filter(
+                (F.col("o_orderdate")
+                 >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate")
+                   < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            ),
+            eligible.c_custkey == o.o_custkey,
+            "left_anti",
+        )
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
@@ -703,7 +718,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN part_total pt ON pt.l_partkey = sh.l_partkey
         JOIN part p ON p.p_partkey = sh.l_partkey
         WHERE p.p_name LIKE 'small%'
-          AND sh.qty_1996 > 0.3 * pt.qty_all
+          AND sh.qty_1996 > 0.05 * pt.qty_all
     )
     SELECT s.s_name, s.s_acctbal
     FROM supplier s
@@ -714,8 +729,10 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20-shaped excess-inventory suppliers (no partsupp /
-    ps_availqty: "excess" = the supplier shipped >30% of a small-part's
-    whole-corpus quantity in 1996 alone). The nested IN-chain lowers to a
+    ps_availqty: "excess" = the supplier shipped >5% of a small-part's
+    whole-corpus quantity in 1996 alone — tuned to the fixture's flat
+    supplier distribution, where the classic 30% bar never fires and
+    would make the key vacuously empty). The nested IN-chain lowers to a
     LEFT SEMI join onto the deduped excess-supplier set. Quantity sums
     are integral-valued doubles (exact in any order), so the 0.3×
     threshold can't drift. Two lineitem aggregates share the partkey
@@ -738,7 +755,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     excess = (
         shipped.join(part_total, shipped.l_partkey == part_total.ptk)
         .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
-        .filter(F.col("qty_1996") > 0.3 * F.col("qty_all"))
+        .filter(F.col("qty_1996") > 0.05 * F.col("qty_all"))
         .select("l_suppkey")
         .distinct()
     )

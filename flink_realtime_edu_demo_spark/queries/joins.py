@@ -120,13 +120,18 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority LIKE '1-%')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join — NOT EXISTS: customers with no orders at all."""
+    """LEFT ANTI join — NOT EXISTS: customers with no URGENT orders.
+    The priority filter keeps the key non-vacuous: every fixture
+    customer has some order, so an unfiltered "no orders at all"
+    anti-join would return 0 rows at every SF and the oracle match
+    would prove nothing (empty == empty)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority").like("1-%"))
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )

@@ -41,13 +41,18 @@ STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
            md5(text) AS text_md5
     FROM documents
     GROUP BY text
-    HAVING COUNT(*) > 1
     """,
 )
 def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: group identical texts, keep the smallest doc_id.
-    At 100 TB group on a hash of the text (shuffle moves 16-byte keys,
-    not documents) — md5 doubles as the oracle-checkable fingerprint."""
+    """Exact dedup: group identical texts, keep the smallest doc_id —
+    the output is the full survivor manifest (one row per distinct
+    text, with its copy count), i.e. the deduplicated corpus. The
+    manifest form rather than a HAVING>1 duplicate report keeps the
+    key non-vacuous: the small fixtures contain no exact duplicates
+    (first appear at sf0.1), so a duplicates-only output would be
+    empty==empty and verify nothing. At 100 TB group on a hash of the
+    text (shuffle moves 16-byte keys, not documents) — md5 doubles as
+    the oracle-checkable fingerprint."""
     d = load(spark, sf_dir, "documents")
     return (
         d.groupBy("text")
@@ -56,7 +61,6 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
             F.md5(F.col("text").cast("binary")).alias("text_md5"),
         )
-        .filter(F.col("n_copies") > 1)
         .select("keep_doc_id", "n_copies", "text_md5")
     )
 

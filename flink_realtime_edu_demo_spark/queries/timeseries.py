@@ -267,7 +267,7 @@ def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     never silently diverge between them. Columns: user_id, version,
     state, valid_from, valid_to (NULL = current)."""
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("enroll", "purchase") & (F.col("user_id") < 200)
+        F.col("event_type").isin("signup", "purchase") & (F.col("user_id") < 200)
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -289,7 +289,7 @@ def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS valid_to
         FROM events
-        WHERE event_type IN ('enroll', 'purchase') AND user_id < 200
+        WHERE event_type IN ('signup', 'purchase') AND user_id < 200
     )
     SELECT user_id, CAST(version AS INT) AS version, event_type AS state,
            ts AS valid_from, valid_to,
@@ -299,7 +299,7 @@ def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build from a change stream: each user's
-    enroll/purchase events become versioned validity intervals —
+    signup/purchase events become versioned validity intervals —
     valid_from = the change ts, valid_to = the NEXT change's ts (NULL
     = current row). This is the standard warehouse pattern for
     as-of-joinable dimensions (op/asof.py consumes exactly this
@@ -318,7 +318,7 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH iv AS (
         SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
-        FROM events WHERE event_type = 'play'
+        FROM events WHERE event_type = 'view'
     ),
     marked AS (
         SELECT user_id, s, e,
@@ -344,15 +344,15 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_sessions,
-           CAST(SUM(date_diff('second', m_start, m_end)) AS BIGINT)
-               AS watch_seconds
+           CAST(SUM((epoch_us(m_end) - epoch_us(m_start)) // 1000000)
+                AS BIGINT) AS watch_seconds
     FROM merged
     GROUP BY user_id
     """,
 )
 def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-interval merge (the course-play watch-time metric a
-    realtime education warehouse reports): each play event opens a
+    realtime education warehouse reports): each view event opens a
     5-minute viewing interval; per user, overlapping/adjacent-by-
     overlap intervals merge into sessions, and total covered seconds
     is summed WITHOUT double-counting overlap. Classic gaps-and-
@@ -360,9 +360,12 @@ def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     running max end of everything before it; the running SUM of those
     markers labels islands; min(start)/max(end) per island are the
     merged bounds. Two windows + two aggs, ALL partitioned by user_id
-    — one shuffle, reused end-to-end. Duration arithmetic is integer
-    seconds (timestamps are μs-aligned), so the sums are exact."""
-    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "play")
+    — one shuffle, reused end-to-end. Durations are computed as exact
+    epoch-microsecond integer differences floor-divided to seconds on
+    BOTH engines — timestampdiff(SECOND) truncates the interval while
+    DuckDB's date_diff counts second-boundary crossings, and the two
+    disagree whenever the endpoints' fractional seconds straddle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
     iv = ev.select(
         "user_id", F.col("ts").alias("s"),
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
@@ -390,7 +393,12 @@ def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum(
-            F.expr("timestampdiff(SECOND, m_start, m_end)")
+            # unix_micros rejects TIMESTAMP_NTZ; the cast shifts both
+            # endpoints by the same session-tz offset, so diffs are exact
+            F.expr(
+                "(unix_micros(cast(m_end as timestamp))"
+                " - unix_micros(cast(m_start as timestamp))) div 1000000"
+            )
         ).cast("long").alias("watch_seconds"),
     )
 
@@ -478,7 +486,7 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS valid_to
         FROM events
-        WHERE event_type IN ('enroll', 'purchase') AND user_id < 200
+        WHERE event_type IN ('signup', 'purchase') AND user_id < 200
     )
     SELECT e.event_id, e.user_id, e.ts, d.state, d.valid_from
     FROM events e

@@ -87,7 +87,10 @@ class EduEventsReader(DataSourceReader):
         self.n_users = int(options.get("users", 100))
         self.lo = 0            # narrowed by pushed event_id predicates
         self.hi = self.n_rows
-        self.event_type: str | None = None
+        # all pushed event_type equality values; >1 distinct value means
+        # the conjunction is unsatisfiable (emit nothing) — storing only
+        # the last value would silently drop the earlier predicate
+        self.event_types: set[str] = set()
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept range predicates on event_id and equality on
@@ -112,7 +115,7 @@ class EduEventsReader(DataSourceReader):
                 else:
                     self.hi = min(self.hi, v + 1)
             elif col == "event_type" and isinstance(f, EqualTo):
-                self.event_type = f.value
+                self.event_types.add(f.value)
             else:
                 yield f
 
@@ -128,9 +131,12 @@ class EduEventsReader(DataSourceReader):
         return parts or [_RangePartition(0, 0)]
 
     def read(self, partition: _RangePartition):
+        if len(self.event_types) > 1:
+            return  # contradictory equalities: correct result is empty
+        want = next(iter(self.event_types)) if self.event_types else None
         for i in range(partition.start, partition.end):
             row = _gen_row(self.seed, i, self.n_users)
-            if self.event_type is not None and row[3] != self.event_type:
+            if want is not None and row[3] != want:
                 continue
             yield row
 

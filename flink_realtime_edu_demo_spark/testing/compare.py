@@ -75,8 +75,19 @@ def assert_driver_safe_schema(spark_df, key: str = "?") -> None:
         )
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, key: str = "?") -> None:
-    """Raise AssertionError with a readable diff if Spark result != oracle."""
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    key: str = "?",
+    allow_empty: bool = False,
+) -> None:
+    """Raise AssertionError with a readable diff if Spark result != oracle.
+
+    A 0-row result on both sides is rejected unless ``allow_empty``:
+    empty==empty is a vacuous match that exercises none of the query's
+    logic (the round-4 advisor found three keys silently green this way).
+    """
     assert_driver_safe_schema(spark_df, key)
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
@@ -89,6 +100,10 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, key: str = "?") 
     )
     assert len(s_rows) == len(d_rows), (
         f"{key}: row count spark={len(s_rows)} oracle={len(d_rows)}"
+    )
+    assert s_rows or allow_empty, (
+        f"{key}: VACUOUS oracle match — both sides returned 0 rows; "
+        f"tune the query's constants to the fixture or pass allow_empty"
     )
     cs, cd = _canon_rows(s_cols, s_rows), _canon_rows(d_cols, d_rows)
     if cs != cd:

@@ -22,11 +22,21 @@ def con(sf_dir):
     c.close()
 
 
+# Keys legitimately empty at the tiny sf0.001 smoke fixture ONLY (their
+# selective TPC-H predicates find no qualifying rows among ~150
+# customers / 200 parts); every one of them returns rows at the
+# driver's verification SF (0.01) and the bench SF (0.1), where the
+# vacuous-match guard stays armed.
+_EMPTY_OK_AT_SF0001 = {"q_tpch_q2", "q_tpch_q7", "q_tpch_q11", "q_tpch_q20"}
+
+
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_query(key, spark, sf_dir, con):
     df = QUERIES[key](spark, sf_dir)
     if key in ORACLE:
-        compare(df, con, ORACLE[key], key)
+        tiny = sf_dir.rstrip("/").endswith("sf0.001")
+        compare(df, con, ORACLE[key], key,
+                allow_empty=tiny and key in _EMPTY_OK_AT_SF0001)
     else:
         rows = df.collect()  # rows-only smoke: runs, stable schema
         assert df.columns
