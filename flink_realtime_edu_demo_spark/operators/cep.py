@@ -211,6 +211,259 @@ def match_recognize_oracle_sql(
                         ts, type_col, id_col)
 
 
+def _validate_defines(pattern) -> None:
+    """pattern: list of (var, define, quant) where define is a dict with
+    optional keys ``types`` (event-type alternation, as in
+    :func:`match_recognize`) and ``dir`` ('up' | 'down': the row's value
+    compared to PREV(value) over the full partition order — SQL
+    MATCH_RECOGNIZE's physical-row PREV navigation). An empty define
+    matches any row (the STRT variable of the classic V-pattern)."""
+    if not pattern:
+        raise ValueError("pattern needs at least one variable")
+    if len(pattern) > 4:
+        raise ValueError("at most 4 variables with DEFINE conditions "
+                         "(bitmask alphabet is 2^k chars)")
+    seen = set()
+    for var, define, quant in pattern:
+        if quant not in _QUANTS:
+            raise ValueError(f"quantifier {quant!r} not in {sorted(_QUANTS)}")
+        if var in seen:
+            raise ValueError(f"duplicate pattern variable {var!r}")
+        seen.add(var)
+        bad = set(define) - {"types", "dir"}
+        if bad:
+            raise ValueError(f"unknown define keys {sorted(bad)}")
+        if define.get("dir") not in (None, "up", "down"):
+            raise ValueError("dir must be 'up' or 'down'")
+
+
+def _bitmask_classes(pattern) -> list[str]:
+    """Char class per variable: chars 'a'+(bitmask) where the variable's
+    bit is set. Bitmask 0 ('a') satisfies no variable — the 'z' of the
+    type-only lowering."""
+    k = len(pattern)
+    return [
+        "".join(chr(ord("a") + m) for m in range(1 << k) if m & (1 << i))
+        for i in range(k)
+    ]
+
+
+def _define_regex(pattern) -> str:
+    classes = _bitmask_classes(pattern)
+    return "".join(
+        f"(?:[{cls}][0-9]+;){_QUANTS[quant]}"
+        for cls, (_, _, quant) in zip(classes, pattern)
+    )
+
+
+def match_recognize_define(
+    events: DataFrame,
+    pattern: list[tuple[str, dict, str]],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    skip: str = "past_last_row",
+) -> DataFrame:
+    """MATCH_RECOGNIZE with DEFINE conditions that may reference
+    ``PREV(value)`` — e.g. the classic V-shape
+    ``PATTERN (STRT DOWN+ UP+) DEFINE DOWN AS value < PREV(value),
+    UP AS value > PREV(value)`` — plus both AFTER MATCH modes:
+    ``skip='past_last_row'`` (non-overlapping, the default) or
+    ``skip='to_next_row'`` (a new match may begin at the row after the
+    previous match's START — overlapping matches, Flink CEP's
+    ``AFTER MATCH SKIP TO NEXT ROW``).
+
+    Lowering: SQL PREV navigates PHYSICAL rows of the partition (not
+    rows mapped to the same variable), so ``lag(value)`` computed before
+    tokenization reproduces it exactly. Each row's token char encodes
+    the BITMASK of which variables' defines it satisfies (2^k alphabet,
+    k ≤ 4); variable i's regex class is every char with bit i set, so
+    overlapping defines cost nothing. past_last_row = one greedy
+    left-to-right regexp_extract_all scan, as in :func:`match_recognize`;
+    to_next_row anchors the regex at EVERY token offset (offsets from a
+    running length sum — one extra narrow window over the same
+    partition; per-key work is rows × regex, bounded by session length
+    in the sessionized deployment shape). First partition row has NULL
+    PREV, so dir-conditions are false there — SQL semantics.
+
+    Returns one row per match: ``key, match_no (1-based, in start
+    order), first_event_id, last_event_id, n_rows``.
+    """
+    from pyspark.sql.window import Window
+
+    _validate_defines(pattern)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    keys = [key] if isinstance(key, str) else list(key)
+    regex = _define_regex(pattern)
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    prev_v = F.lag(value_col).over(w)
+    bm = F.lit(0)
+    for i, (_, define, _) in enumerate(pattern):
+        conds = []
+        if define.get("types"):
+            conds.append(F.col(type_col).isin(*_types_of(define["types"])))
+        if define.get("dir") == "up":
+            conds.append(F.col(value_col) > prev_v)
+        elif define.get("dir") == "down":
+            conds.append(F.col(value_col) < prev_v)
+        sat = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            sat = sat & c
+        bm = bm + F.when(sat, F.lit(1 << i)).otherwise(F.lit(0))
+    toks = events.select(
+        *[F.col(k) for k in keys],
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.concat(
+                F.char(bm + F.lit(97)),
+                F.col(id_col).cast("string"),
+                F.lit(";"),
+            ).alias("tok"),
+        ).alias("t"),
+    )
+    seq = toks.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("t")).alias("arr")
+    ).select(
+        *[F.col(k) for k in keys],
+        F.transform("arr", lambda s: s["tok"]).alias("toks"),
+    )
+    if skip == "past_last_row":
+        return seq.select(
+            *[F.col(k) for k in keys],
+            F.posexplode(
+                F.regexp_extract_all(F.concat_ws("", "toks"), F.lit(regex), F.lit(0))
+            ),
+        ).select(
+            *[F.col(k) for k in keys],
+            (F.col("pos") + 1).cast("long").alias("match_no"),
+            F.regexp_extract("col", "^[a-z]([0-9]+);", 1).cast("long")
+            .alias("first_event_id"),
+            F.regexp_extract("col", "([0-9]+);$", 1).cast("long")
+            .alias("last_event_id"),
+            (F.length("col") - F.length(F.translate("col", ";", "")))
+            .cast("long").alias("n_rows"),
+        )
+    # to_next_row: anchored attempt at every token offset (1-based
+    # substring positions from a running sum of token lengths)
+    offsets = F.aggregate(
+        "toks",
+        F.array(F.lit(1)),
+        lambda acc, t: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.length(t))
+        ),
+    )
+    hits = (
+        seq.select(
+            *[F.col(k) for k in keys],
+            F.concat_ws("", "toks").alias("s"),
+            F.explode(F.slice(offsets, 1, F.size("toks"))).alias("off"),
+        )
+        .select(
+            *[F.col(k) for k in keys],
+            F.col("off"),
+            F.regexp_extract(
+                F.col("s").substr(F.col("off"), F.length("s")),
+                f"^(?:{regex})", 0,
+            ).alias("m"),
+        )
+        .filter(F.col("m") != "")
+    )
+    w_no = Window.partitionBy(*keys).orderBy("off")
+    return hits.select(
+        *[F.col(k) for k in keys],
+        F.row_number().over(w_no).cast("long").alias("match_no"),
+        F.regexp_extract("m", "^[a-z]([0-9]+);", 1).cast("long")
+        .alias("first_event_id"),
+        F.regexp_extract("m", "([0-9]+);$", 1).cast("long")
+        .alias("last_event_id"),
+        (F.length("m") - F.length(F.translate("m", ";", "")))
+        .cast("long").alias("n_rows"),
+    )
+
+
+def match_recognize_define_oracle_sql(
+    pattern: list[tuple[str, dict, str]],
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    skip: str = "past_last_row",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_define` token-for-
+    token (same bitmask alphabet, same regex, same anchored-offset
+    enumeration for to_next_row)."""
+    _validate_defines(pattern)
+    regex = _define_regex(pattern)
+    bits = []
+    for i, (_, define, _) in enumerate(pattern):
+        conds = []
+        if define.get("types"):
+            alts = ", ".join(f"'{t}'" for t in _types_of(define["types"]))
+            conds.append(f"{type_col} IN ({alts})")
+        if define.get("dir") == "up":
+            conds.append(f"{value_col} > prev_v")
+        elif define.get("dir") == "down":
+            conds.append(f"{value_col} < prev_v")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        bits.append(f"(CASE WHEN {cond} THEN {1 << i} ELSE 0 END)")
+    bm = " + ".join(bits)
+    src = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               lag({value_col}) OVER (PARTITION BY {key}
+                                      ORDER BY {ts}, {id_col}) AS prev_v
+        FROM {table}"""
+    toks = f"""
+    toks AS (
+        SELECT {key}, {ts}, {id_col},
+               chr(97 + ({bm})) || {id_col} || ';' AS tok
+        FROM src
+    )"""
+    if skip == "past_last_row":
+        return f"""
+    WITH src AS ({src}),{toks},
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key}),
+    m AS (SELECT {key}, regexp_extract_all(s, '{regex}') AS l FROM seq)
+    SELECT {key}, CAST(i AS BIGINT) AS match_no,
+           CAST(regexp_extract(l[i], '^[a-z]([0-9]+);', 1) AS BIGINT) AS first_event_id,
+           CAST(regexp_extract(l[i], '([0-9]+);$', 1) AS BIGINT) AS last_event_id,
+           CAST(length(l[i]) - length(replace(l[i], ';', '')) AS BIGINT) AS n_rows
+    FROM m, unnest(generate_series(1, len(l))) AS t(i)
+    """
+    return f"""
+    WITH src AS ({src}),{toks},
+    offs AS (
+        SELECT {key}, {ts}, {id_col}, tok,
+               CAST(1 + COALESCE(SUM(length(tok))
+                   OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS INT) AS off
+        FROM toks
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key}),
+    hits AS (
+        SELECT o.{key}, o.off,
+               regexp_extract(substring(q.s, o.off), '^(?:{regex})', 0) AS m
+        FROM offs o JOIN seq q ON q.{key} = o.{key}
+    )
+    SELECT {key},
+           CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
+                AS BIGINT) AS match_no,
+           CAST(regexp_extract(m, '^[a-z]([0-9]+);', 1) AS BIGINT) AS first_event_id,
+           CAST(regexp_extract(m, '([0-9]+);$', 1) AS BIGINT) AS last_event_id,
+           CAST(length(m) - length(replace(m, ';', '')) AS BIGINT) AS n_rows
+    FROM hits WHERE m <> ''
+    """
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int,

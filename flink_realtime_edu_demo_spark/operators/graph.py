@@ -10,10 +10,12 @@ shallow: near-clique, diameter ~2), each round is one shuffle
 (join + groupBy on node id). The driver holds ONE scalar per round (the
 changed-row probe); labels are localCheckpoint'ed so lineage doesn't
 grow with iterations. For web-scale graphs with long chains,
-``method="star"`` swaps the per-round step for alternating
-large-star/small-star (Kiveris et al., SoCC'14) — same join/agg
-primitives, O(log n) rounds; the fixpoint (and thus the result hash)
-is identical (property-tested on path + random graphs).
+the default ``method="star"`` runs alternating large-star/small-star
+(Kiveris et al., SoCC'14) — same join/agg primitives, O(log n) rounds
+on ANY graph shape; ``method="label"`` keeps the cheaper per-round
+min-label step for known-shallow graphs. The fixpoint (and thus the
+result hash) is identical either way (property-tested on path +
+random graphs).
 """
 
 from __future__ import annotations
@@ -23,21 +25,23 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50,
-    method: str = "label",
+    method: str = "star",
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``; component
     is the smallest node id reachable from the node. Deterministic: the
     fixpoint of min-label propagation is unique regardless of partition
     or iteration order, so the result is hash-stable.
 
-    ``method="label"`` (default): min-label propagation — one shuffle per
-    round, rounds = graph diameter. The right choice for near-dup
-    clusters (near-clique, diameter ~2). ``method="star"``: alternating
-    large-star/small-star (Kiveris et al., SoCC'14) — ~2× the shuffles
-    per round but O(log n) rounds, the choice for long-chain /
-    web-scale graphs where diameter-many rounds would dominate. Both
-    converge to the identical (id, min-reachable-id) fixpoint (tested),
-    so swapping methods never changes results."""
+    ``method="star"`` (default): alternating large-star/small-star
+    (Kiveris et al., SoCC'14) — O(log n) rounds regardless of graph
+    shape, so an adversarial long chain can never cost diameter-many
+    jobs; the safe default at 100 TB, where one bad component would
+    stall the whole stage. ``method="label"``: min-label propagation —
+    one (cheaper) shuffle per round but rounds = diameter; opt in when
+    the graph is known near-clique (dup clusters, diameter ~2) and the
+    per-round saving wins. Both converge to the identical
+    (id, min-reachable-id) fixpoint (property-tested on path + random
+    graphs), so swapping methods never changes results."""
     if method == "star":
         return connected_components_star(edges, src, dst, max_iter)[0]
     if method != "label":
@@ -155,11 +159,20 @@ def connected_components_star(
     )
     e = _canon_edges(e0).localCheckpoint()
     n_edges = e.count()
+
+    def _sized(df, n):
+        # near-converged graphs are tiny relative to the cluster; narrow
+        # the partition count so each star round schedules a handful of
+        # tasks instead of shuffle.partitions-many ~empty ones
+        return df.coalesce(1) if n < 100_000 else df
+
+    e = _sized(e, n_edges)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         e2 = _small_star(_large_star(e)).localCheckpoint()
         n2 = e2.count()
+        e2 = _sized(e2, n2)
         # canonical distinct sets: equal iff same size and no new edges
         if n2 == n_edges and e2.exceptAll(e).limit(1).count() == 0:
             e = e2

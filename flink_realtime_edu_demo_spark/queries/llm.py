@@ -1166,20 +1166,25 @@ def q_llm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-verified jaccard>=0.5 edge list, labelling every member
     with its group's min doc_id — the step that turns pairwise dedup
     output into 'keep one doc per cluster' decisions. Spark side is
-    min-label propagation (operators/graph.py: one shuffle per round,
-    rounds = component diameter, driver holds one scalar per round); the
-    oracle is the same fixpoint via a recursive CTE. Deterministic: the
-    fixpoint is unique, so the iterative path hash-matches exact SQL."""
+    alternating large-star/small-star (operators/graph.py default:
+    O(log n) rounds on any graph shape, so one long-chain component
+    can't cost diameter-many jobs; driver holds only per-round scalar
+    probes); the oracle is the same fixpoint via a recursive CTE.
+    Deterministic: the fixpoint is unique, so the iterative path
+    hash-matches exact SQL."""
     d = load_spread(spark, sf_dir, "documents")
     pairs = jaccard_pairs(shingles(d), threshold=0.5, max_df=MAX_DF).select(
         "id_a", "id_b"
     )
     labels = connected_components(pairs)
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
-    return labels.join(sizes, "label").select(
+    # group size via a window over the SAME label partitioning — no
+    # groupBy+self-join (which Catalyst would clone, since labels is an
+    # uncached iterative result): one shuffle, reused for count and output
+    w = Window.partitionBy("label")
+    return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("group_id"),
-        "n_members",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
     )
 
 

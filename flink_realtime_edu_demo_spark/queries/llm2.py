@@ -172,18 +172,25 @@ def q_llm_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     values identically. df is computed over the FULL corpus before the
     doc_id<100 output restriction. The ranking runs in a window
     partitioned by doc_id (doc_id keys ≫ cores — never a
-    single-partition window). PLANS.md counts 5 exchanges; the
-    breakdown is benign: the tf aggregate (Catalyst clones it so the
-    doc_id<100 pushdown reaches one copy while df's copy sees the full
-    corpus — required for correct document frequencies), df's two-level
-    distinct agg, the 1-row corpus count, and the window — every one
-    but the first carries already-aggregated vocabulary-sized data,
-    and df reaches tf as a broadcast, never re-exchanging tf."""
+    single-partition window). tf is PERSISTED: it has two consumers
+    (df derives from it, the scoring join reads it), and without the
+    persist Catalyst clones the aggregate so the doc_id<100 pushdown
+    reaches one copy while df's copy re-explodes the full token
+    stream — at 100 TB that cloned explode is an entire extra corpus
+    scan (the round-4 plan audit's 5-exchange flag). With it the scan→
+    explode→aggregate subtree runs once (InMemoryTableScan for both
+    consumers) and df reaches the scoring join as a broadcast."""
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
     tokens = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.length("token") > 0)
-    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tokens.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # df falls out of tf for free: tf has one row per (doc, token), so
     # counting rows per token IS the document frequency — no second
     # pass over the exploded token stream (q_llm_tfidf re-aggregates

@@ -15,6 +15,8 @@ from pyspark.sql.window import Window
 
 from ..operators.cep import (
     match_recognize,
+    match_recognize_define,
+    match_recognize_define_oracle_sql,
     match_recognize_oracle_sql,
     match_recognize_sessionized,
     match_recognize_sessionized_oracle_sql,
@@ -290,6 +292,60 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     the match set is hash-verified end to end."""
     ev = load(spark, sf_dir, "events")
     return match_recognize(ev, CEP_PATTERN)
+
+
+# The classic MATCH_RECOGNIZE V-shape: any starting row, a nonempty
+# strictly-falling run, then a nonempty strictly-rising run —
+# DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value).
+CEP_V_PATTERN = [
+    ("STRT", {}, "1"),
+    ("DOWN", {"dir": "down"}, "+"),
+    ("UP", {"dir": "up"}, "+"),
+]
+
+
+@query("q_cep_prev", oracle=match_recognize_define_oracle_sql(CEP_V_PATTERN))
+def q_cep_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with PREV-referencing DEFINEs (the semantics gap
+    VERDICT_r04 flagged): the classic V-shape price pattern
+    PATTERN (STRT DOWN+ UP+) DEFINE DOWN AS value < PREV(value),
+    UP AS value > PREV(value), per user over (ts, event_id) order,
+    greedy, SKIP PAST LAST ROW. SQL's PREV navigates physical partition
+    rows, so one lag() before tokenization reproduces it exactly; each
+    row's token char encodes the bitmask of satisfied defines and each
+    variable's regex class is the chars with its bit set
+    (operators/cep.py match_recognize_define). Same single-shuffle
+    plan; the DuckDB oracle replays the identical construction."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_define(ev, CEP_V_PATTERN)
+
+
+# Overlapping-match pattern for AFTER MATCH SKIP TO NEXT ROW: a click,
+# then a nonempty strictly-rising run. Matches may share rows — each
+# qualifying click starts its own match even inside a prior match.
+CEP_SKIP_PATTERN = [
+    ("C", {"types": ("click",)}, "1"),
+    ("UP", {"dir": "up"}, "+"),
+]
+
+
+@query(
+    "q_cep_skip_next",
+    oracle=match_recognize_define_oracle_sql(
+        CEP_SKIP_PATTERN, skip="to_next_row"
+    ),
+)
+def q_cep_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW (overlapping matches): PATTERN
+    (C UP+) DEFINE C AS type = click, UP AS value > PREV(value) — after
+    a match completes, the scan resumes at the row AFTER the match's
+    START, so matches may overlap (Flink CEP's skipToNext). Lowered as
+    an anchored regex attempted at every token offset (offsets = running
+    token-length sum over the same partition window); match_no numbers
+    matches by start position. Cost is rows x regex within a key —
+    bounded by session length in the sessionized deployment shape."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_define(ev, CEP_SKIP_PATTERN, skip="to_next_row")
 
 
 @query(

@@ -4,23 +4,34 @@ watermark proves the session CLOSED (no event can extend it), the same
 emission contract Flink CEP has under event-time + session windows.
 
 Lowering (the repo's standard foreachBatch landing shape, like
-streaming/changelog.py): each micro-batch lands in a keyed event store;
-the watermark is max-seen event time minus the session gap; sessions
-whose last event is older than the watermark are closed — no future
-row can fall inside their gap window — so their matches are final and
-are (re)computed with the BATCH match_recognize_sessionized and
-published atomically. Matches of still-open sessions are withheld, so
-every published row is immutable (append-only downstream, no retract
-needed — the reason to emit on session close rather than per match).
+streaming/changelog.py): each micro-batch lands IDEMPOTENTLY in a
+parquet staging table keyed by batchId (``staging/b=<id>`` written with
+overwrite — a replayed batch rewrites the same bytes); the watermark is
+max-seen event time minus the session gap; sessions whose last event is
+older than the watermark are closed — no future row can fall inside
+their gap window — so their matches are final and are recomputed with
+the BATCH match_recognize_sessionized and published atomically.
+Matches of still-open sessions are withheld, so every published row is
+immutable (append-only downstream, no retract needed — the reason to
+emit on session close rather than per match).
 
-The in-memory event list here is the test stand-in for the keyed store
-(a Delta/parquet staging table at scale, appended idempotently by
-batchId); the recompute would then touch only keys present in the
-batch — sessionization and matching are per-key, so incremental
-recompute is safe by construction.
+Incrementality: recompute touches only CANDIDATE keys — keys with an
+event in this batch, plus keys whose open session the new watermark
+just closed (found in the open-session metadata snapshot, one row per
+key holding its open session's last event time, itself landed
+idempotently per batch). Sessionization and matching are per-key, so
+restricting the recompute to candidate keys is exact, and the staged
+history is read with the key restriction pushed into the scan. Driver
+state is O(1) scalars (max event time, batch ledger); no event row is
+ever collected to the driver. The published-match dict kept here is the
+test observation point — a deployment would replace it with an
+anti-join against the published results table before an append, which
+also makes replays after a driver restart deduplicate.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -30,49 +41,80 @@ from .sinks import idempotent_foreach_batch
 
 
 class SessionCepSink:
-    """foreachBatch body: accumulate events, publish matches of closed
-    sessions. ``emitted`` maps (key..., session_id, match_no) -> match
-    row dict; once present it never changes (tested)."""
+    """foreachBatch body: land events in the keyed parquet staging
+    table, recompute candidate keys, publish matches of closed
+    sessions. ``emitted`` maps (key, session_id, match_no) -> match row
+    dict; once present it never changes (tested)."""
 
     def __init__(self, pattern, gap_minutes: int, key: str = "user_id",
-                 ts: str = "ts", id_col: str = "event_id"):
+                 ts: str = "ts", id_col: str = "event_id",
+                 store_dir: str | None = None):
         self.pattern = pattern
         self.gap_minutes = gap_minutes
         self.key, self.ts, self.id_col = key, ts, id_col
-        self.events: list = []
-        self.schema = None
+        base = store_dir or tempfile.mkdtemp(prefix="session_cep_")
+        self.staging_dir = f"{base}/staging"
+        self.meta_dir = f"{base}/meta"
         self.emitted: dict[tuple, dict] = {}
         self.emitted_per_batch: list[int] = []
         self._seen_batches: set[int] = set()
+        self._max_ts = None  # global event-time high watermark (scalar)
+        self._last_meta: int | None = None  # batch id of latest snapshot
+
+    def _open_sessions(self, spark) -> DataFrame:
+        """Latest open-session snapshot: (key, __last_ts), one row per
+        key with a not-yet-closed session."""
+        if self._last_meta is None:
+            return spark.createDataFrame(
+                [], f"{self.key} long, __last_ts timestamp_ntz"
+            )
+        return spark.read.parquet(f"{self.meta_dir}/b={self._last_meta}")
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen_batches:  # replay after recovery: no-op
             return
         self._seen_batches.add(batch_id)
-        self.schema = batch_df.schema
-        self.events.extend(batch_df.collect())
-        if not self.events:
+        spark = batch_df.sparkSession
+        # 1. land the batch idempotently (replay overwrites same bytes)
+        batch_df.write.mode("overwrite").parquet(
+            f"{self.staging_dir}/b={batch_id}"
+        )
+        staged = spark.read.option("basePath", self.staging_dir).parquet(
+            f"{self.staging_dir}/b=*"
+        )
+        # 2. advance the event-time high watermark (1-row scalar)
+        batch_max = batch_df.agg(F.max(self.ts)).collect()[0][0]
+        if batch_max is not None and (
+            self._max_ts is None or batch_max > self._max_ts
+        ):
+            self._max_ts = batch_max
+        if self._max_ts is None:
             self.emitted_per_batch.append(0)
             return
-        spark = batch_df.sparkSession
-        all_df = spark.createDataFrame(self.events, self.schema)
-        # session close rule: last event ts + gap <= max seen ts means
-        # no arriving row (ts <= max so far under the file-source's
-        # in-order delivery; a real pipeline uses the watermark) can
-        # extend the session.
-        sess = sessionize(all_df, self.gap_minutes, self.key, self.ts, self.id_col)
+        gap = F.expr(f"INTERVAL {int(self.gap_minutes)} MINUTES")
+        # 3. candidate keys: in this batch, or open session just closed
+        prev_open = self._open_sessions(spark)
+        batch_keys = batch_df.select(self.key).distinct()
+        newly_closed_keys = prev_open.filter(
+            F.col("__last_ts") + gap <= F.lit(self._max_ts)
+        ).select(self.key)
+        candidates = batch_keys.union(newly_closed_keys).distinct()
+        # 4. recompute ONLY candidate keys over their staged history
+        hist = staged.drop("b").join(F.broadcast(candidates), self.key)
+        sess = sessionize(hist, self.gap_minutes, self.key, self.ts, self.id_col)
         bounds = sess.groupBy(self.key, "session_id").agg(
             F.max(self.ts).alias("__last_ts")
         )
-        max_ts = all_df.agg(F.max(self.ts)).collect()[0][0]
         closed = bounds.filter(
-            F.col("__last_ts") + F.expr(f"INTERVAL {int(self.gap_minutes)} MINUTES")
-            <= F.lit(max_ts)
+            F.col("__last_ts") + gap <= F.lit(self._max_ts)
         ).select(self.key, "session_id")
         matches = match_recognize_sessionized(
-            all_df, self.pattern, self.gap_minutes,
+            hist, self.pattern, self.gap_minutes,
             key=self.key, ts=self.ts, id_col=self.id_col,
         ).join(closed, [self.key, "session_id"])
+        # 5. publish: collect MATCH rows only (the output itself); a
+        # deployment appends matches.join(published, anti) to a results
+        # table instead of the in-driver dict the tests observe
         n_new = 0
         for r in matches.collect():
             row = r.asDict()
@@ -85,6 +127,21 @@ class SessionCepSink:
                 self.emitted[mk] = row
                 n_new += 1
         self.emitted_per_batch.append(n_new)
+        # 6. next open-session snapshot: prior snapshot minus candidate
+        # keys, plus candidates' still-open sessions (at most their
+        # final session each) — idempotent per-batch overwrite
+        still_open = (
+            bounds.join(closed, [self.key, "session_id"], "left_anti")
+            .groupBy(self.key)
+            .agg(F.max("__last_ts").alias("__last_ts"))
+        )
+        new_meta = prev_open.join(
+            F.broadcast(candidates), self.key, "left_anti"
+        ).unionByName(still_open)
+        new_meta.write.mode("overwrite").parquet(
+            f"{self.meta_dir}/b={batch_id}"
+        )
+        self._last_meta = batch_id
 
 
 def start_session_cep(

@@ -273,6 +273,115 @@ def test_match_recognize_matches_reference(spark, types, pat):
     assert got == [(s, e) for s, e in want], (types, pat, got, want)
 
 
+# --- match_recognize_define (PREV defines + skip modes) vs reference ---
+
+def _py_define_spans(rows, pattern, skip) -> list[tuple[int, int]]:
+    """Reference matcher for DEFINE conditions over (type, value) rows:
+    sat[i][vi] computed directly (PREV = physical previous row), greedy
+    backtracking, both AFTER MATCH modes. Returns [start, end) spans."""
+
+    def sat(i, define):
+        ok = True
+        if define.get("types"):
+            ts_ = define["types"]
+            ts_ = (ts_,) if isinstance(ts_, str) else tuple(ts_)
+            ok = ok and rows[i][0] in ts_
+        d = define.get("dir")
+        if d:
+            if i == 0:
+                return False  # PREV is NULL on the first partition row
+            if d == "up":
+                ok = ok and rows[i][1] > rows[i - 1][1]
+            else:
+                ok = ok and rows[i][1] < rows[i - 1][1]
+        return ok
+
+    def rec(pos: int, vi: int):
+        if vi == len(pattern):
+            return pos
+        _, define, quant = pattern[vi]
+        if quant == "1":
+            if pos < len(rows) and sat(pos, define):
+                return rec(pos + 1, vi + 1)
+            return None
+        if quant == "?":
+            if pos < len(rows) and sat(pos, define):
+                r = rec(pos + 1, vi + 1)
+                if r is not None:
+                    return r
+            return rec(pos, vi + 1)
+        lo = 1 if quant == "+" else 0
+        cnt = 0
+        while pos + cnt < len(rows) and sat(pos + cnt, define):
+            cnt += 1
+        for c in range(cnt, lo - 1, -1):
+            r = rec(pos + c, vi + 1)
+            if r is not None:
+                return r
+        return None
+
+    spans, i = [], 0
+    while i < len(rows):
+        e = rec(i, 0)
+        if e is not None and e > i:
+            spans.append((i, e))
+            i = e if skip == "past_last_row" else i + 1
+        else:
+            i += 1
+    return spans
+
+
+define_strategy = st.lists(
+    st.tuples(
+        st.sampled_from([
+            {}, {"dir": "up"}, {"dir": "down"},
+            {"types": ("view", "click")}, {"types": ("click",)},
+            {"types": ("click", "error"), "dir": "up"},
+        ]),
+        st.sampled_from(["1", "?", "+", "*"]),
+    ),
+    min_size=1,
+    max_size=3,
+).filter(lambda p: any(q in ("1", "+") for _, q in p))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(0, 5),  # small value range forces eq/rise/fall mixes
+        ),
+        min_size=1, max_size=30,
+    ),
+    pat=define_strategy,
+    skip=st.sampled_from(["past_last_row", "to_next_row"]),
+)
+def test_match_recognize_define_matches_reference(spark, rows, pat, skip):
+    """The bitmask-char lowering with PREV defines must reproduce the
+    reference matcher's spans in BOTH AFTER MATCH modes — including
+    overlapping to_next_row matches and defines that combine a type
+    class with a direction."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_define,
+    )
+
+    pattern = [(f"V{i}", d, q) for i, (d, q) in enumerate(pat)]
+    want = _py_define_spans(rows, pattern, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id + 1)
+        for r in match_recognize_define(
+            ev, pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pat, skip, got, want)
+
+
 intervals_strategy = st.lists(
     st.tuples(
         st.integers(0, 2),        # user
