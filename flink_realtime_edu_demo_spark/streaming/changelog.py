@@ -112,6 +112,83 @@ def start_changelog_sink(
     )
 
 
+class RetractJoin:
+    """Flink-style retract inner equi-join over two changelogs
+    (SURVEY §7 hard part 1, the join consumer): each side's +I/-U/+U
+    entries maintain a keyed row index; every state change emits the
+    corresponding change to the JOIN's own changelog — +I/+U of a row
+    pairs it with all current matches on the other side, -U retracts
+    the pairs the old row had — so the materialized join view stays
+    exact under upserts, including join-key changes (the -U removes the
+    row from its OLD key's index before the +U adds it to the new one;
+    Flink orders a key's changelog entries the same way).
+
+    State is one row per live (side, primary key) — the same bounded
+    contract as the upsert store feeding it; at scale both indexes are
+    the keyed state of a stateful operator, sharded by join key. N:M
+    keys are supported: the emit fans out over the opposite index's
+    rows for that key.
+
+    ``result`` is the materialized view: (left_pk, right_pk) -> merged
+    row (left columns prefixed ``l_``, right ``r_``); ``changelog`` is
+    the retract stream a further downstream consumer would fold.
+    """
+
+    def __init__(
+        self,
+        left_key: Callable[[dict], Hashable],
+        right_key: Callable[[dict], Hashable],
+        left_pk: Callable[[dict], Hashable],
+        right_pk: Callable[[dict], Hashable],
+    ):
+        self.lkey, self.rkey = left_key, right_key
+        self.lpk, self.rpk = left_pk, right_pk
+        self.left: dict[Hashable, dict[Hashable, dict]] = {}
+        self.right: dict[Hashable, dict[Hashable, dict]] = {}
+        self.changelog: list[tuple[str, dict]] = []
+        self.result: dict[tuple[Hashable, Hashable], dict] = {}
+
+    @staticmethod
+    def _merge(lrow: dict, rrow: dict) -> dict:
+        out = {f"l_{c}": v for c, v in lrow.items()}
+        out.update({f"r_{c}": v for c, v in rrow.items()})
+        return out
+
+    def _emit(self, kind: str, lrow: dict, rrow: dict) -> None:
+        pair = (self.lpk(lrow), self.rpk(rrow))
+        merged = self._merge(lrow, rrow)
+        self.changelog.append((kind, merged))
+        if kind == UPDATE_BEFORE:
+            del self.result[pair]
+        else:
+            self.result[pair] = merged
+
+    def _apply(self, own, other, key_fn, pk_fn, kind, row, left_side):
+        k, pk = key_fn(row), pk_fn(row)
+        if kind == UPDATE_BEFORE:
+            stored = own[k].pop(pk)
+            if not own[k]:
+                del own[k]
+            for orow in other.get(k, {}).values():
+                self._emit(UPDATE_BEFORE,
+                           stored if left_side else orow,
+                           orow if left_side else stored)
+        else:  # +I or +U: the -U for a replaced row already arrived
+            own.setdefault(k, {})[pk] = row
+            for orow in other.get(k, {}).values():
+                self._emit(kind,
+                           row if left_side else orow,
+                           orow if left_side else row)
+
+    def on_left(self, kind: str, row: dict) -> None:
+        self._apply(self.left, self.right, self.lkey, self.lpk,
+                    kind, row, left_side=True)
+
+    def on_right(self, kind: str, row: dict) -> None:
+        self._apply(self.right, self.left, self.rkey, self.rpk,
+                    kind, row, left_side=False)
+
+
 def fold_changelog(
     changelog: list[tuple[str, dict]],
     group_fn: Callable[[dict], Hashable],

@@ -269,6 +269,117 @@ def test_changelog_sink_bounded_driver_memory(spark, sf_dir, stream_dir, tmp_pat
             q2.stop()
 
 
+def test_retract_join_stream_matches_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Retract-aware JOIN (Flink's retract join, SURVEY §7 hard part 1):
+    two update-mode aggregates (clicks count, purchase spend per user)
+    stream through upsert sinks that derive +I/-U/+U changelogs; a
+    RetractJoin consuming both — entries interleaved round-robin so
+    retractions provably arrive while the other side holds state —
+    must materialize exactly the batch inner join of the two batch
+    aggregates, with every live pair netting to one changelog entry."""
+    from flink_realtime_edu_demo_spark.streaming.changelog import (
+        ChangelogUpsertSink,
+        RetractJoin,
+        start_changelog_sink,
+    )
+
+    ev_l = stream_table(spark, stream_dir, "events")
+    ev_r = stream_table(spark, stream_dir, "events")
+    clicks = (
+        ev_l.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    spend = (
+        ev_r.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("spend")
+        )
+    )
+    left_sink = ChangelogUpsertSink(key_cols=["user_id"])
+    right_sink = ChangelogUpsertSink(key_cols=["user_id"])
+    q1 = start_changelog_sink(clicks, str(tmp_path / "ckpt_l"), left_sink)
+    q1.processAllAvailable()
+    q1.stop()
+    q2 = start_changelog_sink(spend, str(tmp_path / "ckpt_r"), right_sink)
+    q2.processAllAvailable()
+    q2.stop()
+
+    rj = RetractJoin(
+        left_key=lambda r: r["user_id"], right_key=lambda r: r["user_id"],
+        left_pk=lambda r: r["user_id"], right_pk=lambda r: r["user_id"],
+    )
+    li, ri = iter(left_sink.changelog), iter(right_sink.changelog)
+    l_next, r_next = next(li, None), next(ri, None)
+    while l_next or r_next:  # round-robin: deterministic interleaving
+        if l_next:
+            rj.on_left(*l_next)
+            l_next = next(li, None)
+        if r_next:
+            rj.on_right(*r_next)
+            r_next = next(ri, None)
+
+    b = load(spark, sf_dir, "events")
+    bl = (
+        b.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    br = (
+        b.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("spend")
+        )
+    )
+    want = {
+        (r.user_id, r.user_id): (r.n_clicks, r.spend)
+        for r in bl.join(br, "user_id").collect()
+    }
+    got = {
+        pair: (row["l_n_clicks"], row["r_spend"])
+        for pair, row in rj.result.items()
+    }
+    assert got == want and want, (len(got), len(want))
+    # retractions flowed through the JOIN itself (not just the inputs)
+    assert any(kind == "-U" for kind, _ in rj.changelog)
+    # changelog consistency: every pair nets to 1 (live) or 0 (retired)
+    net: dict = {}
+    for kind, row in rj.changelog:
+        p = (row["l_user_id"], row["r_user_id"])
+        net[p] = net.get(p, 0) + (1 if kind != "-U" else -1)
+    assert {p for p, n in net.items() if n == 1} == set(want)
+    assert all(n in (0, 1) for n in net.values())
+
+
+def test_retract_join_key_change_and_nm_fanout():
+    """RetractJoin unit semantics on a scripted changelog: N:M fan-out
+    (two left rows sharing a join key) and a join-key CHANGE in an
+    upsert (-U removes the row from the old key's index before the +U
+    adds it under the new key) both keep the materialized view exact."""
+    from flink_realtime_edu_demo_spark.streaming.changelog import RetractJoin
+
+    rj = RetractJoin(
+        left_key=lambda r: r["k"], right_key=lambda r: r["k"],
+        left_pk=lambda r: r["id"], right_pk=lambda r: r["id"],
+    )
+    rj.on_right("+I", {"id": 100, "k": "a", "v": 1})
+    rj.on_left("+I", {"id": 1, "k": "a", "x": 10})
+    rj.on_left("+I", {"id": 2, "k": "a", "x": 20})  # N:M — same key
+    assert set(rj.result) == {(1, 100), (2, 100)}
+    # upsert moves left id=1 from key a to key b: pairs with 100 retract
+    rj.on_left("-U", {"id": 1, "k": "a", "x": 10})
+    rj.on_left("+U", {"id": 1, "k": "b", "x": 11})
+    assert set(rj.result) == {(2, 100)}
+    rj.on_right("+I", {"id": 200, "k": "b", "v": 2})
+    assert set(rj.result) == {(2, 100), (1, 200)}
+    assert rj.result[(1, 200)] == {
+        "l_id": 1, "l_k": "b", "l_x": 11, "r_id": 200, "r_k": "b", "r_v": 2
+    }
+    # right update fans out to every left match under the key
+    rj.on_right("-U", {"id": 100, "k": "a", "v": 1})
+    assert set(rj.result) == {(1, 200)}
+
+
 def test_streaming_cep_closed_sessions_match_batch(spark, sf_dir, stream_dir, tmp_path):
     """Streaming row-pattern matching (SessionCepSink): matches publish
     only when their session is provably closed, never change after
