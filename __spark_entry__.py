@@ -80,12 +80,15 @@ _VERIFIED_GREEN = (
     # DEFINEs and SKIP TO NEXT ROW this round, so its dependents
     # re-verify (the green-hash guard only covers query-function source,
     # not operator modules).
+    # q_llm_dedup_fuzzy / q_llm_dedup_chargram held out: round-5 df-cap
+    # tightening (256 -> 64, result-identical at both oracle scales but
+    # the oracle SQL text changed) — re-verify through the driver window.
     "q_agg_approx_uv_kmv", "q_unpivot", "q_explode_outer", "q_fn_url",
     "q_fn_struct", "q_fn_monthmath", "q_join_asof",
     "q_stream_session_dyngap", "q_ts_gapfill", "q_ts_interp", "q_ts_ohlc",
     "q_dq_profile", "q_agg_approx_quantile", "q_agg_regression",
-    "q_llm_dedup_fuzzy", "q_llm_minhash_lsh", "q_llm_knn_ivf",
-    "q_llm_dedup_chargram", "q_llm_substring_dedup", "q_llm_bigram_score",
+    "q_llm_minhash_lsh", "q_llm_knn_ivf",
+    "q_llm_substring_dedup", "q_llm_bigram_score",
     "q_llm_kmeans", "q_llm_pack_chunks", "q_llm_pack_greedy",
     "q_llm_pii_scrub", "q_llm_heavy_hitters", "q_llm_token_len_hist",
     "q_llm_rand_proj", "q_tpch_q1", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",

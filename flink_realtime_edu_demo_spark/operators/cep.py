@@ -32,9 +32,26 @@ deployed on streams anyway.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, functions as F
 
 _QUANTS = {"1": "", "?": "?", "+": "+", "*": "*"}
+_BOUNDED = _re.compile(r"^\{(\d+),(\d+)\}$")  # {m,n} bounded quantifier
+
+
+def _quant_regex(quant: str) -> str:
+    """Regex suffix for a quantifier: the four symbolic forms plus
+    bounded ``{m,n}`` (same syntax in Java regex and RE2, so the Spark
+    and DuckDB scans agree byte-for-byte)."""
+    if quant in _QUANTS:
+        return _QUANTS[quant]
+    m = _BOUNDED.match(quant)
+    if m and int(m.group(1)) <= int(m.group(2)):
+        return quant
+    raise ValueError(
+        f"quantifier {quant!r} not in {sorted(_QUANTS)} or {{m,n}} form"
+    )
 
 
 def _types_of(etype) -> tuple:
@@ -61,8 +78,7 @@ def _validate(pattern: list[tuple[str, object, str]]) -> None:
         raise ValueError("pattern needs at least one variable")
     seen = set()
     for var, etype, quant in pattern:
-        if quant not in _QUANTS:
-            raise ValueError(f"quantifier {quant!r} not in {sorted(_QUANTS)}")
+        _quant_regex(quant)  # raises on malformed quantifiers
         if var in seen:
             raise ValueError(f"duplicate pattern variable {var!r}")
         if not _types_of(etype):
@@ -85,7 +101,7 @@ def _token_regex(pattern: list[tuple[str, object, str]],
     for _, etype, quant in pattern:
         cls = _var_class(etype, chars)
         atom = cls if len(cls) == 1 else f"[{cls}]"
-        pieces.append(f"(?:{atom}[0-9]+;){_QUANTS[quant]}")
+        pieces.append(f"(?:{atom}[0-9]+;){_quant_regex(quant)}")
     return "".join(pieces)
 
 
@@ -214,10 +230,12 @@ def match_recognize_oracle_sql(
 def _validate_defines(pattern) -> None:
     """pattern: list of (var, define, quant) where define is a dict with
     optional keys ``types`` (event-type alternation, as in
-    :func:`match_recognize`) and ``dir`` ('up' | 'down': the row's value
-    compared to PREV(value) over the full partition order — SQL
-    MATCH_RECOGNIZE's physical-row PREV navigation). An empty define
-    matches any row (the STRT variable of the classic V-pattern)."""
+    :func:`match_recognize`), ``dir`` ('up' | 'down': the row's value
+    compared to PREV(value)) and ``next_dir`` ('up' | 'down': compared
+    to NEXT(value)) — PREV/NEXT navigate PHYSICAL rows of the full
+    partition order, SQL MATCH_RECOGNIZE's default offset navigation.
+    An empty define matches any row (the STRT variable of the classic
+    V-pattern)."""
     if not pattern:
         raise ValueError("pattern needs at least one variable")
     if len(pattern) > 4:
@@ -225,16 +243,16 @@ def _validate_defines(pattern) -> None:
                          "(bitmask alphabet is 2^k chars)")
     seen = set()
     for var, define, quant in pattern:
-        if quant not in _QUANTS:
-            raise ValueError(f"quantifier {quant!r} not in {sorted(_QUANTS)}")
+        _quant_regex(quant)  # raises on malformed quantifiers
         if var in seen:
             raise ValueError(f"duplicate pattern variable {var!r}")
         seen.add(var)
-        bad = set(define) - {"types", "dir"}
+        bad = set(define) - {"types", "dir", "next_dir"}
         if bad:
             raise ValueError(f"unknown define keys {sorted(bad)}")
-        if define.get("dir") not in (None, "up", "down"):
-            raise ValueError("dir must be 'up' or 'down'")
+        for d in ("dir", "next_dir"):
+            if define.get(d) not in (None, "up", "down"):
+                raise ValueError(f"{d} must be 'up' or 'down'")
 
 
 def _bitmask_classes(pattern) -> list[str]:
@@ -251,7 +269,7 @@ def _bitmask_classes(pattern) -> list[str]:
 def _define_regex(pattern) -> str:
     classes = _bitmask_classes(pattern)
     return "".join(
-        f"(?:[{cls}][0-9]+;){_QUANTS[quant]}"
+        f"(?:[{cls}][0-9]+;){_quant_regex(quant)}"
         for cls, (_, _, quant) in zip(classes, pattern)
     )
 
@@ -267,9 +285,12 @@ def match_recognize_define(
     skip: str = "past_last_row",
 ) -> DataFrame:
     """MATCH_RECOGNIZE with DEFINE conditions that may reference
-    ``PREV(value)`` — e.g. the classic V-shape
+    ``PREV(value)`` and/or ``NEXT(value)`` — e.g. the classic V-shape
     ``PATTERN (STRT DOWN+ UP+) DEFINE DOWN AS value < PREV(value),
-    UP AS value > PREV(value)`` — plus both AFTER MATCH modes:
+    UP AS value > PREV(value)``, or a local-maximum variable
+    ``PK AS value > PREV(value) AND value > NEXT(value)`` — with
+    quantifiers ``1 ? + *`` plus bounded ``{m,n}``, and both AFTER
+    MATCH modes:
     ``skip='past_last_row'`` (non-overlapping, the default) or
     ``skip='to_next_row'`` (a new match may begin at the row after the
     previous match's START — overlapping matches, Flink CEP's
@@ -301,6 +322,7 @@ def match_recognize_define(
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
     prev_v = F.lag(value_col).over(w)
+    next_v = F.lead(value_col).over(w)
     bm = F.lit(0)
     for i, (_, define, _) in enumerate(pattern):
         conds = []
@@ -310,6 +332,12 @@ def match_recognize_define(
             conds.append(F.col(value_col) > prev_v)
         elif define.get("dir") == "down":
             conds.append(F.col(value_col) < prev_v)
+        # next_dir describes the series' move INTO the next row:
+        # 'down' = the next value is lower (a peak's right side)
+        if define.get("next_dir") == "up":
+            conds.append(F.col(value_col) < next_v)
+        elif define.get("next_dir") == "down":
+            conds.append(F.col(value_col) > next_v)
         sat = conds[0] if conds else F.lit(True)
         for c in conds[1:]:
             sat = sat & c
@@ -411,13 +439,19 @@ def match_recognize_define_oracle_sql(
             conds.append(f"{value_col} > prev_v")
         elif define.get("dir") == "down":
             conds.append(f"{value_col} < prev_v")
+        if define.get("next_dir") == "up":
+            conds.append(f"{value_col} < next_v")
+        elif define.get("next_dir") == "down":
+            conds.append(f"{value_col} > next_v")
         cond = " AND ".join(conds) if conds else "TRUE"
         bits.append(f"(CASE WHEN {cond} THEN {1 << i} ELSE 0 END)")
     bm = " + ".join(bits)
     src = f"""
         SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
                lag({value_col}) OVER (PARTITION BY {key}
-                                      ORDER BY {ts}, {id_col}) AS prev_v
+                                      ORDER BY {ts}, {id_col}) AS prev_v,
+               lead({value_col}) OVER (PARTITION BY {key}
+                                       ORDER BY {ts}, {id_col}) AS next_v
         FROM {table}"""
     toks = f"""
     toks AS (

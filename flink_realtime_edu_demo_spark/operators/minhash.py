@@ -328,7 +328,17 @@ def jaccard_pairs_prefix(sh: DataFrame, id_col: str = "doc_id",
     )
 
 
-MAX_DF = 256  # candidate-side document-frequency cap (skew guard)
+# Candidate-side document-frequency cap (skew guard). Tightened 256 ->
+# 64 after the round-5 10x soak: with a dense (small-vocabulary) corpus
+# the df distribution shifts up until NO shingle is capped, and raw
+# candidate volume goes Sum(df^2)/2 — 130M pairs at 10x, a 40x
+# super-linear wall. At 64 the verified pair set is IDENTICAL at both
+# oracle scales (checked caps 32/64/256 at sf0.01 and sf0.1 — real
+# near-dup pairs always share a rare shingle, the fact prefix-filtering
+# exploits), and the soak key returns to linear scaling. Pairs similar
+# ONLY through >64-df shingles are corpus boilerplate — the documented
+# recall trade of the capped contract.
+MAX_DF = 64
 
 
 def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
@@ -383,16 +393,27 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
     # Invert FROM the per-doc arrays (explode of the already-aggregated
     # frame), not from the raw shingle stream: the scan→tokenize→shingle
     # pipeline then runs once, and the three consumers of `docs` below
-    # share one exchange (ReusedExchange in the plan) — one groupBy, no
-    # two-sided self-join shuffle, quadratic term bounded by the df cap.
+    # share one exchange (ReusedExchange in the plan). The df filter is
+    # a WINDOW COUNT over the same `h` partitioning, applied BEFORE the
+    # collect_list: a hot shingle (present in most of the corpus — think
+    # boilerplate) then never materializes its full posting list as one
+    # in-memory array; its rows stream through the spillable window
+    # buffer and are dropped. Building the lists first and dropping them
+    # by size afterwards went 40x super-linear on the 10x soak (small
+    # vocabulary -> every shingle hot) and is exactly the 100 TB hazard.
+    from pyspark.sql.window import Window
+
+    posting = docs.select(F.col(id_col), F.explode("hs").alias("h"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    width_ok = df_w >= 2
+    if max_df is not None:
+        width_ok = width_ok & (df_w <= max_df)
     inverted = (
-        docs.select(F.col(id_col), F.explode("hs").alias("h"))
+        posting.withColumn("__ok", width_ok)
+        .filter(F.col("__ok"))
         .groupBy("h")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
     )
-    width_ok = F.size("ids") >= 2
-    if max_df is not None:
-        width_ok = width_ok & (F.size("ids") <= max_df)
     pair_structs = F.flatten(
         F.transform(
             "ids",
@@ -403,7 +424,7 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
         )
     )
     cand = (
-        inverted.filter(width_ok)
+        inverted
         .select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()

@@ -72,7 +72,7 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
            FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-    sdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 256),
+    sdf AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM sh a JOIN sh b USING (shingle) JOIN sdf USING (shingle)
              WHERE a.doc_id < b.doc_id),
@@ -93,7 +93,7 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by 3-word-shingle Jaccard >= 0.5 through a
     df-capped inverted shingle index (operators/minhash.jaccard_pairs,
-    max_df=256): candidates come only from shingles shared by 2..256
+    max_df=64): candidates come only from shingles shared by 2..64
     docs — bounding per-shingle pair expansion at max_df²/2 — and every
     candidate is then verified with the exact full-set intersection, so
     emitted jaccard values are exact. The oracle implements the same
@@ -552,7 +552,7 @@ def q_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams AS (SELECT * FROM raw_grams
               WHERE CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT) % 4 = 0),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY 1),
-    gdf AS (SELECT shingle FROM grams GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 256),
+    gdf AS (SELECT shingle FROM grams GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM grams a JOIN grams b USING (shingle) JOIN gdf USING (shingle)
              WHERE a.doc_id < b.doc_id),
@@ -1133,7 +1133,7 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     sdf AS (SELECT shingle FROM sh GROUP BY shingle
-            HAVING COUNT(*) BETWEEN 2 AND 256),
+            HAVING COUNT(*) BETWEEN 2 AND 64),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM sh a JOIN sh b USING (shingle) JOIN sdf USING (shingle)
              WHERE a.doc_id < b.doc_id),

@@ -348,6 +348,29 @@ def q_cep_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_define(ev, CEP_SKIP_PATTERN, skip="to_next_row")
 
 
+# Bounded quantifier + NEXT navigation: a 1-2 row rising run into a
+# local MAXIMUM (above both neighbors), then a falling run.
+CEP_PEAK_PATTERN = [
+    ("U", {"dir": "up"}, "{1,2}"),
+    ("PK", {"dir": "up", "next_dir": "down"}, "1"),
+    ("D", {"dir": "down"}, "+"),
+]
+
+
+@query("q_cep_quantifier", oracle=match_recognize_define_oracle_sql(CEP_PEAK_PATTERN))
+def q_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded quantifiers + NEXT-navigating DEFINEs: PATTERN
+    (U{1,2} PK D+) DEFINE U AS value > PREV(value), PK AS value >
+    PREV(value) AND value > NEXT(value), D AS value < PREV(value) —
+    a peak detector whose summit variable compares against BOTH
+    physical neighbors (lag + lead precomputed in the same window) and
+    whose run-up length is range-bounded, the ``{m,n}`` form both
+    Java regex and RE2 spell identically so the token scan stays
+    engine-portable. Greedy, SKIP PAST LAST ROW, one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_define(ev, CEP_PEAK_PATTERN)
+
+
 @query(
     "q_stream_late_branch",
     oracle="""

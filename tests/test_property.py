@@ -4,6 +4,7 @@ reference-implementation comparison (SURVEY.md §5.2 item 5)."""
 from __future__ import annotations
 
 import datetime as dt
+import re
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -294,27 +295,39 @@ def _py_define_spans(rows, pattern, skip) -> list[tuple[int, int]]:
                 ok = ok and rows[i][1] > rows[i - 1][1]
             else:
                 ok = ok and rows[i][1] < rows[i - 1][1]
+        nd = define.get("next_dir")
+        if nd:
+            if i == len(rows) - 1:
+                return False  # NEXT is NULL on the last partition row
+            if nd == "up":  # series rises INTO the next row
+                ok = ok and rows[i][1] < rows[i + 1][1]
+            else:  # 'down': the next value is lower (a peak's right side)
+                ok = ok and rows[i][1] > rows[i + 1][1]
         return ok
+
+    def bounds(quant):
+        if quant == "1":
+            return 1, 1
+        if quant == "?":
+            return 0, 1
+        if quant == "+":
+            return 1, None
+        if quant == "*":
+            return 0, None
+        m = re.match(r"^\{(\d+),(\d+)\}$", quant)
+        return int(m.group(1)), int(m.group(2))
 
     def rec(pos: int, vi: int):
         if vi == len(pattern):
             return pos
         _, define, quant = pattern[vi]
-        if quant == "1":
-            if pos < len(rows) and sat(pos, define):
-                return rec(pos + 1, vi + 1)
-            return None
-        if quant == "?":
-            if pos < len(rows) and sat(pos, define):
-                r = rec(pos + 1, vi + 1)
-                if r is not None:
-                    return r
-            return rec(pos, vi + 1)
-        lo = 1 if quant == "+" else 0
+        lo, hi = bounds(quant)
         cnt = 0
         while pos + cnt < len(rows) and sat(pos + cnt, define):
             cnt += 1
-        for c in range(cnt, lo - 1, -1):
+            if hi is not None and cnt == hi:
+                break
+        for c in range(cnt, lo - 1, -1):  # greedy: longest first
             r = rec(pos + c, vi + 1)
             if r is not None:
                 return r
@@ -337,12 +350,13 @@ define_strategy = st.lists(
             {}, {"dir": "up"}, {"dir": "down"},
             {"types": ("view", "click")}, {"types": ("click",)},
             {"types": ("click", "error"), "dir": "up"},
+            {"next_dir": "down"}, {"dir": "up", "next_dir": "down"},
         ]),
-        st.sampled_from(["1", "?", "+", "*"]),
+        st.sampled_from(["1", "?", "+", "*", "{1,2}", "{2,3}", "{0,2}"]),
     ),
     min_size=1,
     max_size=3,
-).filter(lambda p: any(q in ("1", "+") for _, q in p))
+).filter(lambda p: any(q not in ("?", "*", "{0,2}") for _, q in p))
 
 
 @settings(max_examples=20, deadline=None,
