@@ -274,6 +274,58 @@ def _define_regex(pattern) -> str:
     )
 
 
+def _quant_min(quant: str) -> int:
+    if quant in ("1", "+"):
+        return 1
+    if quant in ("?", "*"):
+        return 0
+    return int(_BOUNDED.match(quant).group(1))
+
+
+def _parse_skip(skip: str, pattern) -> tuple[str, int | None]:
+    """Parse the AFTER MATCH policy: 'past_last_row', 'to_next_row',
+    'to_first:<VAR>' or 'to_last:<VAR>'. For the variable-targeted
+    modes, statically reject patterns where the resume position could
+    equal the match start (SQL/Flink raise a runtime error for
+    non-advancing skips; we reject at plan time): TO FIRST needs at
+    least one guaranteed row before the target variable; TO LAST needs
+    that, or the target to match at least two rows."""
+    if skip in ("past_last_row", "to_next_row"):
+        return skip, None
+    for mode in ("to_first", "to_last"):
+        if skip.startswith(mode + ":"):
+            var = skip[len(mode) + 1:]
+            names = [v for v, _, _ in pattern]
+            if var not in names:
+                raise ValueError(f"skip target {var!r} not a pattern variable")
+            j = names.index(var)
+            mins = [_quant_min(q) for _, _, q in pattern]
+            if mode == "to_last" and mins[j] < 1:
+                raise ValueError(
+                    f"SKIP TO LAST {var}: target may match zero rows")
+            if sum(mins[:j]) < 1 and not (mode == "to_last" and mins[j] >= 2):
+                raise ValueError(
+                    f"SKIP {mode.upper().replace('_', ' ')} {var} could "
+                    "resume at the match start (non-advancing skip)")
+            return mode, j
+    raise ValueError(
+        "skip must be 'past_last_row', 'to_next_row', 'to_first:<VAR>' "
+        "or 'to_last:<VAR>'")
+
+
+def _define_regex_grouped(pattern, j: int) -> str:
+    """The define regex with capture group 1 = everything before the
+    target variable and group 2 = the target variable's rows."""
+    classes = _bitmask_classes(pattern)
+
+    def piece(i: int) -> str:
+        return f"(?:[{classes[i]}][0-9]+;){_quant_regex(pattern[i][2])}"
+
+    pre = "".join(piece(i) for i in range(j))
+    rest = "".join(piece(i) for i in range(j + 1, len(pattern)))
+    return f"({pre})({piece(j)})" + (f"(?:{rest})" if rest else "")
+
+
 def match_recognize_define(
     events: DataFrame,
     pattern: list[tuple[str, dict, str]],
@@ -291,10 +343,14 @@ def match_recognize_define(
     ``PK AS value > PREV(value) AND value > NEXT(value)`` — with
     quantifiers ``1 ? + *`` plus bounded ``{m,n}``, and both AFTER
     MATCH modes:
-    ``skip='past_last_row'`` (non-overlapping, the default) or
+    ``skip='past_last_row'`` (non-overlapping, the default),
     ``skip='to_next_row'`` (a new match may begin at the row after the
     previous match's START — overlapping matches, Flink CEP's
-    ``AFTER MATCH SKIP TO NEXT ROW``).
+    ``AFTER MATCH SKIP TO NEXT ROW``), or ``skip='to_first:<VAR>'`` /
+    ``skip='to_last:<VAR>'`` (resume the scan AT the first/last row the
+    target variable matched — inclusive, as in Flink's skipToFirst/
+    skipToLast; patterns whose resume could equal the match start are
+    rejected at plan time, mirroring SQL's non-advancing-skip error).
 
     Lowering: SQL PREV navigates PHYSICAL rows of the partition (not
     rows mapped to the same variable), so ``lag(value)`` computed before
@@ -315,8 +371,7 @@ def match_recognize_define(
     from pyspark.sql.window import Window
 
     _validate_defines(pattern)
-    if skip not in ("past_last_row", "to_next_row"):
-        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    mode, target = _parse_skip(skip, pattern)
     keys = [key] if isinstance(key, str) else list(key)
     regex = _define_regex(pattern)
 
@@ -360,7 +415,7 @@ def match_recognize_define(
         *[F.col(k) for k in keys],
         F.transform("arr", lambda s: s["tok"]).alias("toks"),
     )
-    if skip == "past_last_row":
+    if mode == "past_last_row":
         return seq.select(
             *[F.col(k) for k in keys],
             F.posexplode(
@@ -376,8 +431,8 @@ def match_recognize_define(
             (F.length("col") - F.length(F.translate("col", ";", "")))
             .cast("long").alias("n_rows"),
         )
-    # to_next_row: anchored attempt at every token offset (1-based
-    # substring positions from a running sum of token lengths)
+    # anchored attempt at every token offset (1-based substring
+    # positions from a running sum of token lengths)
     offsets = F.aggregate(
         "toks",
         F.array(F.lit(1)),
@@ -385,6 +440,11 @@ def match_recognize_define(
             acc, F.array(F.element_at(acc, -1) + F.length(t))
         ),
     )
+    anchored = (
+        f"^{_define_regex_grouped(pattern, target)}"
+        if target is not None else f"^(?:{regex})"
+    )
+    sub = F.col("s").substr(F.col("off"), F.length("s"))
     hits = (
         seq.select(
             *[F.col(k) for k in keys],
@@ -394,23 +454,82 @@ def match_recognize_define(
         .select(
             *[F.col(k) for k in keys],
             F.col("off"),
-            F.regexp_extract(
-                F.col("s").substr(F.col("off"), F.length("s")),
-                f"^(?:{regex})", 0,
-            ).alias("m"),
+            F.regexp_extract(sub, anchored, 0).alias("m"),
+            *(
+                [
+                    F.regexp_extract(sub, anchored, 1).alias("g1"),
+                    F.regexp_extract(sub, anchored, 2).alias("g2"),
+                ]
+                if target is not None else []
+            ),
         )
         .filter(F.col("m") != "")
     )
-    w_no = Window.partitionBy(*keys).orderBy("off")
-    return hits.select(
-        *[F.col(k) for k in keys],
-        F.row_number().over(w_no).cast("long").alias("match_no"),
+    measures = [
         F.regexp_extract("m", "^[a-z]([0-9]+);", 1).cast("long")
         .alias("first_event_id"),
         F.regexp_extract("m", "([0-9]+);$", 1).cast("long")
         .alias("last_event_id"),
         (F.length("m") - F.length(F.translate("m", ";", "")))
         .cast("long").alias("n_rows"),
+    ]
+    if mode == "to_next_row":
+        w_no = Window.partitionBy(*keys).orderBy("off")
+        return hits.select(
+            *[F.col(k) for k in keys],
+            F.row_number().over(w_no).cast("long").alias("match_no"),
+            *measures,
+        )
+    # to_first / to_last: resume INSIDE the match, at the target
+    # variable's first/last row — select matches with a per-key
+    # sequential fold over the offset-sorted anchored matches: take a
+    # match iff its offset >= the running resume point, then advance
+    # the point to the selected match's target-row offset.
+    if mode == "to_first":
+        resume = F.col("off") + F.length("g1")
+    else:
+        last_tok = F.regexp_extract("g2", "([a-z][0-9]+;)$", 1)
+        resume = (
+            F.col("off") + F.length("g1") + F.length("g2")
+            - F.length(last_tok)
+        )
+    per_key = hits.select(
+        *[F.col(k) for k in keys],
+        F.struct(
+            F.col("off").cast("long").alias("off"),
+            F.col("m").alias("m"),
+            resume.cast("long").alias("resume"),
+        ).alias("h"),
+    ).groupBy(*keys).agg(F.array_sort(F.collect_list("h")).alias("l"))
+    init = F.expr(
+        "named_struct('p', CAST(1 AS BIGINT), "
+        "'sel', CAST(array() AS array<struct<off:bigint,m:string>>))"
+    )
+    sel = F.aggregate(
+        "l",
+        init,
+        lambda acc, x: F.when(
+            x["off"] >= acc["p"],
+            F.struct(
+                x["resume"].alias("p"),
+                F.concat(
+                    acc["sel"],
+                    F.array(F.struct(x["off"].alias("off"), x["m"].alias("m"))),
+                ).alias("sel"),
+            ),
+        ).otherwise(acc),
+    )["sel"]
+    return per_key.select(
+        *[F.col(k) for k in keys],
+        F.posexplode(sel),
+    ).select(
+        *[F.col(k) for k in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.col("col")["m"].alias("m"),
+    ).select(
+        *[F.col(k) for k in keys],
+        "match_no",
+        *measures,
     )
 
 
@@ -426,8 +545,11 @@ def match_recognize_define_oracle_sql(
 ) -> str:
     """DuckDB SQL replaying :func:`match_recognize_define` token-for-
     token (same bitmask alphabet, same regex, same anchored-offset
-    enumeration for to_next_row)."""
+    enumeration for to_next_row, and for to_first/to_last the same
+    sequential selection fold — DuckDB's init-less list_reduce gets a
+    prepended sentinel element carrying the accumulator fields)."""
     _validate_defines(pattern)
+    mode, target = _parse_skip(skip, pattern)
     regex = _define_regex(pattern)
     bits = []
     for i, (_, define, _) in enumerate(pattern):
@@ -459,7 +581,7 @@ def match_recognize_define_oracle_sql(
                chr(97 + ({bm})) || {id_col} || ';' AS tok
         FROM src
     )"""
-    if skip == "past_last_row":
+    if mode == "past_last_row":
         return f"""
     WITH src AS ({src}),{toks},
     seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
@@ -471,8 +593,7 @@ def match_recognize_define_oracle_sql(
            CAST(length(l[i]) - length(replace(l[i], ';', '')) AS BIGINT) AS n_rows
     FROM m, unnest(generate_series(1, len(l))) AS t(i)
     """
-    return f"""
-    WITH src AS ({src}),{toks},
+    scan = f"""
     offs AS (
         SELECT {key}, {ts}, {id_col}, tok,
                CAST(1 + COALESCE(SUM(length(tok))
@@ -482,7 +603,10 @@ def match_recognize_define_oracle_sql(
         FROM toks
     ),
     seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
-            FROM toks GROUP BY {key}),
+            FROM toks GROUP BY {key})"""
+    if mode == "to_next_row":
+        return f"""
+    WITH src AS ({src}),{toks},{scan},
     hits AS (
         SELECT o.{key}, o.off,
                regexp_extract(substring(q.s, o.off), '^(?:{regex})', 0) AS m
@@ -495,6 +619,48 @@ def match_recognize_define_oracle_sql(
            CAST(regexp_extract(m, '([0-9]+);$', 1) AS BIGINT) AS last_event_id,
            CAST(length(m) - length(replace(m, ';', '')) AS BIGINT) AS n_rows
     FROM hits WHERE m <> ''
+    """
+    grouped = _define_regex_grouped(pattern, target)
+    if mode == "to_first":
+        resume = "off + length(g1)"
+    else:
+        resume = ("off + length(g1) + length(g2) "
+                  "- length(regexp_extract(g2, '([a-z][0-9]+;)$', 1))")
+    # Sequential selection as a RECURSIVE CTE (each level picks the
+    # next match at-or-after the previous level's resume point).
+    # DuckDB 1.0's list_reduce was tried first and is unusable here:
+    # list-valued accumulator fields lose elements, and on longer lists
+    # the fold order itself is unstable (probed both).
+    return f"""
+    WITH RECURSIVE src AS ({src}),{toks},{scan},
+    hits AS (
+        SELECT o.{key}, o.off,
+               regexp_extract(substring(q.s, o.off), '^{grouped}', 0) AS m,
+               regexp_extract(substring(q.s, o.off), '^{grouped}', 1) AS g1,
+               regexp_extract(substring(q.s, o.off), '^{grouped}', 2) AS g2
+        FROM offs o JOIN seq q ON q.{key} = o.{key}
+    ),
+    hr AS (SELECT {key}, CAST(off AS BIGINT) AS off, m,
+                  CAST({resume} AS BIGINT) AS resume
+           FROM hits WHERE m <> ''),
+    pick AS (
+        SELECT {key}, off, m, resume, 1 AS match_no
+        FROM hr h
+        WHERE off = (SELECT min(off) FROM hr h2 WHERE h2.{key} = h.{key})
+      UNION ALL
+        SELECT n.{key}, n.off, n.m, n.resume, p.match_no + 1
+        FROM pick p JOIN hr n ON n.{key} = p.{key} AND n.off >= p.resume
+        WHERE n.off = (SELECT min(n2.off) FROM hr n2
+                       WHERE n2.{key} = p.{key} AND n2.off >= p.resume)
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           CAST(regexp_extract(m, '^[a-z]([0-9]+);', 1) AS BIGINT)
+               AS first_event_id,
+           CAST(regexp_extract(m, '([0-9]+);$', 1) AS BIGINT)
+               AS last_event_id,
+           CAST(length(m) - length(replace(m, ';', ''))
+               AS BIGINT) AS n_rows
+    FROM pick
     """
 
 

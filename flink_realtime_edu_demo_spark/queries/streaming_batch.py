@@ -348,6 +348,28 @@ def q_cep_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_define(ev, CEP_SKIP_PATTERN, skip="to_next_row")
 
 
+@query(
+    "q_cep_skip_last",
+    oracle=match_recognize_define_oracle_sql(
+        CEP_V_PATTERN, skip="to_last:UP"
+    ),
+)
+def q_cep_skip_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO LAST <var> (the remaining Flink CEP skip
+    policy): the V-shape pattern resumed AT the last UP row of each
+    match — consecutive Vs may share that row, the textbook W-shape
+    overlap SQL row-pattern docs illustrate. Lowered as anchored
+    matches at every token offset with capture groups locating the
+    resume row, then a per-key sequential fold (F.aggregate) that
+    selects matches in scan order and advances the resume point;
+    patterns whose resume could equal the match start are rejected at
+    plan time (SQL's non-advancing-skip error, moved to planning).
+    The DuckDB oracle replays the identical fold via list_reduce with
+    a sentinel accumulator element."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_define(ev, CEP_V_PATTERN, skip="to_last:UP")
+
+
 # Bounded quantifier + NEXT navigation: a 1-2 row rising run into a
 # local MAXIMUM (above both neighbors), then a falling run.
 CEP_PEAK_PATTERN = [

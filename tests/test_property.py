@@ -317,7 +317,8 @@ def _py_define_spans(rows, pattern, skip) -> list[tuple[int, int]]:
         m = re.match(r"^\{(\d+),(\d+)\}$", quant)
         return int(m.group(1)), int(m.group(2))
 
-    def rec(pos: int, vi: int):
+    def rec(pos: int, vi: int, asg):
+        """asg: per-variable (start, end) row spans, filled on success."""
         if vi == len(pattern):
             return pos
         _, define, quant = pattern[vi]
@@ -328,17 +329,31 @@ def _py_define_spans(rows, pattern, skip) -> list[tuple[int, int]]:
             if hi is not None and cnt == hi:
                 break
         for c in range(cnt, lo - 1, -1):  # greedy: longest first
-            r = rec(pos + c, vi + 1)
+            r = rec(pos + c, vi + 1, asg)
             if r is not None:
+                asg[vi] = (pos, pos + c)
                 return r
         return None
 
+    target = None
+    if skip.startswith(("to_first:", "to_last:")):
+        mode, var = skip.split(":", 1)
+        target = ([v for v, _, _ in pattern].index(var), mode)
+
     spans, i = [], 0
     while i < len(rows):
-        e = rec(i, 0)
+        asg: dict = {}
+        e = rec(i, 0, asg)
         if e is not None and e > i:
             spans.append((i, e))
-            i = e if skip == "past_last_row" else i + 1
+            if skip == "past_last_row":
+                i = e
+            elif skip == "to_next_row":
+                i += 1
+            else:
+                j, mode = target
+                s0, s1 = asg[j]
+                i = s0 if mode == "to_first" else s1 - 1
         else:
             i += 1
     return spans
@@ -370,18 +385,28 @@ define_strategy = st.lists(
         min_size=1, max_size=30,
     ),
     pat=define_strategy,
-    skip=st.sampled_from(["past_last_row", "to_next_row"]),
+    skip_sel=st.integers(0, 9),
 )
-def test_match_recognize_define_matches_reference(spark, rows, pat, skip):
+def test_match_recognize_define_matches_reference(spark, rows, pat, skip_sel):
     """The bitmask-char lowering with PREV defines must reproduce the
-    reference matcher's spans in BOTH AFTER MATCH modes — including
-    overlapping to_next_row matches and defines that combine a type
-    class with a direction."""
+    reference matcher's spans in ALL FOUR AFTER MATCH modes — including
+    overlapping to_next_row matches, variable-targeted to_first/to_last
+    resumes, and defines that combine a type class with a direction."""
     from flink_realtime_edu_demo_spark.operators.cep import (
+        _parse_skip,
         match_recognize_define,
     )
 
     pattern = [(f"V{i}", d, q) for i, (d, q) in enumerate(pat)]
+    skips = ["past_last_row", "to_next_row"]
+    for mode in ("to_first", "to_last"):
+        for v, _, _ in pattern:
+            try:
+                _parse_skip(f"{mode}:{v}", pattern)
+                skips.append(f"{mode}:{v}")
+            except ValueError:
+                pass
+    skip = skips[skip_sel % len(skips)]
     want = _py_define_spans(rows, pattern, skip)
     ev = spark.createDataFrame(
         [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
