@@ -542,15 +542,27 @@ def match_recognize_define_oracle_sql(
     id_col: str = "event_id",
     value_col: str = "value",
     skip: str = "past_last_row",
+    keys: list[str] | None = None,
+    source_sql: str | None = None,
 ) -> str:
     """DuckDB SQL replaying :func:`match_recognize_define` token-for-
     token (same bitmask alphabet, same regex, same anchored-offset
     enumeration for to_next_row, and for to_first/to_last the same
-    sequential selection fold — DuckDB's init-less list_reduce gets a
-    prepended sentinel element carrying the accumulator fields)."""
+    sequential selection via a recursive CTE). ``keys``/``source_sql``
+    support composite partitions over a derived event source — the
+    sessionized deployment shape."""
     _validate_defines(pattern)
     mode, target = _parse_skip(skip, pattern)
     regex = _define_regex(pattern)
+    klist = keys or [key]
+    key = ", ".join(klist)  # every {key} below is the full key list
+    join_sq = " AND ".join(f"q.{k} = o.{k}" for k in klist)
+    o_key = ", ".join(f"o.{k}" for k in klist)
+    eq_hh = " AND ".join(f"h2.{k} = h.{k}" for k in klist)
+    eq_np = " AND ".join(f"n.{k} = p.{k}" for k in klist)
+    eq_n2p = " AND ".join(f"n2.{k} = p.{k}" for k in klist)
+    n_key = ", ".join(f"n.{k}" for k in klist)
+    inner = source_sql or f"SELECT * FROM {table}"
     bits = []
     for i, (_, define, _) in enumerate(pattern):
         conds = []
@@ -574,7 +586,7 @@ def match_recognize_define_oracle_sql(
                                       ORDER BY {ts}, {id_col}) AS prev_v,
                lead({value_col}) OVER (PARTITION BY {key}
                                        ORDER BY {ts}, {id_col}) AS next_v
-        FROM {table}"""
+        FROM ({inner})"""
     toks = f"""
     toks AS (
         SELECT {key}, {ts}, {id_col},
@@ -608,9 +620,9 @@ def match_recognize_define_oracle_sql(
         return f"""
     WITH src AS ({src}),{toks},{scan},
     hits AS (
-        SELECT o.{key}, o.off,
+        SELECT {o_key}, o.off,
                regexp_extract(substring(q.s, o.off), '^(?:{regex})', 0) AS m
-        FROM offs o JOIN seq q ON q.{key} = o.{key}
+        FROM offs o JOIN seq q ON {join_sq}
     )
     SELECT {key},
            CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
@@ -634,11 +646,11 @@ def match_recognize_define_oracle_sql(
     return f"""
     WITH RECURSIVE src AS ({src}),{toks},{scan},
     hits AS (
-        SELECT o.{key}, o.off,
+        SELECT {o_key}, o.off,
                regexp_extract(substring(q.s, o.off), '^{grouped}', 0) AS m,
                regexp_extract(substring(q.s, o.off), '^{grouped}', 1) AS g1,
                regexp_extract(substring(q.s, o.off), '^{grouped}', 2) AS g2
-        FROM offs o JOIN seq q ON q.{key} = o.{key}
+        FROM offs o JOIN seq q ON {join_sq}
     ),
     hr AS (SELECT {key}, CAST(off AS BIGINT) AS off, m,
                   CAST({resume} AS BIGINT) AS resume
@@ -646,12 +658,12 @@ def match_recognize_define_oracle_sql(
     pick AS (
         SELECT {key}, off, m, resume, 1 AS match_no
         FROM hr h
-        WHERE off = (SELECT min(off) FROM hr h2 WHERE h2.{key} = h.{key})
+        WHERE off = (SELECT min(off) FROM hr h2 WHERE {eq_hh})
       UNION ALL
-        SELECT n.{key}, n.off, n.m, n.resume, p.match_no + 1
-        FROM pick p JOIN hr n ON n.{key} = p.{key} AND n.off >= p.resume
+        SELECT {n_key}, n.off, n.m, n.resume, p.match_no + 1
+        FROM pick p JOIN hr n ON {eq_np} AND n.off >= p.resume
         WHERE n.off = (SELECT min(n2.off) FROM hr n2
-                       WHERE n2.{key} = p.{key} AND n2.off >= p.resume)
+                       WHERE {eq_n2p} AND n2.off >= p.resume)
     )
     SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
            CAST(regexp_extract(m, '^[a-z]([0-9]+);', 1) AS BIGINT)
@@ -735,3 +747,56 @@ def match_recognize_sessionized_oracle_sql(
               FROM {table})"""
     return _oracle_core(pattern, [key, "session_id"], source,
                         ts, type_col, id_col)
+
+
+def match_recognize_define_sessionized(
+    events: DataFrame,
+    pattern: list[tuple[str, dict, str]],
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    skip: str = "past_last_row",
+) -> DataFrame:
+    """Sessionized deployment shape for DEFINE-based matching: PREV/NEXT
+    navigation is confined to the (key, session) partition — the first
+    row of each SESSION has NULL PREV, as Flink CEP within session
+    windows behaves — and per-group state is bounded by session length.
+    All four AFTER MATCH skip policies compose."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize_define(
+        s, pattern, key=[key, "session_id"], ts=ts, type_col=type_col,
+        id_col=id_col, value_col=value_col, skip=skip,
+    )
+
+
+def match_recognize_define_sessionized_oracle_sql(
+    pattern: list[tuple[str, dict, str]],
+    gap_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    skip: str = "past_last_row",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_define_sessionized`."""
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return match_recognize_define_oracle_sql(
+        pattern, ts=ts, type_col=type_col, id_col=id_col,
+        value_col=value_col, skip=skip,
+        keys=[key, "session_id"], source_sql=source,
+    )

@@ -17,6 +17,8 @@ from ..operators.cep import (
     match_recognize,
     match_recognize_define,
     match_recognize_define_oracle_sql,
+    match_recognize_define_sessionized,
+    match_recognize_define_sessionized_oracle_sql,
     match_recognize_oracle_sql,
     match_recognize_sessionized,
     match_recognize_sessionized_oracle_sql,
@@ -65,6 +67,55 @@ def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total_value",
         )
+    )
+
+
+@query(
+    "q_stream_window_topn",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               user_id, COUNT(*) AS n,
+               {sql_dsum('value', 'total_value')}
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY window_start
+                                     ORDER BY n DESC, user_id) AS rnk
+        FROM per_user
+    )
+    SELECT window_start, CAST(rnk AS INT) AS rnk, user_id, n, total_value
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Top-N (the named Flink SQL pattern: window TVF + ROW_NUMBER
+    over window_start): the 3 most active users per tumbling day, ties
+    broken by user_id. Two stages sharing work: the per-(window, user)
+    aggregate shuffles once on the composite key; the rank window then
+    re-partitions by window only — day-count partitions, each holding
+    one row per active user, so the rank sort is bounded by daily-active
+    users, never raw events. In streaming this is the canonical
+    emit-on-window-close Top-N: the aggregate runs behind a watermark
+    and the rank applies per closed window in foreachBatch."""
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "user_id", "n", "total_value",
+        )
+    )
+    rw = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "user_id"
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "rnk", "user_id", "n", "total_value")
     )
 
 
@@ -368,6 +419,28 @@ def q_cep_skip_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sentinel accumulator element."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_define(ev, CEP_V_PATTERN, skip="to_last:UP")
+
+
+@query(
+    "q_cep_prev_sessionized",
+    oracle=match_recognize_define_sessionized_oracle_sql(
+        CEP_V_PATTERN, gap_minutes=720, skip="to_last:UP"
+    ),
+)
+def q_cep_prev_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sessionized deployment shape for DEFINE-based matching
+    (PREV/NEXT + SKIP TO LAST composed with session windows): 12-hour
+    sessions per user, the V-pattern within each (user, session) with
+    SKIP TO LAST UP. PREV navigation is confined to the session —
+    each session's first row has NULL PREV, exactly Flink CEP within a
+    session window — and per-group token strings are bounded by
+    session length, the property that makes the whole family viable on
+    unbounded keys at 100 TB. One sort-shuffle on user_id shared by
+    sessionize, lag/lead, and tokenization."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_define_sessionized(
+        ev, CEP_V_PATTERN, gap_minutes=720, skip="to_last:UP"
+    )
 
 
 # Bounded quantifier + NEXT navigation: a 1-2 row rising run into a
