@@ -36,7 +36,11 @@ import tempfile
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.cep import match_recognize_sessionized, sessionize
+from ..operators.cep import (
+    match_recognize_define_sessionized,
+    match_recognize_sessionized,
+    sessionize,
+)
 from .sinks import idempotent_foreach_batch
 
 
@@ -44,14 +48,25 @@ class SessionCepSink:
     """foreachBatch body: land events in the keyed parquet staging
     table, recompute candidate keys, publish matches of closed
     sessions. ``emitted`` maps (key, session_id, match_no) -> match row
-    dict; once present it never changes (tested)."""
+    dict; once present it never changes (tested).
+
+    ``matcher='types'`` (default) runs the event-type pattern engine;
+    ``matcher='define'`` runs the PREV/NEXT DEFINE engine with the
+    given ``skip`` policy. Both are safe under incremental recompute:
+    a closed session can never gain rows, so PREV/NEXT navigation
+    (session-confined) and skip-policy selection are final at
+    publication time."""
 
     def __init__(self, pattern, gap_minutes: int, key: str = "user_id",
                  ts: str = "ts", id_col: str = "event_id",
-                 store_dir: str | None = None):
+                 store_dir: str | None = None,
+                 matcher: str = "types", skip: str = "past_last_row"):
+        if matcher not in ("types", "define"):
+            raise ValueError("matcher must be 'types' or 'define'")
         self.pattern = pattern
         self.gap_minutes = gap_minutes
         self.key, self.ts, self.id_col = key, ts, id_col
+        self.matcher, self.skip = matcher, skip
         base = store_dir or tempfile.mkdtemp(prefix="session_cep_")
         self.staging_dir = f"{base}/staging"
         self.meta_dir = f"{base}/meta"
@@ -108,10 +123,18 @@ class SessionCepSink:
         closed = bounds.filter(
             F.col("__last_ts") + gap <= F.lit(self._max_ts)
         ).select(self.key, "session_id")
-        matches = match_recognize_sessionized(
-            hist, self.pattern, self.gap_minutes,
-            key=self.key, ts=self.ts, id_col=self.id_col,
-        ).join(closed, [self.key, "session_id"])
+        if self.matcher == "define":
+            matched = match_recognize_define_sessionized(
+                hist, self.pattern, self.gap_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
+                skip=self.skip,
+            )
+        else:
+            matched = match_recognize_sessionized(
+                hist, self.pattern, self.gap_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
+            )
+        matches = matched.join(closed, [self.key, "session_id"])
         # 5. publish: collect MATCH rows only (the output itself); a
         # deployment appends matches.join(published, anti) to a results
         # table instead of the in-driver dict the tests observe

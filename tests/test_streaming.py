@@ -430,6 +430,56 @@ def test_streaming_cep_closed_sessions_match_batch(spark, sf_dir, stream_dir, tm
     assert sum(sink.emitted_per_batch[:-1]) > 0, sink.emitted_per_batch
 
 
+def test_streaming_cep_define_matcher_matches_batch(spark, sf_dir, stream_dir, tmp_path):
+    """The DEFINE engine (PREV navigation + SKIP TO LAST) through the
+    streaming sink: published matches for closed sessions equal the
+    batch sessionized define answer — valid incrementally because a
+    closed session never gains rows, so session-confined PREV/NEXT and
+    the skip-policy selection are final at publication."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_define_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    pat = [("STRT", {}, "1"), ("DOWN", {"dir": "down"}, "+"),
+           ("UP", {"dir": "up"}, "+")]
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink(pat, gap_minutes=gap, matcher="define",
+                          skip="to_last:UP")
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_def_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES") <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no): (r.first_event_id, r.last_event_id, r.n_rows)
+        for r in match_recognize_define_sessionized(ev, pat, gap, skip="to_last:UP")
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    got = {
+        k: (v["first_event_id"], v["last_event_id"], v["n_rows"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))
+
+
 def test_kafka_shaped_decode_converges_to_batch(spark, sf_dir, stream_dir):
     """The kafka_stream from_json decode stage, driven through a
     file-backed topic dump with the Kafka wire schema, converges to the
