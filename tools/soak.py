@@ -64,8 +64,10 @@ SOAK_KEYS = [
     "q_llm_pack_chunks", "q_llm_pack_greedy", "q_llm_heavy_hitters",
     "q_llm_rand_proj", "q_llm_embed_quant",
 ] + [f"q_tpch_q{i}" for i in range(1, 23)] + [
-    "q_cep_pattern", "q_cep_prev", "q_cep_skip_next", "q_cep_sessionized",
-    "q_stream_session_dyngap", "q_ts_interval_merge", "q_funnel",
+    "q_cep_pattern", "q_cep_prev", "q_cep_skip_next", "q_cep_skip_last",
+    "q_cep_quantifier", "q_cep_prev_sessionized", "q_cep_sessionized",
+    "q_stream_session_dyngap", "q_stream_window_topn",
+    "q_ts_interval_merge", "q_funnel",
 ]
 
 
