@@ -679,3 +679,41 @@ def test_approx_quantile_within_rank_error(spark, sf_dir):
             slack = eps * n + 1
             assert lo - slack <= target <= hi + slack, (r.event_type, q, est)
             assert vs[0] <= est <= vs[-1]
+
+
+def test_cep_skip_policy_validation():
+    """Malformed or non-advancing AFTER MATCH policies are plan-time
+    errors (SQL raises a runtime error for a skip that would resume at
+    the match start; we reject statically): unknown variables, targets
+    that may match zero rows, and resumes not guaranteed to advance."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        _parse_skip,
+        _quant_regex,
+    )
+
+    v = [("A", {"dir": "down"}, "+"), ("B", {"dir": "up"}, "+")]
+    assert _parse_skip("past_last_row", v) == ("past_last_row", None)
+    assert _parse_skip("to_next_row", v) == ("to_next_row", None)
+    assert _parse_skip("to_last:B", v) == ("to_last", 1)
+    assert _parse_skip("to_first:B", v) == ("to_first", 1)
+    with pytest.raises(ValueError, match="not a pattern variable"):
+        _parse_skip("to_last:Z", v)
+    with pytest.raises(ValueError, match="non-advancing"):
+        _parse_skip("to_first:A", v)  # nothing guaranteed before A
+    with pytest.raises(ValueError, match="non-advancing"):
+        _parse_skip("to_last:A", [("A", {}, "1"), ("B", {}, "+")])
+    # A with min>=2 advances even as the first variable
+    assert _parse_skip("to_last:A", [("A", {}, "{2,4}"), ("B", {}, "+")]) \
+        == ("to_last", 0)
+    with pytest.raises(ValueError, match="zero rows"):
+        _parse_skip("to_last:B", [("A", {}, "1"), ("B", {}, "*")])
+    with pytest.raises(ValueError, match="skip must be"):
+        _parse_skip("bad", v)
+    # bounded-quantifier forms
+    assert _quant_regex("{2,4}") == "{2,4}"
+    with pytest.raises(ValueError):
+        _quant_regex("{4,2}")  # inverted bounds
+    with pytest.raises(ValueError):
+        _quant_regex("{2,}")  # open-ended not supported

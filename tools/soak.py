@@ -48,9 +48,17 @@ import duckdb
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BASE = os.environ.get("SPARK_GRAFT_SOAK_DIR", "/tmp/spark_graft_soak/sf1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SOAK_REPLICAS", "10"))
+BASE = os.environ.get(
+    "SPARK_GRAFT_SOAK_DIR",
+    f"/tmp/spark_graft_soak/x{REPLICAS}" if REPLICAS != 10
+    else "/tmp/spark_graft_soak/sf1",
+)
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+#: artifact path: SOAK.json for the standard 10x run, SOAK_x<N>.json otherwise
+OUT = os.path.join(
+    REPO, "SOAK.json" if REPLICAS == 10 else f"SOAK_x{REPLICAS}.json"
+)
 
 # The scale-sensitive families: every dedup/CC/ANN/pack key + the full
 # TPC-H sweep + the heavy window/stream lowerings.
@@ -169,14 +177,21 @@ def run() -> None:
     spark = get_spark(app_name="soak", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["q_agg_basic"](spark, BASE).collect()  # warm-up
+    subset = os.environ.get("SPARK_GRAFT_SOAK_KEYS")
+    keys = subset.split(",") if subset else SOAK_KEYS
+    # sink=count avoids materializing huge result sets on the driver —
+    # required for >=100x runs, where a 10M-row collect() OOMs the JVM
+    # (a harness artifact: the engine-side plan had already completed)
+    sink = os.environ.get("SPARK_GRAFT_SOAK_SINK", "collect")
     out: dict[str, dict] = {}
-    for key in SOAK_KEYS:
+    for key in keys:
         if key not in QUERIES:
             print(f"  {key}: UNKNOWN", flush=True)
             continue
         t0 = time.perf_counter()
         try:
-            n = len(QUERIES[key](spark, BASE).collect())
+            df = QUERIES[key](spark, BASE)
+            n = df.count() if sink == "count" else len(df.collect())
         except Exception as e:
             out[key] = {"err": str(e).split(chr(10))[0][:200]}
             print(f"  {key}: ERROR {out[key]['err']}", flush=True)
@@ -185,14 +200,14 @@ def run() -> None:
         out[key] = {"sec": dt, "rows": n}
         print(f"  {key}: {dt:.2f}s  {n} rows", flush=True)
         spark.catalog.clearCache()
-    with open(os.path.join(REPO, "SOAK.json"), "w") as f:
+    with open(OUT, "w") as f:
         json.dump({"sf_dir": BASE, "replicas": REPLICAS, "keys": out}, f, indent=1)
-    print("wrote SOAK.json")
+    print(f"wrote {OUT}")
     spark.stop()
 
 
 def report() -> None:
-    with open(os.path.join(REPO, "SOAK.json")) as f:
+    with open(OUT) as f:
         soak = json.load(f)["keys"]
     with open(os.path.join(REPO, "BENCH_local.json")) as f:
         base = json.load(f)["queries"]
