@@ -423,3 +423,37 @@ def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
         .select(F.col("q_id").alias(id_col), F.col("c_id").alias("neighbor_id"),
                 "rank", "cosine")
     )
+
+
+def lsh_planes_for(n_vectors: int, target_bucket: int = MAX_ANN_BUCKET) -> int:
+    """Planes-per-table for a corpus of ``n_vectors`` so the EXPECTED
+    bucket width stays near ``target_bucket``: m = ceil(log2(n/target)),
+    clamped to [4, 24]. This is the knob the round-5 100x soak proved
+    load-bearing: with m FIXED (fixture-tuned 6 -> 64 buckets/table),
+    bucket width grows linearly with the corpus and the exact
+    within-bucket scoring is Sum(w^2) — at 2M vectors the shuffle spill
+    filled the disk. With m from this formula, per-bucket width is
+    ~constant and total candidate volume stays ~linear (n x
+    target_bucket x L), the standard multi-table LSH deployment rule.
+    Recall per table drops as p^m — compensate with more tables (L),
+    which scales cost linearly, not quadratically."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
+def lsh_topk_scaled(df: DataFrame, k: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_tables: int = 8,
+                    target_bucket: int = MAX_ANN_BUCKET) -> DataFrame:
+    """:func:`lsh_topk` with planes auto-scaled from the corpus size —
+    the deployment form. The oracle-verified q_llm_knn_ivf key keeps
+    the FIXED fixture-tuned m=6 (a static DuckDB oracle cannot derive
+    plane count from COUNT(*): the per-plane projections are unrolled
+    SQL expressions), so this variant is the one a 100 TB job calls;
+    one extra count() job picks m before planning."""
+    n = df.count()
+    return lsh_topk(df, k, id_col=id_col, vec_col=vec_col,
+                    n_planes=lsh_planes_for(n, target_bucket),
+                    n_tables=n_tables)

@@ -79,6 +79,29 @@ SOAK_KEYS = [
 ]
 
 
+def _knn_ivf_scaled(spark, sf_dir):
+    """Soak-only callable: the deployment (auto-scaled-planes) ANN —
+    q_llm_knn_ivf's fixture-tuned fixed m=6 is oracle-bound and goes
+    quadratic past ~10x (found by this soak at 100x: bucket width grows
+    with the corpus, the within-bucket exact kernel filled the disk)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_demo_spark.operators.annsearch import (
+        lsh_topk_scaled,
+    )
+    from flink_realtime_edu_demo_spark.tables import load_spread
+
+    e = load_spread(spark, sf_dir, "embeddings")
+    return lsh_topk_scaled(e, k=5).select(
+        "vec_id", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine_r"),
+    )
+
+
+#: soak-only deployment variants (not driver-contract keys)
+EXTRA_CALLABLES = {"q_llm_knn_ivf_scaled": _knn_ivf_scaled}
+
+
 def gen() -> None:
     os.makedirs(BASE, exist_ok=True)
     con = duckdb.connect()
@@ -179,19 +202,28 @@ def run() -> None:
     QUERIES["q_agg_basic"](spark, BASE).collect()  # warm-up
     subset = os.environ.get("SPARK_GRAFT_SOAK_KEYS")
     keys = subset.split(",") if subset else SOAK_KEYS
-    # sink=count avoids materializing huge result sets on the driver —
-    # required for >=100x runs, where a 10M-row collect() OOMs the JVM
-    # (a harness artifact: the engine-side plan had already completed)
+    # sink=noop (a noop-format write) avoids materializing huge result
+    # sets on the driver — required for >=100x runs, where a 10M-row
+    # collect() OOMs the JVM (a harness artifact: the engine-side plan
+    # had already completed). A count() sink is NOT a valid alternative:
+    # Catalyst prunes the final projections under it, so narrow
+    # transform keys appear ~free (measured: fingerprint 0.17 s vs its
+    # real 4 s). rows is recorded as -1 under noop.
     sink = os.environ.get("SPARK_GRAFT_SOAK_SINK", "collect")
+    runnable = {**QUERIES, **EXTRA_CALLABLES}
     out: dict[str, dict] = {}
     for key in keys:
-        if key not in QUERIES:
+        if key not in runnable:
             print(f"  {key}: UNKNOWN", flush=True)
             continue
         t0 = time.perf_counter()
         try:
-            df = QUERIES[key](spark, BASE)
-            n = df.count() if sink == "count" else len(df.collect())
+            df = runnable[key](spark, BASE)
+            if sink == "noop":
+                df.write.mode("overwrite").format("noop").save()
+                n = -1
+            else:
+                n = len(df.collect())
         except Exception as e:
             out[key] = {"err": str(e).split(chr(10))[0][:200]}
             print(f"  {key}: ERROR {out[key]['err']}", flush=True)
