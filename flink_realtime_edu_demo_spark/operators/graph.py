@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50,
-    method: str = "star",
+    method: str = "star", small_graph_threshold: int | None = None,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``; component
     is the smallest node id reachable from the node. Deterministic: the
@@ -41,14 +41,29 @@ def connected_components(
     the graph is known near-clique (dup clusters, diameter ~2) and the
     per-round saving wins. Both converge to the identical
     (id, min-reachable-id) fixpoint (property-tested on path + random
-    graphs), so swapping methods never changes results."""
-    if method == "star":
-        return connected_components_star(edges, src, dst, max_iter)[0]
-    if method != "label":
+    graphs), so swapping methods never changes results.
+
+    Small-graph adaptive fast path (both methods): when the edge list
+    is tiny (< ``SMALL_GRAPH_EDGES``, i.e. a few MB — the common case
+    after an aggressive dedup threshold reduces millions of docs to
+    hundreds of duplicate pairs), iterating Spark jobs is pure
+    scheduling latency, so the edges are collected and union-find runs
+    on the driver — bounded driver state by the same argument as
+    k-means centroids (the gate is an edge COUNT, checked first), and
+    the identical min-id fixpoint (property-tested against both
+    distributed methods)."""
+    if method not in ("star", "label"):
         raise ValueError(f"unknown method {method!r} (expected 'label' or 'star')")
-    # materialize the (possibly expensive) edge plan ONCE before the
-    # symmetrizing union references it twice
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    gate = SMALL_GRAPH_EDGES if small_graph_threshold is None \
+        else small_graph_threshold
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    if gate > 0 and e0.limit(gate).count() < gate:
+        return _union_find_driver(e0)
+    if method == "star":
+        return connected_components_star(e0, "a", "b", max_iter)[0]
+    # e0 above materialized the (possibly expensive) edge plan ONCE
+    # before the symmetrizing union references it twice
+    e = e0
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint()
     labels = (
@@ -81,6 +96,41 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+#: edge-count gate for the driver union-find fast path: 100k edges =
+#: ~1.6 MB of longs on the driver, far below any broadcast threshold
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _union_find_driver(e0: DataFrame) -> DataFrame:
+    """Union-find over a collected small edge list (gate checked by the
+    caller), labels re-parallelized: one collect + one createDataFrame
+    instead of log-many iterative Spark jobs whose cost at this size is
+    pure scheduling latency. Path-compressed, union-by-min so the
+    representative IS the component minimum — the same fixpoint as the
+    distributed methods (property-tested equal)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e0.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by MIN id: min stays the representative
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    return e0.sparkSession.createDataFrame(rows, "id long, label long")
 
 
 def _canon_edges(e: DataFrame) -> DataFrame:

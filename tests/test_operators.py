@@ -280,15 +280,22 @@ def test_cc_star_equals_label_propagation(spark, sf_dir):
         for _ in range(80)
     ]
     edges = spark.createDataFrame(chain + blob, "id_a long, id_b long")
+    # threshold 0 disables the small-graph union-find gate so the two
+    # DISTRIBUTED methods are what's actually compared
     lab = {
         (r.id, r.label)
-        for r in connected_components(edges, method="label").collect()
+        for r in connected_components(edges, method="label",
+                                      small_graph_threshold=0).collect()
     }
     star = {
         (r.id, r.label)
-        for r in connected_components(edges, method="star").collect()
+        for r in connected_components(edges, method="star",
+                                      small_graph_threshold=0).collect()
     }
     assert lab == star
+    # and the small-graph driver union-find (default gate) agrees too
+    uf = {(r.id, r.label) for r in connected_components(edges).collect()}
+    assert uf == star
 
 
 def test_cc_star_log_rounds_on_path(spark, sf_dir):
