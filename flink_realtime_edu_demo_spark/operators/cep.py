@@ -84,6 +84,21 @@ def _validate(pattern: list[tuple[str, object, str]]) -> None:
         if not _types_of(etype):
             raise ValueError(f"variable {var!r} needs at least one event type")
         seen.add(var)
+    _reject_empty_match(pattern)
+
+
+def _reject_empty_match(pattern) -> None:
+    """Reject patterns whose total MINIMUM row count is zero (every
+    variable `?`/`*`/`{0,n}`): the regex then matches the empty string
+    at every scan position, and the past_last_row extract-all path
+    would emit zero-length matches as output rows with NULL ids and
+    n_rows=0 — SQL raises for patterns that can produce empty matches
+    under ONE ROW PER MATCH without SHOW EMPTY MATCHES; we reject at
+    plan time."""
+    if sum(_quant_min(q) for _, _, q in pattern) == 0:
+        raise ValueError(
+            "pattern may match zero rows (all variables optional) — "
+            "at least one variable needs a mandatory row")
 
 
 def _var_class(etype, chars: dict[str, str]) -> str:
@@ -253,6 +268,7 @@ def _validate_defines(pattern) -> None:
         for d in ("dir", "next_dir"):
             if define.get(d) not in (None, "up", "down"):
                 raise ValueError(f"{d} must be 'up' or 'down'")
+    _reject_empty_match(pattern)
 
 
 def _bitmask_classes(pattern) -> list[str]:

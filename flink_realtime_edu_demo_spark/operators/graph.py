@@ -130,7 +130,16 @@ def _union_find_driver(e0: DataFrame) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
     rows = [(x, find(x)) for x in parent]
-    return e0.sparkSession.createDataFrame(rows, "id long, label long")
+    # result schema derives from the input edge column type, so string
+    # or int node ids round-trip the fast path exactly like the
+    # distributed methods (min comparison is type-generic)
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = e0.schema["a"].dataType
+    schema = StructType(
+        [StructField("id", node_t), StructField("label", node_t)]
+    )
+    return e0.sparkSession.createDataFrame(rows, schema)
 
 
 def _canon_edges(e: DataFrame) -> DataFrame:

@@ -415,8 +415,10 @@ def q_cep_skip_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     selects matches in scan order and advances the resume point;
     patterns whose resume could equal the match start are rejected at
     plan time (SQL's non-advancing-skip error, moved to planning).
-    The DuckDB oracle replays the identical fold via list_reduce with
-    a sentinel accumulator element."""
+    The DuckDB oracle replays the identical sequential selection with
+    a RECURSIVE CTE (each level picks the next match at-or-after the
+    previous level's resume point — list_reduce was probed and found
+    unsound for list accumulators, see operators/cep.py)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_define(ev, CEP_V_PATTERN, skip="to_last:UP")
 

@@ -76,14 +76,23 @@ class SessionCepSink:
         self._max_ts = None  # global event-time high watermark (scalar)
         self._last_meta: int | None = None  # batch id of latest snapshot
 
-    def _open_sessions(self, spark) -> DataFrame:
+    def _open_sessions(self, batch_df: DataFrame) -> DataFrame:
         """Latest open-session snapshot: (key, __last_ts), one row per
-        key with a not-yet-closed session."""
+        key with a not-yet-closed session. The empty first-batch
+        snapshot derives its schema from the incoming batch (key and ts
+        column types), so string keys / tz-aware timestamps type the
+        union and join below exactly like the parquet snapshots do."""
         if self._last_meta is None:
-            return spark.createDataFrame(
-                [], f"{self.key} long, __last_ts timestamp_ntz"
-            )
-        return spark.read.parquet(f"{self.meta_dir}/b={self._last_meta}")
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType([
+                StructField(self.key, batch_df.schema[self.key].dataType),
+                StructField("__last_ts", batch_df.schema[self.ts].dataType),
+            ])
+            return batch_df.sparkSession.createDataFrame([], schema)
+        return batch_df.sparkSession.read.parquet(
+            f"{self.meta_dir}/b={self._last_meta}"
+        )
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen_batches:  # replay after recovery: no-op
@@ -108,7 +117,7 @@ class SessionCepSink:
             return
         gap = F.expr(f"INTERVAL {int(self.gap_minutes)} MINUTES")
         # 3. candidate keys: in this batch, or open session just closed
-        prev_open = self._open_sessions(spark)
+        prev_open = self._open_sessions(batch_df)
         batch_keys = batch_df.select(self.key).distinct()
         newly_closed_keys = prev_open.filter(
             F.col("__last_ts") + gap <= F.lit(self._max_ts)

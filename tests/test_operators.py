@@ -724,3 +724,70 @@ def test_cep_skip_policy_validation():
         _quant_regex("{4,2}")  # inverted bounds
     with pytest.raises(ValueError):
         _quant_regex("{2,}")  # open-ended not supported
+
+
+def test_cep_rejects_all_optional_patterns():
+    """A pattern whose total minimum row count is zero (every variable
+    `?`/`*`/`{0,n}`) would let the regex match the empty string at
+    every position — the past_last_row extract-all path would emit
+    zero-length matches as NULL-id rows. Both validators reject it at
+    plan time."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        _validate,
+        _validate_defines,
+    )
+
+    with pytest.raises(ValueError, match="zero rows"):
+        _validate([("A", "click", "*"), ("B", "error", "?")])
+    with pytest.raises(ValueError, match="zero rows"):
+        _validate_defines([("A", {"dir": "up"}, "*")])
+    with pytest.raises(ValueError, match="zero rows"):
+        _validate_defines([("A", {}, "{0,3}"), ("B", {"dir": "down"}, "?")])
+    # one mandatory row anywhere makes the pattern fine
+    _validate([("A", "click", "*"), ("B", "error", "1")])
+    _validate_defines([("A", {"dir": "up"}, "+")])
+
+
+def test_cc_union_find_string_node_ids(spark, sf_dir):
+    """The small-graph driver union-find derives its result schema from
+    the input edge column type — string node ids round-trip (min-label
+    fixpoint under lexicographic order), same as the distributed paths."""
+    from flink_realtime_edu_demo_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {(r.id, r.label) for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_session_cep_sink_string_key_snapshot_schema(spark, sf_dir):
+    """SessionCepSink's empty first-batch open-session snapshot derives
+    its schema from the incoming batch (key/ts column types), so a
+    string key types the candidate union correctly."""
+    import datetime
+
+    from flink_realtime_edu_demo_spark.streaming.cep import SessionCepSink
+
+    sink = SessionCepSink(
+        [("A", "click", "1"), ("B", "purchase", "1")],
+        gap_minutes=30, key="uname", ts="ts", id_col="event_id",
+    )
+    rows = [
+        ("u1", 1, datetime.datetime(2024, 1, 1, 10, 0), "click"),
+        ("u1", 2, datetime.datetime(2024, 1, 1, 10, 1), "purchase"),
+        # second session far later closes the first one next batch
+        ("u1", 3, datetime.datetime(2024, 1, 1, 14, 0), "click"),
+    ]
+    schema = "uname string, event_id long, ts timestamp_ntz, event_type string"
+    b0 = spark.createDataFrame(rows[:2], schema)
+    snap = sink._open_sessions(b0)
+    assert [f.dataType.simpleString() for f in snap.schema.fields] == [
+        "string", "timestamp_ntz"
+    ]
+    sink.write_batch(b0, 0)
+    sink.write_batch(spark.createDataFrame(rows[2:], schema), 1)
+    matched = {(k[0], k[1]) for k in sink.emitted}
+    assert ("u1", 0) in matched  # the closed first session's A->B match
