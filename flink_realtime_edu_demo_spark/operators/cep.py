@@ -816,3 +816,387 @@ def match_recognize_define_sessionized_oracle_sql(
         value_col=value_col, skip=skip,
         keys=[key, "session_id"], source_sql=source,
     )
+
+
+# ---------------------------------------------------------------------------
+# Running-aggregate DEFINEs — MATCH_RECOGNIZE conditions over the
+# GROWING match (Flink docs' canonical `DEFINE B AS SUM(B.price) < 100`)
+# ---------------------------------------------------------------------------
+
+_RUNAGG_CMP = {"<", "<=", ">", ">="}
+
+
+def _validate_runagg(pattern) -> None:
+    """pattern: (var, define, quant) list where the LAST variable's
+    define carries the running aggregate — keys ``agg`` ('sum' | 'avg'
+    over ``value_col``), ``cmp`` ('<' '<=' '>' '>='), ``thr`` (number),
+    plus optional simple keys ``types``/``dir`` — and every PRECEDING
+    variable is simple (``types``/``dir``) with quantifier '1'.
+
+    Scope (documented in COVERAGE.md): ONE aggregate variable, in final
+    position, quantifier '+' or '*'; prefix variables match exactly one
+    row each. This is the Flink-docs shape (`PATTERN (A B+) DEFINE B AS
+    SUM(B.price) < 100`); aggregate variables in interior position or
+    with interior optional prefixes still need an NFA and stay descoped.
+    """
+    if not pattern:
+        raise ValueError("pattern needs at least one variable")
+    seen = set()
+    for var, define, _ in pattern:
+        if var in seen:
+            raise ValueError(f"duplicate pattern variable {var!r}")
+        seen.add(var)
+    *prefix, (avar, adef, aquant) = pattern
+    for var, define, quant in prefix:
+        if quant != "1":
+            raise ValueError(
+                f"prefix variable {var!r} must have quantifier '1' "
+                "(running-aggregate scope)")
+        bad = set(define) - {"types", "dir"}
+        if bad:
+            raise ValueError(f"prefix variable {var!r}: unknown or "
+                             f"unsupported define keys {sorted(bad)}")
+        if define.get("dir") not in (None, "up", "down"):
+            raise ValueError("dir must be 'up' or 'down'")
+    if aquant not in ("+", "*"):
+        raise ValueError(
+            f"aggregate variable {avar!r} needs quantifier '+' or '*'")
+    bad = set(adef) - {"types", "dir", "agg", "cmp", "thr"}
+    if bad:
+        raise ValueError(f"aggregate variable {avar!r}: unknown define "
+                         f"keys {sorted(bad)}")
+    if adef.get("agg") not in ("sum", "avg"):
+        raise ValueError("agg must be 'sum' or 'avg'")
+    if adef.get("cmp") not in _RUNAGG_CMP:
+        raise ValueError(f"cmp must be one of {sorted(_RUNAGG_CMP)}")
+    if not isinstance(adef.get("thr"), (int, float)):
+        raise ValueError("thr must be a number")
+    if adef.get("dir") not in (None, "up", "down"):
+        raise ValueError("dir must be 'up' or 'down'")
+    if aquant == "*" and not prefix:
+        raise ValueError(
+            "pattern may match zero rows (all variables optional) — "
+            "at least one variable needs a mandatory row")
+
+
+def _runagg_cmp_col(agg: str, cmp: str, thr: float, sum_col, t_col):
+    """The accept condition for the t-th tentative aggregate row:
+    aggregate INCLUDING the row, compared to thr. ``sum_col`` is the
+    exact DECIMAL sum of aggregate-variable rows 1..t; avg divides the
+    double-cast sum by t — the identical operation order the DuckDB
+    oracle uses, so the comparison can never disagree across engines."""
+    from pyspark.sql import functions as F
+
+    val = (sum_col.cast("double") / t_col) if agg == "avg" \
+        else sum_col.cast("double")
+    thr_l = F.lit(float(thr))
+    if cmp == "<":
+        return val < thr_l
+    if cmp == "<=":
+        return val <= thr_l
+    if cmp == ">":
+        return val > thr_l
+    return val >= thr_l
+
+
+def match_recognize_runagg(
+    events: DataFrame,
+    pattern: list[tuple[str, dict, str]],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    skip: str = "past_last_row",
+) -> DataFrame:
+    """MATCH_RECOGNIZE whose final variable's DEFINE references a
+    running aggregate over the variable's OWN rows so far — the Flink
+    docs' `PATTERN (A B+) DEFINE B AS SUM(B.price) < 100`: B absorbs a
+    row iff the aggregate INCLUDING that row still satisfies the
+    comparison; the first failing row ends the run (greedy longest
+    match, rows are contiguous, so the aggregate over B's rows is a
+    difference of partition prefix sums).
+
+    Lowering (one shuffle, zero Python): per key, an ordered window
+    computes row numbers and an EXACT DECIMAL(18,6) running sum of
+    ``value_col`` (order-independent, engine-agnostic — the dsum
+    idiom), plus one boolean per simple define. The key's rows are
+    collected into one sorted array, and a JVM higher-order
+    ``transform`` attempts a match at every offset j: the p prefix
+    variables bind rows j..j+p-1 when their flags hold, and the
+    aggregate variable's run length is the position of the FIRST
+    failing row (``filter`` + ``array_min`` over candidate extensions —
+    per-key O(rows²) like the anchored to_next_row scan, bounded by
+    session length in the sessionized deployment shape). AFTER MATCH:
+    'past_last_row' selects non-overlapping matches left to right with
+    the same F.aggregate fold as skip-to-first/last; 'to_next_row'
+    keeps every successful attempt.
+
+    Returns one row per match: ``key..., match_no, first_event_id,
+    last_event_id, n_rows, b_rows (aggregate-variable rows), b_sum
+    (their exact sum as double)``.
+    """
+    from pyspark.sql.window import Window
+
+    _validate_runagg(pattern)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    keys = [key] if isinstance(key, str) else list(key)
+    *prefix, (_, adef, aquant) = pattern
+    p = len(prefix)
+    min_b = 1 if aquant == "+" else 0
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    prev_v = F.lag(value_col).over(w)
+    vdec = F.col(value_col).cast("decimal(18,6)")
+    sp = F.sum(vdec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+    def simple_ok(define) -> F.Column:
+        conds = []
+        if define.get("types"):
+            conds.append(F.col(type_col).isin(*_types_of(define["types"])))
+        if define.get("dir") == "up":
+            conds.append(F.col(value_col) > prev_v)
+        elif define.get("dir") == "down":
+            conds.append(F.col(value_col) < prev_v)
+        out = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            out = out & c
+        # NULL (dir cond on a partition's first row, where PREV is NULL)
+        # means the condition is NOT satisfied — SQL boolean semantics;
+        # without the coalesce a NULL okb would slip past the
+        # first-failure filter below and be treated as accepted.
+        return F.coalesce(out, F.lit(False))
+
+    rows = events.select(
+        *[F.col(k) for k in keys],
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.array(*[simple_ok(d) for _, d, _ in prefix]).alias("okpre"),
+            simple_ok(adef).alias("okb"),
+            sp.alias("sp"),
+            (sp - vdec).alias("sp0"),
+        ).alias("t"),
+    )
+    grouped = rows.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("t")).alias("arr")
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+
+    def at(i):
+        return F.element_at(arr, i.cast("int"))
+
+    def cand(j):
+        s = j + F.lit(p)  # first aggregate row (1-based)
+        pre_ok = F.lit(True)
+        for t in range(p):
+            pre_ok = pre_ok & (
+                (j + F.lit(t) <= n)
+                & F.element_at(at(j + F.lit(t))["okpre"], t + 1)
+            )
+        base = F.when(s <= n, at(s)["sp0"])
+        accept_fail = F.array_min(
+            F.filter(
+                F.when(n >= s, F.sequence(F.lit(1).cast("int"),
+                                          (n - s + 1).cast("int")))
+                .otherwise(F.array().cast("array<int>")),
+                lambda t: ~(
+                    at(s + t - 1)["okb"]
+                    & _runagg_cmp_col(
+                        adef["agg"], adef["cmp"], adef["thr"],
+                        at(s + t - 1)["sp"] - base, t,
+                    )
+                ),
+            )
+        )
+        l_rows = F.when(s > n, F.lit(0)).otherwise(
+            F.coalesce(accept_fail, (n - s + 2).cast("int")) - 1
+        )
+        return F.struct(
+            j.cast("long").alias("off"),
+            (j + p + l_rows - 1).cast("long").alias("end"),
+            l_rows.cast("long").alias("b_rows"),
+            (pre_ok & (l_rows >= min_b)).alias("valid"),
+        )
+
+    cands = F.filter(
+        F.transform(F.sequence(F.lit(1), n), cand), lambda c: c["valid"]
+    )
+    if skip == "past_last_row":
+        init = F.expr(
+            "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
+            "array<struct<off:bigint,end:bigint,b_rows:bigint,valid:boolean>>))"
+        )
+        sel = F.aggregate(
+            cands,
+            init,
+            lambda acc, c: F.when(
+                c["off"] >= acc["p"],
+                F.struct(
+                    (c["end"] + 1).alias("p"),
+                    F.concat(acc["sel"], F.array(c)).alias("sel"),
+                ),
+            ).otherwise(acc),
+        )["sel"]
+    else:
+        sel = cands
+    out = grouped.select(
+        *[F.col(k) for k in keys],
+        arr,
+        F.posexplode(sel),
+    )
+    c = F.col("col")
+    first_b = c["off"] + F.lit(p)
+    return out.select(
+        *[F.col(k) for k in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.element_at(arr, c["off"].cast("int"))["id"].alias("first_event_id"),
+        F.element_at(arr, c["end"].cast("int"))["id"].alias("last_event_id"),
+        (c["end"] - c["off"] + 1).alias("n_rows"),
+        c["b_rows"].alias("b_rows"),
+        F.when(
+            c["b_rows"] > 0,
+            (
+                F.element_at(arr, c["end"].cast("int"))["sp"]
+                - F.element_at(arr, first_b.cast("int"))["sp0"]
+            ).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("b_sum"),
+    )
+
+
+def match_recognize_runagg_oracle_sql(
+    pattern: list[tuple[str, dict, str]],
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    skip: str = "past_last_row",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_runagg` decision for
+    decision: the same DECIMAL(18,6) partition prefix sums (exact, so
+    both engines compare identical doubles against thr), the same
+    first-failing-row run length (a correlated MIN over rows at or
+    after the aggregate variable's start), and for past_last_row the
+    same left-to-right non-overlapping selection via a recursive CTE.
+    Single partition key (the declared fixture shape)."""
+    _validate_runagg(pattern)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    *prefix, (_, adef, aquant) = pattern
+    p = len(prefix)
+    min_b = 1 if aquant == "+" else 0
+
+    def simple_sql(define: dict) -> str:
+        conds = []
+        if define.get("types"):
+            alts = ", ".join(f"'{t}'" for t in _types_of(define["types"]))
+            conds.append(f"{type_col} IN ({alts})")
+        if define.get("dir") == "up":
+            conds.append(f"{value_col} > prev_v")
+        elif define.get("dir") == "down":
+            conds.append(f"{value_col} < prev_v")
+        body = " AND ".join(conds) if conds else "TRUE"
+        return f"COALESCE({body}, FALSE)"
+
+    okpre = "".join(
+        f"{simple_sql(d)} AS okp{i},\n           "
+        for i, (_, d, _) in enumerate(prefix)
+    )
+    if p == 0:
+        prefix_ok = "TRUE"
+        base = "sp0"
+    else:
+        terms = ["okp0"] + [
+            f"COALESCE(lead(okp{t}, {t}) OVER w2, FALSE)" for t in range(1, p)
+        ]
+        prefix_ok = " AND ".join(terms)
+        base = f"lead(sp0, {p}) OVER w2"
+    sum_e = "CAST(r2.sp - c.base AS DOUBLE)"
+    val_e = (
+        f"({sum_e} / (r2.rn - c.off - {p} + 1))"
+        if adef["agg"] == "avg" else sum_e
+    )
+    accept = f"(r2.okb AND ({val_e} {adef['cmp']} {float(adef['thr'])}))"
+    order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    if skip == "to_next_row":
+        numbering = f"""
+    SELECT {key}, CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
+                       AS BIGINT) AS match_no,
+           CAST(first_event_id AS BIGINT) AS first_event_id,
+           CAST(last_event_id AS BIGINT) AS last_event_id,
+           CAST(endrn - off + 1 AS BIGINT) AS n_rows,
+           CAST(b_rows AS BIGINT) AS b_rows, b_sum
+    FROM m2"""
+    else:
+        numbering = f"""
+    pick AS (
+        SELECT {key}, off, endrn, first_event_id, last_event_id,
+               b_rows, b_sum, 1 AS match_no
+        FROM m2 c
+        WHERE off = (SELECT min(off) FROM m2 c2 WHERE c2.{key} = c.{key})
+      UNION ALL
+        SELECT nx.{key}, nx.off, nx.endrn, nx.first_event_id,
+               nx.last_event_id, nx.b_rows, nx.b_sum, pk.match_no + 1
+        FROM pick pk JOIN m2 nx
+             ON nx.{key} = pk.{key} AND nx.off > pk.endrn
+        WHERE nx.off = (SELECT min(n2.off) FROM m2 n2
+                        WHERE n2.{key} = pk.{key} AND n2.off > pk.endrn)
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           CAST(first_event_id AS BIGINT) AS first_event_id,
+           CAST(last_event_id AS BIGINT) AS last_event_id,
+           CAST(endrn - off + 1 AS BIGINT) AS n_rows,
+           CAST(b_rows AS BIGINT) AS b_rows, b_sum
+    FROM pick"""
+        numbering = "," + numbering
+    return f"""
+    WITH RECURSIVE base_src AS (
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               lag({value_col}) OVER ({order}) AS prev_v,
+               CAST({value_col} AS DECIMAL(18,6)) AS vdec
+        FROM {table}
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col},
+               row_number() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY {key}) AS n,
+               SUM(vdec) OVER (w ROWS UNBOUNDED PRECEDING) AS sp,
+               SUM(vdec) OVER (w ROWS UNBOUNDED PRECEDING) - vdec AS sp0,
+           {okpre}{simple_sql(adef)} AS okb
+        FROM base_src
+        WINDOW w AS ({order})
+    ),
+    c0 AS (
+        SELECT {key}, rn AS off, n, {prefix_ok} AS prefix_ok, {base} AS base
+        FROM r WINDOW w2 AS (PARTITION BY {key} ORDER BY rn)
+    ),
+    cand AS (
+        SELECT c.{key}, c.off, c.n, c.base,
+               (SELECT min(r2.rn) FROM r r2
+                WHERE r2.{key} = c.{key} AND r2.rn >= c.off + {p}
+                  AND NOT {accept}) AS failrn
+        FROM c0 c WHERE c.prefix_ok
+    ),
+    m1 AS (
+        SELECT {key}, off, base,
+               COALESCE(failrn, n + 1) - (off + {p}) AS b_rows,
+               off + {p} + (COALESCE(failrn, n + 1) - (off + {p})) - 1 AS endrn
+        FROM cand
+        WHERE COALESCE(failrn, n + 1) - (off + {p}) >= {min_b}
+    ),
+    m2 AS (
+        SELECT m1.{key}, m1.off, m1.endrn, m1.b_rows,
+               rf.{id_col} AS first_event_id,
+               rl.{id_col} AS last_event_id,
+               CASE WHEN m1.b_rows > 0
+                    THEN CAST(rl.sp - m1.base AS DOUBLE)
+                    ELSE 0.0 END AS b_sum
+        FROM m1
+        JOIN r rf ON rf.{key} = m1.{key} AND rf.rn = m1.off
+        JOIN r rl ON rl.{key} = m1.{key} AND rl.rn = m1.endrn
+    ){numbering}
+    """

@@ -20,6 +20,8 @@ from ..operators.cep import (
     match_recognize_define_sessionized,
     match_recognize_define_sessionized_oracle_sql,
     match_recognize_oracle_sql,
+    match_recognize_runagg,
+    match_recognize_runagg_oracle_sql,
     match_recognize_sessionized,
     match_recognize_sessionized_oracle_sql,
 )
@@ -443,6 +445,36 @@ def q_cep_prev_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_define_sessionized(
         ev, CEP_V_PATTERN, gap_minutes=720, skip="to_last:UP"
     )
+
+
+# The Flink-docs canonical running-aggregate DEFINE: PATTERN (A B+)
+# DEFINE A AS A.event_type = 'view', B AS SUM(B.value) < 150 — B keeps
+# absorbing rows while the aggregate over ITS OWN rows (including the
+# tentative one) stays under the threshold.
+CEP_RUNAGG_PATTERN = [
+    ("A", {"types": "view"}, "1"),
+    ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+"),
+]
+
+
+@query("q_cep_runagg", oracle=match_recognize_runagg_oracle_sql(CEP_RUNAGG_PATTERN))
+def q_cep_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE running-aggregate DEFINE (the round-5 descope,
+    now in scope for the final-position form): PATTERN (A B+) DEFINE
+    A AS event_type = 'view', B AS SUM(B.value) < 150, ONE ROW PER
+    MATCH, AFTER MATCH SKIP PAST LAST ROW. The condition references
+    the GROWING match — whether B accepts a row depends on where the
+    match started — which the regex lowering cannot express; instead
+    the aggregate run is a difference of exact DECIMAL partition
+    prefix sums and its extent is the first failing offset, all in JVM
+    higher-order functions over one per-key sorted array (one shuffle,
+    no Python, per-key O(rows²) like the anchored to_next_row scan).
+    The DuckDB oracle replays prefix sums + first-failure + the
+    recursive-CTE left-to-right selection decision-for-decision.
+    Semantics source: Flink MATCH_RECOGNIZE docs' canonical
+    `SUM(B.price) < 100` example (public docs, per SURVEY §0)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_runagg(ev, CEP_RUNAGG_PATTERN)
 
 
 # Bounded quantifier + NEXT navigation: a 1-2 row rising run into a

@@ -563,3 +563,124 @@ def test_scd2_enrich_matches_pointwise_reference(spark, evs):
         if cand:
             exp[i] = max(cand)[2]
     assert got == exp
+
+
+def _py_runagg_spans(rows, pattern, skip):
+    """Independent greedy reference for running-aggregate DEFINEs:
+    rows = [(type, int_value)], single key, ordered by index. Returns
+    inclusive (start, end) index spans. Integer values keep the
+    reference's arithmetic exact (the engine's DECIMAL(18,6) cast is
+    exact on small integers), so the comparison is never a float
+    coin-flip."""
+    *prefix, (_, adef, aq) = pattern
+    p = len(prefix)
+    min_b = 1 if aq == "+" else 0
+    thr = adef["thr"]
+
+    def sat(i, d):
+        ok = True
+        if d.get("types"):
+            ok = ok and rows[i][0] in d["types"]
+        if d.get("dir") == "up":
+            ok = ok and i > 0 and rows[i][1] > rows[i - 1][1]
+        elif d.get("dir") == "down":
+            ok = ok and i > 0 and rows[i][1] < rows[i - 1][1]
+        return ok
+
+    def attempt(j):
+        for t in range(p):
+            if j + t >= len(rows) or not sat(j + t, prefix[t][1]):
+                return None
+        s, length, acc = j + p, 0, 0
+        while s + length < len(rows):
+            i = s + length
+            if not sat(i, adef):
+                break
+            tot = acc + rows[i][1]
+            val = tot / (length + 1) if adef["agg"] == "avg" else tot
+            ok = {"<": val < thr, "<=": val <= thr,
+                  ">": val > thr, ">=": val >= thr}[adef["cmp"]]
+            if not ok:
+                break
+            acc, length = tot, length + 1
+        if length < min_b:
+            return None
+        return (j, j + p + length - 1)
+
+    spans, i = [], 0
+    if skip == "past_last_row":
+        while i < len(rows):
+            m = attempt(i)
+            if m:
+                spans.append(m)
+                i = m[1] + 1
+            else:
+                i += 1
+    else:  # to_next_row
+        for i in range(len(rows)):
+            m = attempt(i)
+            if m:
+                spans.append(m)
+    return spans
+
+
+runagg_prefix = st.lists(
+    st.sampled_from([
+        {}, {"dir": "up"}, {"dir": "down"},
+        {"types": ("view", "click")}, {"types": ("click",)},
+    ]),
+    min_size=0, max_size=2,
+)
+runagg_adef = st.builds(
+    lambda agg, cmp, thr, extra: {"agg": agg, "cmp": cmp, "thr": thr, **extra},
+    st.sampled_from(["sum", "avg"]),
+    st.sampled_from(["<", "<=", ">", ">="]),
+    st.sampled_from([2.0, 5.0, 8.5]),
+    st.sampled_from([{}, {"types": ("view", "click")}, {"dir": "up"}]),
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(0, 5),
+        ),
+        min_size=1, max_size=30,
+    ),
+    prefix=runagg_prefix,
+    adef=runagg_adef,
+    aq=st.sampled_from(["+", "*"]),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_runagg_matches_reference(
+    spark, rows, prefix, adef, aq, skip_sel
+):
+    """The prefix-sum lowering of running-aggregate DEFINEs must
+    reproduce an independent greedy matcher's spans in both AFTER MATCH
+    modes, across sum/avg, all four comparators, optional simple
+    conditions on the aggregate variable, and 0-2 simple prefix
+    variables."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg,
+    )
+
+    if aq == "*" and not prefix:
+        prefix = [{}]  # all-optional patterns are rejected at plan time
+    pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
+    pattern.append(("B", adef, aq))
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_runagg_spans(rows, pattern, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_runagg(
+            ev, pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pattern, skip, got, want)
