@@ -87,7 +87,7 @@ _VERIFIED_GREEN = (
     "q_fn_struct", "q_fn_monthmath", "q_join_asof",
     "q_stream_session_dyngap", "q_ts_gapfill", "q_ts_interp", "q_ts_ohlc",
     "q_dq_profile", "q_agg_approx_quantile", "q_agg_regression",
-    "q_llm_minhash_lsh", "q_llm_knn_ivf",
+    "q_llm_minhash_lsh",
     "q_llm_substring_dedup", "q_llm_bigram_score",
     "q_llm_kmeans", "q_llm_pack_chunks", "q_llm_pack_greedy",
     "q_llm_pii_scrub", "q_llm_heavy_hitters", "q_llm_token_len_hist",

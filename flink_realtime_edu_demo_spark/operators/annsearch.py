@@ -436,24 +436,107 @@ def lsh_planes_for(n_vectors: int, target_bucket: int = MAX_ANN_BUCKET) -> int:
     ~constant and total candidate volume stays ~linear (n x
     target_bucket x L), the standard multi-table LSH deployment rule.
     Recall per table drops as p^m — compensate with more tables (L),
-    which scales cost linearly, not quadratically."""
-    import math
+    which scales cost linearly, not quadratically.
 
-    if n_vectors <= target_bucket:
-        return 4
-    return max(4, min(24, math.ceil(math.log2(n_vectors / target_bucket))))
+    Pure integer arithmetic (smallest m in [4, 24] with
+    target · 2^m >= n — identical to the clamped ceil(log2) it
+    replaces) so a SQL engine derives the same m from COUNT(*) with no
+    floating log2 at a power-of-two boundary to disagree about — what
+    lets lsh_topk_scaled_oracle_sql hash-match."""
+    for m in range(4, 25):
+        if target_bucket * (1 << m) >= n_vectors:
+            return m
+    return 24
 
 
 def lsh_topk_scaled(df: DataFrame, k: int, id_col: str = "vec_id",
                     vec_col: str = "embedding", n_tables: int = 8,
                     target_bucket: int = MAX_ANN_BUCKET) -> DataFrame:
     """:func:`lsh_topk` with planes auto-scaled from the corpus size —
-    the deployment form. The oracle-verified q_llm_knn_ivf key keeps
-    the FIXED fixture-tuned m=6 (a static DuckDB oracle cannot derive
-    plane count from COUNT(*): the per-plane projections are unrolled
-    SQL expressions), so this variant is the one a 100 TB job calls;
-    one extra count() job picks m before planning."""
+    the deployment form, and since r6 the DECLARED oracle-backed key
+    (q_llm_knn_ivf_scaled): :func:`lsh_topk_scaled_oracle_sql` derives
+    the same m from COUNT(*) inside the SQL, so the oracle replays the
+    auto-scaling decision itself, not a frozen fixture constant. One
+    extra count() job picks m before planning; the round-5 100x soak
+    proved this knob load-bearing (fixed m=6 went quadratic and filled
+    the disk; scaled m soaked linear at 245.7s)."""
     n = df.count()
     return lsh_topk(df, k, id_col=id_col, vec_col=vec_col,
                     n_planes=lsh_planes_for(n, target_bucket),
                     n_tables=n_tables)
+
+
+def lsh_topk_scaled_oracle_sql(k: int = 5, n_tables: int = 8,
+                               target_bucket: int = MAX_ANN_BUCKET,
+                               table: str = "embeddings") -> str:
+    """DuckDB SQL replaying :func:`lsh_topk_scaled` INCLUDING the
+    corpus-size-derived plane count: m = smallest value in [4, 24] with
+    target_bucket · 2^m >= COUNT(*) — the same integer arithmetic as
+    :func:`lsh_planes_for`, evaluated over the same table, so Spark and
+    the oracle always pick the identical m. The plane pool is built for
+    the m=24 maximum and filtered to the first m·L planes; projections,
+    buckets, candidates and cosines replay :func:`lsh_topk_oracle_sql`
+    verbatim from there."""
+    max_total = 24 * n_tables
+    return f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+    dim AS (SELECT max(len(e)) AS nd FROM emb),
+    mm AS (
+        SELECT COALESCE(
+            (SELECT min(c.m) FROM generate_series(4, 24) AS c(m)
+             WHERE {target_bucket} * (CAST(1 AS BIGINT) << c.m)
+                   >= (SELECT count(*) FROM emb)),
+            24) AS m
+    ),
+    planes AS (
+        SELECT j.j,
+               list(CASE WHEN substring(md5(CAST(j.j AS VARCHAR) || ':'
+                                        || CAST(d.d - 1 AS VARCHAR)), 2, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                    THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS sv
+        FROM generate_series(0, {max_total - 1}) AS j(j),
+             (SELECT unnest(generate_series(1, (SELECT nd FROM dim))) AS d) AS d
+        WHERE j.j < (SELECT m FROM mm) * {n_tables}
+        GROUP BY j.j
+    ),
+    proj AS (
+        SELECT emb.vec_id, planes.j,
+               list_reduce(list_transform(generate_series(1, len(e)),
+                                          d -> e[d] * sv[d]),
+                           (a, b) -> a + b) AS p
+        FROM emb, planes
+    ),
+    buckets AS (
+        SELECT vec_id, j // (SELECT m FROM mm) AS t,
+               CAST(SUM(CASE WHEN p >= 0
+                             THEN (CAST(1 AS BIGINT)
+                                   << (j % (SELECT m FROM mm))) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id, j // (SELECT m FROM mm)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+        FROM buckets a JOIN buckets b USING (t, bucket)
+        WHERE a.vec_id <> b.vec_id
+    ),
+    norms AS (SELECT vec_id, e,
+                     sqrt(list_reduce(list_transform(e, x -> x * x),
+                                      (a, b) -> a + b)) AS nrm
+              FROM emb),
+    scored AS (
+        SELECT q_id, c_id,
+               list_reduce(list_transform(generate_series(1, len(qa.e)),
+                                          d -> qa.e[d] * ca.e[d]),
+                           (a, b) -> a + b) / (qa.nrm * ca.nrm) AS cosine
+        FROM cand
+        JOIN norms qa ON qa.vec_id = q_id
+        JOIN norms ca ON ca.vec_id = c_id
+        WHERE qa.nrm > 0 AND ca.nrm > 0
+    )
+    SELECT q_id AS vec_id, c_id AS neighbor_id, rank,
+           round(cosine, 6) AS cosine_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, c_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """

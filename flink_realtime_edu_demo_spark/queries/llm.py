@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..operators.annsearch import cosine_topk, lsh_topk, lsh_topk_oracle_sql
+from ..operators.annsearch import (
+    cosine_topk,
+    lsh_topk_scaled,
+    lsh_topk_scaled_oracle_sql,
+)
 from ..operators.kmeans import kmeans_oracle_sql as _kmeans_oracle_sql
 from ..operators.graph import connected_components
 from ..operators.packing import greedy_pack
@@ -179,7 +183,7 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy-vectorized scoring with oracle-matched fold order — the
     brief's 'vectorized Pandas UDF dot product'. The approximate
     100 TB shortcut (when exactness is negotiable) remains the
-    SimHash-bucketed candidates of q_llm_knn_ivf."""
+    SimHash-bucketed candidates of q_llm_knn_ivf_scaled."""
     from ..operators.annsearch import cosine_pairs_blocked
 
     e = load_spread(spark, sf_dir, "embeddings")
@@ -188,21 +192,28 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_llm_knn_ivf", oracle=lsh_topk_oracle_sql(k=5))
-def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table SimHash ANN (8 tables x 6 hyperplanes, numpy bucket
-    scoring, exact re-rank over the candidate union; recall@5 ~0.31 vs
-    exact, floor-tested) — the 100 TB path where each query touches
-    ~L/2^m of the corpus instead of all of it.
+@query("q_llm_knn_ivf_scaled", oracle=lsh_topk_scaled_oracle_sql(k=5))
+def q_llm_knn_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SimHash ANN with the plane count AUTO-SCALED from
+    the corpus size (m = smallest value in [4,24] with 256·2^m >= N,
+    8 tables, numpy bucket scoring, exact re-rank over the candidate
+    union) — the deployment form the round-5 100x soak proved
+    load-bearing: fixed fixture-tuned m keeps bucket width growing
+    with the corpus and the within-bucket exact kernel goes quadratic;
+    scaled m holds expected width ~constant and total candidate volume
+    ~linear (N · target · L).
 
-    Hash-verified since r4: the plane matrix is md5-derived (seed-free)
-    and every float reduction — projections, norms, dots — is an
-    ascending-dimension left fold, so the DuckDB oracle
-    (operators/annsearch.lsh_topk_oracle_sql) replays buckets,
-    candidates, and cosines bit-for-bit. 'Approximate' describes recall
-    vs exact kNN, not nondeterminism."""
+    Hash-verified INCLUDING the scaling decision: the oracle
+    (operators/annsearch.lsh_topk_scaled_oracle_sql) derives the same
+    m from COUNT(*) with the same integer arithmetic, the plane matrix
+    is md5-derived (seed-free), and every float reduction —
+    projections, norms, dots — is an ascending-dimension left fold, so
+    buckets, candidates, and cosines replay bit-for-bit at any fixture
+    scale. 'Approximate' describes recall vs exact kNN, not
+    nondeterminism. The fixed-m form (lsh_topk with explicit n_planes)
+    stays a unit-tested operator for recall/bucket-cap semantics."""
     e = load_spread(spark, sf_dir, "embeddings")
-    return lsh_topk(e, k=5).select(
+    return lsh_topk_scaled(e, k=5).select(
         "vec_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
     )
 
@@ -955,7 +966,7 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a narrow map over the embedding scan (optionally
     written bucketed BY cluster so probes prune partitions), and recall
     tunes with nprobe/k like any IVF index. Complements the SimHash-LSH
-    path (q_llm_knn_ivf): that one is rows-only/probabilistic, this one
+    path (q_llm_knn_ivf_scaled): that one is rows-only/probabilistic, this one
     is deterministic and driver-hash-checked end to end."""
     from ..operators.annsearch import _dot, _norm
 

@@ -791,3 +791,95 @@ def test_session_cep_sink_string_key_snapshot_schema(spark, sf_dir):
     sink.write_batch(spark.createDataFrame(rows[2:], schema), 1)
     matched = {(k[0], k[1]) for k in sink.emitted}
     assert ("u1", 0) in matched  # the closed first session's A->B match
+
+
+def test_lsh_planes_for_matches_sql_derivation():
+    """lsh_planes_for's integer rule (smallest m in [4,24] with
+    target·2^m >= n) must agree with the SQL derivation embedded in
+    lsh_topk_scaled_oracle_sql for every regime: tiny corpora, exact
+    power-of-two boundaries (where a floating log2 could disagree),
+    and the 24-plane clamp."""
+    import duckdb
+
+    from flink_realtime_edu_demo_spark.operators.annsearch import lsh_planes_for
+
+    con = duckdb.connect()
+    for n, target in [(1, 256), (256, 256), (4096, 256), (4097, 256),
+                      (8192, 256), (10**7, 256), (10**10, 256),
+                      (500, 16), (500, 4), (2000, 256), (3, 1)]:
+        want = lsh_planes_for(n, target)
+        got = con.execute(
+            f"""SELECT COALESCE((SELECT min(c.m)
+                FROM generate_series(4, 24) AS c(m)
+                WHERE {target} * (CAST(1 AS BIGINT) << c.m) >= {n}), 24)"""
+        ).fetchone()[0]
+        assert got == want, (n, target, got, want)
+
+
+def test_lsh_topk_scaled_oracle_replays_nondefault_m(spark, sf_dir):
+    """The scaled oracle must hash-match when the derived m is NOT the
+    fixture default (target_bucket=16 over 500 vectors forces m=5,
+    32 buckets/table) — proving the COUNT(*)-driven plane count, not
+    just the m=4 floor, is replayed decision-for-decision."""
+    import duckdb
+
+    from flink_realtime_edu_demo_spark.operators.annsearch import (
+        lsh_planes_for,
+        lsh_topk_scaled,
+        lsh_topk_scaled_oracle_sql,
+    )
+    from flink_realtime_edu_demo_spark.tables import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings")
+    assert lsh_planes_for(e.count(), 16) == 5  # the non-default regime
+    got = sorted(
+        tuple(r)
+        for r in lsh_topk_scaled(e, k=5, target_bucket=16)
+        .select("vec_id", "neighbor_id", "rank",
+                F.round("cosine", 6).alias("cosine_r"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            lsh_topk_scaled_oracle_sql(k=5, target_bucket=16)
+        ).fetchall()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_lsh_topk_fixed_m_oracle_replay(spark, sf_dir):
+    """The demoted fixed-m form stays hash-verified as an operator:
+    lsh_topk with explicit n_planes=6 must replay its static oracle
+    (the pre-r6 q_llm_knn_ivf contract) bit-for-bit."""
+    import duckdb
+
+    from flink_realtime_edu_demo_spark.operators.annsearch import (
+        lsh_topk,
+        lsh_topk_oracle_sql,
+    )
+    from flink_realtime_edu_demo_spark.tables import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings")
+    got = sorted(
+        tuple(r)
+        for r in lsh_topk(e, k=5, n_planes=6, n_tables=8)
+        .select("vec_id", "neighbor_id", "rank",
+                F.round("cosine", 6).alias("cosine_r"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(lsh_topk_oracle_sql(k=5)).fetchall()
+    )
+    assert got == want and len(want) > 0

@@ -66,7 +66,7 @@ SOAK_KEYS = [
     "q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_llm_minhash_lsh",
     "q_llm_dedup_simhash", "q_llm_dedup_chargram", "q_llm_dedup_embed",
     "q_llm_substring_dedup", "q_llm_dup_groups", "q_llm_winnow",
-    "q_llm_fingerprint", "q_llm_knn", "q_llm_knn_ivf", "q_llm_ann_ivf",
+    "q_llm_fingerprint", "q_llm_knn", "q_llm_knn_ivf_scaled", "q_llm_ann_ivf",
     "q_llm_kmeans", "q_llm_kmeans_assign", "q_llm_centroids",
     "q_llm_tfidf", "q_llm_keyword_topk", "q_llm_tokens",
     "q_llm_pack_chunks", "q_llm_pack_greedy", "q_llm_heavy_hitters",
@@ -79,27 +79,10 @@ SOAK_KEYS = [
 ]
 
 
-def _knn_ivf_scaled(spark, sf_dir):
-    """Soak-only callable: the deployment (auto-scaled-planes) ANN —
-    q_llm_knn_ivf's fixture-tuned fixed m=6 is oracle-bound and goes
-    quadratic past ~10x (found by this soak at 100x: bucket width grows
-    with the corpus, the within-bucket exact kernel filled the disk)."""
-    from pyspark.sql import functions as F
-
-    from flink_realtime_edu_demo_spark.operators.annsearch import (
-        lsh_topk_scaled,
-    )
-    from flink_realtime_edu_demo_spark.tables import load_spread
-
-    e = load_spread(spark, sf_dir, "embeddings")
-    return lsh_topk_scaled(e, k=5).select(
-        "vec_id", "neighbor_id", "rank",
-        F.round("cosine", 6).alias("cosine_r"),
-    )
-
-
-#: soak-only deployment variants (not driver-contract keys)
-EXTRA_CALLABLES = {"q_llm_knn_ivf_scaled": _knn_ivf_scaled}
+#: q_llm_knn_ivf_scaled is a declared registry key since r6 (the
+#: auto-scaled deployment ANN became the oracle-backed surface); no
+#: soak-only shims remain.
+EXTRA_CALLABLES: dict = {}
 
 
 def gen() -> None:
