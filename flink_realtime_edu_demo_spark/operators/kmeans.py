@@ -22,9 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def kmeans_assign(df: DataFrame, centroids: list[list[float]],
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """One assignment pass: (id_col, cluster) for the given centroids."""
+def _assign_udf(centroids: list[list[float]]):
+    """Arrow-batched assignment UDF for the given centroid matrix
+    (k × dim floats in the closure — the only state shipped)."""
     import numpy as np
     import pandas as pd
 
@@ -52,8 +52,13 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
 
     # functional form: string type hints don't resolve under
     # `from __future__ import annotations` with locally-imported pandas
-    assign = F.pandas_udf(_assign, IntegerType())
+    return F.pandas_udf(_assign, IntegerType())
 
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """One assignment pass: (id_col, cluster) for the given centroids."""
+    assign = _assign_udf(centroids)
     return df.select(F.col(id_col), assign(F.col(vec_col)).cast("int").alias("cluster"))
 
 
@@ -74,10 +79,18 @@ def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
     centroids = [list(map(float, r[0])) for r in first]
 
     for _ in range(n_iter):
-        assigned = kmeans_assign(df, centroids, id_col, vec_col)
+        # assignment UDF inlined in the SAME select as the posexplode:
+        # no per-iteration join of the corpus against its own
+        # assignments (the round-5 100x soak's heaviest cost — a
+        # 5-iteration loop paid 5 full shuffle joins of N vectors);
+        # each iteration is now one scan of the persisted input +
+        # explode + partial-aggregated groupBy.
+        assign = _assign_udf(centroids)
         per_dim = (
-            df.join(assigned, id_col)
-            .select("cluster", F.posexplode(vec_col).alias("dim", "v"))
+            df.select(
+                assign(F.col(vec_col)).cast("int").alias("cluster"),
+                F.posexplode(vec_col).alias("dim", "v"),
+            )
             .groupBy("cluster", "dim")
             .agg(
                 (

@@ -883,3 +883,50 @@ def test_lsh_topk_fixed_m_oracle_replay(spark, sf_dir):
         for r in con.execute(lsh_topk_oracle_sql(k=5)).fetchall()
     )
     assert got == want and len(want) > 0
+
+
+def test_cc_jump_equals_star_and_label(spark, sf_dir):
+    """Pointer-jumping CC (the r6 default) must reach the identical
+    (id, min-reachable-id) fixpoint as both prior distributed methods,
+    on a chain (worst case for plain label propagation) plus a
+    multi-component random graph."""
+    import random
+
+    from flink_realtime_edu_demo_spark.operators.graph import connected_components
+
+    rnd = random.Random(23)
+    chain = [(i, i + 1) for i in range(30)]
+    blob = [
+        (base + rnd.randrange(40), base + rnd.randrange(40))
+        for base in (1000, 2000, 3000)
+        for _ in range(80)
+    ]
+    edges = spark.createDataFrame(chain + blob, "id_a long, id_b long")
+    got = {}
+    for method in ("jump", "star", "label"):
+        got[method] = {
+            (r.id, r.label)
+            for r in connected_components(edges, method=method,
+                                          small_graph_threshold=0).collect()
+        }
+    assert got["jump"] == got["star"] == got["label"]
+
+
+def test_cc_jump_log_rounds_on_path(spark, sf_dir):
+    """On a 400-node path (diameter 399), pointer jumping must converge
+    in O(log diameter) rounds — the reach of the minimum label doubles
+    per round — and label every node with the path minimum."""
+    import math
+
+    from flink_realtime_edu_demo_spark.operators.graph import (
+        connected_components_jump,
+    )
+
+    n = 400
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_jump(edges)
+    assert rounds <= math.ceil(math.log2(n)) + 2, rounds
+    out = labels.collect()
+    assert len(out) == n and all(r.label == 0 for r in out)
