@@ -4,13 +4,21 @@ factor and prints ONE JSON line.
 Env:
   SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-  SPARK_GRAFT_BENCH_REPEAT  timing repeats per query, best-of (default 1)
+  SPARK_GRAFT_BENCH_REPEAT  timing repeats per query (default 3)
+  SPARK_GRAFT_BENCH_STAT    per-query statistic over the repeats:
+                            "median" (default — robust to one GC pause
+                            or noisy-neighbor spike per key, the round-5
+                            adjudication problem) or "best"
   SPARK_GRAFT_BENCH_KEYS    comma-separated key subset (default: all) —
                             for fast artifact-contract tests/smokes
 
 Timing = full query wall clock: plan + execute + collect to the driver
 (the driver's own verify collects too). Session startup is excluded;
-a warm-up query primes the JVM/codegen caches first.
+a warm-up query primes the JVM/codegen caches first. The cache is
+cleared after EVERY timed run, so each repeat measures the same
+cold-cache shape as the historical single-pass numbers. The host's
+1-minute load average before and after the sweep is recorded in the
+artifact so a noisy pass is identifiable without re-running.
 """
 
 from __future__ import annotations
@@ -29,7 +37,11 @@ from flink_realtime_edu_demo_spark.session import get_spark
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "median")
+    if stat not in ("median", "best"):
+        raise SystemExit(f"SPARK_GRAFT_BENCH_STAT must be median|best, got {stat}")
+    load_start = os.getloadavg()[0]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,23 +67,28 @@ def main() -> int:
                 print(f"# {k}: UNKNOWN KEY", file=sys.stderr, flush=True)
     else:
         keys = sorted(QUERIES)
+    import statistics
+
     for key in keys:
-        best = float("inf")
+        samples: list[float] = []
         try:
             for _ in range(repeat):
                 t0 = time.perf_counter()
                 QUERIES[key](spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
+                samples.append(time.perf_counter() - t0)
+                # a few queries persist() intermediates they reuse
+                # within the plan; drop leftover cached blocks AFTER
+                # each timed run so every repeat measures the same
+                # cold-cache shape and later keys aren't taxed
+                spark.catalog.clearCache()
         except Exception as e:  # one broken query must not void the artifact
             errors[key] = str(e).split("\n")[0][:200]
             print(f"# {key}: ERROR {errors[key]}", file=sys.stderr, flush=True)
+            spark.catalog.clearCache()
             continue
-        timings[key] = round(best, 4)
+        val = statistics.median(samples) if stat == "median" else min(samples)
+        timings[key] = round(val, 4)
         print(f"# {key}: {timings[key]:.3f}s", file=sys.stderr, flush=True)
-        # a few queries persist() intermediates they reuse within the
-        # plan; drop leftover cached blocks AFTER timing so they can't
-        # tax later keys' memory in this 150+-query session
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -83,6 +100,10 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "repeat": repeat,
+                "stat": stat,
+                "load_avg_start": round(load_start, 2),
+                "load_avg_end": round(os.getloadavg()[0], 2),
                 **({"errors": errors} if errors else {}),
             }
         ),
