@@ -6,11 +6,16 @@ Scope (the useful core of Flink's MATCH_RECOGNIZE):
 - PATTERN = a SEQUENCE of variables, each defined by an event-type
   equality predicate or an ALTERNATION over several types
   (``("click", "error")`` ≡ ``C|E``), with quantifiers ``1`` (exactly
-  one), ``?``, ``+``, ``*`` — contiguous rows, as in SQL row-pattern
-  matching (a non-matching row breaks adjacency; Flink CEP's relaxed
-  ``followedBy`` is the funnel operator instead);
-- greedy quantifiers, ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST
-  ROW — matches per key are enumerated left to right, non-overlapping.
+  one), ``?``, ``+``, ``*``, bounded ``{m,n}``, and the reluctant
+  forms ``??``, ``+?``, ``*?``, ``{m,n}?`` — contiguous rows, as in
+  SQL row-pattern matching (a non-matching row breaks adjacency; Flink
+  CEP's relaxed ``followedBy`` is the funnel operator instead);
+- ``PERMUTE(A, B, ...)`` groups (:func:`match_recognize_permute`) —
+  k ≤ 4 variables matched once each in any order, lowered to the
+  standard's lexicographic k! alternation;
+- greedy or reluctant quantifiers, ONE ROW PER MATCH, AFTER MATCH SKIP
+  PAST LAST ROW — matches per key are enumerated left to right,
+  non-overlapping.
 
 Spark-first lowering — regex over an id-carrying token string:
 each event becomes a token ``<type_char><event_id>;`` and each key's
@@ -36,14 +41,20 @@ import re as _re
 
 from pyspark.sql import DataFrame, functions as F
 
-_QUANTS = {"1": "", "?": "?", "+": "+", "*": "*"}
-_BOUNDED = _re.compile(r"^\{(\d+),(\d+)\}$")  # {m,n} bounded quantifier
+_QUANTS = {"1": "", "?": "?", "+": "+", "*": "*",
+           # reluctant (lazy) forms — SQL row-pattern matching's B+? /
+           # B*? / B?? : prefer the FEWEST rows that still let the whole
+           # pattern match. Java regex and RE2 both implement lazy
+           # quantifiers with identical leftmost-first preference, so
+           # the Spark scan and the DuckDB oracle still agree.
+           "??": "??", "+?": "+?", "*?": "*?"}
+_BOUNDED = _re.compile(r"^\{(\d+),(\d+)\}(\?)?$")  # {m,n} / lazy {m,n}?
 
 
 def _quant_regex(quant: str) -> str:
-    """Regex suffix for a quantifier: the four symbolic forms plus
-    bounded ``{m,n}`` (same syntax in Java regex and RE2, so the Spark
-    and DuckDB scans agree byte-for-byte)."""
+    """Regex suffix for a quantifier: the symbolic forms (greedy and
+    reluctant) plus bounded ``{m,n}`` / ``{m,n}?`` (same syntax in Java
+    regex and RE2, so the Spark and DuckDB scans agree byte-for-byte)."""
     if quant in _QUANTS:
         return _QUANTS[quant]
     m = _BOUNDED.match(quant)
@@ -130,8 +141,10 @@ def match_recognize(
 ) -> DataFrame:
     """Contiguous row-pattern matching; ``pattern`` is a list of
     ``(variable, event_type_or_tuple, quantifier)`` with quantifier in
-    ``{'1', '?', '+', '*'}`` — a tuple of types is an alternation
-    (the variable matches any of them).
+    ``{'1', '?', '+', '*', '??', '+?', '*?', '{m,n}', '{m,n}?'}`` —
+    a tuple of types is an alternation (the variable matches any of
+    them); the ``?``-suffixed forms are SQL's reluctant quantifiers
+    (fewest rows that still complete the match).
 
     ``key`` may be a single column name or a list (e.g. a composite
     (user, session) partition from :func:`sessionize`).
@@ -146,7 +159,23 @@ def match_recognize(
     keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
     regex = _token_regex(pattern, chars)
+    return _scan(events, pattern, chars, regex, keys, ts, type_col, id_col)
 
+
+def _scan(
+    events: DataFrame,
+    pattern,
+    chars: dict[str, str],
+    regex: str,
+    keys: list[str],
+    ts: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Tokenize, concatenate per key, regex-scan, and decode measures —
+    the shared back half of :func:`match_recognize` and
+    :func:`match_recognize_permute` (they differ only in how the
+    token-level regex is built from the flat variable list)."""
     tok_char: F.Column = F.lit("z")
     for etype, ch in reversed(chars.items()):
         tok_char = F.when(F.col(type_col) == etype, ch).otherwise(tok_char)
@@ -190,12 +219,15 @@ def _oracle_core(
     ts: str,
     type_col: str,
     id_col: str,
+    regex_override: str | None = None,
 ) -> str:
     """Shared DuckDB replay of :func:`match_recognize` over an arbitrary
-    event source subquery and (possibly composite) partition keys."""
+    event source subquery and (possibly composite) partition keys.
+    ``regex_override`` lets PERMUTE substitute its alternation-expanded
+    token regex while keeping the flat variable list for measures."""
     _validate(pattern)
     chars = _char_map(pattern)
-    regex = _token_regex(pattern, chars)
+    regex = regex_override or _token_regex(pattern, chars)
     case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
     ks = ", ".join(keys)
 
@@ -240,6 +272,81 @@ def match_recognize_oracle_sql(
     """DuckDB SQL replaying :func:`match_recognize` token-for-token."""
     return _oracle_core(pattern, [key], f"SELECT * FROM {table}",
                         ts, type_col, id_col)
+
+
+def _permute_parts(perm, prefix, suffix):
+    """Validate a PERMUTE spec and return (flat_pattern, chars, regex).
+
+    ``perm`` is a list of ``(variable, event_type_or_tuple)`` — each
+    permuted variable matches EXACTLY ONE row (SQL's
+    ``PATTERN (PERMUTE(A, B, C))``, which the standard defines as the
+    alternation of all k! orderings expanded in lexicographic order —
+    exactly what leftmost-first regex alternation over
+    ``itertools.permutations`` tries). ``prefix``/``suffix`` are
+    ordinary quantified variable lists around the permuted group."""
+    import itertools
+
+    perm = list(perm)
+    if not 2 <= len(perm) <= 4:
+        raise ValueError("PERMUTE takes 2..4 variables (k! alternation)")
+    flat = (list(prefix)
+            + [(var, etype, "1") for var, etype in perm]
+            + list(suffix))
+    _validate(flat)
+    chars = _char_map(flat)
+
+    def atom(etype):
+        cls = _var_class(etype, chars)
+        return f"(?:{cls if len(cls) == 1 else f'[{cls}]'}[0-9]+;)"
+
+    alts = "|".join(
+        "".join(atom(etype) for _, etype in order)
+        for order in itertools.permutations(perm)
+    )
+    pre = "".join(f"{atom(e)}{_quant_regex(q)}" for _, e, q in prefix)
+    post = "".join(f"{atom(e)}{_quant_regex(q)}" for _, e, q in suffix)
+    return flat, chars, f"{pre}(?:{alts}){post}"
+
+
+def match_recognize_permute(
+    events: DataFrame,
+    perm: list[tuple[str, object]],
+    prefix: list[tuple[str, object, str]] = (),
+    suffix: list[tuple[str, object, str]] = (),
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """``PATTERN (<prefix> PERMUTE(A, B, ...) <suffix>)`` — the permuted
+    variables each match exactly one row, in ANY order; lowered to a
+    leftmost-first regex alternation over the k! orderings (k ≤ 4, so at
+    most 24 alternatives — a constant-size regex, same one-shuffle plan
+    as :func:`match_recognize`). Greedy, ONE ROW PER MATCH, AFTER MATCH
+    SKIP PAST LAST ROW. Output schema is identical to
+    :func:`match_recognize` over the flattened variable list (per-TYPE
+    row counts, as documented there)."""
+    flat, chars, regex = _permute_parts(perm, prefix, suffix)
+    keys = [key] if isinstance(key, str) else list(key)
+    return _scan(events, flat, chars, regex, keys, ts, type_col, id_col)
+
+
+def match_recognize_permute_oracle_sql(
+    perm: list[tuple[str, object]],
+    prefix: list[tuple[str, object, str]] = (),
+    suffix: list[tuple[str, object, str]] = (),
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_permute` — the same
+    alternation-expanded regex (RE2 shares Java's leftmost-first
+    alternation preference, so the permutation tried first is the same)."""
+    flat, _, regex = _permute_parts(perm, prefix, suffix)
+    return _oracle_core(flat, [key], f"SELECT * FROM {table}",
+                        ts, type_col, id_col, regex_override=regex)
 
 
 def _validate_defines(pattern) -> None:
@@ -291,9 +398,9 @@ def _define_regex(pattern) -> str:
 
 
 def _quant_min(quant: str) -> int:
-    if quant in ("1", "+"):
+    if quant in ("1", "+", "+?"):
         return 1
-    if quant in ("?", "*"):
+    if quant in ("?", "*", "??", "*?"):
         return 0
     return int(_BOUNDED.match(quant).group(1))
 

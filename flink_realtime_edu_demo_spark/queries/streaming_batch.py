@@ -20,6 +20,8 @@ from ..operators.cep import (
     match_recognize_define_sessionized,
     match_recognize_define_sessionized_oracle_sql,
     match_recognize_oracle_sql,
+    match_recognize_permute,
+    match_recognize_permute_oracle_sql,
     match_recognize_runagg,
     match_recognize_runagg_oracle_sql,
     match_recognize_sessionized,
@@ -475,6 +477,58 @@ def q_cep_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     `SUM(B.price) < 100` example (public docs, per SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_runagg(ev, CEP_RUNAGG_PATTERN)
+
+
+# Reluctant quantifier where greedy and lazy genuinely diverge: the
+# middle variable's type class CONTAINS the terminator type, so greedy
+# (C|P)+ absorbs interior purchases while reluctant (C|P)+? stops at
+# the FIRST purchase that completes the match.
+CEP_RELUCTANT_PATTERN = [
+    ("V", "view", "1"),
+    ("CP", ("click", "purchase"), "+?"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_reluctant",
+       oracle=match_recognize_oracle_sql(CEP_RELUCTANT_PATTERN))
+def q_cep_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE reluctant quantifiers (a standing descope until
+    round 6): PATTERN (V (C|P)+? P) — a view, then the SHORTEST
+    nonempty run of clicks-or-purchases that reaches a purchase.
+    Reluctant lowers to the regex lazy quantifier, which Java regex and
+    RE2 implement with the same leftmost-first preference, so the one
+    token-string scan and its DuckDB replay stay byte-identical; the
+    overlap between the run's class and the terminator makes lazy
+    vs greedy observable (greedy would absorb interior purchases).
+    Same single-shuffle plan as q_cep_pattern. Semantics source: SQL
+    row-pattern matching / Flink CEP reluctant quantifiers (public
+    docs, per SURVEY §0)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize(ev, CEP_RELUCTANT_PATTERN)
+
+
+# PERMUTE group with a suffix anchor: a signup, a view and an error in
+# ANY order, immediately followed by a purchase.
+CEP_PERMUTE = [("S", "signup"), ("V", "view"), ("E", "error")]
+CEP_PERMUTE_SUFFIX = [("P", "purchase", "1")]
+
+
+@query("q_cep_permute",
+       oracle=match_recognize_permute_oracle_sql(
+           CEP_PERMUTE, suffix=CEP_PERMUTE_SUFFIX))
+def q_cep_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE PERMUTE (a standing descope until round 6):
+    PATTERN (PERMUTE(S, V, E) P) — signup, view and error in any order
+    (each exactly once, contiguous), then a purchase. Lowered to the
+    standard's lexicographic k! alternation (3! = 6 alternatives, a
+    constant-size regex; k capped at 4) over the same id-carrying
+    token string — one shuffle, no Python, and the DuckDB oracle
+    replays the identical alternation so leftmost-first tie-breaking
+    is verified too. Semantics source: SQL:2016 row-pattern
+    matching's PERMUTE expansion (public docs, per SURVEY §0)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_permute(ev, CEP_PERMUTE, suffix=CEP_PERMUTE_SUFFIX)
 
 
 # Bounded quantifier + NEXT navigation: a 1-2 row rising run into a

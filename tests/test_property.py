@@ -188,36 +188,48 @@ def test_greedy_pack_matches_reference(spark, docs, budget):
 
 # --- match_recognize vs an independent greedy-backtracking matcher ---
 
+def _parse_quant(quant: str):
+    """(lo, hi-or-None, lazy) for every supported quantifier form —
+    parsed independently of the engine (string inspection only)."""
+    import re
+
+    if quant == "1":
+        return 1, 1, False
+    if quant in ("?", "??"):
+        return 0, 1, quant == "??"
+    if quant in ("+", "+?"):
+        return 1, None, quant == "+?"
+    if quant in ("*", "*?"):
+        return 0, None, quant == "*?"
+    m = re.match(r"^\{(\d+),(\d+)\}(\?)?$", quant)
+    assert m, quant
+    return int(m.group(1)), int(m.group(2)), bool(m.group(3))
+
+
 def _py_match_spans(types: list[str], pattern) -> list[tuple[int, int]]:
     """Reference matcher for the CEP subset, written directly over the
-    event-type list (no regex): per start position, greedy quantifiers
-    with backtracking; AFTER MATCH SKIP PAST LAST ROW; empty matches
-    rejected. Returns [start, end) index spans."""
+    event-type list (no regex): per start position, backtracking with
+    greedy (longest-first) or reluctant (shortest-first) preference per
+    quantifier; AFTER MATCH SKIP PAST LAST ROW; empty matches rejected.
+    Returns [start, end) index spans."""
 
     def norm(etype):
         return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
 
-    vars_ = [(set(norm(t)), q) for _, t, q in pattern]
+    vars_ = [(set(norm(t)), _parse_quant(q)) for _, t, q in pattern]
 
     def rec(pos: int, vi: int):
         if vi == len(vars_):
             return pos
-        allowed, quant = vars_[vi]
-        if quant == "1":
-            if pos < len(types) and types[pos] in allowed:
-                return rec(pos + 1, vi + 1)
-            return None
-        if quant == "?":
-            if pos < len(types) and types[pos] in allowed:
-                r = rec(pos + 1, vi + 1)
-                if r is not None:
-                    return r
-            return rec(pos, vi + 1)
-        lo = 1 if quant == "+" else 0
+        allowed, (lo, hi, lazy) = vars_[vi]
         cnt = 0
-        while pos + cnt < len(types) and types[pos + cnt] in allowed:
+        while (pos + cnt < len(types) and types[pos + cnt] in allowed
+               and (hi is None or cnt < hi)):
             cnt += 1
-        for c in range(cnt, lo - 1, -1):  # greedy: longest first
+        if cnt < lo:
+            return None
+        order = range(lo, cnt + 1) if lazy else range(cnt, lo - 1, -1)
+        for c in order:
             r = rec(pos + c, vi + 1)
             if r is not None:
                 return r
@@ -238,11 +250,13 @@ cep_pattern_strategy = st.lists(
     st.tuples(
         st.sampled_from(["view", "click", "purchase", ("view", "click"),
                          ("click", "error")]),
-        st.sampled_from(["1", "?", "+", "*"]),
+        st.sampled_from(["1", "?", "+", "*",
+                         "??", "+?", "*?",          # reluctant
+                         "{1,2}", "{0,2}?", "{2,3}?"]),  # bounded ±lazy
     ),
     min_size=1,
     max_size=4,
-).filter(lambda p: any(q in ("1", "+") for _, q in p))  # at least one mandatory
+).filter(lambda p: any(_parse_quant(q)[0] >= 1 for _, q in p))  # ≥1 mandatory row
 
 
 @settings(max_examples=25, deadline=None,
@@ -256,9 +270,11 @@ cep_pattern_strategy = st.lists(
 )
 def test_match_recognize_matches_reference(spark, types, pat):
     """The regex lowering must produce exactly the reference matcher's
-    greedy, skip-past-last-row, contiguous match spans — including
-    alternation variables and adjacent same-type variables (where
-    greedy backtracking matters)."""
+    skip-past-last-row, contiguous match spans — including alternation
+    variables, adjacent same-type variables (where backtracking
+    matters), bounded quantifiers, and the reluctant forms (where
+    shortest-first preference must agree with the regex engine's lazy
+    quantifiers)."""
     from flink_realtime_edu_demo_spark.operators.cep import match_recognize
 
     pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
@@ -272,6 +288,111 @@ def test_match_recognize_matches_reference(spark, types, pat):
         for r in match_recognize(ev, pattern, ts="event_id").collect()
     )
     assert got == [(s, e) for s, e in want], (types, pat, got, want)
+
+
+# --- match_recognize_permute vs an independent alternation matcher ---
+
+def _py_permute_spans(types, perm, prefix, suffix) -> list[tuple[int, int]]:
+    """Independent reference for PERMUTE: a backtracking matcher over a
+    segment list in which the permuted group is an ALTERNATION node
+    whose branches (the k! orderings, lexicographic) are tried in
+    order — regex leftmost-first semantics, written without regex."""
+    import itertools
+
+    def norm(etype):
+        return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
+
+    def var_seg(var):
+        _, etype, quant = var
+        return ("VAR", set(norm(etype)), _parse_quant(quant))
+
+    branches = [
+        [var_seg((v, t, "1")) for v, t in order]
+        for order in itertools.permutations(perm)
+    ]
+    segs = ([var_seg(v) for v in prefix] + [("ALT", branches)]
+            + [var_seg(v) for v in suffix])
+
+    def rec(segments, pos):
+        if not segments:
+            return pos
+        head, rest = segments[0], segments[1:]
+        if head[0] == "ALT":
+            for br in head[1]:
+                r = rec(br + rest, pos)
+                if r is not None:
+                    return r
+            return None
+        _, allowed, (lo, hi, lazy) = head
+        cnt = 0
+        while (pos + cnt < len(types) and types[pos + cnt] in allowed
+               and (hi is None or cnt < hi)):
+            cnt += 1
+        if cnt < lo:
+            return None
+        order = range(lo, cnt + 1) if lazy else range(cnt, lo - 1, -1)
+        for c in order:
+            r = rec(rest, pos + c)
+            if r is not None:
+                return r
+        return None
+
+    spans, i = [], 0
+    while i < len(types):
+        e = rec(segs, i)
+        if e is not None and e > i:
+            spans.append((i, e))
+            i = e
+        else:
+            i += 1
+    return spans
+
+
+_PERM_TYPES = ["view", "click", "purchase", "error"]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(st.sampled_from(_PERM_TYPES + ["signup"]),
+                   min_size=0, max_size=40),
+    perm_types=st.lists(
+        st.sampled_from(_PERM_TYPES + [("view", "click"), ("click", "error")]),
+        min_size=2, max_size=3, unique_by=str),
+    prefix=st.lists(
+        st.tuples(st.sampled_from(_PERM_TYPES),
+                  st.sampled_from(["1", "?", "+", "{1,2}"])),
+        min_size=0, max_size=1),
+    suffix=st.lists(
+        st.tuples(st.sampled_from(_PERM_TYPES),
+                  st.sampled_from(["1", "*", "+?"])),
+        min_size=0, max_size=1),
+)
+def test_match_recognize_permute_matches_reference(
+        spark, types, perm_types, prefix, suffix):
+    """PERMUTE must enumerate exactly the reference matcher's spans —
+    the k! orderings tried lexicographically at every start, embedded
+    between arbitrary quantified prefix/suffix variables (where the
+    backtracking interplay between prefix extent and branch choice is
+    the hard part)."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_permute)
+
+    if not types:
+        return
+    perm = [(f"P{i}", t) for i, t in enumerate(perm_types)]
+    pre = [(f"A{i}", t, q) for i, (t, q) in enumerate(prefix)]
+    suf = [(f"Z{i}", t, q) for i, (t, q) in enumerate(suffix)]
+    want = _py_permute_spans(
+        types, perm, [(v, t, q) for v, t, q in pre], suf)
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    got = sorted(
+        (r.first_event_id, r.last_event_id + 1)
+        for r in match_recognize_permute(
+            ev, perm, prefix=pre, suffix=suf, ts="event_id").collect()
+    )
+    assert got == [(s, e) for s, e in want], (types, perm, pre, suf, got, want)
 
 
 # --- match_recognize_define (PREV defines + skip modes) vs reference ---
