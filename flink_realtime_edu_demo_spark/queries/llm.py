@@ -1177,10 +1177,13 @@ def q_llm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-verified jaccard>=0.5 edge list, labelling every member
     with its group's min doc_id — the step that turns pairwise dedup
     output into 'keep one doc per cluster' decisions. Spark side is
-    alternating large-star/small-star (operators/graph.py default:
-    O(log n) rounds on any graph shape, so one long-chain component
-    can't cost diameter-many jobs; driver holds only per-round scalar
-    probes); the oracle is the same fixpoint via a recursive CTE.
+    operators/graph.py connected_components (default: min-label rounds
+    with a pointer-jumping shortcut, O(log diameter) rounds on any
+    graph shape, so one long-chain component can't cost diameter-many
+    jobs; a size-gated driver union-find absorbs tiny edge lists —
+    which this fixture's dup graph is at every tested scale, 23 nodes
+    even at the 100x soak; driver holds only per-round scalar probes);
+    the oracle is the same fixpoint via a recursive CTE.
     Deterministic: the fixpoint is unique, so the iterative path
     hash-matches exact SQL."""
     d = load_spread(spark, sf_dir, "documents")
