@@ -1128,8 +1128,19 @@ def match_recognize_runagg(
             (pre_ok & (l_rows >= min_b)).alias("valid"),
         )
 
+    seq = F.sequence(F.lit(1), n)
+    if p:
+        # necessary condition for cand(j).valid — the FIRST prefix
+        # variable's flag at offset j (pre_ok re-checks it with the
+        # rest). Pruning here skips building the O(n) accept_fail
+        # machinery at every offset that can't start a match (the
+        # common case: match anchors are rare event types), cutting
+        # the interpreted higher-order work by the anchor selectivity
+        # while leaving the candidate set — and thus both skip-mode
+        # folds — byte-identical.
+        seq = F.filter(seq, lambda j: F.element_at(at(j)["okpre"], 1))
     cands = F.filter(
-        F.transform(F.sequence(F.lit(1), n), cand), lambda c: c["valid"]
+        F.transform(seq, cand), lambda c: c["valid"]
     )
     if skip == "past_last_row":
         init = F.expr(
