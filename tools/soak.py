@@ -74,6 +74,7 @@ SOAK_KEYS = [
 ] + [f"q_tpch_q{i}" for i in range(1, 23)] + [
     "q_cep_pattern", "q_cep_prev", "q_cep_skip_next", "q_cep_skip_last",
     "q_cep_quantifier", "q_cep_prev_sessionized", "q_cep_sessionized",
+    "q_cep_runagg", "q_cep_reluctant", "q_cep_permute",
     "q_stream_session_dyngap", "q_stream_window_topn",
     "q_ts_interval_merge", "q_funnel",
 ]
