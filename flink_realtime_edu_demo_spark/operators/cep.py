@@ -162,20 +162,17 @@ def match_recognize(
     return _scan(events, pattern, chars, regex, keys, ts, type_col, id_col)
 
 
-def _scan(
+def _seq_strings(
     events: DataFrame,
-    pattern,
     chars: dict[str, str],
-    regex: str,
     keys: list[str],
     ts: str,
     type_col: str,
     id_col: str,
 ) -> DataFrame:
-    """Tokenize, concatenate per key, regex-scan, and decode measures —
-    the shared back half of :func:`match_recognize` and
-    :func:`match_recognize_permute` (they differ only in how the
-    token-level regex is built from the flat variable list)."""
+    """Tokenize each event as ``<type_char><id>;`` and concatenate per
+    key in (ts, id) order — the shared front half of every type-pattern
+    scan (one shuffle; everything downstream is narrow)."""
     tok_char: F.Column = F.lit("z")
     for etype, ch in reversed(chars.items()):
         tok_char = F.when(F.col(type_col) == etype, ch).otherwise(tok_char)
@@ -187,11 +184,28 @@ def _scan(
             F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";")).alias("tok"),
         ).alias("t"),
     )
-    seq = toks.groupBy(*keys).agg(
+    return toks.groupBy(*keys).agg(
         F.concat_ws(
             "", F.transform(F.array_sort(F.collect_list("t")), lambda s: s["tok"])
         ).alias("s")
     )
+
+
+def _scan(
+    events: DataFrame,
+    pattern,
+    chars: dict[str, str],
+    regex: str,
+    keys: list[str],
+    ts: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Regex-scan the per-key token strings and decode measures — the
+    shared back half of :func:`match_recognize` and
+    :func:`match_recognize_permute` (they differ only in how the
+    token-level regex is built from the flat variable list)."""
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
     matched = seq.select(
         *[F.col(k) for k in keys],
         F.posexplode(F.regexp_extract_all("s", F.lit(regex), F.lit(0))),
@@ -272,6 +286,168 @@ def match_recognize_oracle_sql(
     """DuckDB SQL replaying :func:`match_recognize` token-for-token."""
     return _oracle_core(pattern, [key], f"SELECT * FROM {table}",
                         ts, type_col, id_col)
+
+
+def _token_regex_captured(pattern, chars) -> str:
+    """The token regex with one CAPTURE group per variable — group i+1
+    holds the full run variable i absorbed. The quantifier sits INSIDE
+    the capture (``((?:atom)+)``), so the group always participates
+    (capturing '' for a zero-row optional variable) and captures the
+    ENTIRE run, in both Java regex and RE2."""
+    pieces = []
+    for _, etype, quant in pattern:
+        cls = _var_class(etype, chars)
+        atom = cls if len(cls) == 1 else f"[{cls}]"
+        pieces.append(f"((?:{atom}[0-9]+;){_quant_regex(quant)})")
+    return "".join(pieces)
+
+
+def _classified(var_name: str):
+    """Single-argument transform lambda tagging each extracted id with
+    its pattern variable's name."""
+    return lambda x: F.struct(
+        F.lit(var_name).alias("classifier"),
+        x.cast("long").alias("event_id"),
+    )
+
+
+def match_recognize_all_rows(
+    events: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ALL ROWS PER MATCH output mode for :func:`match_recognize` —
+    one output row per MATCHED EVENT, carrying SQL row-pattern
+    matching's per-row measures ``MATCH_NUMBER()`` and ``CLASSIFIER()``
+    (the pattern variable that absorbed the row). Same pattern
+    language (type alternations; greedy/reluctant/bounded quantifiers),
+    greedy left-to-right enumeration, AFTER MATCH SKIP PAST LAST ROW.
+
+    Lowering: the token regex gains one capture group per variable
+    (quantifier inside the group, so each group captures its
+    variable's whole run); ``regexp_extract_all(s, regex, i)`` then
+    yields variable i's run for EVERY match, index-aligned across
+    groups, so ``arrays_zip`` + ``posexplode`` recovers (match_no,
+    per-variable runs) and a second explode splits runs into
+    (classifier, event_id) rows — variable order concatenation IS row
+    order because the pattern is a sequence. Still one shuffle, zero
+    Python; k+0 extra regex passes over each key string (k = pattern
+    arity, a constant). Row attribution is by VARIABLE (not type
+    char), so two variables sharing an event type classify correctly.
+
+    Returns ``key..., match_no, row_in_match (1-based), classifier,
+    event_id`` — joining back to the input on ``event_id`` recovers
+    the full input row, SQL's ALL ROWS pass-through.
+    """
+    _validate(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    chars = _char_map(pattern)
+    regex = _token_regex_captured(pattern, chars)
+    k = len(pattern)
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    groups = seq.select(
+        *[F.col(c) for c in keys],
+        *[
+            F.regexp_extract_all("s", F.lit(regex), F.lit(i + 1)).alias(f"g{i}")
+            for i in range(k)
+        ],
+    )
+    zipped = groups.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(F.arrays_zip(*[F.col(f"g{i}") for i in range(k)])),
+    ).select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        F.regexp_extract_all(
+                            F.col("col")[f"g{i}"],
+                            F.lit("[a-z]([0-9]+);"),
+                            F.lit(1),
+                        ),
+                        # one-arg lambda via factory: F.transform treats
+                        # a two-arg lambda as (element, index)
+                        _classified(pattern[i][0]),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("rows"),
+    )
+    return zipped.select(
+        *[F.col(c) for c in keys],
+        "match_no",
+        F.posexplode("rows"),
+    ).select(
+        *[F.col(c) for c in keys],
+        "match_no",
+        (F.col("pos") + 1).cast("long").alias("row_in_match"),
+        F.col("col")["classifier"].alias("classifier"),
+        F.col("col")["event_id"].alias("event_id"),
+    )
+
+
+def match_recognize_all_rows_oracle_sql(
+    pattern: list[tuple[str, str, str]],
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_all_rows` — the same
+    per-variable capture groups (RE2 shares Java's greedy/lazy
+    leftmost-first preference, so every group captures the same run),
+    a per-variable UNION ALL unnest, and row_in_match numbered by
+    (variable position, position within the run)."""
+    _validate(pattern)
+    chars = _char_map(pattern)
+    regex = _token_regex_captured(pattern, chars)
+    case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+    k = len(pattern)
+    gcols = ",\n               ".join(
+        f"regexp_extract_all(s, '{regex}', {i + 1}) AS g{i}" for i in range(k)
+    )
+    gsel = ", ".join(f"g{i}[i] AS r{i}" for i in range(k))
+    branches = "\n      UNION ALL\n        ".join(
+        f"SELECT {key}, match_no, {i} AS vord, '{pattern[i][0]}' AS classifier,\n"
+        f"               regexp_extract_all(r{i}, '[a-z]([0-9]+);', 1) AS ids\n"
+        f"        FROM pm"
+        for i in range(k)
+    )
+    return f"""
+    WITH src AS (SELECT * FROM {table}),
+    toks AS (
+        SELECT {key},
+               CASE {type_col} {case} ELSE 'z' END || {id_col} || ';' AS tok,
+               {ts}, {id_col}
+        FROM src
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key}),
+    m AS (SELECT {key},
+               len(regexp_extract_all(s, '{regex}', 0)) AS nm,
+               {gcols}
+          FROM seq),
+    pm AS (SELECT {key}, CAST(i AS BIGINT) AS match_no, {gsel}
+           FROM m, unnest(generate_series(1, nm)) AS t(i)),
+    vr AS (
+        {branches}
+    ),
+    ex AS (SELECT {key}, match_no, vord, classifier, j,
+                  CAST(ids[j] AS BIGINT) AS event_id
+           FROM vr, unnest(generate_series(1, len(ids))) AS t(j))
+    SELECT {key}, match_no,
+           CAST(row_number() OVER (PARTITION BY {key}, match_no
+                                   ORDER BY vord, j) AS BIGINT) AS row_in_match,
+           classifier, event_id
+    FROM ex
+    """
 
 
 def _permute_parts(perm, prefix, suffix):
@@ -372,10 +548,21 @@ def _validate_defines(pattern) -> None:
         bad = set(define) - {"types", "dir", "next_dir"}
         if bad:
             raise ValueError(f"unknown define keys {sorted(bad)}")
+        _reject_empty_types(var, define)
         for d in ("dir", "next_dir"):
             if define.get(d) not in (None, "up", "down"):
                 raise ValueError(f"{d} must be 'up' or 'down'")
     _reject_empty_match(pattern)
+
+
+def _reject_empty_types(var: str, define: dict) -> None:
+    """An explicitly-present empty ``types`` tuple is a contradiction
+    (the variable could match no event type at all) — raise, matching
+    :func:`_validate`'s 'needs at least one event type' behavior across
+    every CEP entry point (ADVICE r6: the DEFINE paths used to treat it
+    silently as 'no type constraint')."""
+    if "types" in define and not _types_of(define["types"]):
+        raise ValueError(f"variable {var!r} needs at least one event type")
 
 
 def _bitmask_classes(pattern) -> list[str]:
@@ -933,18 +1120,23 @@ def match_recognize_define_sessionized_oracle_sql(
 _RUNAGG_CMP = {"<", "<=", ">", ">="}
 
 
-def _validate_runagg(pattern) -> None:
-    """pattern: (var, define, quant) list where the LAST variable's
+def _validate_runagg(pattern) -> tuple[list, tuple, tuple | None]:
+    """pattern: (var, define, quant) list where exactly ONE variable's
     define carries the running aggregate — keys ``agg`` ('sum' | 'avg'
     over ``value_col``), ``cmp`` ('<' '<=' '>' '>='), ``thr`` (number),
-    plus optional simple keys ``types``/``dir`` — and every PRECEDING
-    variable is simple (``types``/``dir``) with quantifier '1'.
+    plus optional simple keys ``types``/``dir``. Every OTHER variable is
+    simple (``types``/``dir``) with quantifier '1'.
 
-    Scope (documented in COVERAGE.md): ONE aggregate variable, in final
-    position, quantifier '+' or '*'; prefix variables match exactly one
-    row each. This is the Flink-docs shape (`PATTERN (A B+) DEFINE B AS
-    SUM(B.price) < 100`); aggregate variables in interior position or
-    with interior optional prefixes still need an NFA and stay descoped.
+    Scope (documented in COVERAGE.md): the aggregate variable takes
+    quantifier '+' or '*' and sits in FINAL position, or — the bounded
+    interior form (round 7) — is followed by exactly ONE simple
+    single-row suffix variable (`PATTERN (A B+ C)`): greedy B
+    backtracks to the longest run whose next row satisfies C, which the
+    prefix-sum machinery resolves without an NFA. Deeper interior
+    positions (a quantified or multi-variable tail after the aggregate)
+    still need a true NFA and stay descoped.
+
+    Returns ``(prefix_vars, aggregate_var, suffix_var_or_None)``.
     """
     if not pattern:
         raise ValueError("pattern needs at least one variable")
@@ -953,18 +1145,37 @@ def _validate_runagg(pattern) -> None:
         if var in seen:
             raise ValueError(f"duplicate pattern variable {var!r}")
         seen.add(var)
-    *prefix, (avar, adef, aquant) = pattern
-    for var, define, quant in prefix:
+    agg_idx = [i for i, (_, d, _) in enumerate(pattern) if "agg" in d]
+    if len(agg_idx) != 1:
+        raise ValueError("exactly one variable must carry the running "
+                         "aggregate ('agg' define key)")
+    ai = agg_idx[0]
+    if ai < len(pattern) - 2:
+        raise ValueError(
+            "aggregate variable must be final or followed by exactly one "
+            "single-row suffix variable (deeper interior positions need "
+            "an NFA — descoped, see COVERAGE.md)")
+    avar, adef, aquant = pattern[ai]
+    prefix = pattern[:ai]
+    suffix = pattern[ai + 1] if ai == len(pattern) - 2 else None
+
+    def check_simple(var, define, quant, role):
         if quant != "1":
             raise ValueError(
-                f"prefix variable {var!r} must have quantifier '1' "
+                f"{role} variable {var!r} must have quantifier '1' "
                 "(running-aggregate scope)")
         bad = set(define) - {"types", "dir"}
         if bad:
-            raise ValueError(f"prefix variable {var!r}: unknown or "
+            raise ValueError(f"{role} variable {var!r}: unknown or "
                              f"unsupported define keys {sorted(bad)}")
+        _reject_empty_types(var, define)
         if define.get("dir") not in (None, "up", "down"):
             raise ValueError("dir must be 'up' or 'down'")
+
+    for var, define, quant in prefix:
+        check_simple(var, define, quant, "prefix")
+    if suffix is not None:
+        check_simple(suffix[0], suffix[1], suffix[2], "suffix")
     if aquant not in ("+", "*"):
         raise ValueError(
             f"aggregate variable {avar!r} needs quantifier '+' or '*'")
@@ -972,6 +1183,7 @@ def _validate_runagg(pattern) -> None:
     if bad:
         raise ValueError(f"aggregate variable {avar!r}: unknown define "
                          f"keys {sorted(bad)}")
+    _reject_empty_types(avar, adef)
     if adef.get("agg") not in ("sum", "avg"):
         raise ValueError("agg must be 'sum' or 'avg'")
     if adef.get("cmp") not in _RUNAGG_CMP:
@@ -980,10 +1192,11 @@ def _validate_runagg(pattern) -> None:
         raise ValueError("thr must be a number")
     if adef.get("dir") not in (None, "up", "down"):
         raise ValueError("dir must be 'up' or 'down'")
-    if aquant == "*" and not prefix:
+    if aquant == "*" and not prefix and suffix is None:
         raise ValueError(
             "pattern may match zero rows (all variables optional) — "
             "at least one variable needs a mandatory row")
+    return prefix, pattern[ai], suffix
 
 
 def _runagg_cmp_col(agg: str, cmp: str, thr: float, sum_col, t_col):
@@ -1016,13 +1229,17 @@ def match_recognize_runagg(
     value_col: str = "value",
     skip: str = "past_last_row",
 ) -> DataFrame:
-    """MATCH_RECOGNIZE whose final variable's DEFINE references a
-    running aggregate over the variable's OWN rows so far — the Flink
-    docs' `PATTERN (A B+) DEFINE B AS SUM(B.price) < 100`: B absorbs a
-    row iff the aggregate INCLUDING that row still satisfies the
+    """MATCH_RECOGNIZE with a DEFINE that references a running
+    aggregate over the variable's OWN rows so far — the Flink docs'
+    `PATTERN (A B+) DEFINE B AS SUM(B.price) < 100`: B absorbs a row
+    iff the aggregate INCLUDING that row still satisfies the
     comparison; the first failing row ends the run (greedy longest
     match, rows are contiguous, so the aggregate over B's rows is a
-    difference of partition prefix sums).
+    difference of partition prefix sums). The aggregate variable may
+    be FINAL, or — the bounded interior form — followed by exactly one
+    single-row suffix variable (`PATTERN (A B+ C)`): greedy B then
+    backtracks to the LONGEST run whose next row satisfies C, resolved
+    as an array_max over the same prefix-sum candidates (no NFA).
 
     Lowering (one shuffle, zero Python): per key, an ordered window
     computes row numbers and an EXACT DECIMAL(18,6) running sum of
@@ -1045,11 +1262,10 @@ def match_recognize_runagg(
     """
     from pyspark.sql.window import Window
 
-    _validate_runagg(pattern)
+    prefix, (_, adef, aquant), suffix = _validate_runagg(pattern)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
     keys = [key] if isinstance(key, str) else list(key)
-    *prefix, (_, adef, aquant) = pattern
     p = len(prefix)
     min_b = 1 if aquant == "+" else 0
 
@@ -1082,6 +1298,8 @@ def match_recognize_runagg(
             F.col(id_col).alias("id"),
             F.array(*[simple_ok(d) for _, d, _ in prefix]).alias("okpre"),
             simple_ok(adef).alias("okb"),
+            (simple_ok(suffix[1]) if suffix is not None else F.lit(False))
+            .alias("oksuf"),
             sp.alias("sp"),
             (sp - vdec).alias("sp0"),
         ).alias("t"),
@@ -1099,9 +1317,15 @@ def match_recognize_runagg(
         s = j + F.lit(p)  # first aggregate row (1-based)
         pre_ok = F.lit(True)
         for t in range(p):
-            pre_ok = pre_ok & (
-                (j + F.lit(t) <= n)
-                & F.element_at(at(j + F.lit(t))["okpre"], t + 1)
+            # try_element_at: NULL (not an ANSI error) past the array
+            # end, folded to False — the bound check must not rely on
+            # And-conjunct evaluation order (ADVICE r6).
+            pre_ok = pre_ok & F.coalesce(
+                F.element_at(
+                    F.try_element_at(arr, (j + F.lit(t)).cast("int"))["okpre"],
+                    t + 1,
+                ),
+                F.lit(False),
             )
         base = F.when(s <= n, at(s)["sp0"])
         accept_fail = F.array_min(
@@ -1121,11 +1345,35 @@ def match_recognize_runagg(
         l_rows = F.when(s > n, F.lit(0)).otherwise(
             F.coalesce(accept_fail, (n - s + 2).cast("int")) - 1
         )
+        if suffix is None:
+            return F.struct(
+                j.cast("long").alias("off"),
+                (j + p + l_rows - 1).cast("long").alias("end"),
+                l_rows.cast("long").alias("b_rows"),
+                (pre_ok & (l_rows >= min_b)).alias("valid"),
+            )
+        # bounded interior form: greedy backtracking = the LONGEST
+        # aggregate run t in [min_b, maxrun] whose NEXT row (s + t)
+        # satisfies the suffix variable's define — array_max over the
+        # suffix-flag-filtered candidate lengths (try_element_at, so a
+        # run ending at the partition edge simply drops out)
+        t_sel = F.array_max(
+            F.filter(
+                F.when(
+                    l_rows >= min_b,
+                    F.sequence(F.lit(min_b).cast("int"), l_rows.cast("int")),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda t: F.coalesce(
+                    F.try_element_at(arr, (s + t).cast("int"))["oksuf"],
+                    F.lit(False),
+                ),
+            )
+        )
         return F.struct(
             j.cast("long").alias("off"),
-            (j + p + l_rows - 1).cast("long").alias("end"),
-            l_rows.cast("long").alias("b_rows"),
-            (pre_ok & (l_rows >= min_b)).alias("valid"),
+            (s + t_sel).cast("long").alias("end"),
+            t_sel.cast("long").alias("b_rows"),
+            (pre_ok & t_sel.isNotNull()).alias("valid"),
         )
 
     seq = F.sequence(F.lit(1), n)
@@ -1167,6 +1415,7 @@ def match_recognize_runagg(
     )
     c = F.col("col")
     first_b = c["off"] + F.lit(p)
+    last_b = first_b + c["b_rows"] - 1  # == end unless a suffix follows
     return out.select(
         *[F.col(k) for k in keys],
         (F.col("pos") + 1).cast("long").alias("match_no"),
@@ -1177,7 +1426,7 @@ def match_recognize_runagg(
         F.when(
             c["b_rows"] > 0,
             (
-                F.element_at(arr, c["end"].cast("int"))["sp"]
+                F.element_at(arr, last_b.cast("int"))["sp"]
                 - F.element_at(arr, first_b.cast("int"))["sp0"]
             ).cast("double"),
         ).otherwise(F.lit(0.0)).alias("b_sum"),
@@ -1193,20 +1442,38 @@ def match_recognize_runagg_oracle_sql(
     id_col: str = "event_id",
     value_col: str = "value",
     skip: str = "past_last_row",
+    keys: list[str] | None = None,
+    source_sql: str | None = None,
 ) -> str:
     """DuckDB SQL replaying :func:`match_recognize_runagg` decision for
     decision: the same DECIMAL(18,6) partition prefix sums (exact, so
     both engines compare identical doubles against thr), the same
     first-failing-row run length (a correlated MIN over rows at or
-    after the aggregate variable's start), and for past_last_row the
-    same left-to-right non-overlapping selection via a recursive CTE.
-    Single partition key (the declared fixture shape)."""
-    _validate_runagg(pattern)
+    after the aggregate variable's start), the same longest-run-
+    whose-next-row-matches backtracking for the bounded interior form
+    (a correlated MAX over suffix-satisfying rows inside the run
+    envelope), and for past_last_row the same left-to-right
+    non-overlapping selection via a recursive CTE. ``keys``/
+    ``source_sql`` support composite partitions over a derived event
+    source — the sessionized deployment shape."""
+    prefix, (_, adef, aquant), suffix = _validate_runagg(pattern)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
-    *prefix, (_, adef, aquant) = pattern
     p = len(prefix)
     min_b = 1 if aquant == "+" else 0
+    klist = keys or [key]
+    key = ", ".join(klist)  # every {key} below is the full key list
+    eq_r2c = " AND ".join(f"r2.{k} = c.{k}" for k in klist)
+    eq_rfm = " AND ".join(f"rf.{k} = m1.{k}" for k in klist)
+    eq_rlm = " AND ".join(f"rl.{k} = m1.{k}" for k in klist)
+    eq_rbm = " AND ".join(f"rb.{k} = m1.{k}" for k in klist)
+    eq_c2c = " AND ".join(f"c2.{k} = c.{k}" for k in klist)
+    eq_nxpk = " AND ".join(f"nx.{k} = pk.{k}" for k in klist)
+    eq_n2pk = " AND ".join(f"n2.{k} = pk.{k}" for k in klist)
+    c_key = ", ".join(f"c.{k}" for k in klist)
+    m1_key = ", ".join(f"m1.{k}" for k in klist)
+    nx_key = ", ".join(f"nx.{k}" for k in klist)
+    inner = source_sql or f"SELECT * FROM {table}"
 
     def simple_sql(define: dict) -> str:
         conds = []
@@ -1224,6 +1491,10 @@ def match_recognize_runagg_oracle_sql(
         f"{simple_sql(d)} AS okp{i},\n           "
         for i, (_, d, _) in enumerate(prefix)
     )
+    oksuf = (
+        f"{simple_sql(suffix[1])} AS oksuf,\n           "
+        if suffix is not None else ""
+    )
     if p == 0:
         prefix_ok = "TRUE"
         base = "sp0"
@@ -1240,6 +1511,39 @@ def match_recognize_runagg_oracle_sql(
     )
     accept = f"(r2.okb AND ({val_e} {adef['cmp']} {float(adef['thr'])}))"
     order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    if suffix is None:
+        # maximal run = up to the first failing row; endrn is its last row
+        m1 = f"""
+    m1 AS (
+        SELECT {key}, off, base,
+               COALESCE(failrn, n + 1) - (off + {p}) AS b_rows,
+               off + {p} + (COALESCE(failrn, n + 1) - (off + {p})) - 1 AS endrn
+        FROM cand
+        WHERE COALESCE(failrn, n + 1) - (off + {p}) >= {min_b}
+    )"""
+    else:
+        # bounded interior form: the suffix row sits at off+p+t for the
+        # chosen run length t in [min_b, maxrun]; greedy backtracking
+        # picks the LARGEST t whose suffix row satisfies its define
+        m1 = f"""
+    mx AS (
+        SELECT {key}, off, base, n,
+               COALESCE(failrn, n + 1) - (off + {p}) AS maxb
+        FROM cand
+    ),
+    m1 AS (
+        SELECT {key}, off, base, sufrn - off - {p} AS b_rows, sufrn AS endrn
+        FROM (
+            SELECT {c_key}, c.off, c.base,
+                   (SELECT max(r2.rn) FROM r r2
+                    WHERE {eq_r2c}
+                      AND r2.rn >= c.off + {p} + {min_b}
+                      AND r2.rn <= c.off + {p} + c.maxb
+                      AND r2.oksuf) AS sufrn
+            FROM mx c WHERE c.maxb >= {min_b}
+        )
+        WHERE sufrn IS NOT NULL
+    )"""
     if skip == "to_next_row":
         numbering = f"""
     SELECT {key}, CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
@@ -1255,14 +1559,14 @@ def match_recognize_runagg_oracle_sql(
         SELECT {key}, off, endrn, first_event_id, last_event_id,
                b_rows, b_sum, 1 AS match_no
         FROM m2 c
-        WHERE off = (SELECT min(off) FROM m2 c2 WHERE c2.{key} = c.{key})
+        WHERE off = (SELECT min(off) FROM m2 c2 WHERE {eq_c2c})
       UNION ALL
-        SELECT nx.{key}, nx.off, nx.endrn, nx.first_event_id,
+        SELECT {nx_key}, nx.off, nx.endrn, nx.first_event_id,
                nx.last_event_id, nx.b_rows, nx.b_sum, pk.match_no + 1
         FROM pick pk JOIN m2 nx
-             ON nx.{key} = pk.{key} AND nx.off > pk.endrn
+             ON {eq_nxpk} AND nx.off > pk.endrn
         WHERE nx.off = (SELECT min(n2.off) FROM m2 n2
-                        WHERE n2.{key} = pk.{key} AND n2.off > pk.endrn)
+                        WHERE {eq_n2pk} AND n2.off > pk.endrn)
     )
     SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
            CAST(first_event_id AS BIGINT) AS first_event_id,
@@ -1276,7 +1580,7 @@ def match_recognize_runagg_oracle_sql(
         SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
                lag({value_col}) OVER ({order}) AS prev_v,
                CAST({value_col} AS DECIMAL(18,6)) AS vdec
-        FROM {table}
+        FROM ({inner})
     ),
     r AS (
         SELECT {key}, {ts}, {id_col},
@@ -1284,7 +1588,7 @@ def match_recognize_runagg_oracle_sql(
                COUNT(*) OVER (PARTITION BY {key}) AS n,
                SUM(vdec) OVER (w ROWS UNBOUNDED PRECEDING) AS sp,
                SUM(vdec) OVER (w ROWS UNBOUNDED PRECEDING) - vdec AS sp0,
-           {okpre}{simple_sql(adef)} AS okb
+           {okpre}{oksuf}{simple_sql(adef)} AS okb
         FROM base_src
         WINDOW w AS ({order})
     ),
@@ -1293,28 +1597,82 @@ def match_recognize_runagg_oracle_sql(
         FROM r WINDOW w2 AS (PARTITION BY {key} ORDER BY rn)
     ),
     cand AS (
-        SELECT c.{key}, c.off, c.n, c.base,
+        SELECT {c_key}, c.off, c.n, c.base,
                (SELECT min(r2.rn) FROM r r2
-                WHERE r2.{key} = c.{key} AND r2.rn >= c.off + {p}
+                WHERE {eq_r2c} AND r2.rn >= c.off + {p}
                   AND NOT {accept}) AS failrn
         FROM c0 c WHERE c.prefix_ok
-    ),
-    m1 AS (
-        SELECT {key}, off, base,
-               COALESCE(failrn, n + 1) - (off + {p}) AS b_rows,
-               off + {p} + (COALESCE(failrn, n + 1) - (off + {p})) - 1 AS endrn
-        FROM cand
-        WHERE COALESCE(failrn, n + 1) - (off + {p}) >= {min_b}
-    ),
+    ),{m1},
     m2 AS (
-        SELECT m1.{key}, m1.off, m1.endrn, m1.b_rows,
+        SELECT {m1_key}, m1.off, m1.endrn, m1.b_rows,
                rf.{id_col} AS first_event_id,
                rl.{id_col} AS last_event_id,
                CASE WHEN m1.b_rows > 0
-                    THEN CAST(rl.sp - m1.base AS DOUBLE)
+                    THEN CAST(rb.sp - m1.base AS DOUBLE)
                     ELSE 0.0 END AS b_sum
         FROM m1
-        JOIN r rf ON rf.{key} = m1.{key} AND rf.rn = m1.off
-        JOIN r rl ON rl.{key} = m1.{key} AND rl.rn = m1.endrn
+        JOIN r rf ON {eq_rfm} AND rf.rn = m1.off
+        JOIN r rl ON {eq_rlm} AND rl.rn = m1.endrn
+        LEFT JOIN r rb ON {eq_rbm} AND rb.rn = m1.off + {p} + m1.b_rows - 1
     ){numbering}
     """
+
+
+def match_recognize_runagg_sessionized(
+    events: DataFrame,
+    pattern: list[tuple[str, dict, str]],
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    skip: str = "past_last_row",
+) -> DataFrame:
+    """Sessionized deployment shape for running-aggregate DEFINEs
+    (VERDICT r6 next-step #3 — closes the one unbounded-key envelope in
+    the CEP family): sessionize the key by ``gap_minutes``, then run
+    :func:`match_recognize_runagg` within each (key, session). The
+    per-key collected array — and therefore the documented O(rows²)
+    anchored scan — is bounded by SESSION length, not the key's full
+    history, so a hot key at 100x data costs sessions x session², not
+    history². PREV navigation in dir-defines is session-confined
+    (first session row has NULL PREV), matching the other sessionized
+    CEP shapes. Output adds ``session_id`` to the match columns."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize_runagg(
+        s, pattern, key=[key, "session_id"], ts=ts, type_col=type_col,
+        id_col=id_col, value_col=value_col, skip=skip,
+    )
+
+
+def match_recognize_runagg_sessionized_oracle_sql(
+    pattern: list[tuple[str, dict, str]],
+    gap_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    skip: str = "past_last_row",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_runagg_sessionized`
+    (the same sessionize window as the other sessionized oracles, then
+    the runagg replay over the composite (key, session_id) partition)."""
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return match_recognize_runagg_oracle_sql(
+        pattern, ts=ts, type_col=type_col, id_col=id_col,
+        value_col=value_col, skip=skip,
+        keys=[key, "session_id"], source_sql=source,
+    )

@@ -262,6 +262,106 @@ def test_match_recognize_sessionized_gap_boundary(spark, sf_dir):
             for r in out] == [(1, 0, 1, 3)]
 
 
+def test_runagg_sessionized_gap_boundary(spark, sf_dir):
+    """A running-aggregate match must never span a session gap, and the
+    prefix sums must be session-confined: the same A B B chain matches
+    within one session but a > gap pause before the B-run's tail cuts
+    the run at the boundary."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg_sessionized,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, eid, minutes, typ, val):
+        return (uid, eid, t0 + dt.timedelta(minutes=minutes), typ, val)
+
+    rows = [
+        # user 1: view then two cheap clicks in-session -> one match, 2 B rows
+        ev(1, 1, 0, "view", 0.0), ev(1, 2, 5, "click", 3.0),
+        ev(1, 3, 10, "click", 4.0),
+        # user 2: same chain but the second click is past the gap ->
+        # the match stops at the boundary (1 B row), and the orphaned
+        # click in session 1 can't match (no view prefix there)
+        ev(2, 1, 0, "view", 0.0), ev(2, 2, 5, "click", 3.0),
+        ev(2, 3, 110, "click", 4.0),
+    ]
+    evdf = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    pat = [("A", {"types": "view"}, "1"),
+           ("B", {"agg": "sum", "cmp": "<", "thr": 100.0}, "+")]
+    out = match_recognize_runagg_sessionized(evdf, pat, gap_minutes=30)
+    got = sorted(
+        (r.user_id, r.session_id, r.first_event_id, r.last_event_id,
+         r.b_rows, r.b_sum)
+        for r in out.collect()
+    )
+    assert got == [(1, 0, 1, 3, 2, 7.0), (2, 0, 1, 2, 1, 3.0)], got
+
+
+def test_cep_empty_types_rejected_everywhere(spark, sf_dir):
+    """An explicitly-present empty types tuple must raise at plan time
+    from EVERY CEP entry point (ADVICE r6: the DEFINE paths silently
+    treated it as 'no type constraint', unlike match_recognize)."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize,
+        match_recognize_define,
+        match_recognize_runagg,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view", 1.0)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="at least one event type"):
+        match_recognize(ev, [("A", (), "1")])
+    with pytest.raises(ValueError, match="at least one event type"):
+        match_recognize_define(ev, [("A", {"types": ()}, "1")])
+    with pytest.raises(ValueError, match="at least one event type"):
+        match_recognize_runagg(
+            ev,
+            [("A", {"types": ()}, "1"),
+             ("B", {"agg": "sum", "cmp": "<", "thr": 1.0}, "+")],
+        )
+    with pytest.raises(ValueError, match="at least one event type"):
+        match_recognize_runagg(
+            ev,
+            [("B", {"agg": "sum", "cmp": "<", "thr": 1.0, "types": ()}, "+")],
+        )
+
+
+def test_runagg_interior_scope_validation(spark, sf_dir):
+    """The interior form accepts exactly one single-row suffix after
+    the aggregate variable; deeper tails and quantified suffixes stay
+    rejected with the documented NFA rationale."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view", 1.0)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    agg = ("B", {"agg": "sum", "cmp": "<", "thr": 1.0}, "+")
+    with pytest.raises(ValueError, match="final or followed by exactly one"):
+        match_recognize_runagg(
+            ev, [agg, ("C", {}, "1"), ("D", {}, "1")])
+    with pytest.raises(ValueError, match="quantifier '1'"):
+        match_recognize_runagg(ev, [agg, ("C", {}, "+")])
+    with pytest.raises(ValueError, match="exactly one variable"):
+        match_recognize_runagg(
+            ev, [agg, ("C", {"agg": "sum", "cmp": "<", "thr": 1.0}, "+")])
+
+
 def test_cc_star_equals_label_propagation(spark, sf_dir):
     """Large-star/small-star CC must reach the identical
     (id, min-reachable-id) fixpoint as min-label propagation — checked

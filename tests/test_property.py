@@ -290,6 +290,84 @@ def test_match_recognize_matches_reference(spark, types, pat):
     assert got == [(s, e) for s, e in want], (types, pat, got, want)
 
 
+# --- match_recognize_all_rows vs the same reference, per-row ---
+
+def _py_match_rows(types: list[str], pattern):
+    """Reference for ALL ROWS PER MATCH: the same greedy/reluctant
+    backtracking as :func:`_py_match_spans`, but returning each match
+    as its ordered list of (variable_name, row_index) assignments."""
+
+    def norm(etype):
+        return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
+
+    vars_ = [(name, set(norm(t)), _parse_quant(q)) for name, t, q in pattern]
+
+    def rec(pos: int, vi: int):
+        if vi == len(vars_):
+            return []
+        name, allowed, (lo, hi, lazy) = vars_[vi]
+        cnt = 0
+        while (pos + cnt < len(types) and types[pos + cnt] in allowed
+               and (hi is None or cnt < hi)):
+            cnt += 1
+        if cnt < lo:
+            return None
+        order = range(lo, cnt + 1) if lazy else range(cnt, lo - 1, -1)
+        for c in order:
+            r = rec(pos + c, vi + 1)
+            if r is not None:
+                return [(name, pos + k) for k in range(c)] + r
+        return None
+
+    matches, i = [], 0
+    while i < len(types):
+        rows = rec(i, 0)
+        if rows:
+            matches.append(rows)
+            i = rows[-1][1] + 1
+        else:
+            i += 1
+    return matches
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=0, max_size=40,
+    ),
+    pat=cep_pattern_strategy,
+)
+def test_match_recognize_all_rows_matches_reference(spark, types, pat):
+    """ALL ROWS PER MATCH must emit exactly the reference matcher's
+    per-row (match_no, row_in_match, classifier, event_id) assignments —
+    in particular correct per-VARIABLE attribution when adjacent
+    variables share event types, and clean dropout of zero-row optional
+    variables (empty capture groups)."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_all_rows,
+    )
+
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    want = [
+        (mi + 1, ri + 1, name, idx)
+        for mi, rows in enumerate(_py_match_rows(types, pattern))
+        for ri, (name, idx) in enumerate(rows)
+    ]
+    if not types:
+        return
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(types)],
+        "user_id long, event_id long, event_type string",
+    )
+    got = sorted(
+        (r.match_no, r.row_in_match, r.classifier, r.event_id)
+        for r in match_recognize_all_rows(ev, pattern, ts="event_id").collect()
+    )
+    assert got == sorted(want), (types, pat, got, want)
+
+
 # --- match_recognize_permute vs an independent alternation matcher ---
 
 def _py_permute_spans(types, perm, prefix, suffix) -> list[tuple[int, int]]:
@@ -692,8 +770,13 @@ def _py_runagg_spans(rows, pattern, skip):
     inclusive (start, end) index spans. Integer values keep the
     reference's arithmetic exact (the engine's DECIMAL(18,6) cast is
     exact on small integers), so the comparison is never a float
-    coin-flip."""
-    *prefix, (_, adef, aq) = pattern
+    coin-flip. Supports the bounded interior form: if the variable
+    after the aggregate exists, the aggregate run BACKTRACKS (longest
+    first) to a length whose next row satisfies the suffix define."""
+    agg_i = next(i for i, (_, d, _) in enumerate(pattern) if "agg" in d)
+    prefix = pattern[:agg_i]
+    _, adef, aq = pattern[agg_i]
+    suffix = pattern[agg_i + 1] if agg_i == len(pattern) - 2 else None
     p = len(prefix)
     min_b = 1 if aq == "+" else 0
     thr = adef["thr"]
@@ -726,7 +809,13 @@ def _py_runagg_spans(rows, pattern, skip):
             acc, length = tot, length + 1
         if length < min_b:
             return None
-        return (j, j + p + length - 1)
+        if suffix is None:
+            return (j, j + p + length - 1)
+        for t in range(length, min_b - 1, -1):  # greedy backtracking
+            i = s + t
+            if i < len(rows) and sat(i, suffix[1]):
+                return (j, i)
+        return None
 
     spans, i = [], 0
     if skip == "past_last_row":
@@ -792,6 +881,54 @@ def test_match_recognize_runagg_matches_reference(
         prefix = [{}]  # all-optional patterns are rejected at plan time
     pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
     pattern.append(("B", adef, aq))
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_runagg_spans(rows, pattern, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_runagg(
+            ev, pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pattern, skip, got, want)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(0, 5),
+        ),
+        min_size=1, max_size=30,
+    ),
+    prefix=runagg_prefix,
+    adef=runagg_adef,
+    sufdef=st.sampled_from([
+        {}, {"types": ("click",)}, {"types": ("view", "error")},
+        {"dir": "up"}, {"dir": "down"},
+    ]),
+    aq=st.sampled_from(["+", "*"]),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_runagg_interior_matches_reference(
+    spark, rows, prefix, adef, sufdef, aq, skip_sel
+):
+    """The bounded interior form (aggregate variable + one single-row
+    suffix) must reproduce the reference's greedy-BACKTRACKING spans:
+    the longest aggregate run whose next row satisfies the suffix
+    define, across sum/avg, all comparators, and both skip modes."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg,
+    )
+
+    pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
+    pattern.append(("B", adef, aq))
+    pattern.append(("SUF", sufdef, "1"))
     skip = ["past_last_row", "to_next_row"][skip_sel]
     want = _py_runagg_spans(rows, pattern, skip)
     ev = spark.createDataFrame(
