@@ -428,6 +428,77 @@ def test_streaming_cep_closed_sessions_match_batch(spark, sf_dir, stream_dir, tm
     assert got == want and want, (len(got), len(want))
     # progressive: matches published before the final micro-batch
     assert sum(sink.emitted_per_batch[:-1]) > 0, sink.emitted_per_batch
+    # the DEPLOYMENT publish path: the durable results table holds the
+    # same match set, exactly once (anti-join append, round 7)
+    res = spark.read.parquet(sink.results_dir)
+    table = {
+        (r.user_id, r.session_id, r.match_no): (r.first_event_id,
+                                                r.last_event_id, r.n_rows)
+        for r in res.collect()
+    }
+    assert table == want and res.count() == len(want)
+    # restart replay: a FRESH sink over the same store dir re-processes
+    # the whole stream, finds every match already published, and
+    # appends nothing (dedup against durable state, not driver memory)
+    sink2 = SessionCepSink(
+        pat, gap_minutes=gap,
+        store_dir=sink.staging_dir.rsplit("/", 1)[0],
+    )
+    q2 = start_session_cep(
+        stream_table(spark, stream_dir, "events"),
+        str(tmp_path / "cep_ckpt2"), sink2,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert sink2.emitted == {} and sum(sink2.emitted_per_batch) == 0
+    assert spark.read.parquet(sink.results_dir).count() == len(want)
+
+
+def test_streaming_cep_distributed_publish_path(spark, sf_dir, stream_dir, tmp_path):
+    """observe=False: the pure deployment path — no match row is ever
+    collected to the driver (only per-batch counts), and the results
+    table still converges to the closed-session batch answer."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    pat = [("V", "view", "1"), ("CE", ("click", "error"), "*"),
+           ("P", "purchase", "1")]
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink(pat, gap_minutes=gap, observe=False)
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_dist_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    assert sink.emitted == {}  # nothing mirrored to the driver
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES") <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no)
+        for r in match_recognize_sessionized(ev, pat, gap)
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    res = spark.read.parquet(sink.results_dir)
+    got = {(r.user_id, r.session_id, r.match_no) for r in res.collect()}
+    assert got == want and res.count() == len(want)
+    assert sum(sink.emitted_per_batch) == len(want)
 
 
 def test_streaming_cep_define_matcher_matches_batch(spark, sf_dir, stream_dir, tmp_path):
