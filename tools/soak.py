@@ -75,6 +75,8 @@ SOAK_KEYS = [
     "q_cep_pattern", "q_cep_prev", "q_cep_skip_next", "q_cep_skip_last",
     "q_cep_quantifier", "q_cep_prev_sessionized", "q_cep_sessionized",
     "q_cep_runagg", "q_cep_reluctant", "q_cep_permute",
+    # round-7 additions on arrival (VERDICT r6 next-step #8)
+    "q_cep_all_rows", "q_cep_runagg_interior", "q_cep_runagg_sessionized",
     "q_stream_session_dyngap", "q_stream_window_topn",
     "q_ts_interval_merge", "q_funnel",
 ]
@@ -216,8 +218,17 @@ def run() -> None:
         out[key] = {"sec": dt, "rows": n}
         print(f"  {key}: {dt:.2f}s  {n} rows", flush=True)
         spark.catalog.clearCache()
+    keys_out = out
+    if subset and os.path.exists(OUT):
+        # a subset run (SPARK_GRAFT_SOAK_KEYS) refreshes just those keys
+        # in the existing artifact instead of discarding the full sweep
+        with open(OUT) as f:
+            prev = json.load(f)
+        if prev.get("replicas") == REPLICAS:
+            keys_out = {**prev.get("keys", {}), **out}
     with open(OUT, "w") as f:
-        json.dump({"sf_dir": BASE, "replicas": REPLICAS, "keys": out}, f, indent=1)
+        json.dump({"sf_dir": BASE, "replicas": REPLICAS, "keys": keys_out},
+                  f, indent=1)
     print(f"wrote {OUT}")
     spark.stop()
 
