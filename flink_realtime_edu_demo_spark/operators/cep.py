@@ -346,8 +346,18 @@ def match_recognize_all_rows(
     keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
     regex = _token_regex_captured(pattern, chars)
-    k = len(pattern)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    return _all_rows_decode(seq, keys, regex, [v for v, _, _ in pattern])
+
+
+def _all_rows_decode(
+    seq: DataFrame, keys: list[str], regex: str, var_names: list[str]
+) -> DataFrame:
+    """Decode a per-variable-captured regex scan of per-key token
+    strings (column ``s``) into one row per matched event — the shared
+    back half of both ALL ROWS engines (type patterns and bitmask
+    DEFINE patterns differ only in tokenization and regex alphabet)."""
+    k = len(var_names)
     groups = seq.select(
         *[F.col(c) for c in keys],
         *[
@@ -372,7 +382,7 @@ def match_recognize_all_rows(
                         ),
                         # one-arg lambda via factory: F.transform treats
                         # a two-arg lambda as (element, index)
-                        _classified(pattern[i][0]),
+                        _classified(var_names[i]),
                     )
                     for i in range(k)
                 ]
@@ -409,18 +419,7 @@ def match_recognize_all_rows_oracle_sql(
     chars = _char_map(pattern)
     regex = _token_regex_captured(pattern, chars)
     case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
-    k = len(pattern)
-    gcols = ",\n               ".join(
-        f"regexp_extract_all(s, '{regex}', {i + 1}) AS g{i}" for i in range(k)
-    )
-    gsel = ", ".join(f"g{i}[i] AS r{i}" for i in range(k))
-    branches = "\n      UNION ALL\n        ".join(
-        f"SELECT {key}, match_no, {i} AS vord, '{pattern[i][0]}' AS classifier,\n"
-        f"               regexp_extract_all(r{i}, '[a-z]([0-9]+);', 1) AS ids\n"
-        f"        FROM pm"
-        for i in range(k)
-    )
-    return f"""
+    prefix = f"""
     WITH src AS (SELECT * FROM {table}),
     toks AS (
         SELECT {key},
@@ -429,7 +428,30 @@ def match_recognize_all_rows_oracle_sql(
         FROM src
     ),
     seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
-            FROM toks GROUP BY {key}),
+            FROM toks GROUP BY {key})"""
+    return prefix + _all_rows_oracle_tail(
+        key, regex, [v for v, _, _ in pattern]
+    )
+
+
+def _all_rows_oracle_tail(key: str, regex: str, var_names: list[str]) -> str:
+    """The shared DuckDB decode of a per-variable-captured scan: group
+    arrays per variable (index-aligned across matches), a per-variable
+    UNION ALL unnest, and row_in_match numbered by (variable position,
+    position within the run). Appends to a WITH prefix whose final CTE
+    is ``seq({key}, s)``."""
+    k = len(var_names)
+    gcols = ",\n               ".join(
+        f"regexp_extract_all(s, '{regex}', {i + 1}) AS g{i}" for i in range(k)
+    )
+    gsel = ", ".join(f"g{i}[i] AS r{i}" for i in range(k))
+    branches = "\n      UNION ALL\n        ".join(
+        f"SELECT {key}, match_no, {i} AS vord, '{var_names[i]}' AS classifier,\n"
+        f"               regexp_extract_all(r{i}, '[a-z]([0-9]+);', 1) AS ids\n"
+        f"        FROM pm"
+        for i in range(k)
+    )
+    return f""",
     m AS (SELECT {key},
                len(regexp_extract_all(s, '{regex}', 0)) AS nm,
                {gcols}
@@ -584,6 +606,17 @@ def _define_regex(pattern) -> str:
     )
 
 
+def _define_regex_captured(pattern) -> str:
+    """The bitmask define regex with one capture group per variable
+    (quantifier inside the group) — the ALL ROWS alphabet variant of
+    :func:`_token_regex_captured`."""
+    classes = _bitmask_classes(pattern)
+    return "".join(
+        f"((?:[{cls}][0-9]+;){_quant_regex(quant)})"
+        for cls, (_, _, quant) in zip(classes, pattern)
+    )
+
+
 def _quant_min(quant: str) -> int:
     if quant in ("1", "+", "+?"):
         return 1
@@ -636,6 +669,64 @@ def _define_regex_grouped(pattern, j: int) -> str:
     return f"({pre})({piece(j)})" + (f"(?:{rest})" if rest else "")
 
 
+def _define_tokens(
+    events: DataFrame,
+    pattern,
+    keys: list[str],
+    ts: str,
+    type_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bitmask tokenization for DEFINE-based matching: lag/lead the
+    value column in one ordered window, evaluate every variable's
+    define per row, and emit ``chr(97 + bitmask)<id>;`` tokens grouped
+    into a per-key sorted ``toks`` array (one shuffle — the same
+    exchange every downstream scan mode reuses)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    prev_v = F.lag(value_col).over(w)
+    next_v = F.lead(value_col).over(w)
+    bm = F.lit(0)
+    for i, (_, define, _) in enumerate(pattern):
+        conds = []
+        if define.get("types"):
+            conds.append(F.col(type_col).isin(*_types_of(define["types"])))
+        if define.get("dir") == "up":
+            conds.append(F.col(value_col) > prev_v)
+        elif define.get("dir") == "down":
+            conds.append(F.col(value_col) < prev_v)
+        # next_dir describes the series' move INTO the next row:
+        # 'down' = the next value is lower (a peak's right side)
+        if define.get("next_dir") == "up":
+            conds.append(F.col(value_col) < next_v)
+        elif define.get("next_dir") == "down":
+            conds.append(F.col(value_col) > next_v)
+        sat = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            sat = sat & c
+        bm = bm + F.when(sat, F.lit(1 << i)).otherwise(F.lit(0))
+    toks = events.select(
+        *[F.col(k) for k in keys],
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.concat(
+                F.char(bm + F.lit(97)),
+                F.col(id_col).cast("string"),
+                F.lit(";"),
+            ).alias("tok"),
+        ).alias("t"),
+    )
+    return toks.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("t")).alias("arr")
+    ).select(
+        *[F.col(k) for k in keys],
+        F.transform("arr", lambda s: s["tok"]).alias("toks"),
+    )
+
+
 def match_recognize_define(
     events: DataFrame,
     pattern: list[tuple[str, dict, str]],
@@ -684,47 +775,8 @@ def match_recognize_define(
     mode, target = _parse_skip(skip, pattern)
     keys = [key] if isinstance(key, str) else list(key)
     regex = _define_regex(pattern)
-
-    w = Window.partitionBy(*keys).orderBy(ts, id_col)
-    prev_v = F.lag(value_col).over(w)
-    next_v = F.lead(value_col).over(w)
-    bm = F.lit(0)
-    for i, (_, define, _) in enumerate(pattern):
-        conds = []
-        if define.get("types"):
-            conds.append(F.col(type_col).isin(*_types_of(define["types"])))
-        if define.get("dir") == "up":
-            conds.append(F.col(value_col) > prev_v)
-        elif define.get("dir") == "down":
-            conds.append(F.col(value_col) < prev_v)
-        # next_dir describes the series' move INTO the next row:
-        # 'down' = the next value is lower (a peak's right side)
-        if define.get("next_dir") == "up":
-            conds.append(F.col(value_col) < next_v)
-        elif define.get("next_dir") == "down":
-            conds.append(F.col(value_col) > next_v)
-        sat = conds[0] if conds else F.lit(True)
-        for c in conds[1:]:
-            sat = sat & c
-        bm = bm + F.when(sat, F.lit(1 << i)).otherwise(F.lit(0))
-    toks = events.select(
-        *[F.col(k) for k in keys],
-        F.struct(
-            F.col(ts).alias("ts"),
-            F.col(id_col).alias("id"),
-            F.concat(
-                F.char(bm + F.lit(97)),
-                F.col(id_col).cast("string"),
-                F.lit(";"),
-            ).alias("tok"),
-        ).alias("t"),
-    )
-    seq = toks.groupBy(*keys).agg(
-        F.array_sort(F.collect_list("t")).alias("arr")
-    ).select(
-        *[F.col(k) for k in keys],
-        F.transform("arr", lambda s: s["tok"]).alias("toks"),
-    )
+    seq = _define_tokens(events, pattern, keys, ts, type_col, id_col,
+                         value_col)
     if mode == "past_last_row":
         return seq.select(
             *[F.col(k) for k in keys],
@@ -984,6 +1036,91 @@ def match_recognize_define_oracle_sql(
                AS BIGINT) AS n_rows
     FROM pick
     """
+
+
+def match_recognize_define_all_rows(
+    events: DataFrame,
+    pattern: list[tuple[str, dict, str]],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """ALL ROWS PER MATCH for the PREV/NEXT DEFINE engine — the same
+    per-variable capture-group decode as
+    :func:`match_recognize_all_rows`, over the bitmask token alphabet
+    of :func:`match_recognize_define` (so a row's CLASSIFIER is the
+    variable that absorbed it even when several defines hold on that
+    row). Greedy, AFTER MATCH SKIP PAST LAST ROW (the extract-all scan
+    mode; per-row output under the overlapping skip policies would
+    need the anchored enumeration and is not a SQL:2016 combination —
+    ONE ROW PER MATCH covers those via
+    :func:`match_recognize_define`). One shuffle, zero Python.
+
+    Returns ``key..., match_no, row_in_match, classifier, event_id``.
+    """
+    _validate_defines(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    regex = _define_regex_captured(pattern)
+    seq = _define_tokens(events, pattern, keys, ts, type_col, id_col,
+                         value_col)
+    seq_s = seq.select(
+        *[F.col(k) for k in keys], F.concat_ws("", "toks").alias("s")
+    )
+    return _all_rows_decode(seq_s, keys, regex, [v for v, _, _ in pattern])
+
+
+def match_recognize_define_all_rows_oracle_sql(
+    pattern: list[tuple[str, dict, str]],
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_define_all_rows` —
+    the define oracle's bitmask tokenization feeding the shared
+    captured-group decode tail."""
+    _validate_defines(pattern)
+    regex = _define_regex_captured(pattern)
+    bits = []
+    for i, (_, define, _) in enumerate(pattern):
+        conds = []
+        if define.get("types"):
+            alts = ", ".join(f"'{t}'" for t in _types_of(define["types"]))
+            conds.append(f"{type_col} IN ({alts})")
+        if define.get("dir") == "up":
+            conds.append(f"{value_col} > prev_v")
+        elif define.get("dir") == "down":
+            conds.append(f"{value_col} < prev_v")
+        if define.get("next_dir") == "up":
+            conds.append(f"{value_col} < next_v")
+        elif define.get("next_dir") == "down":
+            conds.append(f"{value_col} > next_v")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        bits.append(f"(CASE WHEN {cond} THEN {1 << i} ELSE 0 END)")
+    bm = " + ".join(bits)
+    prefix = f"""
+    WITH src AS (
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               lag({value_col}) OVER (PARTITION BY {key}
+                                      ORDER BY {ts}, {id_col}) AS prev_v,
+               lead({value_col}) OVER (PARTITION BY {key}
+                                       ORDER BY {ts}, {id_col}) AS next_v
+        FROM {table}
+    ),
+    toks AS (
+        SELECT {key}, {ts}, {id_col},
+               chr(97 + ({bm})) || {id_col} || ';' AS tok
+        FROM src
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key})"""
+    return prefix + _all_rows_oracle_tail(
+        key, regex, [v for v, _, _ in pattern]
+    )
 
 
 def sessionize(

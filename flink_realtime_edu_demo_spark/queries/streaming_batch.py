@@ -18,6 +18,8 @@ from ..operators.cep import (
     match_recognize_all_rows,
     match_recognize_all_rows_oracle_sql,
     match_recognize_define,
+    match_recognize_define_all_rows,
+    match_recognize_define_all_rows_oracle_sql,
     match_recognize_define_oracle_sql,
     match_recognize_define_sessionized,
     match_recognize_define_sessionized_oracle_sql,
@@ -481,6 +483,75 @@ def q_cep_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     `SUM(B.price) < 100` example (public docs, per SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_runagg(ev, CEP_RUNAGG_PATTERN)
+
+
+@query("q_cep_all_rows_define",
+       oracle=match_recognize_define_all_rows_oracle_sql(CEP_V_PATTERN))
+def q_cep_all_rows_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH over the DEFINE engine: the V-shape pattern
+    (STRT DOWN+ UP+, DEFINE via PREV comparisons) emitted one row per
+    matched event — the classic use, labeling each point of a price
+    V with its leg (CLASSIFIER is the VARIABLE, decided by the bitmask
+    capture groups, even where several defines hold on one row).
+    Greedy, SKIP PAST LAST ROW, one shuffle; the DuckDB oracle replays
+    the bitmask tokenization into the same captured-group decode."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_define_all_rows(ev, CEP_V_PATTERN)
+
+
+@query(
+    "q_cep_measures",
+    oracle=f"""
+    WITH ar AS ({match_recognize_all_rows_oracle_sql(CEP_ALT_PATTERN)}),
+    j AS (
+        SELECT ar.user_id, ar.match_no, ar.row_in_match, ar.classifier,
+               ar.event_id, e.value
+        FROM ar JOIN events e
+             ON e.user_id = ar.user_id AND e.event_id = ar.event_id
+    )
+    SELECT user_id, match_no,
+           arg_min(event_id, row_in_match) AS first_event_id,
+           arg_max(event_id, row_in_match) AS last_event_id,
+           CAST(max(CASE WHEN classifier = 'V' THEN value END)
+                AS DOUBLE) AS v_value,
+           CAST(COUNT(*) FILTER (WHERE classifier = 'CE') AS BIGINT)
+               AS ce_rows,
+           CAST(SUM(CASE WHEN classifier = 'CE'
+                         THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS ce_sum,
+           CAST(max(CASE WHEN classifier = 'P' THEN value END)
+                AS DOUBLE) AS p_value
+    FROM j GROUP BY user_id, match_no
+    """,
+)
+def q_cep_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variable value MEASURES (SQL row-pattern matching's
+    FIRST(V.value) / SUM(CE.value) / LAST(P.value) clause), composed
+    Spark-first from the ALL ROWS output: the per-row match table
+    joins back to the events on (user_id, event_id) to recover values
+    — matches are a tiny fraction of events, and the join key carries
+    the same user_id the match shuffle already hashed — then one
+    aggregation per match computes the measures. The CE running sum
+    uses the repo's exact-DECIMAL dsum idiom so both engines sum
+    identically regardless of accumulation order. PATTERN (V (C|E)+ P)
+    as q_cep_alternation."""
+    ev = load(spark, sf_dir, "events")
+    rows = match_recognize_all_rows(ev, CEP_ALT_PATTERN)
+    j = rows.join(
+        ev.select("user_id", "event_id", "value"), ["user_id", "event_id"]
+    )
+    c = F.col("classifier")
+    return j.groupBy("user_id", "match_no").agg(
+        F.min_by("event_id", "row_in_match").alias("first_event_id"),
+        F.max_by("event_id", "row_in_match").alias("last_event_id"),
+        F.max(F.when(c == "V", F.col("value"))).cast("double")
+        .alias("v_value"),
+        F.count(F.when(c == "CE", F.lit(1))).alias("ce_rows"),
+        F.sum(F.when(c == "CE", F.col("value")).cast("decimal(18,2)"))
+        .cast("double").alias("ce_sum"),
+        F.max(F.when(c == "P", F.col("value"))).cast("double")
+        .alias("p_value"),
+    )
 
 
 # The bounded interior form: the aggregate variable is followed by one

@@ -558,6 +558,128 @@ def _py_define_spans(rows, pattern, skip) -> list[tuple[int, int]]:
     return spans
 
 
+def _py_define_rows(rows, pattern):
+    """Per-row reference for the DEFINE engine's ALL ROWS mode: the
+    same sat/backtracking machinery as :func:`_py_define_spans`
+    (skip = past_last_row), returning each match as its ordered
+    (variable_name, row_index) list from the per-variable spans the
+    recursion assigns."""
+    def sat(i, define):
+        ok = True
+        if define.get("types"):
+            ts_ = define["types"]
+            ts_ = (ts_,) if isinstance(ts_, str) else tuple(ts_)
+            ok = ok and rows[i][0] in ts_
+        d = define.get("dir")
+        if d:
+            if i == 0:
+                return False
+            ok = ok and (rows[i][1] > rows[i - 1][1] if d == "up"
+                         else rows[i][1] < rows[i - 1][1])
+        nd = define.get("next_dir")
+        if nd:
+            if i == len(rows) - 1:
+                return False
+            ok = ok and (rows[i][1] < rows[i + 1][1] if nd == "up"
+                         else rows[i][1] > rows[i + 1][1])
+        return ok
+
+    def bounds(quant):
+        if quant == "1":
+            return 1, 1
+        if quant == "?":
+            return 0, 1
+        if quant == "+":
+            return 1, None
+        if quant == "*":
+            return 0, None
+        m = re.match(r"^\{(\d+),(\d+)\}$", quant)
+        return int(m.group(1)), int(m.group(2))
+
+    def rec(pos, vi, asg):
+        if vi == len(pattern):
+            return pos
+        _, define, quant = pattern[vi]
+        lo, hi = bounds(quant)
+        cnt = 0
+        while pos + cnt < len(rows) and sat(pos + cnt, define):
+            cnt += 1
+            if hi is not None and cnt == hi:
+                break
+        for c in range(cnt, lo - 1, -1):
+            r = rec(pos + c, vi + 1, asg)
+            if r is not None:
+                asg[vi] = (pos, pos + c)
+                return r
+        return None
+
+    matches, i = [], 0
+    while i < len(rows):
+        asg: dict = {}
+        e = rec(i, 0, asg)
+        if e is not None and e > i:
+            matches.append([
+                (pattern[vi][0], ri)
+                for vi in range(len(pattern))
+                for ri in range(*asg[vi])
+            ])
+            i = e
+        else:
+            i += 1
+    return matches
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(0, 5),
+        ),
+        min_size=1, max_size=30,
+    ),
+    pat=st.lists(
+        st.tuples(
+            st.sampled_from([
+                {}, {"dir": "up"}, {"dir": "down"},
+                {"types": ("view", "click")}, {"types": ("click",)},
+                {"next_dir": "down"}, {"dir": "up", "next_dir": "down"},
+            ]),
+            st.sampled_from(["1", "?", "+", "*", "{1,2}", "{0,2}"]),
+        ),
+        min_size=1,
+        max_size=3,
+    ).filter(lambda p: any(q not in ("?", "*", "{0,2}") for _, q in p)),
+)
+def test_match_recognize_define_all_rows_matches_reference(spark, rows, pat):
+    """The define engine's ALL ROWS mode must emit the reference's
+    per-row (match_no, row_in_match, classifier, event_id) set —
+    per-VARIABLE attribution through the bitmask capture groups, with
+    overlapping defines and zero-row optional variables."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_define_all_rows,
+    )
+
+    pattern = [(f"V{i}", d, q) for i, (d, q) in enumerate(pat)]
+    want = [
+        (mi + 1, ri + 1, name, idx)
+        for mi, mrows in enumerate(_py_define_rows(rows, pattern))
+        for ri, (name, idx) in enumerate(mrows)
+    ]
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r.match_no, r.row_in_match, r.classifier, r.event_id)
+        for r in match_recognize_define_all_rows(
+            ev, pattern, ts="event_id"
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pat, got, want)
+
+
 define_strategy = st.lists(
     st.tuples(
         st.sampled_from([
