@@ -472,6 +472,243 @@ def _all_rows_oracle_tail(key: str, regex: str, var_names: list[str]) -> str:
     """
 
 
+def _leading_classes(pattern, chars: dict[str, str]) -> str:
+    """The token chars a match may START with: the classes of every
+    leading variable up to and including the first with a nonzero
+    minimum row count. Used as an exact anchor prune (a candidate
+    offset whose first token is outside this set cannot begin a
+    match)."""
+    out = ""
+    for _, etype, quant in pattern:
+        out += _var_class(etype, chars)
+        if _quant_min(quant) >= 1:
+            break
+    return "".join(dict.fromkeys(out))
+
+
+def match_recognize_within(
+    events: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    within_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flink CEP's ``WITHIN`` clause for the type-pattern engine: a
+    match is valid only if ALL its rows fall inside
+    ``[first_ts, first_ts + within_minutes]`` — a pattern that cannot
+    complete inside the window produces no match (and, per greedy
+    backtracking, a shorter in-window completion is preferred over no
+    match). Greedy, ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW,
+    left-to-right non-overlapping enumeration by start row.
+
+    Lowering: the global extract-all scan cannot express a per-match
+    time bound, so this uses the anchored machinery: per key the
+    ordered rows are collected once; for each anchor row j the
+    eligible run is the contiguous rows with ``ts <= ts_j + within``
+    (a pure timestamp comparison — no epoch conversion, so
+    TIMESTAMP_NTZ never passes through a session-timezone cast and
+    both engines compare identical values), and the anchored regex is
+    applied to exactly that substring of the token string — greedy
+    matching inside the truncated window IS constraint-aware
+    backtracking. A fold then selects matches left to right, resuming
+    after each match's last row. Anchors are pruned to offsets whose
+    token char can begin a match. Per-key O(rows x window) like the
+    other anchored modes; ``key`` may be a (key, session_id) composite
+    to bound it by session length, the deployment shape.
+
+    Returns ``key..., match_no, first_event_id, last_event_id,
+    n_rows, n_<var>...`` (the :func:`match_recognize` measure set).
+    Semantics source: Flink CEP / MATCH_RECOGNIZE WITHIN (public
+    docs, per SURVEY §0); the window boundary is CLOSED (a row at
+    exactly first_ts + within is eligible), which the oracle replays.
+    """
+    _validate(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    chars = _char_map(pattern)
+    regex = _token_regex(pattern, chars)
+    anchored = f"^(?:{regex})"
+    lead = _leading_classes(pattern, chars)
+    win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+
+    tok_char: F.Column = F.lit("z")
+    for etype, ch in reversed(chars.items()):
+        tok_char = F.when(F.col(type_col) == etype, ch).otherwise(tok_char)
+    rows = events.select(
+        *[F.col(k) for k in keys],
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";"))
+            .alias("tok"),
+        ).alias("t"),
+    )
+    grouped = rows.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("t")).alias("arr")
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+    toks = F.transform(arr, lambda r: r["tok"])
+    offs = F.aggregate(
+        toks,
+        F.array(F.lit(1)),
+        lambda acc, t: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.length(t))
+        ),
+    )
+    g2 = grouped.select(
+        *[F.col(k) for k in keys],
+        arr,
+        F.concat_ws("", toks).alias("s"),
+        offs.alias("offs"),
+    )
+
+    def at(i):
+        return F.element_at(arr, i.cast("int"))
+
+    def cand(j):
+        # eligible rows: the contiguous run j..R with ts <= ts_j + win
+        bound = at(j)["ts"] + win
+        r_j = F.size(F.filter(arr, lambda r: r["ts"] <= bound))
+        off_j = F.element_at(F.col("offs"), j.cast("int"))
+        end_off = F.element_at(F.col("offs"), (r_j + 1).cast("int"))
+        m = F.regexp_extract(
+            F.col("s").substr(off_j, end_off - off_j), anchored, 0
+        )
+        return F.struct(off_j.cast("long").alias("off"), m.alias("m"))
+
+    anchors = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda j: F.substring(at(j)["tok"], 1, 1).isin(*lead),
+    )
+    cands = F.filter(F.transform(anchors, cand), lambda c: c["m"] != "")
+    init = F.expr(
+        "named_struct('p', CAST(1 AS BIGINT), "
+        "'sel', CAST(array() AS array<struct<off:bigint,m:string>>))"
+    )
+    sel = F.aggregate(
+        cands,
+        init,
+        lambda acc, c: F.when(
+            c["off"] >= acc["p"],
+            F.struct(
+                (c["off"] + F.length(c["m"])).cast("bigint").alias("p"),
+                F.concat(acc["sel"], F.array(c)).alias("sel"),
+            ),
+        ).otherwise(acc),
+    )["sel"]
+    out = g2.select(*[F.col(k) for k in keys], F.posexplode(sel))
+    m = F.col("col")["m"]
+    return out.select(
+        *[F.col(k) for k in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract(m, "^[a-z]([0-9]+);", 1).cast("long")
+        .alias("first_event_id"),
+        F.regexp_extract(m, "([0-9]+);$", 1).cast("long")
+        .alias("last_event_id"),
+        (F.length(m) - F.length(F.translate(m, ";", "")))
+        .cast("long").alias("n_rows"),
+        *[
+            (
+                F.length(m)
+                - F.length(F.translate(m, _var_class(etype, chars), ""))
+            ).cast("long").alias(f"n_{var.lower()}")
+            for var, etype, _ in pattern
+        ],
+    )
+
+
+def match_recognize_within_oracle_sql(
+    pattern: list[tuple[str, str, str]],
+    within_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_within`: the same
+    per-anchor time-truncated substring (the eligible-run end found
+    with an interval RANGE window — a ts-only count, identical to the
+    Spark filter), the same anchored regex, and the same left-to-right
+    resume-after-match selection via a recursive CTE."""
+    _validate(pattern)
+    chars = _char_map(pattern)
+    regex = _token_regex(pattern, chars)
+    case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+    lead = _leading_classes(pattern, chars)
+
+    def strip_class(expr: str, cls: str) -> str:
+        for c in cls:
+            expr = f"replace({expr}, '{c}', '')"
+        return expr
+
+    var_counts = ",\n           ".join(
+        f"CAST(length(m) - length({strip_class('m', _var_class(etype, chars))})"
+        f" AS BIGINT) AS n_{var.lower()}"
+        for var, etype, _ in pattern
+    )
+    return f"""
+    WITH RECURSIVE src AS (SELECT * FROM {table}),
+    toks AS (
+        SELECT {key}, {ts}, {id_col},
+               CASE {type_col} {case} ELSE 'z' END || {id_col} || ';' AS tok
+        FROM src
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col}, tok,
+               row_number() OVER w AS rn,
+               CAST(1 + COALESCE(SUM(length(tok))
+                   OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off,
+               COUNT(*) OVER (PARTITION BY {key} ORDER BY {ts}
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND INTERVAL {int(within_minutes)} MINUTE
+                                  FOLLOWING) AS rj
+        FROM toks
+        WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {id_col})
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key}),
+    hits AS (
+        SELECT r.{key}, r.off,
+               regexp_extract(
+                   substring(q.s, CAST(r.off AS INT),
+                             CAST(COALESCE(r2.off, length(q.s) + 1) - r.off
+                                  AS INT)),
+                   '^(?:{regex})', 0) AS m
+        FROM r
+        JOIN seq q ON q.{key} = r.{key}
+        LEFT JOIN r r2 ON r2.{key} = r.{key} AND r2.rn = r.rj + 1
+        WHERE substring(r.tok, 1, 1) IN
+              ({", ".join(f"'{c}'" for c in lead)})
+    ),
+    hr AS (SELECT {key}, off, m,
+                  CAST(off + length(m) AS BIGINT) AS resume
+           FROM hits WHERE m <> ''),
+    pick AS (
+        SELECT {key}, off, m, resume, 1 AS match_no
+        FROM hr h
+        WHERE off = (SELECT min(off) FROM hr h2 WHERE h2.{key} = h.{key})
+      UNION ALL
+        SELECT n.{key}, n.off, n.m, n.resume, p.match_no + 1
+        FROM pick p JOIN hr n ON n.{key} = p.{key} AND n.off >= p.resume
+        WHERE n.off = (SELECT min(n2.off) FROM hr n2
+                       WHERE n2.{key} = p.{key} AND n2.off >= p.resume)
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           CAST(regexp_extract(m, '^[a-z]([0-9]+);', 1) AS BIGINT)
+               AS first_event_id,
+           CAST(regexp_extract(m, '([0-9]+);$', 1) AS BIGINT)
+               AS last_event_id,
+           CAST(length(m) - length(replace(m, ';', ''))
+               AS BIGINT) AS n_rows,
+           {var_counts}
+    FROM pick
+    """
+
+
 def _permute_parts(perm, prefix, suffix):
     """Validate a PERMUTE spec and return (flat_pattern, chars, regex).
 

@@ -32,6 +32,8 @@ from ..operators.cep import (
     match_recognize_runagg_sessionized_oracle_sql,
     match_recognize_sessionized,
     match_recognize_sessionized_oracle_sql,
+    match_recognize_within,
+    match_recognize_within_oracle_sql,
 )
 from ..operators.cumulate import cumulate_window
 from ..operators.funnel import funnel
@@ -483,6 +485,27 @@ def q_cep_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     `SUM(B.price) < 100` example (public docs, per SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_runagg(ev, CEP_RUNAGG_PATTERN)
+
+
+@query("q_cep_within",
+       oracle=match_recognize_within_oracle_sql(CEP_ALT_PATTERN,
+                                                within_minutes=720))
+def q_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's WITHIN clause (time-bounded matches): PATTERN
+    (V (C|E)+ P) WITHIN INTERVAL '12' HOUR — every row of a match must
+    fall inside [first_ts, first_ts + 12h]; at sf0.01 this prunes the
+    unbounded 272-match answer to 63, so the bound is plainly
+    observable. Greedy matching runs against the TIME-TRUNCATED token
+    substring per anchor (pure timestamp comparison, no epoch or
+    session-timezone cast), which is constraint-aware backtracking: a
+    shorter in-window completion beats no match. Anchors are pruned to
+    tokens that can begin a match; left-to-right non-overlapping
+    selection by the same fold as the skip modes. The DuckDB oracle
+    replays the truncation with an interval RANGE window and the
+    selection with a recursive CTE. Semantics source: Flink CEP
+    within / MATCH_RECOGNIZE WITHIN (public docs, per SURVEY §0)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_within(ev, CEP_ALT_PATTERN, within_minutes=720)
 
 
 @query("q_cep_all_rows_define",

@@ -290,6 +290,97 @@ def test_match_recognize_matches_reference(spark, types, pat):
     assert got == [(s, e) for s, e in want], (types, pat, got, want)
 
 
+# --- match_recognize_within vs a time-bounded reference ---
+
+def _py_within_spans(rows, pattern, w_minutes):
+    """Reference for WITHIN: rows = [(type, ts_minutes)] sorted by ts.
+    Per anchor the row universe is truncated to ts <= ts_anchor + w
+    (closed boundary), then the same greedy/reluctant backtracking as
+    :func:`_py_match_spans`; matches must start at the anchor; AFTER
+    MATCH SKIP PAST LAST ROW. Returns [start, end) index spans."""
+
+    def norm(etype):
+        return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
+
+    vars_ = [(set(norm(t)), _parse_quant(q)) for _, t, q in pattern]
+
+    def rec(types, pos, vi):
+        if vi == len(vars_):
+            return pos
+        allowed, (lo, hi, lazy) = vars_[vi]
+        cnt = 0
+        while (pos + cnt < len(types) and types[pos + cnt] in allowed
+               and (hi is None or cnt < hi)):
+            cnt += 1
+        if cnt < lo:
+            return None
+        order = range(lo, cnt + 1) if lazy else range(cnt, lo - 1, -1)
+        for c in order:
+            r = rec(types, pos + c, vi + 1)
+            if r is not None:
+                return r
+        return None
+
+    out, i = [], 0
+    while i < len(rows):
+        lim = i
+        while lim + 1 < len(rows) and rows[lim + 1][1] <= rows[i][1] + w_minutes:
+            lim += 1
+        e = rec([t for t, _ in rows[i:lim + 1]], 0, 0)
+        if e is not None and e > 0:
+            out.append((i, i + e))
+            i = i + e
+        else:
+            i += 1
+    return out
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_gaps=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 40),  # minutes since the previous event
+        ),
+        min_size=1, max_size=30,
+    ),
+    pat=cep_pattern_strategy,
+    w=st.sampled_from([15, 60, 240]),
+)
+def test_match_recognize_within_matches_reference(spark, typed_gaps, pat, w):
+    """The time-truncated anchored scan must reproduce the reference's
+    greedy spans under the WITHIN bound — including matches that the
+    unbounded engine would extend past the window (where truncation
+    must yield the shorter in-window completion, not drop the match)
+    and boundary rows at exactly first_ts + within (closed bound)."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_within,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    acc = 0
+    rows = []
+    for t, gap in typed_gaps:
+        acc += gap
+        rows.append((t, acc))
+    want = _py_within_spans(rows, [(f"V{i}", t, q) for i, (t, q) in
+                                   enumerate(pat)], w)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    got = sorted(
+        (r.first_event_id, r.last_event_id + 1)
+        for r in match_recognize_within(ev, pattern, w).collect()
+    )
+    assert got == [(s, e) for s, e in want], (rows, pat, w, got, want)
+
+
 # --- match_recognize_all_rows vs the same reference, per-row ---
 
 def _py_match_rows(types: list[str], pattern):
