@@ -434,6 +434,65 @@ def match_recognize_all_rows_oracle_sql(
     )
 
 
+def match_recognize_all_rows_unmatched(
+    events: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """SQL:2016's ``ALL ROWS PER MATCH WITH UNMATCHED ROWS``: every
+    input row appears exactly once — rows inside a match carry their
+    ``match_no`` / ``row_in_match`` / ``classifier``; rows no match
+    absorbed come back with NULLs in those columns. Exact under AFTER
+    MATCH SKIP PAST LAST ROW because matches never share rows, so a
+    LEFT join from the input to the per-row match table on
+    (key, event_id) is the whole lowering — the match side is a small
+    fraction of the input and arrives hashed on the same key columns.
+
+    Returns ``key..., event_id, ts, event_type, match_no,
+    row_in_match, classifier`` (the input row surface + measures).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    matched = match_recognize_all_rows(
+        events, pattern, key=keys, ts=ts, type_col=type_col, id_col=id_col
+    )
+    return events.select(
+        *[F.col(k) for k in keys],
+        F.col(id_col).alias("event_id"),
+        F.col(ts).alias("ts"),
+        F.col(type_col).alias("event_type"),
+    ).join(matched, [*keys, "event_id"], "left").select(
+        *[F.col(k) for k in keys],
+        "event_id", "ts", "event_type",
+        "match_no", "row_in_match", "classifier",
+    )
+
+
+def match_recognize_all_rows_unmatched_oracle_sql(
+    pattern: list[tuple[str, str, str]],
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_all_rows_unmatched`
+    (the ALL ROWS oracle LEFT-joined from the input)."""
+    inner = match_recognize_all_rows_oracle_sql(
+        pattern, table, key, ts, type_col, id_col
+    )
+    return f"""
+    SELECT e.{key}, e.{id_col} AS event_id, e.{ts} AS ts,
+           e.{type_col} AS event_type,
+           ar.match_no, ar.row_in_match, ar.classifier
+    FROM {table} e
+    LEFT JOIN ({inner}) ar
+           ON ar.{key} = e.{key} AND ar.event_id = e.{id_col}
+    """
+
+
 def _all_rows_oracle_tail(key: str, regex: str, var_names: list[str]) -> str:
     """The shared DuckDB decode of a per-variable-captured scan: group
     arrays per variable (index-aligned across matches), a per-variable

