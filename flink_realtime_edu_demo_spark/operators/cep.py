@@ -67,8 +67,27 @@ def _quant_regex(quant: str) -> str:
 
 def _types_of(etype) -> tuple:
     """A variable's predicate: one event type, or an ALTERNATION over
-    several (`("click", "error")` ≡ MATCH_RECOGNIZE's `C|E` variable)."""
-    return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
+    several (`("click", "error")` ≡ MATCH_RECOGNIZE's `C|E` variable).
+    Negation markers are stripped — these are the NAMED types either
+    way (the alphabet); :func:`_var_negated` carries the polarity."""
+    if isinstance(etype, str):
+        return (etype[1:],) if etype.startswith("!") else (etype,)
+    t = tuple(etype)
+    if t and t[0] == "!":
+        return t[1:]
+    return t
+
+
+def _var_negated(etype) -> bool:
+    """True for a COMPLEMENT type predicate — MATCH_RECOGNIZE's
+    ``DEFINE N AS type NOT IN (...)`` (Flink CEP's consuming notNext):
+    the variable matches any row whose type is NOT in the named set
+    (including types outside the pattern alphabet). Spelled
+    ``"!purchase"`` or ``("!", "click", "error")``."""
+    if isinstance(etype, str):
+        return etype.startswith("!")
+    t = tuple(etype)
+    return bool(t) and t[0] == "!"
 
 
 def _char_map(pattern: list[tuple[str, object, str]]) -> dict[str, str]:
@@ -87,6 +106,7 @@ def _char_map(pattern: list[tuple[str, object, str]]) -> dict[str, str]:
 def _validate(pattern: list[tuple[str, object, str]]) -> None:
     if not pattern:
         raise ValueError("pattern needs at least one variable")
+    _reject_leading_negation(pattern)
     seen = set()
     for var, etype, quant in pattern:
         _quant_regex(quant)  # raises on malformed quantifiers
@@ -96,6 +116,25 @@ def _validate(pattern: list[tuple[str, object, str]]) -> None:
             raise ValueError(f"variable {var!r} needs at least one event type")
         seen.add(var)
     _reject_empty_match(pattern)
+
+
+def _reject_leading_negation(pattern) -> None:
+    """A complement-class atom ([^..]) may not be the FIRST thing a
+    match consumes: digits satisfy it, so an unanchored scan could
+    start mid-token. The first consuming atom is guaranteed positive
+    iff no negated variable sits at or before the first variable with
+    a nonzero minimum row count (after which every atom applies at a
+    token boundary, because the preceding atom ended with ';')."""
+    mins = [_quant_min(q) for _, _, q in pattern]
+    if not any(m >= 1 for m in mins):
+        return  # _reject_empty_match raises for this separately
+    i0 = next(i for i, m in enumerate(mins) if m >= 1)
+    for i, (var, etype, _) in enumerate(pattern):
+        if i <= i0 and _var_negated(etype):
+            raise ValueError(
+                f"variable {var!r}: a complement predicate needs at least "
+                "one guaranteed preceding row (the unanchored token scan "
+                "needs a positive first atom)")
 
 
 def _reject_empty_match(pattern) -> None:
@@ -125,10 +164,21 @@ def _token_regex(pattern: list[tuple[str, object, str]],
     SQL and DuckDB literals."""
     pieces = []
     for _, etype, quant in pattern:
-        cls = _var_class(etype, chars)
-        atom = cls if len(cls) == 1 else f"[{cls}]"
-        pieces.append(f"(?:{atom}[0-9]+;){_quant_regex(quant)}")
+        pieces.append(f"(?:{_atom(etype, chars)}[0-9]+;){_quant_regex(quant)}")
     return "".join(pieces)
+
+
+def _atom(etype, chars: dict[str, str]) -> str:
+    """Regex atom for a variable's type predicate: a char, a [..]
+    class, or — for a complement predicate — a [^..] class (safe
+    because a negated variable is never first in the pattern, so the
+    scan is always anchored at a token boundary when it applies; the
+    complement correctly admits the 'z' char of types outside the
+    pattern alphabet)."""
+    cls = _var_class(etype, chars)
+    if _var_negated(etype):
+        return f"[^{cls}]"
+    return cls if len(cls) == 1 else f"[{cls}]"
 
 
 def match_recognize(
@@ -215,15 +265,35 @@ def _scan(
         F.regexp_extract("col", "^[a-z]([0-9]+);", 1).cast("long").alias("first_event_id"),
         F.regexp_extract("col", "([0-9]+);$", 1).cast("long").alias("last_event_id"),
         (F.length("col") - F.length(F.translate("col", ";", ""))).cast("long").alias("n_rows"),
-        *[
-            (
-                F.length("col")
-                - F.length(F.translate("col", _var_class(etype, chars), ""))
-            ).cast("long").alias(f"n_{var.lower()}")
-            for var, etype, _ in pattern
-        ],
+        *[_var_count_col(var, etype, chars) for var, etype, _ in pattern],
     )
     return matched
+
+
+def _var_count_expr(col, var: str, etype, chars: dict[str, str]):
+    """Negation-aware n_<var> measure over an arbitrary match-string
+    column (the within scan's anchored match)."""
+    cls_cnt = F.length(col) - F.length(
+        F.translate(col, _var_class(etype, chars), "")
+    )
+    if _var_negated(etype):
+        n_rows = F.length(col) - F.length(F.translate(col, ";", ""))
+        return (n_rows - cls_cnt).cast("long").alias(f"n_{var.lower()}")
+    return cls_cnt.cast("long").alias(f"n_{var.lower()}")
+
+
+def _var_count_col(var: str, etype, chars: dict[str, str]):
+    """Measure column n_<var>: rows of the match satisfying the
+    variable's TYPE PREDICATE (shared across variables with the same
+    predicate, as documented); for a complement predicate it is
+    n_rows minus the named-class count."""
+    cls_cnt = (
+        F.length("col") - F.length(F.translate("col", _var_class(etype, chars), ""))
+    )
+    if _var_negated(etype):
+        n_rows = F.length("col") - F.length(F.translate("col", ";", ""))
+        return (n_rows - cls_cnt).cast("long").alias(f"n_{var.lower()}")
+    return cls_cnt.cast("long").alias(f"n_{var.lower()}")
 
 
 def _oracle_core(
@@ -250,10 +320,16 @@ def _oracle_core(
             expr = f"replace({expr}, '{c}', '')"
         return expr
 
+    def count_sql(var, etype):
+        cls_cnt = (f"length(l[i]) - "
+                   f"length({strip_class('l[i]', _var_class(etype, chars))})")
+        if _var_negated(etype):
+            return (f"CAST((length(l[i]) - length(replace(l[i], ';', '')))"
+                    f" - ({cls_cnt}) AS BIGINT) AS n_{var.lower()}")
+        return f"CAST({cls_cnt} AS BIGINT) AS n_{var.lower()}"
+
     var_counts = ",\n           ".join(
-        f"CAST(length(l[i]) - length({strip_class('l[i]', _var_class(etype, chars))})"
-        f" AS BIGINT) AS n_{var.lower()}"
-        for var, etype, _ in pattern
+        count_sql(var, etype) for var, etype, _ in pattern
     )
     return f"""
     WITH src AS ({source_sql}),
@@ -296,9 +372,7 @@ def _token_regex_captured(pattern, chars) -> str:
     ENTIRE run, in both Java regex and RE2."""
     pieces = []
     for _, etype, quant in pattern:
-        cls = _var_class(etype, chars)
-        atom = cls if len(cls) == 1 else f"[{cls}]"
-        pieces.append(f"((?:{atom}[0-9]+;){_quant_regex(quant)})")
+        pieces.append(f"((?:{_atom(etype, chars)}[0-9]+;){_quant_regex(quant)})")
     return "".join(pieces)
 
 
@@ -539,6 +613,8 @@ def _leading_classes(pattern, chars: dict[str, str]) -> str:
     match)."""
     out = ""
     for _, etype, quant in pattern:
+        if _var_negated(etype):
+            return ""  # complement class: no positive prune possible
         out += _var_class(etype, chars)
         if _quant_min(quant) >= 1:
             break
@@ -637,9 +713,12 @@ def match_recognize_within(
         )
         return F.struct(off_j.cast("long").alias("off"), m.alias("m"))
 
-    anchors = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda j: F.substring(at(j)["tok"], 1, 1).isin(*lead),
+    anchors = (
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda j: F.substring(at(j)["tok"], 1, 1).isin(*lead),
+        )
+        if lead else F.sequence(F.lit(1), n)
     )
     cands = F.filter(F.transform(anchors, cand), lambda c: c["m"] != "")
     init = F.expr(
@@ -668,13 +747,7 @@ def match_recognize_within(
         .alias("last_event_id"),
         (F.length(m) - F.length(F.translate(m, ";", "")))
         .cast("long").alias("n_rows"),
-        *[
-            (
-                F.length(m)
-                - F.length(F.translate(m, _var_class(etype, chars), ""))
-            ).cast("long").alias(f"n_{var.lower()}")
-            for var, etype, _ in pattern
-        ],
+        *[_var_count_expr(m, var, etype, chars) for var, etype, _ in pattern],
     )
 
 
@@ -697,16 +770,26 @@ def match_recognize_within_oracle_sql(
     regex = _token_regex(pattern, chars)
     case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
     lead = _leading_classes(pattern, chars)
+    prune = (
+        "WHERE substring(r.tok, 1, 1) IN ("
+        + ", ".join(f"'{c}'" for c in lead) + ")"
+    ) if lead else ""
 
     def strip_class(expr: str, cls: str) -> str:
         for c in cls:
             expr = f"replace({expr}, '{c}', '')"
         return expr
 
+    def count_sql(var, etype):
+        cls_cnt = (f"length(m) - "
+                   f"length({strip_class('m', _var_class(etype, chars))})")
+        if _var_negated(etype):
+            return (f"CAST((length(m) - length(replace(m, ';', '')))"
+                    f" - ({cls_cnt}) AS BIGINT) AS n_{var.lower()}")
+        return f"CAST({cls_cnt} AS BIGINT) AS n_{var.lower()}"
+
     var_counts = ",\n           ".join(
-        f"CAST(length(m) - length({strip_class('m', _var_class(etype, chars))})"
-        f" AS BIGINT) AS n_{var.lower()}"
-        for var, etype, _ in pattern
+        count_sql(var, etype) for var, etype, _ in pattern
     )
     return f"""
     WITH RECURSIVE src AS (SELECT * FROM {table}),
@@ -740,8 +823,7 @@ def match_recognize_within_oracle_sql(
         FROM r
         JOIN seq q ON q.{key} = r.{key}
         LEFT JOIN r r2 ON r2.{key} = r.{key} AND r2.rn = r.rj + 1
-        WHERE substring(r.tok, 1, 1) IN
-              ({", ".join(f"'{c}'" for c in lead)})
+        {prune}
     ),
     hr AS (SELECT {key}, off, m,
                   CAST(off + length(m) AS BIGINT) AS resume
@@ -783,6 +865,11 @@ def _permute_parts(perm, prefix, suffix):
     perm = list(perm)
     if not 2 <= len(perm) <= 4:
         raise ValueError("PERMUTE takes 2..4 variables (k! alternation)")
+    for var, etype in perm:
+        if _var_negated(etype):
+            raise ValueError(
+                f"PERMUTE variable {var!r}: complement predicates are not "
+                "supported inside PERMUTE groups")
     flat = (list(prefix)
             + [(var, etype, "1") for var, etype in perm]
             + list(suffix))
@@ -790,8 +877,7 @@ def _permute_parts(perm, prefix, suffix):
     chars = _char_map(flat)
 
     def atom(etype):
-        cls = _var_class(etype, chars)
-        return f"(?:{cls if len(cls) == 1 else f'[{cls}]'}[0-9]+;)"
+        return f"(?:{_atom(etype, chars)}[0-9]+;)"
 
     alts = "|".join(
         "".join(atom(etype) for _, etype in order)

@@ -489,6 +489,34 @@ def q_cep_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_runagg(ev, CEP_RUNAGG_PATTERN)
 
 
+# Complement predicate: a view, clicks, then a row that is NOT a
+# purchase or signup — the abandoned-funnel / churn-signal pattern
+# (Flink CEP's consuming notNext; MATCH_RECOGNIZE's type NOT IN).
+CEP_NEG_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "+"),
+    ("X", ("!", "purchase", "signup"), "1"),
+]
+
+
+@query("q_cep_negation", oracle=match_recognize_oracle_sql(CEP_NEG_PATTERN))
+def q_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complement type predicates (MATCH_RECOGNIZE's `DEFINE X AS
+    type NOT IN (...)`; the consuming form of Flink CEP's notNext):
+    PATTERN (V C+ X) where X matches any row that is NOT a purchase
+    or signup — the abandoned-funnel shape. Lowered as a regex
+    complement character class over the token alphabet ([^..]
+    correctly admits the 'z' char of types outside the pattern);
+    negated variables are rejected in first position (the unanchored
+    scan needs a positive first atom) and inside PERMUTE. n_x counts
+    match rows OUTSIDE the named class. Same single-shuffle plan and
+    DuckDB replay as q_cep_pattern. Semantics source: SQL:2016 row-
+    pattern DEFINE predicates / Flink CEP notNext (public docs, per
+    SURVEY §0)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize(ev, CEP_NEG_PATTERN)
+
+
 @query("q_cep_unmatched_rows",
        oracle=match_recognize_all_rows_unmatched_oracle_sql(CEP_ALT_PATTERN))
 def q_cep_unmatched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -362,6 +362,41 @@ def test_runagg_interior_scope_validation(spark, sf_dir):
             ev, [agg, ("C", {"agg": "sum", "cmp": "<", "thr": 1.0}, "+")])
 
 
+def test_cep_leading_negation_rejected(spark, sf_dir):
+    """Complement predicates need a guaranteed preceding row: negated
+    specs at or before the first mandatory variable are rejected at
+    plan time (a [^..] first atom would let the unanchored scan start
+    mid-token — found by hypothesis, pinned here), while a negated
+    variable after a mandatory positive one is accepted; PERMUTE
+    rejects them outright."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize,
+        match_recognize_permute,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view")], "user_id long, event_id long, event_type string"
+    )
+    for pat in (
+        [("N", "!purchase", "1")],                      # negated first
+        [("A", "view", "?"), ("N", "!purchase", "1")],  # optional prefix only
+        [("N", "!purchase", "?"), ("A", "view", "1")],  # optional negated first
+    ):
+        with pytest.raises(ValueError, match="guaranteed preceding row"):
+            match_recognize(ev, pat)
+    # fine: mandatory positive row precedes the complement
+    match_recognize(
+        ev, [("V", "view", "1"), ("N", ("!", "purchase", "signup"), "+")],
+        ts="event_id",
+    ).collect()
+    with pytest.raises(ValueError, match="not.*supported inside PERMUTE"):
+        match_recognize_permute(
+            ev, [("A", "view"), ("N", "!purchase")]
+        )
+
+
 def test_cc_star_equals_label_propagation(spark, sf_dir):
     """Large-star/small-star CC must reach the identical
     (id, min-reachable-id) fixpoint as min-label propagation — checked

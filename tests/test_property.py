@@ -206,6 +206,19 @@ def _parse_quant(quant: str):
     return int(m.group(1)), int(m.group(2)), bool(m.group(3))
 
 
+def _pred(etype):
+    """Type predicate independent of the engine: plain membership, or
+    complement membership for "!"-marked specs."""
+    if isinstance(etype, str):
+        if etype.startswith("!"):
+            return lambda t, s={etype[1:]}: t not in s
+        return lambda t, s={etype}: t in s
+    tt = tuple(etype)
+    if tt and tt[0] == "!":
+        return lambda t, s=set(tt[1:]): t not in s
+    return lambda t, s=set(tt): t in s
+
+
 def _py_match_spans(types: list[str], pattern) -> list[tuple[int, int]]:
     """Reference matcher for the CEP subset, written directly over the
     event-type list (no regex): per start position, backtracking with
@@ -213,17 +226,14 @@ def _py_match_spans(types: list[str], pattern) -> list[tuple[int, int]]:
     quantifier; AFTER MATCH SKIP PAST LAST ROW; empty matches rejected.
     Returns [start, end) index spans."""
 
-    def norm(etype):
-        return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
-
-    vars_ = [(set(norm(t)), _parse_quant(q)) for _, t, q in pattern]
+    vars_ = [(_pred(t), _parse_quant(q)) for _, t, q in pattern]
 
     def rec(pos: int, vi: int):
         if vi == len(vars_):
             return pos
         allowed, (lo, hi, lazy) = vars_[vi]
         cnt = 0
-        while (pos + cnt < len(types) and types[pos + cnt] in allowed
+        while (pos + cnt < len(types) and allowed(types[pos + cnt])
                and (hi is None or cnt < hi)):
             cnt += 1
         if cnt < lo:
@@ -246,17 +256,32 @@ def _py_match_spans(types: list[str], pattern) -> list[tuple[int, int]]:
     return spans
 
 
+def _is_neg(etype):
+    return (etype.startswith("!") if isinstance(etype, str)
+            else tuple(etype)[:1] == ("!",))
+
+
+def _neg_ok(p):
+    """Mirror of the engine's leading-negation rule: no complement
+    spec at or before the first mandatory variable."""
+    mins = [_parse_quant(q)[0] for _, q in p]
+    i0 = next(i for i, m in enumerate(mins) if m >= 1)
+    return not any(_is_neg(t) for i, (t, _) in enumerate(p) if i <= i0)
+
+
 cep_pattern_strategy = st.lists(
     st.tuples(
         st.sampled_from(["view", "click", "purchase", ("view", "click"),
-                         ("click", "error")]),
+                         ("click", "error"),
+                         "!purchase", ("!", "view", "click")]),  # complements
         st.sampled_from(["1", "?", "+", "*",
                          "??", "+?", "*?",          # reluctant
                          "{1,2}", "{0,2}?", "{2,3}?"]),  # bounded ±lazy
     ),
     min_size=1,
     max_size=4,
-).filter(lambda p: any(_parse_quant(q)[0] >= 1 for _, q in p))  # ≥1 mandatory row
+).filter(lambda p: any(_parse_quant(q)[0] >= 1 for _, q in p)  # ≥1 mandatory row
+         ).filter(_neg_ok)  # engine rejects complement at/before first mandatory
 
 
 @settings(max_examples=25, deadline=None,
@@ -299,17 +324,14 @@ def _py_within_spans(rows, pattern, w_minutes):
     :func:`_py_match_spans`; matches must start at the anchor; AFTER
     MATCH SKIP PAST LAST ROW. Returns [start, end) index spans."""
 
-    def norm(etype):
-        return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
-
-    vars_ = [(set(norm(t)), _parse_quant(q)) for _, t, q in pattern]
+    vars_ = [(_pred(t), _parse_quant(q)) for _, t, q in pattern]
 
     def rec(types, pos, vi):
         if vi == len(vars_):
             return pos
         allowed, (lo, hi, lazy) = vars_[vi]
         cnt = 0
-        while (pos + cnt < len(types) and types[pos + cnt] in allowed
+        while (pos + cnt < len(types) and allowed(types[pos + cnt])
                and (hi is None or cnt < hi)):
             cnt += 1
         if cnt < lo:
@@ -388,17 +410,14 @@ def _py_match_rows(types: list[str], pattern):
     backtracking as :func:`_py_match_spans`, but returning each match
     as its ordered list of (variable_name, row_index) assignments."""
 
-    def norm(etype):
-        return tuple(etype) if isinstance(etype, (list, tuple)) else (etype,)
-
-    vars_ = [(name, set(norm(t)), _parse_quant(q)) for name, t, q in pattern]
+    vars_ = [(name, _pred(t), _parse_quant(q)) for name, t, q in pattern]
 
     def rec(pos: int, vi: int):
         if vi == len(vars_):
             return []
         name, allowed, (lo, hi, lazy) = vars_[vi]
         cnt = 0
-        while (pos + cnt < len(types) and types[pos + cnt] in allowed
+        while (pos + cnt < len(types) and allowed(types[pos + cnt])
                and (hi is None or cnt < hi)):
             cnt += 1
         if cnt < lo:
