@@ -45,6 +45,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cep import (
     match_recognize_define_sessionized,
+    match_recognize_runagg_sessionized,
     match_recognize_sessionized,
     sessionize,
 )
@@ -65,18 +66,20 @@ class SessionCepSink:
 
     ``matcher='types'`` (default) runs the event-type pattern engine;
     ``matcher='define'`` runs the PREV/NEXT DEFINE engine with the
-    given ``skip`` policy. Both are safe under incremental recompute:
-    a closed session can never gain rows, so PREV/NEXT navigation
-    (session-confined) and skip-policy selection are final at
-    publication time."""
+    given ``skip`` policy; ``matcher='runagg'`` runs the
+    running-aggregate DEFINE engine (round 7 — the sessionized form,
+    so the per-key O(rows²) scan is bounded by session length even in
+    the stream). All are safe under incremental recompute: a closed
+    session can never gain rows, so PREV/NEXT navigation, prefix sums
+    and skip-policy selection are final at publication time."""
 
     def __init__(self, pattern, gap_minutes: int, key: str = "user_id",
                  ts: str = "ts", id_col: str = "event_id",
                  store_dir: str | None = None,
                  matcher: str = "types", skip: str = "past_last_row",
                  observe: bool = True):
-        if matcher not in ("types", "define"):
-            raise ValueError("matcher must be 'types' or 'define'")
+        if matcher not in ("types", "define", "runagg"):
+            raise ValueError("matcher must be 'types', 'define' or 'runagg'")
         self.pattern = pattern
         self.gap_minutes = gap_minutes
         self.key, self.ts, self.id_col = key, ts, id_col
@@ -150,6 +153,12 @@ class SessionCepSink:
         ).select(self.key, "session_id")
         if self.matcher == "define":
             matched = match_recognize_define_sessionized(
+                hist, self.pattern, self.gap_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
+                skip=self.skip,
+            )
+        elif self.matcher == "runagg":
+            matched = match_recognize_runagg_sessionized(
                 hist, self.pattern, self.gap_minutes,
                 key=self.key, ts=self.ts, id_col=self.id_col,
                 skip=self.skip,

@@ -454,6 +454,56 @@ def test_streaming_cep_closed_sessions_match_batch(spark, sf_dir, stream_dir, tm
     assert spark.read.parquet(sink.results_dir).count() == len(want)
 
 
+def test_streaming_cep_runagg_matcher_matches_batch(spark, sf_dir, stream_dir, tmp_path):
+    """The running-aggregate engine through the streaming sink
+    (round 7): published matches for closed sessions equal the batch
+    sessionized runagg answer — valid incrementally because a closed
+    session never gains rows, so the DECIMAL prefix sums and the
+    left-to-right selection are final at publication."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    pat = [("A", {"types": "view"}, "1"),
+           ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+")]
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink(pat, gap_minutes=gap, matcher="runagg")
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_ra_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES") <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no):
+            (r.first_event_id, r.last_event_id, r.b_rows, r.b_sum)
+        for r in match_recognize_runagg_sessionized(ev, pat, gap)
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    got = {
+        k: (v["first_event_id"], v["last_event_id"], v["b_rows"], v["b_sum"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))
+
+
 def test_streaming_cep_distributed_publish_path(spark, sf_dir, stream_dir, tmp_path):
     """observe=False: the pure deployment path — no match row is ever
     collected to the driver (only per-batch counts), and the results
