@@ -22,7 +22,13 @@ Replication model (deterministic, no RNG):
   into 45x pair volume. It did double as a useful dup-heavy stress:
   fuzzy dedup still completed, 250k verified pairs in 109 s with the
   df/bucket caps holding.) Within-replica near-dups (the fixture's
-  real ones) replicate 10x.
+  real ones) replicate 10x. CAVEAT (round 7): fingerprints that are
+  WORD-MULTISET functions — SimHash over unigram bags — are invariant
+  under the shuffle, so every replica of a doc is a Hamming-0 dup of
+  its original and q_llm_dedup_simhash's soak output is ~119x pair
+  volume (10.7M pairs) by construction; its ~2.2x per-scaled wall
+  clock is output-size-driven, not an engine quadratic (the banded
+  join finds exactly the manufactured dups).
 - embeddings: vec_id shifted, vector rotated by replica index (norms
   and pairwise-within-replica geometry preserved).
 - TPC-H: customer/orders/lineitem/part/supplier shifted consistently
