@@ -635,3 +635,28 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("corr_r"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("beta_r"),
     )
+
+
+@query(
+    "q_agg_salted_count",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-safe aggregation as a first-class oracle-backed
+    query (upgrading operators/skew.salted_agg_count from unit-only):
+    counts per event_type computed as partial counts per (key, salt)
+    then a final sum per key — the explicit form of the map-side
+    partial aggregation Spark performs for algebraic aggs, used when
+    building skew-safe CUSTOM aggregations whose partials Spark can't
+    derive. The salt is per-row, so a hot key's partials spread over 8
+    reducers; the final 8-rows-per-key sum is trivially balanced. The
+    oracle replays the plain single-phase count — salting provably
+    never changes the result."""
+    from ..operators.skew import salted_agg_count
+
+    ev = load(spark, sf_dir, "events")
+    return salted_agg_count(ev, key="event_type", salt=8)

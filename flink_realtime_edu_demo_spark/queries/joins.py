@@ -326,3 +326,77 @@ def q_join_range_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = range_join_binned(c, s, point_col="c_acctbal", lo_col="lo",
                             hi_col="hi", bin_width=20.0)
     return out.select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+
+
+@query(
+    "q_join_skew_salted",
+    oracle=f"""
+    SELECT s.s_name,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 6)}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling salted join as a first-class oracle-backed query
+    (upgrading the §2.3 row from unit-only): revenue per supplier via
+    operators/skew.salted_join — the fact side gets an 8-way salt from
+    a per-row hash, the dim side is replicated once per salt value,
+    and the join key becomes (key, salt) so a hot key's rows split
+    across 8 reducers instead of one. The salt provably never changes
+    the RESULT for inner joins (each fact row still meets exactly its
+    dim row), which is exactly what the oracle checks: DuckDB replays
+    the plain unsalted join and the hashes must agree. At 100 TB this
+    is the explicit fallback for skew AQE can't fix (dim too big to
+    broadcast whole, small enough to replicate salt times)."""
+    from ..operators.skew import salted_join
+
+    fact = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    d = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    j = salted_join(fact, d, key="suppkey", salt=8)
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+             "revenue", 6),
+    )
+
+
+@query(
+    "q_join_lookup_async",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           'tier_' || CAST(c_custkey % 5 AS VARCHAR) AS svc_tier
+    FROM customer
+    WHERE c_custkey < 200
+    """,
+)
+def q_join_lookup_async(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async I/O lookup enrichment as a first-class oracle-backed query
+    (upgrading the §2.3 row from unit-only): operators/lookup.
+    async_lookup enriches customers with a service-tier attribute via
+    ONE bulk batch_fn call per Arrow batch over deduplicated keys —
+    Flink's AsyncDataStream.unorderedWait shape, where the wins at
+    scale are batching (one RPC per Arrow batch, not per row) and
+    in-batch key dedup. The harness has no external service, so the
+    stub is a deterministic pure function of the key (tier_<key % 5>),
+    which the oracle replays in SQL — the Spark-side plumbing
+    (mapInPandas batching, dedup, NULL-for-missing schema) is the
+    thing under test, and the row restriction keeps the enrichment
+    output bounded."""
+    from ..operators.lookup import async_lookup
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+
+    def tier_service(keys: list) -> dict:
+        return {k: f"tier_{k % 5}" for k in keys}
+
+    return async_lookup(
+        c.select("c_custkey", "c_name", "c_mktsegment"),
+        tier_service, key_col="c_custkey", value_col="svc_tier",
+    )
