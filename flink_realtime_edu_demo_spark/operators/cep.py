@@ -621,6 +621,77 @@ def _leading_classes(pattern, chars: dict[str, str]) -> str:
     return "".join(dict.fromkeys(out))
 
 
+def _within_core(
+    grouped: DataFrame,
+    keys: list[str],
+    anchored: str,
+    win,
+    lead: str,
+) -> DataFrame:
+    """The shared anchored time-truncated scan: ``grouped`` holds one
+    sorted ``arr`` of (ts, id, tok) structs per key. For each (pruned)
+    anchor j the eligible run is the contiguous rows with
+    ``ts <= ts_j + win``; the anchored regex applies to exactly that
+    substring, and a fold selects matches left to right, resuming
+    after each match's last row. Returns keys + posexplode(pos, col)
+    where col = {off, m} — callers decode measures from ``m``."""
+    arr = F.col("arr")
+    n = F.size(arr)
+    toks = F.transform(arr, lambda r: r["tok"])
+    offs = F.aggregate(
+        toks,
+        F.array(F.lit(1)),
+        lambda acc, t: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.length(t))
+        ),
+    )
+    g2 = grouped.select(
+        *[F.col(k) for k in keys],
+        arr,
+        F.concat_ws("", toks).alias("s"),
+        offs.alias("offs"),
+    )
+
+    def at(i):
+        return F.element_at(arr, i.cast("int"))
+
+    def cand(j):
+        # eligible rows: the contiguous run j..R with ts <= ts_j + win
+        bound = at(j)["ts"] + win
+        r_j = F.size(F.filter(arr, lambda r: r["ts"] <= bound))
+        off_j = F.element_at(F.col("offs"), j.cast("int"))
+        end_off = F.element_at(F.col("offs"), (r_j + 1).cast("int"))
+        m = F.regexp_extract(
+            F.col("s").substr(off_j, end_off - off_j), anchored, 0
+        )
+        return F.struct(off_j.cast("long").alias("off"), m.alias("m"))
+
+    anchors = (
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda j: F.substring(at(j)["tok"], 1, 1).isin(*lead),
+        )
+        if lead else F.sequence(F.lit(1), n)
+    )
+    cands = F.filter(F.transform(anchors, cand), lambda c: c["m"] != "")
+    init = F.expr(
+        "named_struct('p', CAST(1 AS BIGINT), "
+        "'sel', CAST(array() AS array<struct<off:bigint,m:string>>))"
+    )
+    sel = F.aggregate(
+        cands,
+        init,
+        lambda acc, c: F.when(
+            c["off"] >= acc["p"],
+            F.struct(
+                (c["off"] + F.length(c["m"])).cast("bigint").alias("p"),
+                F.concat(acc["sel"], F.array(c)).alias("sel"),
+            ),
+        ).otherwise(acc),
+    )["sel"]
+    return g2.select(*[F.col(k) for k in keys], F.posexplode(sel))
+
+
 def match_recognize_within(
     events: DataFrame,
     pattern: list[tuple[str, str, str]],
@@ -682,61 +753,7 @@ def match_recognize_within(
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
     )
-    arr = F.col("arr")
-    n = F.size(arr)
-    toks = F.transform(arr, lambda r: r["tok"])
-    offs = F.aggregate(
-        toks,
-        F.array(F.lit(1)),
-        lambda acc, t: F.concat(
-            acc, F.array(F.element_at(acc, -1) + F.length(t))
-        ),
-    )
-    g2 = grouped.select(
-        *[F.col(k) for k in keys],
-        arr,
-        F.concat_ws("", toks).alias("s"),
-        offs.alias("offs"),
-    )
-
-    def at(i):
-        return F.element_at(arr, i.cast("int"))
-
-    def cand(j):
-        # eligible rows: the contiguous run j..R with ts <= ts_j + win
-        bound = at(j)["ts"] + win
-        r_j = F.size(F.filter(arr, lambda r: r["ts"] <= bound))
-        off_j = F.element_at(F.col("offs"), j.cast("int"))
-        end_off = F.element_at(F.col("offs"), (r_j + 1).cast("int"))
-        m = F.regexp_extract(
-            F.col("s").substr(off_j, end_off - off_j), anchored, 0
-        )
-        return F.struct(off_j.cast("long").alias("off"), m.alias("m"))
-
-    anchors = (
-        F.filter(
-            F.sequence(F.lit(1), n),
-            lambda j: F.substring(at(j)["tok"], 1, 1).isin(*lead),
-        )
-        if lead else F.sequence(F.lit(1), n)
-    )
-    cands = F.filter(F.transform(anchors, cand), lambda c: c["m"] != "")
-    init = F.expr(
-        "named_struct('p', CAST(1 AS BIGINT), "
-        "'sel', CAST(array() AS array<struct<off:bigint,m:string>>))"
-    )
-    sel = F.aggregate(
-        cands,
-        init,
-        lambda acc, c: F.when(
-            c["off"] >= acc["p"],
-            F.struct(
-                (c["off"] + F.length(c["m"])).cast("bigint").alias("p"),
-                F.concat(acc["sel"], F.array(c)).alias("sel"),
-            ),
-        ).otherwise(acc),
-    )["sel"]
-    out = g2.select(*[F.col(k) for k in keys], F.posexplode(sel))
+    out = _within_core(grouped, keys, anchored, win, lead)
     m = F.col("col")["m"]
     return out.select(
         *[F.col(k) for k in keys],
@@ -1105,6 +1122,7 @@ def _define_tokens(
         F.array_sort(F.collect_list("t")).alias("arr")
     ).select(
         *[F.col(k) for k in keys],
+        "arr",  # kept for the WITHIN scan; projection-pruned otherwise
         F.transform("arr", lambda s: s["tok"]).alias("toks"),
     )
 
@@ -1503,6 +1521,167 @@ def match_recognize_define_all_rows_oracle_sql(
     return prefix + _all_rows_oracle_tail(
         key, regex, [v for v, _, _ in pattern]
     )
+
+
+def _define_leading_classes(pattern) -> str:
+    """Anchor-prune classes for the DEFINE engine: the bitmask classes
+    of every leading variable up to and including the first with a
+    nonzero minimum row count (all positive — the bitmask alphabet has
+    no complements)."""
+    classes = _bitmask_classes(pattern)
+    out = ""
+    for cls, (_, _, quant) in zip(classes, pattern):
+        out += cls
+        if _quant_min(quant) >= 1:
+            break
+    return "".join(dict.fromkeys(out))
+
+
+def match_recognize_define_within(
+    events: DataFrame,
+    pattern: list[tuple[str, dict, str]],
+    within_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Flink CEP's ``WITHIN`` for the PREV/NEXT DEFINE engine: every
+    match row inside ``[first_ts, first_ts + within]`` (closed bound),
+    greedy, SKIP PAST LAST ROW. The bitmask flags (PREV/NEXT
+    navigation) are computed over the FULL partition order — the time
+    bound limits which rows a match may ABSORB, not what PREV/NEXT
+    see, matching Flink where the within window prunes partial
+    matches, not the stream. Same shared time-truncated anchored scan
+    as :func:`match_recognize_within` (:func:`_within_core`), over the
+    bitmask token alphabet; anchors pruned to chars that can begin a
+    match. Returns ``key..., match_no, first_event_id, last_event_id,
+    n_rows`` (the define-engine measure set)."""
+    _validate_defines(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    anchored = f"^(?:{_define_regex(pattern)})"
+    lead = _define_leading_classes(pattern)
+    win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+    grouped = _define_tokens(events, pattern, keys, ts, type_col, id_col,
+                             value_col).select(
+        *[F.col(k) for k in keys], "arr"
+    )
+    out = _within_core(grouped, keys, anchored, win, lead)
+    m = F.col("col")["m"]
+    return out.select(
+        *[F.col(k) for k in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract(m, "^[a-z]([0-9]+);", 1).cast("long")
+        .alias("first_event_id"),
+        F.regexp_extract(m, "([0-9]+);$", 1).cast("long")
+        .alias("last_event_id"),
+        (F.length(m) - F.length(F.translate(m, ";", "")))
+        .cast("long").alias("n_rows"),
+    )
+
+
+def match_recognize_define_within_oracle_sql(
+    pattern: list[tuple[str, dict, str]],
+    within_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_define_within`: the
+    define oracle's bitmask tokenization (lag/lead over the full
+    partition), the interval-RANGE-window run truncation, the anchored
+    regex, and the recursive-CTE resume-after-match selection."""
+    _validate_defines(pattern)
+    regex = _define_regex(pattern)
+    bits = []
+    for i, (_, define, _) in enumerate(pattern):
+        conds = []
+        if define.get("types"):
+            alts = ", ".join(f"'{t}'" for t in _types_of(define["types"]))
+            conds.append(f"{type_col} IN ({alts})")
+        if define.get("dir") == "up":
+            conds.append(f"{value_col} > prev_v")
+        elif define.get("dir") == "down":
+            conds.append(f"{value_col} < prev_v")
+        if define.get("next_dir") == "up":
+            conds.append(f"{value_col} < next_v")
+        elif define.get("next_dir") == "down":
+            conds.append(f"{value_col} > next_v")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        bits.append(f"(CASE WHEN {cond} THEN {1 << i} ELSE 0 END)")
+    bm = " + ".join(bits)
+    lead = _define_leading_classes(pattern)
+    prune = (
+        "WHERE substring(r.tok, 1, 1) IN ("
+        + ", ".join(f"'{c}'" for c in lead) + ")"
+    ) if lead else ""
+    return f"""
+    WITH RECURSIVE src AS (
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               lag({value_col}) OVER (PARTITION BY {key}
+                                      ORDER BY {ts}, {id_col}) AS prev_v,
+               lead({value_col}) OVER (PARTITION BY {key}
+                                       ORDER BY {ts}, {id_col}) AS next_v
+        FROM {table}
+    ),
+    toks AS (
+        SELECT {key}, {ts}, {id_col},
+               chr(97 + ({bm})) || {id_col} || ';' AS tok
+        FROM src
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col}, tok,
+               row_number() OVER w AS rn,
+               CAST(1 + COALESCE(SUM(length(tok))
+                   OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off,
+               COUNT(*) OVER (PARTITION BY {key} ORDER BY {ts}
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND INTERVAL {int(within_minutes)} MINUTE
+                                  FOLLOWING) AS rj
+        FROM toks
+        WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {id_col})
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key}),
+    hits AS (
+        SELECT r.{key}, r.off,
+               regexp_extract(
+                   substring(q.s, CAST(r.off AS INT),
+                             CAST(COALESCE(r2.off, length(q.s) + 1) - r.off
+                                  AS INT)),
+                   '^(?:{regex})', 0) AS m
+        FROM r
+        JOIN seq q ON q.{key} = r.{key}
+        LEFT JOIN r r2 ON r2.{key} = r.{key} AND r2.rn = r.rj + 1
+        {prune}
+    ),
+    hr AS (SELECT {key}, off, m,
+                  CAST(off + length(m) AS BIGINT) AS resume
+           FROM hits WHERE m <> ''),
+    pick AS (
+        SELECT {key}, off, m, resume, 1 AS match_no
+        FROM hr h
+        WHERE off = (SELECT min(off) FROM hr h2 WHERE h2.{key} = h.{key})
+      UNION ALL
+        SELECT n.{key}, n.off, n.m, n.resume, p.match_no + 1
+        FROM pick p JOIN hr n ON n.{key} = p.{key} AND n.off >= p.resume
+        WHERE n.off = (SELECT min(n2.off) FROM hr n2
+                       WHERE n2.{key} = p.{key} AND n2.off >= p.resume)
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           CAST(regexp_extract(m, '^[a-z]([0-9]+);', 1) AS BIGINT)
+               AS first_event_id,
+           CAST(regexp_extract(m, '([0-9]+);$', 1) AS BIGINT)
+               AS last_event_id,
+           CAST(length(m) - length(replace(m, ';', ''))
+               AS BIGINT) AS n_rows
+    FROM pick
+    """
 
 
 def sessionize(

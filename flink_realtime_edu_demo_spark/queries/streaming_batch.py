@@ -23,6 +23,8 @@ from ..operators.cep import (
     match_recognize_define_all_rows,
     match_recognize_define_all_rows_oracle_sql,
     match_recognize_define_oracle_sql,
+    match_recognize_define_within,
+    match_recognize_define_within_oracle_sql,
     match_recognize_define_sessionized,
     match_recognize_define_sessionized_oracle_sql,
     match_recognize_oracle_sql,
@@ -552,6 +554,24 @@ def q_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     within / MATCH_RECOGNIZE WITHIN (public docs, per SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_within(ev, CEP_ALT_PATTERN, within_minutes=720)
+
+
+@query("q_cep_within_define",
+       oracle=match_recognize_define_within_oracle_sql(CEP_V_PATTERN,
+                                                       within_minutes=720))
+def q_cep_within_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN over the PREV/NEXT DEFINE engine: the V-shape pattern
+    must complete within 12 hours of its first row (2021 unbounded
+    matches prune to 904 at sf0.01 — plainly observable). PREV/NEXT
+    flags are computed over the FULL partition order; the time bound
+    limits what a match may absorb, not what navigation sees, matching
+    Flink where within prunes partial matches rather than the stream.
+    Shares the time-truncated anchored scan (_within_core) with the
+    type engine; the DuckDB oracle replays the bitmask tokenization +
+    interval RANGE truncation + recursive-CTE selection."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_define_within(ev, CEP_V_PATTERN,
+                                         within_minutes=720)
 
 
 @query("q_cep_all_rows_define",

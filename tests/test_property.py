@@ -403,6 +403,137 @@ def test_match_recognize_within_matches_reference(spark, typed_gaps, pat, w):
     assert got == [(s, e) for s, e in want], (rows, pat, w, got, want)
 
 
+# --- match_recognize_define_within vs a time-bounded define reference ---
+
+def _py_define_within_spans(rows, pattern, w_minutes):
+    """Reference for the DEFINE engine's WITHIN: sat flags computed
+    over the FULL row list (PREV/NEXT see the whole partition), then
+    per anchor the backtracking may only absorb rows with
+    ts <= ts_anchor + w (closed bound); matches must start at the
+    anchor; SKIP PAST LAST ROW. rows = [(type, value, ts_minutes)]."""
+
+    def sat(i, define):
+        ok = True
+        if define.get("types"):
+            ts_ = define["types"]
+            ts_ = (ts_,) if isinstance(ts_, str) else tuple(ts_)
+            ok = ok and rows[i][0] in ts_
+        d = define.get("dir")
+        if d:
+            if i == 0:
+                return False
+            ok = ok and (rows[i][1] > rows[i - 1][1] if d == "up"
+                         else rows[i][1] < rows[i - 1][1])
+        nd = define.get("next_dir")
+        if nd:
+            if i == len(rows) - 1:
+                return False
+            ok = ok and (rows[i][1] < rows[i + 1][1] if nd == "up"
+                         else rows[i][1] > rows[i + 1][1])
+        return ok
+
+    def bounds(quant):
+        if quant == "1":
+            return 1, 1
+        if quant == "?":
+            return 0, 1
+        if quant == "+":
+            return 1, None
+        if quant == "*":
+            return 0, None
+        m = re.match(r"^\{(\d+),(\d+)\}$", quant)
+        return int(m.group(1)), int(m.group(2))
+
+    def rec(lim, pos, vi):
+        if vi == len(pattern):
+            return pos
+        _, define, quant = pattern[vi]
+        lo, hi = bounds(quant)
+        cnt = 0
+        while pos + cnt <= lim and sat(pos + cnt, define):
+            cnt += 1
+            if hi is not None and cnt == hi:
+                break
+        for c in range(cnt, lo - 1, -1):
+            r = rec(lim, pos + c, vi + 1)
+            if r is not None:
+                return r
+        return None
+
+    spans, i = [], 0
+    while i < len(rows):
+        lim = i
+        while lim + 1 < len(rows) and rows[lim + 1][2] <= rows[i][2] + w_minutes:
+            lim += 1
+        e = rec(lim, i, 0)
+        if e is not None and e > i:
+            spans.append((i, e))
+            i = e
+        else:
+            i += 1
+    return spans
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(0, 5),    # value
+            st.integers(0, 40),   # minutes since previous event
+        ),
+        min_size=1, max_size=30,
+    ),
+    pat=st.lists(
+        st.tuples(
+            st.sampled_from([
+                {}, {"dir": "up"}, {"dir": "down"},
+                {"types": ("view", "click")}, {"types": ("click",)},
+                {"next_dir": "down"},
+            ]),
+            st.sampled_from(["1", "?", "+", "*", "{1,2}"]),
+        ),
+        min_size=1,
+        max_size=3,
+    ).filter(lambda p: any(q not in ("?", "*") for _, q in p)),
+    w=st.sampled_from([15, 60, 240]),
+)
+def test_match_recognize_define_within_matches_reference(
+    spark, typed_rows, pat, w
+):
+    """The define engine's WITHIN must reproduce the reference's
+    time-bounded greedy spans — PREV/NEXT flags over the FULL
+    partition, absorption limited to the anchor's window, including
+    matches the unbounded engine would extend past the bound."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_define_within,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    acc = 0
+    rows = []
+    for t, v, gap in typed_rows:
+        acc += gap
+        rows.append((t, v, acc))
+    pattern = [(f"V{i}", d, q) for i, (d, q) in enumerate(pat)]
+    want = _py_define_within_spans(rows, pattern, w)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t, float(v))
+         for i, (t, v, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id + 1)
+        for r in match_recognize_define_within(ev, pattern, w,
+                                               ts="ts").collect()
+    )
+    assert got == [(s, e) for s, e in want], (rows, pat, w, got, want)
+
+
 # --- match_recognize_all_rows vs the same reference, per-row ---
 
 def _py_match_rows(types: list[str], pattern):

@@ -83,7 +83,7 @@ SOAK_KEYS = [
     "q_cep_runagg", "q_cep_reluctant", "q_cep_permute",
     # round-7 additions on arrival (VERDICT r6 next-step #8)
     "q_cep_all_rows", "q_cep_all_rows_define", "q_cep_measures",
-    "q_cep_within", "q_cep_unmatched_rows", "q_cep_negation", "q_cep_runagg_interior", "q_cep_runagg_sessionized",
+    "q_cep_within", "q_cep_within_define", "q_cep_unmatched_rows", "q_cep_negation", "q_cep_runagg_interior", "q_cep_runagg_sessionized",
     "q_join_skew_salted", "q_join_lookup_async", "q_agg_salted_count",
     "q_stream_session_dyngap", "q_stream_window_topn",
     "q_ts_interval_merge", "q_funnel",
