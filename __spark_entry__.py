@@ -46,6 +46,10 @@ _VERIFIED_GREEN = (
     # Ordered stalest-verdict-first: the 7 round-3 verdicts that did
     # not fit round 7's window lead, so round 8 re-checks them first.
     # --- round-3 verdicts deferred from the round-7 window ---
+    # (q_tpch_q18/q19/q6 moved here late in round 7 to free window
+    # slots for the three llm3.py additions — round 8 re-checks them
+    # first along with the rest of this block)
+    "q_tpch_q18", "q_tpch_q19", "q_tpch_q6",
     "q_mm_resize", "q_agg_filtered", "q_agg_stats", "q_agg_collect", "q_agg_rollup",
     "q_agg_cube", "q_agg_having", "q_agg_percentile", "q_upsert_latest", "q_project_arith", "q_filter_pred",
     "q_explode_array", "q_distinct", "q_case_when", "q_json_extract",
@@ -93,14 +97,16 @@ _VERIFIED_GREEN = (
 # round-6 window; VERDICT r6 next-step #1 mandates green r7 rows).
 # Then every other q_cep_* key as changed-operator sentinels
 # (operators/cep.py changes this round), q_llm_keyword_topk (in-query
-# unpersist fix), and the stalest 25 of the 40 round-3 verdicts (now 4
-# rounds old). The 12 round-7 additions (9 CEP keys: all_rows /
+# unpersist fix), and the stalest 22 of the 40 round-3 verdicts (now 4
+# rounds old). The 15 round-7 additions (9 CEP keys: all_rows /
 # all_rows_define / measures / within / within_define / unmatched_rows
-# / negation / runagg_interior / runagg_sessionized, plus the 3
+# / negation / runagg_interior / runagg_sessionized, the 3
 # skew/lookup oracle upgrades: q_join_skew_salted /
-# q_join_lookup_async / q_agg_salted_count) are NOT listed here or in
-# _VERIFIED_GREEN, so they land in `rest` right after this block —
-# window total is exactly 1 warmup + 12 + 25 + 12 = 50.
+# q_join_lookup_async / q_agg_salted_count, and the 3 llm3.py keys:
+# q_llm_quality_clf / q_llm_decontam_bloom / q_llm_semantic_dedup)
+# are NOT listed here or in _VERIFIED_GREEN, so they land in `rest`
+# right after this block — window total is exactly
+# 1 warmup + 12 + 22 + 15 = 50.
 _REVERIFY_FRONT = (
     # --- never driver-verified (VERDICT r6 next-step #1) ---
     "q_cep_reluctant", "q_cep_permute",
@@ -114,8 +120,7 @@ _REVERIFY_FRONT = (
     "q_llm_embed_quant", "q_llm_split", "q_llm_repetition", "q_llm_entropy",
     "q_llm_stratified_sample", "q_llm_mix_weights", "q_llm_decontam",
     "q_llm_sample_exact_k", "q_tpch_q7", "q_tpch_q10", "q_subquery_scalar",
-    "q_subquery_corr", "q_tpch_q4", "q_tpch_q14", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q6",
+    "q_subquery_corr", "q_tpch_q4", "q_tpch_q14",
 )
 
 

@@ -55,6 +55,13 @@ def _assign_udf(centroids: list[list[float]]):
     return F.pandas_udf(_assign, IntegerType())
 
 
+def assign_udf(centroids: list[list[float]]):
+    """Public handle on the Arrow assignment UDF — lets a caller inline
+    the cluster column into its own select (no join against a separate
+    assignment frame; q_llm_semantic_dedup does this)."""
+    return _assign_udf(centroids)
+
+
 def kmeans_assign(df: DataFrame, centroids: list[list[float]],
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """One assignment pass: (id_col, cluster) for the given centroids."""

@@ -20,6 +20,7 @@ _MODULES = (
     "timeseries",
     "llm",
     "llm2",
+    "llm3",
     "udfs",
     "analytics",
     "analytics2",
