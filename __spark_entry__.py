@@ -83,7 +83,7 @@ _VERIFIED_GREEN = (
     "q_fn_editdist", "q_join_range_bin", "q_win_running_sum", "q_win_dist",
     "q_win_range_frame", "q_set_intersect_all", "q_set_except_all",
     "q_stream_cumulate", "q_dedup_exact", "q_funnel", "q_stream_late_branch",
-    "q_llm_knn", "q_llm_dedup_embed", "q_llm_quality", "q_llm_lang_id",
+    "q_llm_knn", "q_llm_quality", "q_llm_lang_id",
     "q_llm_fingerprint", "q_llm_tokens", "q_llm_dedup_simhash",
     "q_llm_winnow", "q_llm_centroids", "q_udf_scalar", "q_udaf_groupagg",
     "q_udtf_split", "q_tpch_q3", "q_tpch_q5", "q_mm_meta_filter",

@@ -78,7 +78,8 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 def cosine_pairs_blocked(df: DataFrame, threshold: float,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         n_blocks: int = 8) -> DataFrame:
+                         n_blocks: int = 8,
+                         max_vectors: int | None = 2_000_000) -> DataFrame:
     """Exact all-pairs cosine >= threshold, fully distributed (no driver
     materialization — replaces a round-1 collect-to-driver GEMM).
 
@@ -101,10 +102,32 @@ def cosine_pairs_blocked(df: DataFrame, threshold: float,
     vectors are excluded (cosine undefined) rather than emitted as NaN.
 
     Returns (id_a, id_b, cosine) with id_a < id_b, each pair exactly once.
+
+    ``max_vectors`` is a plan-time scale gate (round 8, the
+    operators/graph.py precedent): exact all-pairs is inherently
+    O(N²·d) compute no matter how it is blocked — SOAK_x100 recorded a
+    disk-filling shuffle spill at 2M vectors — so above the gate the
+    call raises and points at the sub-quadratic deployment forms
+    (semantic_dedup clustering / simhash-bucketed ANN) instead of
+    silently launching a job that cannot finish. Pass ``None`` to
+    accept the quadratic knowingly. The count is one bounded-driver
+    action, same as the graph gate.
     """
     import numpy as np
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if max_vectors is not None:
+        n_vec = df.count()
+        if n_vec > max_vectors:
+            raise ValueError(
+                f"cosine_pairs_blocked: {n_vec} vectors exceeds the "
+                f"max_vectors={max_vectors} all-pairs gate — exact "
+                "all-pairs cosine is O(N²·d); use the cluster-bucketed "
+                "semantic dedup (queries/llm3.q_llm_semantic_dedup) or "
+                "the SimHash-bucketed ANN (lsh_topk_scaled) at this "
+                "scale, or pass max_vectors=None to accept the "
+                "quadratic knowingly")
 
     d = df.select(
         F.col(id_col).alias("_id"),
@@ -171,6 +194,29 @@ def cosine_pairs_blocked(df: DataFrame, threshold: float,
         .groupBy("_pi", "_pj")
         .applyInPandas(score, schema=out_schema)
     )
+
+
+def cosine_pairs_oracle_sql(threshold: float = 0.45,
+                            table: str = "embeddings") -> str:
+    """DuckDB replay of :func:`cosine_pairs_blocked` (the hash-verified
+    contract of the retired q_llm_dedup_embed declared key, kept as a
+    unit-tested operator per the round-6 q_llm_knn_ivf precedent):
+    exact all-pairs cosine with the identical ascending-dimension
+    left-fold arithmetic, (id_a, id_b, cosine_r) with id_a < id_b."""
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(generate_series(1, len(a.e)),
+                                          i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)))
+                   AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+    FROM p WHERE cosine >= {threshold}
+    """
 
 
 def lsh_topk_oracle_sql(k: int = 5, n_planes: int = 6, n_tables: int = 8,

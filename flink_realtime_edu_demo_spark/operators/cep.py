@@ -1021,7 +1021,15 @@ def _quant_min(quant: str) -> int:
         return 1
     if quant in ("?", "*", "??", "*?"):
         return 0
-    return int(_BOUNDED.match(quant).group(1))
+    m = _BOUNDED.match(quant)
+    if m is None:
+        # reachable before _validate's own quantifier loop (e.g. via
+        # _reject_leading_negation) — raise the same friendly error as
+        # _quant_regex instead of AttributeError on a None match
+        raise ValueError(
+            f"quantifier {quant!r} not in {sorted(_QUANTS)} or {{m,n}} form"
+        )
+    return int(m.group(1))
 
 
 def _parse_skip(skip: str, pattern) -> tuple[str, int | None]:
@@ -1971,6 +1979,7 @@ def match_recognize_runagg(
     prev_v = F.lag(value_col).over(w)
     vdec = F.col(value_col).cast("decimal(18,6)")
     sp = F.sum(vdec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    rn = F.row_number().over(w)
 
     def simple_ok(define) -> F.Column:
         conds = []
@@ -1989,21 +1998,41 @@ def match_recognize_runagg(
         # first-failure filter below and be treated as accepted.
         return F.coalesce(out, F.lit(False))
 
+    # nb: the row number of the NEXT row (this one included) whose okb
+    # flag is false — a suffix-min over the same ordered window, so it
+    # rides the single per-key shuffle. Because the collected array is
+    # sorted by the identical (ts, id) order, nb is directly comparable
+    # to 1-based array positions; it turns "first okb-failure at or
+    # after position s" from an O(n) scan into an O(1) lookup on the
+    # monotone fast path below.
+    okb_col = simple_ok(adef)
+    nb = F.min(F.when(~okb_col, rn)).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
     rows = events.select(
         *[F.col(k) for k in keys],
         F.struct(
             F.col(ts).alias("ts"),
             F.col(id_col).alias("id"),
             F.array(*[simple_ok(d) for _, d, _ in prefix]).alias("okpre"),
-            simple_ok(adef).alias("okb"),
+            okb_col.alias("okb"),
             (simple_ok(suffix[1]) if suffix is not None else F.lit(False))
             .alias("oksuf"),
             sp.alias("sp"),
             (sp - vdec).alias("sp0"),
+            nb.alias("nb"),
         ).alias("t"),
     )
+    # mono: every partition value is >= 0 (sp - sp0 = the row's value),
+    # i.e. the running sum is non-decreasing in run length — the
+    # precondition for the binary-search fast path. NULL values (a null
+    # forall) conservatively fall back to the rescan.
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
+    ).withColumn(
+        "mono",
+        F.coalesce(F.forall("arr", lambda r: r["sp"] >= r["sp0"]),
+                   F.lit(False)),
     )
     arr = F.col("arr")
     n = F.size(arr)
@@ -2026,7 +2055,10 @@ def match_recognize_runagg(
                 F.lit(False),
             )
         base = F.when(s <= n, at(s)["sp0"])
-        accept_fail = F.array_min(
+        # the rescan: first t whose row fails okb or the aggregate
+        # comparison — O(n - s) per offset (quadratic per key on a flat
+        # hot key; HOTKEY.json measures it)
+        slow = F.array_min(
             F.filter(
                 F.when(n >= s, F.sequence(F.lit(1).cast("int"),
                                           (n - s + 1).cast("int")))
@@ -2040,6 +2072,52 @@ def match_recognize_runagg(
                 ),
             )
         )
+        if adef["agg"] == "sum" and adef["cmp"] in ("<", "<="):
+            # monotone fast path (VERDICT r7 #5): with non-negative
+            # addends (per-key `mono` flag) the running sum is
+            # non-decreasing in t, so the aggregate comparison fails on
+            # a SUFFIX of t and its first failure binary-searches over
+            # the same prefix-sum array; the okb first-failure is the
+            # precomputed nb lookup. First overall failure = the min of
+            # the two causes — identical to the rescan's answer, found
+            # in O(log n) instead of O(n) per offset. The search is an
+            # F.aggregate fold over 34 fixed steps (covers n < 2^33;
+            # carrying (lo, hi) in the fold keeps the plan CONSTANT
+            # size — a nested-expression unroll would double the tree
+            # per step). Sentinel hi = n - s + 2 means "no failure".
+            sentinel = (n - s + 2).cast("long")
+            nb_t = F.coalesce(at(s)["nb"] - s + 1, sentinel)
+
+            def _bs_step(acc, _):
+                mid = ((acc["lo"] + acc["hi"]) / 2).cast("long")
+                fail_mid = ~_runagg_cmp_col(
+                    adef["agg"], adef["cmp"], adef["thr"],
+                    at(s + mid - 1)["sp"] - base, mid,
+                )
+                return F.when(
+                    acc["lo"] < acc["hi"],
+                    F.when(
+                        fail_mid,
+                        F.struct(acc["lo"].alias("lo"), mid.alias("hi")),
+                    ).otherwise(
+                        F.struct((mid + 1).alias("lo"),
+                                 acc["hi"].alias("hi"))
+                    ),
+                ).otherwise(acc)
+
+            bs_t = F.aggregate(
+                F.sequence(F.lit(1), F.lit(34)),
+                F.struct(F.lit(1).cast("long").alias("lo"),
+                         sentinel.alias("hi")),
+                _bs_step,
+            )["lo"]
+            t_fail = F.least(nb_t, bs_t)
+            fast = F.when(t_fail <= n - s + 1, t_fail.cast("int"))
+            accept_fail = F.when(F.col("mono"), fast).otherwise(slow)
+        else:
+            # avg / lower-bounded comparisons are not threshold-
+            # crossing monotone — keep the exact rescan
+            accept_fail = slow
         l_rows = F.when(s > n, F.lit(0)).otherwise(
             F.coalesce(accept_fail, (n - s + 2).cast("int")) - 1
         )

@@ -157,39 +157,19 @@ def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_dedup_embed",
-    oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    p AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_reduce(list_transform(generate_series(1, len(a.e)),
-                                          i -> a.e[i] * b.e[i]), (x, y) -> x + y)
-               / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
-                  * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)))
-                   AS cosine
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, round(cosine, 6) AS cosine_r
-    FROM p WHERE cosine >= 0.45
-    """,
-)
-def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.45; the fixture
-    corpus has no planted duplicates, so the threshold captures the
-    most-similar tail). Exact all-pairs via distributed block-matrix
-    self-join (annsearch.cosine_pairs_blocked): no driver
-    materialization, per-task memory bounded by 2N/n_blocks vectors,
-    numpy-vectorized scoring with oracle-matched fold order — the
-    brief's 'vectorized Pandas UDF dot product'. The approximate
-    100 TB shortcut (when exactness is negotiable) remains the
-    SimHash-bucketed candidates of q_llm_knn_ivf_scaled."""
-    from ..operators.annsearch import cosine_pairs_blocked
-
-    e = load_spread(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(e, threshold=0.45).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
-    )
+# q_llm_dedup_embed (exact all-pairs embedding-cosine near-dup pairs)
+# was RETIRED as a declared key in round 8 (VERDICT r7 #3), exactly as
+# q_llm_knn_ivf was retired in round 6: exact all-pairs is inherently
+# O(N²·d) however it is blocked, and a declared key must have a
+# 100 TB-shaped plan. The operator survives as
+# operators/annsearch.cosine_pairs_blocked — now behind a plan-time
+# max_vectors gate — with its DuckDB oracle replay retained as a unit
+# test (tests/test_operators.py::test_cosine_pairs_blocked_oracle_replay,
+# oracle SQL in annsearch.cosine_pairs_oracle_sql). The DEPLOYMENT
+# forms for embedding near-dup at scale are q_llm_semantic_dedup
+# (cluster-bucketed SemDeDup, queries/llm3.py) and
+# q_llm_knn_ivf_scaled (SimHash-bucketed ANN) — both declared, green,
+# and soak-measured ~linear.
 
 
 @query("q_llm_knn_ivf_scaled", oracle=lsh_topk_scaled_oracle_sql(k=5))

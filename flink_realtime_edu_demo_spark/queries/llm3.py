@@ -25,6 +25,8 @@ them.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.kmeans import assign_udf
@@ -217,7 +219,12 @@ def q_llm_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in bit_rows:
         words[r["bit"] >> 6] |= 1 << (r["bit"] & 63)
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    warr = F.array(*[F.lit(w) for w in words])
+    # explicit long cast: a saturated filter produces small-magnitude
+    # words (e.g. -1), which F.lit would type as INT — and getbit on an
+    # INT rejects positions >= 32. Found by the 100x soak (the filter
+    # saturates there); the cast makes the literal width independent of
+    # the filter's fill level.
+    warr = F.array(*[F.lit(w).cast("long") for w in words])
     tr = sh.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", "shingle",
         *[_bloom_bit_spark(F.col("shingle"), j).alias(f"bit{j}")
@@ -244,7 +251,7 @@ def q_llm_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEM_K = 8      # anchor clusters
+_SEM_K_MIN = 8   # anchor-cluster floor (tiny fixtures)
 _SEM_TAU = 0.30  # within-cluster cosine prune threshold
 
 # ordered-fold arithmetic shared with operators/kmeans.kmeans_oracle_sql
@@ -265,9 +272,13 @@ _SEM_COS = (
     "q_llm_semantic_dedup",
     oracle=f"""
     WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-                     AS cluster, e AS cv
-          FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {_SEM_K})),
+    kv AS (SELECT GREATEST({_SEM_K_MIN},
+                           CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
+           FROM emb),
+    c AS (SELECT CAST(rn - 1 AS INTEGER) AS cluster, e AS cv
+          FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e
+                FROM emb), kv
+          WHERE rn <= kv.k),
     a AS (SELECT vec_id, cluster FROM (
             SELECT emb.vec_id, c.cluster,
                    row_number() OVER (PARTITION BY emb.vec_id
@@ -286,7 +297,7 @@ _SEM_COS = (
 )
 def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign every embedding to its
-    nearest of k=8 anchor centroids (the k lowest-id vectors —
+    nearest of k anchor centroids (the k lowest-id vectors —
     deterministic, and the same ordered-fold distance + lowest-cluster
     tie-break as operators/kmeans, whose q_llm_kmeans_assign key proved
     the arithmetic oracle-portable), then mark a vector a semantic
@@ -296,25 +307,41 @@ def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-vector manifest (cluster, max cosine to a lower-id
     cluster-mate, is_dup).
 
-    Scale shape: the all-pairs term is confined WITHIN clusters —
-    one shuffle on cluster id, per-task work bounded by (cluster
-    width)², and k grows with N to hold width constant (the paper runs
-    k=50k over 5 B embeddings — same plan, bigger k; the anchor
-    assignment stays an Arrow-batched map with the k×dim matrix
-    broadcast in the closure, never a shuffle of the corpus). The
-    driver holds k×dim floats (the anchor matrix) and nothing else."""
+    k AUTO-SCALES with the corpus (round 8, the q_llm_knn_ivf_scaled
+    precedent): k = max(8, ceil(sqrt(N))), derived from COUNT(*) with
+    the SAME arithmetic in the oracle SQL, so the scaling decision
+    itself is hash-verified. sqrt(N) balances the two cost terms —
+    assignment is O(N·k·d), the within-cluster pair scan is
+    O(N·(N/k)·d); both are O(N^1.5·d) at k = sqrt(N), so the plan has
+    no quadratic term at ANY scale (fixed k would leave the pair term
+    O(N²/k) — the same fixture-tuned trap the r6 soak caught in the
+    fixed-m ANN). The paper's k=50k over 5 B embeddings is the same
+    regime. One shuffle on cluster id; the anchor assignment stays an
+    Arrow-batched map with the k×dim matrix broadcast in the closure
+    (k×dim floats on the driver — 448×64 at the 100x soak, ~36 MB even
+    at 5 B vectors), never a shuffle of the corpus."""
     e = load_spread(spark, sf_dir, "embeddings")
-    first = e.orderBy("vec_id").limit(_SEM_K).select("embedding").collect()
+    n_vec = e.count()
+    k = max(_SEM_K_MIN, math.ceil(math.sqrt(n_vec)))
+    first = e.orderBy("vec_id").limit(k).select("embedding").collect()
     centroids = [list(map(float, r[0])) for r in first]
-    # assignment INLINED as a column (operators/kmeans.assign_udf) — no
-    # join of the corpus against a separate assignment frame; the only
-    # shuffles in this plan are the within-cluster self-join and the
-    # per-vector max/left-join pair.
+    # assignment INLINED as a column (operators/kmeans.assign_udf), then
+    # the assigned frame is locally checkpointed: the self-join below
+    # references it from BOTH branches, and without materialization
+    # Catalyst duplicates the subtree — the corpus would be GEMM-scored
+    # twice (round-7 verdict's 9-shuffle flag). One eager checkpoint =
+    # one assignment pass; on a real cluster this is a persist() /
+    # reliable checkpoint of the assigned working set, the canonical
+    # idiom for self-joined derived frames (same precedent as
+    # operators/kmeans.kmeans).
     assign = assign_udf(centroids)
-    v = e.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        assign(F.col("embedding")).cast("int").alias("cluster"),
+    v = (
+        e.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            assign(F.col("embedding")).cast("int").alias("cluster"),
+        )
+        .localCheckpoint(eager=True)
     )
     hi = v.select(F.col("vec_id"), F.col("e").alias("ea"), "cluster")
     lo = v.select(F.col("vec_id").alias("lo_id"), F.col("e").alias("eb"), "cluster")
@@ -326,15 +353,25 @@ def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x,
     ))
     cos = dot / (nrm(F.col("ea")) * nrm(F.col("eb")))
-    mc = (
+    # pair filter relaxed to lo_id <= vec_id so the self-pair keeps every
+    # vector alive through the aggregation — the per-vector max is then
+    # max(cos | lo_id < vec_id), null when only the self-pair exists,
+    # and the old left-join-back-to-v (2 extra shuffles) disappears.
+    # groupBy keys include `cluster`, which the join already hash-
+    # partitioned on, so the aggregation reuses that exchange: the whole
+    # plan is the two join-side shuffles and nothing else.
+    return (
         hi.join(lo, "cluster")
-        .filter(F.col("lo_id") < F.col("vec_id"))
-        .select("vec_id", cos.alias("cos"))
-        .groupBy("vec_id")
+        .filter(F.col("lo_id") <= F.col("vec_id"))
+        .select(
+            "vec_id", "cluster",
+            F.when(F.col("lo_id") < F.col("vec_id"), cos).alias("cos"),
+        )
+        .groupBy("vec_id", "cluster")
         .agg(F.max("cos").alias("m"))
-    )
-    return v.select("vec_id", "cluster").join(mc, "vec_id", "left").select(
-        "vec_id", "cluster",
-        F.round("m", 6).alias("max_cos_r"),
-        F.coalesce(F.col("m") >= _SEM_TAU, F.lit(False)).alias("is_dup"),
+        .select(
+            "vec_id", "cluster",
+            F.round("m", 6).alias("max_cos_r"),
+            F.coalesce(F.col("m") >= _SEM_TAU, F.lit(False)).alias("is_dup"),
+        )
     )

@@ -511,10 +511,16 @@ def q_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly admits the 'z' char of types outside the pattern);
     negated variables are rejected in first position (the unanchored
     scan needs a positive first atom) and inside PERMUTE. n_x counts
-    match rows OUTSIDE the named class. Same single-shuffle plan and
-    DuckDB replay as q_cep_pattern. Semantics source: SQL:2016 row-
-    pattern DEFINE predicates / Flink CEP notNext (public docs, per
-    SURVEY §0)."""
+    match rows OUTSIDE the named class — i.e. the whole-match
+    complement-class count, NOT per-variable absorption (rows taken by
+    other positive variables whose types fall outside X's named set
+    also count, so here n_x == n_rows for every match since V/C rows
+    are outside X's set). For true per-variable attribution like SQL's
+    CLASSIFIER-based measures, use match_recognize_all_rows
+    (q_cep_all_rows) and count rows by their classifier. Same
+    single-shuffle plan and DuckDB replay as q_cep_pattern. Semantics
+    source: SQL:2016 row-pattern DEFINE predicates / Flink CEP notNext
+    (public docs, per SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize(ev, CEP_NEG_PATTERN)
 

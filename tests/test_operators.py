@@ -335,6 +335,11 @@ def test_cep_empty_types_rejected_everywhere(spark, sf_dir):
             ev,
             [("B", {"agg": "sum", "cmp": "<", "thr": 1.0, "types": ()}, "+")],
         )
+    # ADVICE r7: a malformed quantifier must raise the friendly
+    # ValueError even though _reject_leading_negation consults
+    # _quant_min before _validate's own quantifier loop runs
+    with pytest.raises(ValueError, match="quantifier 'bogus'"):
+        match_recognize(ev, [("A", "view", "bogus")])
 
 
 def test_runagg_interior_scope_validation(spark, sf_dir):
@@ -1018,6 +1023,42 @@ def test_lsh_topk_fixed_m_oracle_replay(spark, sf_dir):
         for r in con.execute(lsh_topk_oracle_sql(k=5)).fetchall()
     )
     assert got == want and len(want) > 0
+
+
+def test_cosine_pairs_blocked_oracle_replay(spark, sf_dir):
+    """The retired q_llm_dedup_embed contract stays hash-verified as an
+    operator (round-6 q_llm_knn_ivf precedent): exact all-pairs cosine
+    >= 0.45 via the block-matrix self-join must replay its DuckDB
+    oracle bit-for-bit, and the plan-time max_vectors gate must refuse
+    an over-sized corpus with a pointer at the sub-quadratic forms."""
+    import duckdb
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.annsearch import (
+        cosine_pairs_blocked,
+        cosine_pairs_oracle_sql,
+    )
+    from flink_realtime_edu_demo_spark.tables import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings")
+    got = sorted(
+        tuple(r)
+        for r in cosine_pairs_blocked(e, threshold=0.45)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(cosine_pairs_oracle_sql(0.45)).fetchall()
+    )
+    assert got == want and len(want) > 0
+    with pytest.raises(ValueError, match="all-pairs gate"):
+        cosine_pairs_blocked(e, threshold=0.45, max_vectors=1)
 
 
 def test_cc_jump_equals_star_and_label(spark, sf_dir):

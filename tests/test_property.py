@@ -1219,7 +1219,11 @@ runagg_adef = st.builds(
     rows=st.lists(
         st.tuples(
             st.sampled_from(["view", "click", "error"]),
-            st.integers(0, 5),
+            # negatives included: keys with any v < 0 take the exact
+            # rescan (mono=false), keys all-non-negative take the
+            # binary-search fast path — both must agree with the
+            # reference matcher
+            st.integers(-3, 5),
         ),
         min_size=1, max_size=30,
     ),
@@ -1265,7 +1269,7 @@ def test_match_recognize_runagg_matches_reference(
     rows=st.lists(
         st.tuples(
             st.sampled_from(["view", "click", "error"]),
-            st.integers(0, 5),
+            st.integers(-3, 5),  # negatives: exercise the non-mono rescan
         ),
         min_size=1, max_size=30,
     ),

@@ -70,7 +70,7 @@ OUT = os.path.join(
 # TPC-H sweep + the heavy window/stream lowerings.
 SOAK_KEYS = [
     "q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_llm_minhash_lsh",
-    "q_llm_dedup_simhash", "q_llm_dedup_chargram", "q_llm_dedup_embed",
+    "q_llm_dedup_simhash", "q_llm_dedup_chargram",
     "q_llm_substring_dedup", "q_llm_dup_groups", "q_llm_winnow",
     "q_llm_fingerprint", "q_llm_knn", "q_llm_knn_ivf_scaled", "q_llm_ann_ivf",
     "q_llm_kmeans", "q_llm_kmeans_assign", "q_llm_centroids",
