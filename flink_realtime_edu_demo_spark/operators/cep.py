@@ -946,6 +946,119 @@ def match_recognize_permute_oracle_sql(
                         ts, type_col, id_col, regex_override=regex)
 
 
+def _group_parts(pattern):
+    """Lower a GROUPED pattern (SQL:2016 row-pattern groups / Flink
+    CEP's ``GroupPattern``): an element is either a plain variable
+    ``(var, types, quant)`` or a group ``(group_name, [inner
+    elements...], quant)`` whose quantifier applies to the whole
+    parenthesized sequence — ``[("V","view","1"), ("G",[("C","click",
+    "1"),("P","purchase","1")],"+")]`` ≡ ``PATTERN (V (C P)+)``.
+
+    Scope: one nesting level (a group may not contain a group), and a
+    group's inner variables must guarantee at least one row per
+    iteration (total inner minimum >= 1) — zero-width loop iterations
+    are where regex engines' loop-termination heuristics diverge, so
+    they are rejected at plan time rather than left engine-defined.
+    Validation runs over EFFECTIVE minimums (a group with min 0 makes
+    every inner variable optional), so the leading-negation and
+    empty-match rules hold exactly as in the flat engine.
+
+    Returns ``(flat_vars, chars, token_regex)``: the flat variable
+    list drives measures, the regex wraps each group's concatenated
+    atoms in ``(?:...)``<quant> — identical syntax and leftmost-first
+    semantics in Java regex and RE2, so the DuckDB oracle replays it.
+    """
+    flat: list[tuple] = []
+    for el in pattern:
+        if not (isinstance(el, tuple) and len(el) == 3):
+            raise ValueError(
+                "pattern element must be (name, types_or_inner_list, quant)")
+        name, body, quant = el
+        if isinstance(body, list):
+            if not body:
+                raise ValueError(f"group {name!r} needs at least one variable")
+            for sub in body:
+                if not (isinstance(sub, tuple) and len(sub) == 3):
+                    raise ValueError(
+                        f"group {name!r}: inner element must be "
+                        "(var, types, quant)")
+                if isinstance(sub[1], list):
+                    raise ValueError(
+                        "nested groups are not supported (one level — "
+                        "see COVERAGE.md)")
+                _quant_regex(sub[2])
+            _quant_regex(quant)
+            if sum(_quant_min(q) for _, _, q in body) == 0:
+                raise ValueError(
+                    f"group {name!r}: inner variables must guarantee at "
+                    "least one row per iteration (zero-width loop "
+                    "iterations are rejected at plan time)")
+            flat.extend(body)
+        else:
+            flat.append(el)
+    # effective-minimum view: group min 0 => inner variables optional
+    eff = []
+    for name, body, quant in pattern:
+        if isinstance(body, list):
+            gmin = _quant_min(quant)
+            eff.extend((v, e, q if gmin >= 1 else "*") for v, e, q in body)
+        else:
+            eff.append((name, body, quant))
+    _validate(eff)
+    chars = _char_map(flat)
+    pieces = []
+    for name, body, quant in pattern:
+        if isinstance(body, list):
+            inner = "".join(
+                f"(?:{_atom(e, chars)}[0-9]+;){_quant_regex(q)}"
+                for _, e, q in body)
+            pieces.append(f"(?:{inner}){_quant_regex(quant)}")
+        else:
+            pieces.append(
+                f"(?:{_atom(body, chars)}[0-9]+;){_quant_regex(quant)}")
+    return flat, chars, "".join(pieces)
+
+
+def match_recognize_groups(
+    events: DataFrame,
+    pattern: list[tuple],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE with GROUPED quantifiers — ``PATTERN
+    ((A B)+ C)`` and friends: a quantifier applied to a parenthesized
+    SEQUENCE of variables (SQL:2016 row-pattern grammar; Flink CEP's
+    ``GroupPattern`` via ``begin(Pattern)``, public docs per SURVEY
+    §0). Pattern elements are ``(var, types, quant)`` or
+    ``(group_name, [inner elements], quant)`` — see
+    :func:`_group_parts` for the scope rules. All quantifier forms of
+    :func:`match_recognize` (greedy/reluctant/bounded) apply to groups
+    too. Greedy ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW;
+    same single-shuffle token-string plan and output schema as
+    :func:`match_recognize` over the flattened variable list."""
+    flat, chars, regex = _group_parts(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    return _scan(events, flat, chars, regex, keys, ts, type_col, id_col)
+
+
+def match_recognize_groups_oracle_sql(
+    pattern: list[tuple],
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_groups` — the same
+    group-wrapped token regex (``(?:...)`` + quantifier behave
+    identically in Java regex and RE2)."""
+    flat, _, regex = _group_parts(pattern)
+    return _oracle_core(flat, [key], f"SELECT * FROM {table}",
+                        ts, type_col, id_col, regex_override=regex)
+
+
 def _validate_defines(pattern) -> None:
     """pattern: list of (var, define, quant) where define is a dict with
     optional keys ``types`` (event-type alternation, as in

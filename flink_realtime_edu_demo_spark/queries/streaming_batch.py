@@ -27,6 +27,8 @@ from ..operators.cep import (
     match_recognize_define_within_oracle_sql,
     match_recognize_define_sessionized,
     match_recognize_define_sessionized_oracle_sql,
+    match_recognize_groups,
+    match_recognize_groups_oracle_sql,
     match_recognize_oracle_sql,
     match_recognize_permute,
     match_recognize_permute_oracle_sql,
@@ -751,6 +753,38 @@ def q_cep_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching's PERMUTE expansion (public docs, per SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_permute(ev, CEP_PERMUTE, suffix=CEP_PERMUTE_SUFFIX)
+
+
+# Grouped quantifier (VERDICT r7 #6): a + applied to a parenthesized
+# SEQUENCE, with an alternation variable inside the group — the
+# engagement-loop shape "a view, then one or more (click-or-error,
+# purchase) rounds".
+CEP_GROUP_PATTERN = [
+    ("V", "view", "1"),
+    ("G", [("CE", ("click", "error"), "1"), ("P", "purchase", "1")], "+"),
+]
+
+
+@query("q_cep_group_quantifier",
+       oracle=match_recognize_groups_oracle_sql(CEP_GROUP_PATTERN))
+def q_cep_group_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE grouped quantifiers — PATTERN (V ((C|E) P)+):
+    the quantifier applies to the whole parenthesized sequence, the
+    SQL:2016 row-pattern group / Flink CEP GroupPattern a migrating
+    user reaches right after ALL ROWS and WITHIN (public docs, per
+    SURVEY §0). Lowered by wrapping the group's concatenated atoms in
+    a non-capturing (?:...)+ over the same id-carrying token string —
+    one shuffle, no Python, identical greedy/leftmost-first semantics
+    in Java regex and RE2 so the DuckDB oracle replays it exactly.
+    Scope: one nesting level; group iterations must consume >= 1 row
+    (plan-time rejection of zero-width loops, where engines'
+    loop-termination heuristics diverge); validation runs on
+    EFFECTIVE minimums so the leading-negation / empty-match rules
+    hold through group optionality. Property-tested against an
+    independent backtracking reference matcher over group/variable
+    mixes including reluctant and bounded group quantifiers."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_groups(ev, CEP_GROUP_PATTERN)
 
 
 @query("q_cep_all_rows",

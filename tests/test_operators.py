@@ -402,6 +402,46 @@ def test_cep_leading_negation_rejected(spark, sf_dir):
         )
 
 
+def test_group_quantifier_validation(spark):
+    """Grouped-pattern plan-time rules: one nesting level only,
+    zero-width loop iterations rejected, and the leading-negation /
+    empty-match checks applied over EFFECTIVE minimums (a group with
+    min 0 makes its inner variables optional)."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_groups,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view")], "user_id long, event_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="nested groups"):
+        match_recognize_groups(
+            ev, [("G", [("H", [("A", "view", "1")], "+")], "+")]
+        )
+    with pytest.raises(ValueError, match="zero-width"):
+        match_recognize_groups(
+            ev, [("G", [("A", "view", "?"), ("B", "click", "*")], "+"),
+                 ("C", "purchase", "1")]
+        )
+    # effective-minimum empty match: group* of mandatory vars, alone
+    with pytest.raises(ValueError, match="zero rows"):
+        match_recognize_groups(ev, [("G", [("A", "view", "1")], "*")])
+    # effective-minimum leading negation: group* then a complement-led
+    # mandatory position — the scan could start on the complement atom
+    with pytest.raises(ValueError, match="guaranteed preceding row"):
+        match_recognize_groups(
+            ev, [("G", [("A", "view", "1")], "*"),
+                 ("N", "!purchase", "1")]
+        )
+    # fine: mandatory group guarantees the preceding row
+    match_recognize_groups(
+        ev, [("G", [("A", "view", "1")], "+"), ("N", "!purchase", "1")],
+        ts="event_id",
+    ).collect()
+
+
 def test_cc_star_equals_label_propagation(spark, sf_dir):
     """Large-star/small-star CC must reach the identical
     (id, min-reachable-id) fixpoint as min-label propagation — checked

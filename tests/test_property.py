@@ -315,6 +315,158 @@ def test_match_recognize_matches_reference(spark, types, pat):
     assert got == [(s, e) for s, e in want], (types, pat, got, want)
 
 
+# --- match_recognize_groups vs a group-aware backtracking reference ---
+
+def _py_group_spans(types: list[str], pattern) -> list[tuple[int, int]]:
+    """Reference matcher for GROUPED quantifiers, written directly over
+    the event-type list (no regex): full-DFS backtracking generators
+    whose alternative ordering mirrors a regex engine's leftmost-first
+    preference — greedy loops try one more iteration before stopping,
+    lazy loops stop before iterating, variable runs longest-first
+    (greedy) or shortest-first (lazy). AFTER MATCH SKIP PAST LAST ROW.
+    Returns [start, end) spans."""
+
+    def gen_once(pos: int, body, bi: int):
+        # one body-sequence match starting at pos; yields end positions
+        if bi == len(body):
+            yield pos
+            return
+        _, etype, q = body[bi]
+        lo, hi, lazy = _parse_quant(q)
+        allowed = _pred(etype)
+        cnt = 0
+        while (pos + cnt < len(types) and allowed(types[pos + cnt])
+               and (hi is None or cnt < hi)):
+            cnt += 1
+        if cnt < lo:
+            return
+        order = range(lo, cnt + 1) if lazy else range(cnt, lo - 1, -1)
+        for c in order:
+            yield from gen_once(pos + c, body, bi + 1)
+
+    def gen_group(pos: int, body, lo, hi, lazy, done: int, elems, ei: int):
+        can_more = hi is None or done < hi
+        if lazy and done >= lo:
+            yield from gen_seq(pos, elems, ei + 1)
+        if can_more:
+            for mid in gen_once(pos, body, 0):
+                if mid == pos:
+                    continue  # zero-width iteration (plan-time-rejected)
+                yield from gen_group(mid, body, lo, hi, lazy, done + 1,
+                                     elems, ei)
+        if not lazy and done >= lo:
+            yield from gen_seq(pos, elems, ei + 1)
+
+    def gen_seq(pos: int, elems, ei: int):
+        if ei == len(elems):
+            yield pos
+            return
+        _, body, quant = elems[ei]
+        lo, hi, lazy = _parse_quant(quant)
+        if isinstance(body, list):
+            yield from gen_group(pos, body, lo, hi, lazy, 0, elems, ei)
+            return
+        allowed = _pred(body)
+        cnt = 0
+        while (pos + cnt < len(types) and allowed(types[pos + cnt])
+               and (hi is None or cnt < hi)):
+            cnt += 1
+        if cnt < lo:
+            return
+        order = range(lo, cnt + 1) if lazy else range(cnt, lo - 1, -1)
+        for c in order:
+            yield from gen_seq(pos + c, elems, ei + 1)
+
+    spans, i = [], 0
+    while i < len(types):
+        e = next(gen_seq(i, pattern, 0), None)
+        if e is not None and e > i:
+            spans.append((i, e))
+            i = e
+        else:
+            i += 1
+    return spans
+
+
+_group_inner = st.lists(
+    st.tuples(
+        st.sampled_from(["view", "click", "purchase",
+                         ("view", "click"), ("click", "error")]),
+        st.sampled_from(["1", "?", "+", "+?", "{1,2}"]),
+    ),
+    min_size=1, max_size=2,
+).filter(lambda b: sum(_parse_quant(q)[0] for _, q in b) >= 1)
+
+_group_element = st.one_of(
+    # plain variable
+    st.tuples(st.just("var"),
+              st.sampled_from(["view", "click", "purchase",
+                               ("view", "click")]),
+              st.sampled_from(["1", "?", "+", "*", "??", "{1,2}"])),
+    # group
+    st.tuples(st.just("grp"), _group_inner,
+              st.sampled_from(["1", "?", "+", "*", "+?", "*?",
+                               "{1,2}", "{0,2}?", "{2,3}"])),
+)
+
+
+def _grp_eff_min(el) -> int:
+    tag, body, q = el
+    if tag == "grp":
+        return (sum(_parse_quant(iq)[0] for _, iq in body)
+                if _parse_quant(q)[0] >= 1 else 0)
+    return _parse_quant(q)[0]
+
+
+grouped_pattern_strategy = st.lists(
+    _group_element, min_size=1, max_size=3,
+).filter(lambda els: sum(_grp_eff_min(e) for e in els) >= 1  # engine's
+         ).filter(lambda els: any(t == "grp" for t, _, _ in els))  # ≥1 group
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=0, max_size=40,
+    ),
+    els=grouped_pattern_strategy,
+)
+def test_match_recognize_groups_matches_reference(spark, types, els):
+    """The grouped-quantifier lowering ((?:...)<quant> over the token
+    string) must reproduce an independent group-aware backtracking
+    matcher's spans — across greedy/reluctant/bounded group
+    quantifiers, optional groups, alternation variables inside groups,
+    and group/variable mixes where cross-iteration backtracking
+    matters."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_groups,
+    )
+
+    pattern, vi = [], 0
+    for gi, (tag, body, q) in enumerate(els):
+        if tag == "grp":
+            inner = []
+            for t, iq in body:
+                inner.append((f"V{vi}", t, iq))
+                vi += 1
+            pattern.append((f"G{gi}", inner, q))
+        else:
+            pattern.append((f"V{vi}", body, q))
+            vi += 1
+    want = _py_group_spans(types, pattern)
+    if not types:
+        return
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    got = sorted(
+        (r.first_event_id, r.last_event_id + 1)
+        for r in match_recognize_groups(ev, pattern, ts="event_id").collect()
+    )
+    assert got == [(s, e) for s, e in want], (types, els, got, want)
+
+
 # --- match_recognize_within vs a time-bounded reference ---
 
 def _py_within_spans(rows, pattern, w_minutes):
