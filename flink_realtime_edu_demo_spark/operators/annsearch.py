@@ -110,15 +110,18 @@ def cosine_pairs_blocked(df: DataFrame, threshold: float,
     call raises and points at the sub-quadratic deployment forms
     (semantic_dedup clustering / simhash-bucketed ANN) instead of
     silently launching a job that cannot finish. Pass ``None`` to
-    accept the quadratic knowingly. The count is one bounded-driver
-    action, same as the graph gate.
+    accept the quadratic knowingly. CALLER CONTRACT (ADVICE r8): the
+    gate runs ONE EXTRA Spark action — a count over the id column
+    only, so column pruning keeps it far cheaper than the pair scan,
+    but an expensive unpersisted upstream lineage still re-evaluates
+    once; cache the input or pass ``max_vectors=None`` to skip it.
     """
     import numpy as np
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     if max_vectors is not None:
-        n_vec = df.count()
+        n_vec = df.select(id_col).count()
         if n_vec > max_vectors:
             raise ValueError(
                 f"cosine_pairs_blocked: {n_vec} vectors exceeds the "

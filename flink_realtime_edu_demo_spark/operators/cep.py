@@ -988,6 +988,11 @@ def _group_parts(pattern):
                         "see COVERAGE.md)")
                 _quant_regex(sub[2])
             _quant_regex(quant)
+            # Intentionally broader than the loop hazard requires: only
+            # repeating group quantifiers (+/*/{m,n} with n>1) can
+            # produce divergent zero-width iterations, but the rule is
+            # applied to EVERY group so a pattern's validity doesn't
+            # flip when its group quantifier changes (ADVICE r8).
             if sum(_quant_min(q) for _, _, q in body) == 0:
                 raise ValueError(
                     f"group {name!r}: inner variables must guarantee at "
@@ -2078,6 +2083,14 @@ def match_recognize_runagg(
     Returns one row per match: ``key..., match_no, first_event_id,
     last_event_id, n_rows, b_rows (aggregate-variable rows), b_sum
     (their exact sum as double)``.
+
+    Precondition: ``(ts, id_col)`` pairs are UNIQUE per key (the
+    natural event-log invariant — id_col is a row id). The window
+    row_number (ORDER BY ts, id) and the collected array
+    (array_sort over (ts, id, ...) structs) must agree positionally;
+    with duplicate (ts, id) pairs array_sort's tie-break falls through
+    to later struct fields and the prefix sums / monotone-bound lookups
+    could misalign (ADVICE r8).
     """
     from pyspark.sql.window import Window
 
@@ -2565,3 +2578,318 @@ def match_recognize_runagg_sessionized_oracle_sql(
         value_col=value_col, skip=skip,
         keys=[key, "session_id"], source_sql=source,
     )
+
+
+# ---------------------------------------------------------------------------
+# Relaxed contiguity — Flink CEP's followedBy (skip-till-next-match),
+# the DEFAULT linking mode in Flink's Pattern API (VERDICT r8 #1)
+# ---------------------------------------------------------------------------
+
+
+def _quant_parse(quant: str) -> tuple[int, int | None, bool]:
+    """(min, max-or-None, reluctant) for every supported quantifier —
+    the full parse `_quant_min` is the min-projection of."""
+    if quant == "1":
+        return 1, 1, False
+    if quant in ("?", "??"):
+        return 0, 1, quant == "??"
+    if quant in ("+", "+?"):
+        return 1, None, quant == "+?"
+    if quant in ("*", "*?"):
+        return 0, None, quant == "*?"
+    m = _BOUNDED.match(quant)
+    if m is None or int(m.group(1)) > int(m.group(2)):
+        raise ValueError(
+            f"quantifier {quant!r} not in {sorted(_QUANTS)} or {{m,n}} form"
+        )
+    return int(m.group(1)), int(m.group(2)), bool(m.group(3))
+
+
+def _relaxed_gap(etype, chars: dict[str, str]) -> str:
+    """Token atom for rows the variable's predicate REJECTS — the rows
+    skip-till-next-match skips while waiting for the variable. Exact
+    complement of :func:`_atom`: for a positive variable the gap is
+    ``[^cls]`` (including 'z' rows of types outside the alphabet); for
+    a complement variable (which admits ``[^cls]``) the gap is the
+    named class itself."""
+    cls = _var_class(etype, chars)
+    if _var_negated(etype):
+        inner = cls if len(cls) == 1 else f"[{cls}]"
+    else:
+        inner = f"[^{cls}]"
+    return f"(?:{inner}[0-9]+;)"
+
+
+def _relaxed_occ(etype, chars: dict[str, str]) -> str:
+    """One relaxed OCCURRENCE of a variable: skip any run of rejected
+    rows, then consume the first admitting row. Because the gap class
+    and the admit class are disjoint, the occurrence is deterministic
+    given its start position — backtracking only ever happens over
+    occurrence COUNTS, exactly as in the strict engine."""
+    return f"(?:{_relaxed_gap(etype, chars)}*{_atom(etype, chars)}[0-9]+;)"
+
+
+def _relaxed_piece(etype, quant: str, chars: dict[str, str],
+                   first: bool) -> str:
+    """A variable's capture-grouped regex piece under relaxed
+    contiguity. The FIRST variable's first occurrence is anchored (no
+    leading gap): the unanchored scan itself plays the role of the gap
+    before the match, so a leading gap would only drag unrelated rows
+    into the match span (and wreck first_event_id / SKIP PAST LAST
+    ROW). Quantifier sits INSIDE the group so the group always
+    participates ('' for an absent optional)."""
+    occ = _relaxed_occ(etype, chars)
+    if not first:
+        return f"({occ}{_quant_regex(quant)})"
+    lo, hi, lazy = _quant_parse(quant)
+    anchor = f"(?:{_atom(etype, chars)}[0-9]+;)"
+    rest_hi = None if hi is None else hi - 1
+    zz = "?" if lazy else ""
+    if rest_hi == 0:
+        rest = ""
+    elif lo - 1 == 0 and rest_hi is None:
+        rest = f"{occ}*{zz}"
+    else:
+        rest = f"{occ}{{{lo - 1},{rest_hi}}}{zz}"
+    return f"({anchor}{rest})"
+
+
+def _relaxed_regex(pattern, chars: dict[str, str]) -> str:
+    return "".join(
+        _relaxed_piece(etype, quant, chars, first=(i == 0))
+        for i, (_, etype, quant) in enumerate(pattern)
+    )
+
+
+def _validate_relaxed(pattern) -> None:
+    _validate(pattern)
+    if _quant_min(pattern[0][2]) < 1:
+        raise ValueError(
+            "relaxed (followedBy) matching needs a mandatory first "
+            "variable: the match anchor is the first variable's first "
+            "row (an optional first variable would let the leading gap "
+            "consume arbitrary rows before the match)")
+
+
+def _relaxed_var_count(col, var: str, etype, chars: dict[str, str]):
+    """n_<var> over a variable's captured piece: rows its predicate
+    ADMITTED (gap rows inside the piece never admit, so a plain class
+    count over the piece is exact per VARIABLE — unlike the strict
+    engine's per-type counts, relaxed counts never alias across
+    variables sharing a type)."""
+    cls_cnt = F.length(col) - F.length(
+        F.translate(col, _var_class(etype, chars), "")
+    )
+    if _var_negated(etype):
+        n_tok = F.length(col) - F.length(F.translate(col, ";", ""))
+        return (n_tok - cls_cnt).cast("long").alias(f"n_{var.lower()}")
+    return cls_cnt.cast("long").alias(f"n_{var.lower()}")
+
+
+def match_recognize_relaxed(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Relaxed-contiguity row-pattern matching — Flink CEP's
+    ``followedBy`` / skip-till-next-match, the DEFAULT linking mode of
+    Flink's Pattern API (strict ``next`` is :func:`match_recognize`).
+    Same pattern language as the strict engine (type alternations,
+    complements, greedy/reluctant/bounded quantifiers), with ONE added
+    plan-time rule: the first variable must be mandatory (min rows ≥ 1).
+
+    Semantics (consuming-gap lowering, property-tested against an
+    independent backtracking matcher in tests/test_property.py):
+    - between consecutive variable occurrences, rows the next expected
+      variable REJECTS are skipped; the first row it admits is consumed
+      by it (Flink's skip-till-next — an admitting row is never passed
+      over, so e.g. A followedBy B takes the FIRST later B);
+    - quantified variables are internally relaxed too (Flink's
+      oneOrMore default; its ``.consecutive()`` is the strict engine);
+    - rows skipped INSIDE a match are consumed by it — unavailable to
+      later matches (the one documented deviation from Flink's NFA,
+      where AFTER MATCH SKIP PAST LAST EVENT re-admits skipped rows;
+      this trade buys the single-pass regexp_extract_all scan).
+    - greedy left-to-right enumeration, ONE ROW PER MATCH, AFTER MATCH
+      SKIP PAST LAST ROW.
+
+    Lowering: each variable becomes ``((?:gap* admit)quant)`` over the
+    per-key token string — gap = the variable's complement class, so
+    each occurrence is deterministic and backtracking (Java regex and
+    DuckDB's RE2 agree leftmost-first) only explores occurrence counts.
+    Still exactly one shuffle and zero Python rows.
+
+    Returns ``key..., match_no, first_event_id, last_event_id, n_rows
+    (rows variables consumed), n_skipped (rows skipped inside the match
+    span), n_<variable.lower()>...`` — per-VARIABLE counts (captured
+    pieces), not the strict engine's per-type counts.
+    """
+    _validate_relaxed(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    chars = _char_map(pattern)
+    regex = _relaxed_regex(pattern, chars)
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    k = len(pattern)
+    groups = seq.select(
+        *[F.col(c) for c in keys],
+        F.regexp_extract_all("s", F.lit(regex), F.lit(0)).alias("w"),
+        *[
+            F.regexp_extract_all("s", F.lit(regex), F.lit(i + 1)).alias(f"g{i}")
+            for i in range(k)
+        ],
+    )
+    zipped = groups.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(
+            F.arrays_zip(F.col("w"), *[F.col(f"g{i}") for i in range(k)])
+        ),
+    )
+    w = F.col("col")["w"]
+    n_vars = [
+        _relaxed_var_count(F.col("col")[f"g{i}"], var, etype, chars)
+        for i, (var, etype, _) in enumerate(pattern)
+    ]
+    n_tok_w = (F.length(w) - F.length(F.translate(w, ";", ""))).cast("long")
+    n_rows = n_vars[0]
+    for c in n_vars[1:]:
+        n_rows = n_rows + c
+    return zipped.select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract(w, "^[a-z]([0-9]+);", 1).cast("long").alias("first_event_id"),
+        F.regexp_extract(w, "([0-9]+);$", 1).cast("long").alias("last_event_id"),
+        n_rows.cast("long").alias("n_rows"),
+        (n_tok_w - n_rows).cast("long").alias("n_skipped"),
+        *n_vars,
+    )
+
+
+def _relaxed_oracle_core(
+    pattern,
+    keys: list[str],
+    source_sql: str,
+    ts: str,
+    type_col: str,
+    id_col: str,
+) -> str:
+    """Shared DuckDB replay of :func:`match_recognize_relaxed` — same
+    token string, same captured gap-class regex (RE2 agrees with Java
+    on leftmost-first greedy/lazy preference), aligned per-group
+    extract_all arrays unnested by match index."""
+    _validate_relaxed(pattern)
+    chars = _char_map(pattern)
+    regex = _relaxed_regex(pattern, chars)
+    case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+    ks = ", ".join(keys)
+    k = len(pattern)
+
+    def strip_class(expr: str, cls: str) -> str:
+        for c in cls:
+            expr = f"replace({expr}, '{c}', '')"
+        return expr
+
+    def count_sql(i, var, etype) -> str:
+        cls = _var_class(etype, chars)
+        cls_cnt = f"length(r{i}) - length({strip_class(f'r{i}', cls)})"
+        if _var_negated(etype):
+            return (f"(length(r{i}) - length(replace(r{i}, ';', '')))"
+                    f" - ({cls_cnt})")
+        return cls_cnt
+
+    n_exprs = [count_sql(i, var, etype)
+               for i, (var, etype, _) in enumerate(pattern)]
+    n_rows = " + ".join(f"({e})" for e in n_exprs)
+    var_counts = ",\n           ".join(
+        f"CAST({e} AS BIGINT) AS n_{var.lower()}"
+        for e, (var, _, _) in zip(n_exprs, pattern)
+    )
+    gcols = ",\n               ".join(
+        f"regexp_extract_all(s, '{regex}', {i + 1}) AS g{i}" for i in range(k)
+    )
+    rsel = ", ".join(f"g{i}[i] AS r{i}" for i in range(k))
+    return f"""
+    WITH src AS ({source_sql}),
+    toks AS (
+        SELECT {ks},
+               CASE {type_col} {case} ELSE 'z' END || {id_col} || ';' AS tok,
+               {ts}, {id_col}
+        FROM src
+    ),
+    seq AS (SELECT {ks}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {ks}),
+    m AS (SELECT {ks},
+               regexp_extract_all(s, '{regex}', 0) AS w,
+               {gcols}
+          FROM seq),
+    ex AS (SELECT {ks}, CAST(i AS BIGINT) AS match_no, w[i] AS wm, {rsel}
+           FROM m, unnest(generate_series(1, len(w))) AS t(i))
+    SELECT {ks}, match_no,
+           CAST(regexp_extract(wm, '^[a-z]([0-9]+);', 1) AS BIGINT) AS first_event_id,
+           CAST(regexp_extract(wm, '([0-9]+);$', 1) AS BIGINT) AS last_event_id,
+           CAST({n_rows} AS BIGINT) AS n_rows,
+           CAST((length(wm) - length(replace(wm, ';', ''))) - ({n_rows}) AS BIGINT) AS n_skipped,
+           {var_counts}
+    FROM ex
+    """
+
+
+def match_recognize_relaxed_oracle_sql(
+    pattern,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_relaxed`."""
+    return _relaxed_oracle_core(pattern, [key], f"SELECT * FROM {table}",
+                                ts, type_col, id_col)
+
+
+def match_recognize_relaxed_sessionized(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sessionized deployment shape for relaxed matching — Flink jobs
+    run followedBy patterns inside session/time windows for exactly the
+    state-bound reason SCALE.md gives: skip-till-next otherwise holds a
+    partial match open across a key's entire history. Matches cannot
+    span a session gap; adds ``session_id`` to the match columns."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize_relaxed(
+        s, pattern, key=[key, "session_id"],
+        ts=ts, type_col=type_col, id_col=id_col,
+    )
+
+
+def match_recognize_relaxed_sessionized_oracle_sql(
+    pattern,
+    gap_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_relaxed_sessionized`."""
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return _relaxed_oracle_core(pattern, [key, "session_id"], source,
+                                ts, type_col, id_col)

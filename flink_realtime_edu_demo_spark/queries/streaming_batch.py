@@ -32,6 +32,10 @@ from ..operators.cep import (
     match_recognize_oracle_sql,
     match_recognize_permute,
     match_recognize_permute_oracle_sql,
+    match_recognize_relaxed,
+    match_recognize_relaxed_oracle_sql,
+    match_recognize_relaxed_sessionized,
+    match_recognize_relaxed_sessionized_oracle_sql,
     match_recognize_runagg,
     match_recognize_runagg_oracle_sql,
     match_recognize_runagg_sessionized,
@@ -361,6 +365,49 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     the match set is hash-verified end to end."""
     ev = load(spark, sf_dir, "events")
     return match_recognize(ev, CEP_PATTERN)
+
+
+# Flink CEP's canonical followedBy chain: a view, one-or-more clicks,
+# then a purchase — RELAXED contiguity (rows the next variable rejects
+# are skipped), the Pattern-API default a migrating Flink user writes
+# first. The strict engine on the same pattern (q_cep_pattern's shape)
+# only matches uninterrupted runs.
+CEP_FB_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "+"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_followed_by",
+       oracle=match_recognize_relaxed_oracle_sql(CEP_FB_PATTERN))
+def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relaxed-contiguity CEP — Flink's followedBy / skip-till-next
+    (VERDICT r8 #1): PATTERN (V C+ P) per user where rows the next
+    expected variable rejects are skipped (and consumed by the match),
+    greedy, SKIP PAST LAST ROW. Lowered to per-variable
+    ``((?:gap* admit)quant)`` capture groups over the same one-shuffle
+    token string as the strict engine; measures add n_skipped and
+    per-VARIABLE row counts. Property-tested against an independent
+    backtracking matcher (tests/test_property.py); the DuckDB oracle
+    replays the identical captured scan."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed(ev, CEP_FB_PATTERN)
+
+
+@query("q_cep_followed_by_sessionized",
+       oracle=match_recognize_relaxed_sessionized_oracle_sql(
+           CEP_FB_PATTERN, gap_minutes=720))
+def q_cep_followed_by_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized relaxed CEP — the 100 TB deployment shape: 12-hour
+    sessions per user, then followedBy PATTERN (V C+ P) within each
+    session, so skip-till-next state cannot span a key's whole history.
+    One sort-shuffle on user_id shared by the sessionize window and the
+    per-session token aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_sessionized(
+        ev, CEP_FB_PATTERN, gap_minutes=720
+    )
 
 
 # The classic MATCH_RECOGNIZE V-shape: any starting row, a nonempty

@@ -315,6 +315,110 @@ def test_match_recognize_matches_reference(spark, types, pat):
     assert got == [(s, e) for s, e in want], (types, pat, got, want)
 
 
+# --- match_recognize_relaxed vs an independent skip-gap matcher ---
+
+def _py_relaxed_matches(types: list[str], pattern):
+    """Reference matcher for RELAXED contiguity (followedBy /
+    skip-till-next, consuming-gap semantics), written directly over the
+    event-type list with no regex: each occurrence of a variable skips
+    rows its predicate rejects and consumes the first row it admits
+    (the FIRST variable's first occurrence is anchored — it must admit
+    the row at the scan position); backtracking explores occurrence
+    counts greedy (most-first) or reluctant (fewest-first); matches
+    consume their skipped rows; AFTER MATCH SKIP PAST LAST ROW.
+    Returns [(start, end, counts_per_variable)] with [start, end)
+    index spans."""
+    vars_ = [(_pred(t), _parse_quant(q)) for _, t, q in pattern]
+    n = len(types)
+
+    def rec(pos: int, vi: int):
+        if vi == len(vars_):
+            return pos, []
+        allowed, (lo, hi, lazy) = vars_[vi]
+        ends = [pos]
+        cur = pos
+        while hi is None or len(ends) - 1 < hi:
+            if vi == 0 and len(ends) == 1:
+                nxt = cur + 1 if (cur < n and allowed(types[cur])) else None
+            else:
+                j = cur
+                while j < n and not allowed(types[j]):
+                    j += 1
+                nxt = j + 1 if j < n else None
+            if nxt is None:
+                break
+            cur = nxt
+            ends.append(cur)
+        cmax = len(ends) - 1
+        if cmax < lo:
+            return None
+        order = range(lo, cmax + 1) if lazy else range(cmax, lo - 1, -1)
+        for c in order:
+            r = rec(ends[c], vi + 1)
+            if r is not None:
+                return r[0], [c] + r[1]
+        return None
+
+    out, i = [], 0
+    while i < n:
+        r = rec(i, 0)
+        if r is not None and r[0] > i:
+            out.append((i, r[0], r[1]))
+            i = r[0]
+        else:
+            i += 1
+    return out
+
+
+# Relaxed matching's one extra plan-time rule: mandatory first variable
+# (and the engine's leading-negation rule then pins index 0 positive,
+# which cep_pattern_strategy's _neg_ok filter already guarantees).
+relaxed_pattern_strategy = cep_pattern_strategy.filter(
+    lambda p: _parse_quant(p[0][1])[0] >= 1
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=0, max_size=40,
+    ),
+    pat=relaxed_pattern_strategy,
+)
+def test_match_recognize_relaxed_matches_reference(spark, types, pat):
+    """The consuming-gap regex lowering must produce exactly the
+    reference matcher's relaxed match spans AND measures — per-variable
+    occurrence counts, total matched rows, and skipped-row counts —
+    including alternations, complements, bounded and reluctant
+    quantifiers (where fewest-occurrences preference must agree with
+    the regex engine's lazy forms)."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed,
+    )
+
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in _py_relaxed_matches(types, pattern)
+    ]
+    if not types:
+        return
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string"
+    )
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(len(pattern))),
+        )
+        for r in match_recognize_relaxed(ev, pattern, ts="event_id").collect()
+    )
+    assert got == sorted(want), (types, pat, got, want)
+
+
 # --- match_recognize_groups vs a group-aware backtracking reference ---
 
 def _py_group_spans(types: list[str], pattern) -> list[tuple[int, int]]:
