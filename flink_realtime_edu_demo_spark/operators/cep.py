@@ -8,8 +8,10 @@ Scope (the useful core of Flink's MATCH_RECOGNIZE):
   (``("click", "error")`` ≡ ``C|E``), with quantifiers ``1`` (exactly
   one), ``?``, ``+``, ``*``, bounded ``{m,n}``, and the reluctant
   forms ``??``, ``+?``, ``*?``, ``{m,n}?`` — contiguous rows, as in
-  SQL row-pattern matching (a non-matching row breaks adjacency; Flink
-  CEP's relaxed ``followedBy`` is the funnel operator instead);
+  SQL row-pattern matching (a non-matching row breaks adjacency;
+  Flink CEP's relaxed ``followedBy`` is
+  :func:`match_recognize_relaxed` since r9, and the earliest-chain
+  special case is operators/funnel.py);
 - ``PERMUTE(A, B, ...)`` groups (:func:`match_recognize_permute`) —
   k ≤ 4 variables matched once each in any order, lowered to the
   standard's lexicographic k! alternation;

@@ -375,3 +375,166 @@ def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("m") >= _SEM_TAU, F.lit(False)).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — pair-count merge iterations (VERDICT r8 #6)
+# ---------------------------------------------------------------------------
+
+_BPE_ITERS = 4
+
+
+def _bpe_merge_oracle_sql(iters: int) -> str:
+    """DuckDB SQL replaying :func:`q_llm_bpe_merges`: the same word-
+    frequency vocabulary, character symbolization, and ``iters``
+    unrolled merge steps as flat chained CTEs (the q_llm_kmeans
+    precedent — DuckDB 1.0's list_reduce is unsound, and the relational
+    gaps-and-islands merge needs no fold anyway)."""
+    ctes = ["""
+    words AS (
+        SELECT t.w AS word
+        FROM documents, unnest(regexp_extract_all(text, '[a-z]+')) AS t(w)
+    ),
+    vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              FROM words GROUP BY word),
+    m0 AS (
+        SELECT word, cnt, CAST(p AS BIGINT) AS pos,
+               substr(word, CAST(p AS INT), 1) AS sym
+        FROM vocab, unnest(generate_series(1, length(word))) AS t(p)
+    )"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    w{i} AS (SELECT word, cnt, pos, sym,
+                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+            FROM m{i - 1}),
+    t{i} AS (SELECT sym AS lhs, nxt AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+            FROM w{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+            ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    c{i} AS (SELECT w.*, (w.sym = t.lhs AND w.nxt = t.rhs) AS cand
+            FROM w{i} w CROSS JOIN t{i} t),
+    d{i} AS (SELECT *, pos - SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY word ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+            FROM c{i}),
+    e{i} AS (SELECT *, CASE WHEN cand
+                           THEN pos - MIN(pos) OVER (PARTITION BY word, island, cand)
+                      END AS off
+            FROM d{i}),
+    f{i} AS (SELECT word, cnt, pos, sym, nxt,
+                   CASE WHEN cand THEN off % 2 = 0 ELSE FALSE END AS mstart
+            FROM e{i}),
+    g{i} AS (SELECT *, COALESCE(lag(mstart) OVER (PARTITION BY word ORDER BY pos),
+                               FALSE) AS prevm
+            FROM f{i}),
+    m{i} AS (SELECT word, cnt,
+                   CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+                   CASE WHEN mstart THEN sym || nxt ELSE sym END AS sym
+            FROM g{i} WHERE NOT prevm)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS iter, lhs, rhs, lhs || rhs AS merged,"
+        f" pair_count FROM t{i}"
+        for i in range(1, iters + 1)
+    )
+    return "WITH" + ",".join(ctes) + "\n    " + unions
+
+
+@query("q_llm_bpe_merges", oracle=_bpe_merge_oracle_sql(_BPE_ITERS))
+def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training — the pair-count merge loop (Sennrich et
+    al. 2016), the one standard training-data pipeline stage SURVEY §2
+    had no key for: count adjacent symbol pairs over the word-frequency
+    vocabulary, merge the most frequent pair (ties broken
+    lexicographically), repeat. Returns the merge table —
+    ``iter, lhs, rhs, merged, pair_count`` — for ``_BPE_ITERS``
+    iterations, the artifact a tokenizer trainer persists.
+
+    Spark-first shape (the q_llm_kmeans unrolled-iterations precedent):
+    the only corpus-scale work is ONE map-side-combined word count;
+    every merge iteration then runs on the VOCABULARY (unique words ×
+    symbols — Heaps'-law bounded, millions of rows at 100 TB, not
+    corpus-scale), so iterations cost narrow vocab-sized shuffles and
+    the top pair is never collected to the driver — it re-enters the
+    plan as a broadcast cross join. The greedy left-to-right
+    non-overlapping merge (``aaaa`` + (a,a) → ``aa aa``) is pure
+    relational gaps-and-islands: candidate runs share ``pos − cumsum``
+    islands and merge at even offsets — no fold, no Python, exact
+    BIGINT counts (deterministic in both engines)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cur = vocab.select(
+        "word", "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("p"),
+    ).select(
+        "word", "cnt",
+        F.col("p").cast("long").alias("pos"),
+        F.col("word").substr(F.col("p"), F.lit(1)).alias("sym"),
+    )
+
+    w = Window.partitionBy("word").orderBy("pos")
+    merge_rows = []
+    for it in range(1, _BPE_ITERS + 1):
+        paired = cur.withColumn("nxt", F.lead("sym").over(w))
+        top = (
+            paired.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .select(
+                F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"),
+                "pair_count",
+            )
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(it).cast("long").alias("iter"), "lhs", "rhs",
+                F.concat("lhs", "rhs").alias("merged"), "pair_count",
+            )
+        )
+        j = (
+            paired.crossJoin(F.broadcast(top))
+            .withColumn(
+                "cand", (F.col("sym") == F.col("lhs"))
+                & (F.col("nxt") == F.col("rhs"))
+            )
+            .withColumn(
+                "island",
+                F.col("pos") - F.sum(F.col("cand").cast("long")).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+        w_isl = Window.partitionBy("word", "island", "cand")
+        j = j.withColumn(
+            "off", F.when(F.col("cand"), F.col("pos") - F.min("pos").over(w_isl))
+        ).withColumn(
+            "mstart",
+            F.when(F.col("cand"), F.col("off") % 2 == 0).otherwise(F.lit(False)),
+        ).withColumn(
+            "prevm", F.coalesce(F.lag("mstart").over(w), F.lit(False))
+        )
+        cur = (
+            j.where(~F.col("prevm"))
+            .select(
+                "word", "cnt",
+                F.row_number().over(w).cast("long").alias("new_pos"),
+                F.when(F.col("mstart"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym")).alias("sym"),
+            )
+            .withColumnRenamed("new_pos", "pos")
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out

@@ -58,3 +58,32 @@ def test_semantic_dedup_keeps_first_seen(spark, sf_dir):
         if r["max_cos_r"] is not None:
             # rounded surface: compare with half-ulp slack around tau
             assert r["is_dup"] == (r["max_cos_r"] >= 0.30 - 5e-7)
+
+
+def test_bpe_merge_is_greedy_nonoverlapping(spark, tmp_path):
+    """The gaps-and-islands merge must implement greedy left-to-right
+    NON-OVERLAPPING pair replacement: 'aaaa' + merge (a,a) yields two
+    'aa' symbols (pair count 3 before the merge — all adjacent
+    occurrences — but only alternate positions merge), and the merged
+    symbol participates in the NEXT iteration's pairs."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": [0], "text": ["aaaa aaaa aaaa"], "lang": ["en"],
+        "source": ["t"], "n_chars": [14],
+    })
+    d = str(tmp_path / "bpe")
+    import os
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    from flink_realtime_edu_demo_spark.registry import QUERIES as Q
+    rows = {r.iter: r for r in Q["q_llm_bpe_merges"](spark, d).collect()}
+    # iter 1: pair (a,a) appears 3x per word x 3 word-vocab-count... the
+    # vocab is ONE word 'aaaa' with cnt=3, so pair_count = 3 adjacents x 3.
+    assert (rows[1].lhs, rows[1].rhs, rows[1].pair_count) == ("a", "a", 9)
+    # after merging: 'aaaa' -> [aa, aa]; iter 2 pair is (aa, aa), cnt 3.
+    assert (rows[2].lhs, rows[2].rhs, rows[2].pair_count) == ("aa", "aa", 3)
+    # iter 3: single symbol 'aaaa' per word -> no pairs... the top-1
+    # LIMIT over an empty pair table yields NO row for iters 3-4.
+    assert 3 not in rows and 4 not in rows
