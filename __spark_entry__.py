@@ -41,27 +41,31 @@ _VERIFIED_GREEN = (
     # tests/test_verified_green.py). Ordered stalest-verdict-first
     # (r5 verdicts lead, then r6/r7/r8), so the window's spare slots
     # in future rounds re-check the oldest greens next. Held OUT and
-    # surfaced in _REVERIFY_FRONT instead: the 3 new round-9 keys
-    # (q_cep_followed_by, q_cep_followed_by_sessionized,
-    # q_llm_bpe_merges), all 26 remaining round-4 verdicts, and the
-    # 20 stalest round-5 verdicts. The two rows-only keys
-    # (q_agg_approx_uv, q_agg_approx_quantile) stay here -- their
-    # no_oracle verdict can never change, so a window slot on them is
-    # wasted.
-    "q_scd2_asof_enrich", "q_scd2_build", "q_set_except", "q_set_intersect",
-    "q_set_union", "q_set_union_all", "q_side_output", "q_sort_limit",
-    "q_stream_hop", "q_stream_session", "q_stream_tumble",
-    "q_stream_window_topn", "q_topn_per_key", "q_tpch_q20", "q_tpch_q22",
-    "q_ts_interval_merge", "q_win_laglead", "q_win_moving_avg", "q_win_rank",
-    "q_agg_argminmax", "q_agg_basic", "q_agg_bool", "q_agg_count_distinct",
-    "q_agg_grouping_sets", "q_agg_null_group", "q_dedup_exact", "q_fn_array",
-    "q_fn_cast", "q_fn_datetime2", "q_fn_editdist", "q_fn_trig", "q_funnel",
-    "q_join_range_bin", "q_llm_ann_ivf", "q_llm_centroids",
-    "q_llm_dedup_simhash", "q_llm_dup_groups", "q_llm_fingerprint",
-    "q_llm_kmeans", "q_llm_kmeans_assign", "q_llm_knn",
-    "q_llm_knn_ivf_scaled", "q_llm_lang_id", "q_llm_quality", "q_llm_tokens",
-    "q_llm_winnow", "q_mm_features", "q_mm_frames", "q_mm_meta_filter",
-    "q_pivot", "q_set_except_all", "q_set_intersect_all", "q_sort_nulls",
+    # surfaced in _REVERIFY_FRONT instead: the 4 new round-9 keys,
+    # the 3 q_cep_runagg* keys (operators/cep.py runagg machinery
+    # changed this round: ns suffix-min column + tail branch — the
+    # per-query-source hash guard cannot see operator edits, so they
+    # rotate forward by hand per its documented limitation), all 26
+    # remaining round-4 verdicts, and the 16 stalest round-5
+    # verdicts. The two rows-only keys (q_agg_approx_uv,
+    # q_agg_approx_quantile) stay here -- their no_oracle verdict can
+    # never change, so a window slot on them is wasted.
+    "q_llm_dedup_chargram", "q_llm_dedup_exact", "q_llm_dedup_fuzzy",
+    "q_mm_dedup_payload", "q_scd2_asof_enrich", "q_scd2_build",
+    "q_set_except", "q_set_intersect", "q_set_union", "q_set_union_all",
+    "q_side_output", "q_sort_limit", "q_stream_hop", "q_stream_session",
+    "q_stream_tumble", "q_stream_window_topn", "q_topn_per_key", "q_tpch_q20",
+    "q_tpch_q22", "q_ts_interval_merge", "q_win_laglead", "q_win_moving_avg",
+    "q_win_rank", "q_agg_argminmax", "q_agg_basic", "q_agg_bool",
+    "q_agg_count_distinct", "q_agg_grouping_sets", "q_agg_null_group",
+    "q_dedup_exact", "q_fn_array", "q_fn_cast", "q_fn_datetime2",
+    "q_fn_editdist", "q_fn_trig", "q_funnel", "q_join_range_bin",
+    "q_llm_ann_ivf", "q_llm_centroids", "q_llm_dedup_simhash",
+    "q_llm_dup_groups", "q_llm_fingerprint", "q_llm_kmeans",
+    "q_llm_kmeans_assign", "q_llm_knn", "q_llm_knn_ivf_scaled",
+    "q_llm_lang_id", "q_llm_quality", "q_llm_tokens", "q_llm_winnow",
+    "q_mm_features", "q_mm_frames", "q_mm_meta_filter", "q_pivot",
+    "q_set_except_all", "q_set_intersect_all", "q_sort_nulls",
     "q_stream_cumulate", "q_stream_late_branch", "q_tpch_q3", "q_tpch_q5",
     "q_udaf_groupagg", "q_udf_scalar", "q_udtf_split", "q_win_dist",
     "q_win_range_frame", "q_win_running_sum", "q_agg_corr", "q_agg_listagg",
@@ -78,7 +82,6 @@ _VERIFIED_GREEN = (
     "q_cep_alternation", "q_cep_group_quantifier", "q_cep_measures",
     "q_cep_negation", "q_cep_pattern", "q_cep_permute", "q_cep_prev",
     "q_cep_prev_sessionized", "q_cep_quantifier", "q_cep_reluctant",
-    "q_cep_runagg", "q_cep_runagg_interior", "q_cep_runagg_sessionized",
     "q_cep_sessionized", "q_cep_skip_last", "q_cep_skip_next",
     "q_cep_unmatched_rows", "q_cep_within", "q_cep_within_define",
     "q_distinct", "q_dq_profile", "q_explode_array", "q_explode_outer",
@@ -90,25 +93,26 @@ _VERIFIED_GREEN = (
 )
 
 # Keys deliberately re-surfaced for the round-9 driver window.
-# FIRST: the three new round-9 keys with no driver verdict yet
-# (relaxed-contiguity followedBy CEP x2, BPE merges). Then the 26
+# FIRST: the four new round-9 keys with no driver verdict yet
+# (relaxed-contiguity followedBy CEP x2, BPE merges, quantified-tail
+# runagg), then the 3 changed-operator runagg sentinels, the 26
 # remaining round-4 verdicts (5 rounds stale -- the VERDICT r8
-# "stalest verdict <= r5" target) and the 20 stalest round-5
+# "stalest verdict <= r5" target) and the 16 stalest round-5
 # verdicts. Window total is exactly 1 warmup + 49 = 50.
 _REVERIFY_FRONT = (
     "q_cep_followed_by", "q_cep_followed_by_sessionized", "q_llm_bpe_merges",
-    "q_join_lateral", "q_llm_bigram_score", "q_llm_heavy_hitters",
-    "q_llm_minhash_lsh", "q_llm_pack_chunks", "q_llm_pack_greedy",
-    "q_llm_pii_scrub", "q_llm_rand_proj", "q_llm_substring_dedup",
-    "q_llm_token_len_hist", "q_stream_session_dyngap", "q_tpch_q1",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q15", "q_tpch_q16",
-    "q_tpch_q17", "q_tpch_q2", "q_tpch_q21", "q_tpch_q8", "q_tpch_q9",
-    "q_ts_gapfill", "q_ts_interp", "q_ts_ohlc", "q_unpivot", "q_fn_bitwise",
-    "q_fn_datetime", "q_fn_hash", "q_fn_map", "q_fn_math", "q_fn_string",
-    "q_fn_string2", "q_join_anti", "q_join_cross_topk", "q_join_full",
-    "q_join_inner", "q_join_interval", "q_join_left", "q_join_semi",
-    "q_join_theta", "q_join_window", "q_llm_dedup_chargram",
-    "q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_mm_dedup_payload",
+    "q_cep_runagg_tail", "q_cep_runagg", "q_cep_runagg_interior",
+    "q_cep_runagg_sessionized", "q_join_lateral", "q_llm_bigram_score",
+    "q_llm_heavy_hitters", "q_llm_minhash_lsh", "q_llm_pack_chunks",
+    "q_llm_pack_greedy", "q_llm_pii_scrub", "q_llm_rand_proj",
+    "q_llm_substring_dedup", "q_llm_token_len_hist",
+    "q_stream_session_dyngap", "q_tpch_q1", "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q13", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q2",
+    "q_tpch_q21", "q_tpch_q8", "q_tpch_q9", "q_ts_gapfill", "q_ts_interp",
+    "q_ts_ohlc", "q_unpivot", "q_fn_bitwise", "q_fn_datetime", "q_fn_hash",
+    "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2", "q_join_anti",
+    "q_join_cross_topk", "q_join_full", "q_join_inner", "q_join_interval",
+    "q_join_left", "q_join_semi", "q_join_theta", "q_join_window",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -91,24 +91,34 @@ def main() -> int:
         print(f"# {key}: {timings[key]:.3f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "n_queries": len(timings),
-                "repeat": repeat,
-                "stat": stat,
-                "load_avg_start": round(load_start, 2),
-                "load_avg_end": round(os.getloadavg()[0], 2),
-                **({"errors": errors} if errors else {}),
-            }
-        ),
-        flush=True,
-    )
+    payload = {
+        "metric": "total_wall_clock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "repeat": repeat,
+        "stat": stat,
+        "load_avg_start": round(load_start, 2),
+        "load_avg_end": round(os.getloadavg()[0], 2),
+        **({"errors": errors} if errors else {}),
+    }
+    print(json.dumps(payload), flush=True)
+    # Also persist the full JSON next to bench.py (VERDICT r8 "what's
+    # wrong" #4: the driver's stdout capture truncates, so BENCH_r{N}
+    # artifacts carried only a tail — this file rides the end-of-round
+    # snapshot commit instead). SPARK_GRAFT_BENCH_OUT overrides the
+    # path; full sweeps only, so a SPARK_GRAFT_BENCH_KEYS smoke can't
+    # clobber the recorded sweep.
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out is None and not subset:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_last.json")
+    if out:
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
     spark.stop()
     return 0
 

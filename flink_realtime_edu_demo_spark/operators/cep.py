@@ -1955,12 +1955,15 @@ def _validate_runagg(pattern) -> tuple[list, tuple, tuple | None]:
 
     Scope (documented in COVERAGE.md): the aggregate variable takes
     quantifier '+' or '*' and sits in FINAL position, or — the bounded
-    interior form (round 7) — is followed by exactly ONE simple
-    single-row suffix variable (`PATTERN (A B+ C)`): greedy B
-    backtracks to the longest run whose next row satisfies C, which the
-    prefix-sum machinery resolves without an NFA. Deeper interior
-    positions (a quantified or multi-variable tail after the aggregate)
-    still need a true NFA and stay descoped.
+    interior form (round 7) — is followed by exactly ONE simple suffix
+    variable with quantifier '1' (`PATTERN (A B+ C)`) or, since round
+    9, '+' (`PATTERN (A B+ C+)`): greedy B backtracks to the longest
+    run whose next row satisfies C, which the prefix-sum machinery
+    resolves without an NFA; a '+' suffix then absorbs the MAXIMAL
+    consecutive satisfying run (its extent is a precomputed suffix-min
+    lookup, the ``nb`` trick applied to the suffix flag). Multi-
+    variable tails after the aggregate still need a true NFA and stay
+    descoped.
 
     Returns ``(prefix_vars, aggregate_var, suffix_var_or_None)``.
     """
@@ -1986,10 +1989,11 @@ def _validate_runagg(pattern) -> tuple[list, tuple, tuple | None]:
     suffix = pattern[ai + 1] if ai == len(pattern) - 2 else None
 
     def check_simple(var, define, quant, role):
-        if quant != "1":
+        allowed = ("1", "+") if role == "suffix" else ("1",)
+        if quant not in allowed:
             raise ValueError(
-                f"{role} variable {var!r} must have quantifier '1' "
-                "(running-aggregate scope)")
+                f"{role} variable {var!r} must have quantifier in "
+                f"{allowed} (running-aggregate scope)")
         bad = set(define) - {"types", "dir"}
         if bad:
             raise ValueError(f"{role} variable {var!r}: unknown or "
@@ -2063,9 +2067,13 @@ def match_recognize_runagg(
     match, rows are contiguous, so the aggregate over B's rows is a
     difference of partition prefix sums). The aggregate variable may
     be FINAL, or — the bounded interior form — followed by exactly one
-    single-row suffix variable (`PATTERN (A B+ C)`): greedy B then
+    simple suffix variable (`PATTERN (A B+ C)`): greedy B then
     backtracks to the LONGEST run whose next row satisfies C, resolved
-    as an array_max over the same prefix-sum candidates (no NFA).
+    as an array_max over the same prefix-sum candidates (no NFA). A
+    '+'-quantified suffix (`PATTERN (A B+ C+)`, round 9 — the first
+    slice of the formerly descoped quantified-tail boundary) then
+    absorbs the MAXIMAL consecutive satisfying run: its extent is the
+    precomputed per-row ``ns`` suffix-min lookup, O(1) per candidate.
 
     Lowering (one shuffle, zero Python): per key, an ordered window
     computes row numbers and an EXACT DECIMAL(18,6) running sum of
@@ -2137,6 +2145,18 @@ def match_recognize_runagg(
     nb = F.min(F.when(~okb_col, rn)).over(
         w.rowsBetween(0, Window.unboundedFollowing)
     )
+    oksuf_col = (simple_ok(suffix[1]) if suffix is not None else F.lit(False))
+    # ns: row number of the NEXT row (this one included) whose suffix
+    # flag is false — the same suffix-min trick as nb, riding the same
+    # shuffle. For a '+'-quantified suffix it turns "maximal
+    # consecutive oksuf run starting here" into an O(1) lookup.
+    tail = suffix is not None and suffix[2] == "+"
+    ns = (
+        F.min(F.when(~oksuf_col, rn)).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+        if tail else F.lit(None).cast("long")
+    )
     rows = events.select(
         *[F.col(k) for k in keys],
         F.struct(
@@ -2144,11 +2164,11 @@ def match_recognize_runagg(
             F.col(id_col).alias("id"),
             F.array(*[simple_ok(d) for _, d, _ in prefix]).alias("okpre"),
             okb_col.alias("okb"),
-            (simple_ok(suffix[1]) if suffix is not None else F.lit(False))
-            .alias("oksuf"),
+            oksuf_col.alias("oksuf"),
             sp.alias("sp"),
             (sp - vdec).alias("sp0"),
             nb.alias("nb"),
+            ns.alias("ns"),
         ).alias("t"),
     )
     # mono: every partition value is >= 0 (sp - sp0 = the row's value),
@@ -2273,9 +2293,19 @@ def match_recognize_runagg(
                 ),
             )
         )
+        if suffix[2] == "+":
+            # '+'-quantified tail (round 9): the suffix absorbs the
+            # MAXIMAL consecutive oksuf run from its first row s+t_sel
+            # — extent = the precomputed ns lookup at that row (the
+            # run's first non-satisfying successor), so the tail costs
+            # O(1) per candidate like the monotone nb path.
+            first_c = s + t_sel
+            end = F.coalesce(at(first_c)["ns"] - 1, n.cast("long"))
+        else:
+            end = s + t_sel
         return F.struct(
             j.cast("long").alias("off"),
-            (s + t_sel).cast("long").alias("end"),
+            end.cast("long").alias("end"),
             t_sel.cast("long").alias("b_rows"),
             (pre_ok & t_sel.isNotNull()).alias("valid"),
         )
@@ -2428,7 +2458,19 @@ def match_recognize_runagg_oracle_sql(
     else:
         # bounded interior form: the suffix row sits at off+p+t for the
         # chosen run length t in [min_b, maxrun]; greedy backtracking
-        # picks the LARGEST t whose suffix row satisfies its define
+        # picks the LARGEST t whose suffix row satisfies its define.
+        # A '+'-quantified suffix (round 9) then extends endrn to the
+        # last row of the maximal consecutive oksuf run — the row
+        # before the run's first non-satisfying successor (n if none),
+        # the same ns lookup the Spark engine precomputes.
+        eq_r3sx = " AND ".join(f"r3.{k} = sx.{k}" for k in klist)
+        if suffix[2] == "+":
+            endrn_sql = f"""COALESCE((SELECT min(r3.rn) FROM r r3
+                    WHERE {eq_r3sx} AND r3.rn >= sx.sufrn
+                      AND NOT r3.oksuf) - 1, sx.n)"""
+        else:
+            endrn_sql = "sx.sufrn"
+        sx_key = ", ".join(f"sx.{k}" for k in klist)
         m1 = f"""
     mx AS (
         SELECT {key}, off, base, n,
@@ -2436,17 +2478,18 @@ def match_recognize_runagg_oracle_sql(
         FROM cand
     ),
     m1 AS (
-        SELECT {key}, off, base, sufrn - off - {p} AS b_rows, sufrn AS endrn
+        SELECT {sx_key}, sx.off, sx.base, sx.sufrn - sx.off - {p} AS b_rows,
+               {endrn_sql} AS endrn
         FROM (
-            SELECT {c_key}, c.off, c.base,
+            SELECT {c_key}, c.off, c.base, c.n,
                    (SELECT max(r2.rn) FROM r r2
                     WHERE {eq_r2c}
                       AND r2.rn >= c.off + {p} + {min_b}
                       AND r2.rn <= c.off + {p} + c.maxb
                       AND r2.oksuf) AS sufrn
             FROM mx c WHERE c.maxb >= {min_b}
-        )
-        WHERE sufrn IS NOT NULL
+        ) sx
+        WHERE sx.sufrn IS NOT NULL
     )"""
     if skip == "to_next_row":
         numbering = f"""

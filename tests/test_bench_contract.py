@@ -43,3 +43,29 @@ def test_bench_emits_one_parseable_json_line():
     assert d["value"] > 0
     assert all(v > 0 for v in d["queries"].values())
     assert "errors" not in d
+
+
+def test_bench_gate_ratio_and_floor(tmp_path):
+    """tools/bench_gate.py fails only on keys that are BOTH >2x and
+    >0.25s absolutely slower — one GC pause on a 0.1s key passes, a
+    real 2x regression on a 1s key fails; exit codes match."""
+    import json as _json
+
+    base = {"queries": {"a": 0.10, "b": 1.00, "c": 0.50}}
+    bp = tmp_path / "base.json"
+    bp.write_text(_json.dumps(base))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_gate
+
+    ok = tmp_path / "ok.json"
+    ok.write_text(_json.dumps({"queries": {"a": 0.17, "b": 1.20, "c": 0.55}}))
+    assert bench_gate.main([str(ok), "--baseline", str(bp)]) == 0
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({"queries": {"a": 0.17, "b": 2.30, "c": 0.55}}))
+    assert bench_gate.main([str(bad), "--baseline", str(bp)]) == 1
+
+    # new key without a baseline row is informational, not a failure
+    new = tmp_path / "new.json"
+    new.write_text(_json.dumps({"queries": {"a": 0.1, "zz_new": 9.9}}))
+    assert bench_gate.main([str(new), "--baseline", str(bp)]) == 0

@@ -1433,6 +1433,11 @@ def _py_runagg_spans(rows, pattern, skip):
         for t in range(length, min_b - 1, -1):  # greedy backtracking
             i = s + t
             if i < len(rows) and sat(i, suffix[1]):
+                if suffix[2] == "+":
+                    # quantified tail: absorb the maximal consecutive
+                    # satisfying run from the first suffix row
+                    while i + 1 < len(rows) and sat(i + 1, suffix[1]):
+                        i += 1
                 return (j, i)
         return None
 
@@ -1504,6 +1509,56 @@ def test_match_recognize_runagg_matches_reference(
         prefix = [{}]  # all-optional patterns are rejected at plan time
     pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
     pattern.append(("B", adef, aq))
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_runagg_spans(rows, pattern, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_runagg(
+            ev, pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pattern, skip, got, want)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(-3, 5),
+        ),
+        min_size=1, max_size=30,
+    ),
+    prefix=runagg_prefix,
+    adef=runagg_adef,
+    sufdef=st.sampled_from([
+        {}, {"types": ("click",)}, {"types": ("view", "error")},
+        {"dir": "up"}, {"dir": "down"},
+    ]),
+    aq=st.sampled_from(["+", "*"]),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_runagg_tail_matches_reference(
+    spark, rows, prefix, adef, sufdef, aq, skip_sel
+):
+    """The '+'-quantified tail form (PATTERN (A B+ C+), round 9) must
+    reproduce the reference's spans: greedy-backtracked aggregate run,
+    then the MAXIMAL consecutive suffix-satisfying run — across sum/avg,
+    all comparators, dir/type suffix defines, and both skip modes (the
+    longer tail changes the past_last_row resume position, so both
+    folds are exercised)."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg,
+    )
+
+    pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
+    pattern.append(("B", adef, aq))
+    pattern.append(("SUF", sufdef, "+"))
     skip = ["past_last_row", "to_next_row"][skip_sel]
     want = _py_runagg_spans(rows, pattern, skip)
     ev = spark.createDataFrame(

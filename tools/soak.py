@@ -68,26 +68,23 @@ OUT = os.path.join(
 
 # The scale-sensitive families: every dedup/CC/ANN/pack key + the full
 # TPC-H sweep + the heavy window/stream lowerings.
-SOAK_KEYS = [
-    "q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_llm_minhash_lsh",
-    "q_llm_dedup_simhash", "q_llm_dedup_chargram",
-    "q_llm_substring_dedup", "q_llm_dup_groups", "q_llm_winnow",
-    "q_llm_fingerprint", "q_llm_knn", "q_llm_knn_ivf_scaled", "q_llm_ann_ivf",
-    "q_llm_kmeans", "q_llm_kmeans_assign", "q_llm_centroids",
-    "q_llm_tfidf", "q_llm_keyword_topk", "q_llm_tokens",
-    "q_llm_pack_chunks", "q_llm_pack_greedy", "q_llm_heavy_hitters",
-    "q_llm_rand_proj", "q_llm_embed_quant",
-] + [f"q_tpch_q{i}" for i in range(1, 23)] + [
-    "q_cep_pattern", "q_cep_prev", "q_cep_skip_next", "q_cep_skip_last",
-    "q_cep_quantifier", "q_cep_prev_sessionized", "q_cep_sessionized",
-    "q_cep_runagg", "q_cep_reluctant", "q_cep_permute",
-    # round-7 additions on arrival (VERDICT r6 next-step #8)
-    "q_cep_all_rows", "q_cep_all_rows_define", "q_cep_measures",
-    "q_cep_within", "q_cep_within_define", "q_cep_unmatched_rows", "q_cep_negation", "q_cep_runagg_interior", "q_cep_runagg_sessionized",
-    "q_join_skew_salted", "q_join_lookup_async", "q_agg_salted_count",
-    "q_stream_session_dyngap", "q_stream_window_topn",
-    "q_ts_interval_merge", "q_funnel",
-]
+# Round 9 (VERDICT r8 #5, the >=120-key target): the soak set is now
+# EVERY declared registry key except a short, documented exclude list —
+# coverage by subtraction can't silently miss new keys.
+SOAK_EXCLUDE = {
+    "q_warmup",          # harness warm-up, not an operator
+    # declared brute-force probe keys whose cost is O(N^2) BY CONTRACT
+    # (SCALE.md documents the limit; the scale path is their bucketed /
+    # binned siblings, which ARE soaked):
+    "q_join_theta", "q_join_cross_topk",
+}
+
+
+def _soak_keys() -> list[str]:
+    import flink_realtime_edu_demo_spark.queries  # noqa: F401
+    from flink_realtime_edu_demo_spark.registry import QUERIES
+
+    return [k for k in sorted(QUERIES) if k not in SOAK_EXCLUDE]
 
 
 #: q_llm_knn_ivf_scaled is a declared registry key since r6 (the
@@ -195,7 +192,7 @@ def run() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["q_agg_basic"](spark, BASE).collect()  # warm-up
     subset = os.environ.get("SPARK_GRAFT_SOAK_KEYS")
-    keys = subset.split(",") if subset else SOAK_KEYS
+    keys = subset.split(",") if subset else _soak_keys()
     # sink=noop (a noop-format write) avoids materializing huge result
     # sets on the driver — required for >=100x runs, where a 10M-row
     # collect() OOMs the JVM (a harness artifact: the engine-side plan
