@@ -2682,21 +2682,61 @@ def _relaxed_piece(etype, quant: str, chars: dict[str, str],
     before the match, so a leading gap would only drag unrelated rows
     into the match span (and wreck first_event_id / SKIP PAST LAST
     ROW). Quantifier sits INSIDE the group so the group always
-    participates ('' for an absent optional)."""
+    participates ('' for an absent optional).
+
+    FLAT lowering for positive variables (hot-key stack safety —
+    found by tools/hotkey_stress.py): the naive nested loop
+    ``(?:gap* admit)+`` compiles to Java regex's RECURSIVE Loop node
+    (one stack frame per token), overflowing the JVM stack at ~5k
+    events in one key string. Because class letters appear ONLY as
+    token heads (ids are digits, ';' separates), two char-class
+    equivalences hold for a POSITIVE variable with class ``cls``:
+    ``gap*`` (skip to the FIRST cls-token) ≡ ``[^cls]*`` — the greedy
+    char star cannot cross a cls char — and ``(?:anytok)*`` (settle at
+    the LAST cls-token, give back one occurrence at a time) ≡
+    ``[a-z0-9;]*`` — every giveback position where the admit atom can
+    start IS a cls-token head. Both are plain char-class stars, which
+    Java matches ITERATIVELY, and RE2 agrees on the leftmost
+    greedy/lazy settle order, so matches are byte-identical to the
+    nested form. COMPLEMENT variables keep the token-group lowering
+    (their admit class ``[^cls]`` would also match digits mid-token,
+    so the char flattening is unsound); their recursion depth is one
+    frame per occurrence/gap token — fine at session scale, and the
+    sessionized form is the documented hot-key deployment anyway."""
     occ = _relaxed_occ(etype, chars)
-    if not first:
-        return f"({occ}{_quant_regex(quant)})"
     lo, hi, lazy = _quant_parse(quant)
-    anchor = f"(?:{_atom(etype, chars)}[0-9]+;)"
-    rest_hi = None if hi is None else hi - 1
     zz = "?" if lazy else ""
-    if rest_hi == 0:
-        rest = ""
-    elif lo - 1 == 0 and rest_hi is None:
-        rest = f"{occ}*{zz}"
-    else:
-        rest = f"{occ}{{{lo - 1},{rest_hi}}}{zz}"
-    return f"({anchor}{rest})"
+    opt = "??" if lazy else "?"
+    if _var_negated(etype):
+        admit = f"(?:{_atom(etype, chars)}[0-9]+;)"
+        if not first:
+            return f"({occ}{_quant_regex(quant)})"
+        if hi == 1:
+            return f"({admit})"
+        if hi is None and lo == 1:
+            return f"({admit}(?:{occ}*{zz}))"
+        return f"({admit}{occ}{{{lo - 1},{hi - 1}}}{zz})"
+    cls = _var_class(etype, chars)
+    a = f"{cls if len(cls) == 1 else f'[{cls}]'}[0-9]+;"
+    skip = f"[^{cls}]*"          # to the FIRST cls-token (deterministic)
+    anytk = f"[a-z0-9;]*{zz}"    # settle at last/first cls-token
+    if not first:
+        if quant == "1":
+            return f"({skip}{a})"
+        if quant in ("?", "??"):
+            return f"((?:{skip}{a}){zz})"
+        if quant in ("+", "+?"):
+            return f"({anytk}{a})"
+        if quant in ("*", "*?"):
+            return f"((?:{anytk}{a}){opt})"
+        return f"((?:{skip}{a}){_quant_regex(quant)})"  # bounded {m,n}
+    # first variable: anchored first occurrence, min >= 1 validated
+    if hi == 1:
+        return f"({a})"
+    if hi is None and lo == 1:
+        return f"({a}(?:{anytk}{a}){opt})"
+    # bounded {m,n} with n > 1: char-gap occurrences, depth <= n - 1
+    return f"({a}(?:{skip}{a}){{{lo - 1},{hi - 1}}}{zz})"
 
 
 def _relaxed_regex(pattern, chars: dict[str, str]) -> str:
@@ -2761,11 +2801,16 @@ def match_recognize_relaxed(
     - greedy left-to-right enumeration, ONE ROW PER MATCH, AFTER MATCH
       SKIP PAST LAST ROW.
 
-    Lowering: each variable becomes ``((?:gap* admit)quant)`` over the
-    per-key token string — gap = the variable's complement class, so
-    each occurrence is deterministic and backtracking (Java regex and
-    DuckDB's RE2 agree leftmost-first) only explores occurrence counts.
-    Still exactly one shuffle and zero Python rows.
+    Lowering: each variable becomes a capture-grouped skip-then-admit
+    piece over the per-key token string; for positive variables the
+    gaps flatten to plain char-class stars (``[^cls]*`` /
+    ``[a-z0-9;]*`` — see :func:`_relaxed_piece`), which Java regex
+    matches ITERATIVELY (the nested token-group form overflows the JVM
+    stack at ~5k events per key — tools/hotkey_stress.py) and RE2
+    agrees on leftmost-first, so the Spark scan and the DuckDB replay
+    stay byte-identical. Complement variables keep the token-group
+    form and are hot-key-safe only sessionized (SCALE.md). Still
+    exactly one shuffle and zero Python rows.
 
     Returns ``key..., match_no, first_event_id, last_event_id, n_rows
     (rows variables consumed), n_skipped (rows skipped inside the match

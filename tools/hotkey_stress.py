@@ -1,4 +1,5 @@
-"""Hot-key stress for the running-aggregate CEP family (round 7).
+"""Hot-key stress for the running-aggregate CEP family (round 7)
+and the relaxed-contiguity (followedBy) engine (round 9).
 
 The 10x/100x soaks replicate KEYS (shifted id spaces), so per-key row
 counts never grow — they can't exercise the one scale hazard VERDICT r6
@@ -20,6 +21,15 @@ spans a 25-hour pause and merges what any analyst would call two
 separate episodes (measured: 667 flat vs 700 sessionized matches at
 n=20k) — which is the semantic argument, on top of the cost argument,
 for deploying the sessionized form on unbounded keys.
+
+Round 9 adds the RELAXED (followedBy) engine to the same harness:
+`match_recognize_relaxed` on PATTERN (V C+ P) over one hot key. Its
+hazard is regex BACKTRACKING, not candidate arrays: greedy C+ swallows
+every remaining click, then gives occurrences back one at a time, each
+giveback rescanning the P gap — O(n·givebacks) on a key whose
+purchases are sparse late in the string. The sessionized form bounds
+the string (and thus both terms) by session length — the same
+deployment answer, measured here.
 
 Usage: python tools/hotkey_stress.py   # writes HOTKEY.json
 
@@ -47,6 +57,15 @@ PATTERN = [
     ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+"),
 ]
 
+# Relaxed-contiguity family: the Flink followedBy chain. Purchases are
+# deliberately SPARSE (1 in 97 events) so greedy C+ runs long before
+# each giveback — the adversarial shape for the backtracking scan.
+FB_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "+"),
+    ("P", "purchase", "1"),
+]
+
 
 def hot_events(spark, n: int):
     from pyspark.sql import functions as F
@@ -65,6 +84,20 @@ def hot_events(spark, n: int):
             .alias("event_type"),
             ((F.col("id") * 37 % 23) / 2.0).cast("double").alias("value"),
         )
+    )
+
+
+def hot_events_fb(spark, n: int):
+    """Same hot-key burst stream with sparse purchases for the
+    followedBy chain (purchase wins the when-chain, so view/click
+    positions shift only at the 1-in-97 purchase slots)."""
+    from pyspark.sql import functions as F
+
+    base = hot_events(spark, n)
+    return base.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, "purchase")
+        .otherwise(F.col("event_type")),
     )
 
 
@@ -97,18 +130,53 @@ def main() -> None:
         out["sessionized"][str(n)] = {"sec": dt, "matches": len(sess)}
         print(f"  sessionized n={n}: {dt:>7.2f}s  {len(sess)} matches",
               flush=True)
-    # both forms must find work proportional to N (the flat form finds
-    # slightly FEWER matches — under-threshold B+ runs span pauses and
-    # merge episodes, see module docstring — but the count still
-    # doubles with N if nothing is silently dropped)
-    for fam, ns in (("flat", (5_000, 10_000)), ("sessionized", (20_000, 100_000))):
+    # round 9: the relaxed (followedBy) engine on the same hot key
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed,
+        match_recognize_relaxed_sessionized,
+    )
+
+    out["relaxed_flat"] = {}
+    out["relaxed_sessionized"] = {}
+    for n in (5_000, 10_000, 20_000):
+        ev = hot_events_fb(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        m = match_recognize_relaxed(ev, FB_PATTERN).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["relaxed_flat"][str(n)] = {"sec": dt, "matches": len(m)}
+        print(f"  relaxed     n={n}: {dt:>7.2f}s  {len(m)} matches",
+              flush=True)
+    for n in (20_000, 100_000, 200_000):
+        ev = hot_events_fb(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        m = match_recognize_relaxed_sessionized(ev, FB_PATTERN, GAP).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["relaxed_sessionized"][str(n)] = {"sec": dt, "matches": len(m)}
+        print(f"  relaxed_sess n={n}: {dt:>7.2f}s  {len(m)} matches",
+              flush=True)
+    # both runagg forms must find work proportional to N (the flat form
+    # finds slightly FEWER matches — under-threshold B+ runs span
+    # pauses and merge episodes, see module docstring — but the count
+    # still doubles with N if nothing is silently dropped). The
+    # sessionized relaxed form scales linearly too. The FLAT relaxed
+    # form does NOT and must not: greedy C+ spans the key's entire
+    # history (consuming-gap semantics), so one hot key yields exactly
+    # ONE giant match at every N — measured here as the SEMANTIC
+    # argument, on top of the cost argument, for sessionizing
+    # followedBy on unbounded keys (mirrors the operator docstring).
+    for fam, ns in (("flat", (5_000, 10_000)), ("sessionized", (20_000, 100_000)),
+                    ("relaxed_sessionized", (20_000, 100_000))):
         a, b = (out[fam][str(n)]["matches"] for n in ns)
         ratio = b / a
         want = ns[1] / ns[0]
         assert abs(ratio - want) / want < 0.05, (fam, a, b, ratio, want)
+    for n in (5_000, 10_000, 20_000):
+        assert out["relaxed_flat"][str(n)]["matches"] == 1, out["relaxed_flat"]
     with open(os.path.join(REPO, "HOTKEY.json"), "w") as f:
         json.dump({"burst": BURST, "pause_min": PAUSE_MIN, "gap": GAP,
-                   "pattern": "A(view) B+(sum<150)", "results": out}, f,
+                   "pattern": "A(view) B+(sum<150)",
+                   "fb_pattern": "V C+ P (relaxed, purchases 1/97)",
+                   "results": out}, f,
                   indent=1)
     print("wrote HOTKEY.json")
     spark.stop()
