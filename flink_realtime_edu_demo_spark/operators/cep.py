@@ -2872,6 +2872,23 @@ def _relaxed_oracle_core(
     _validate_relaxed(pattern)
     chars = _char_map(pattern)
     regex = _relaxed_regex(pattern, chars)
+    return _relaxed_oracle_with(pattern, chars, regex, keys, source_sql,
+                                ts, type_col, id_col)
+
+
+def _relaxed_oracle_with(
+    pattern,
+    chars: dict[str, str],
+    regex: str,
+    keys: list[str],
+    source_sql: str,
+    ts: str,
+    type_col: str,
+    id_col: str,
+) -> str:
+    """The SQL emitter behind :func:`_relaxed_oracle_core`, taking a
+    prebuilt alphabet + regex so variants (notFollowedBy's
+    forbid-extended alphabet) replay through the same decode."""
     case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
     ks = ", ".join(keys)
     k = len(pattern)
@@ -2982,4 +2999,363 @@ def match_recognize_relaxed_sessionized_oracle_sql(
                                      ORDER BY {ts}, {id_col}) AS prev_ts
               FROM {table})"""
     return _relaxed_oracle_core(pattern, [key, "session_id"], source,
+                                ts, type_col, id_col)
+
+
+def match_recognize_relaxed_within(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    within_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flink CEP's most common real-world composition:
+    ``begin(...).followedBy(...).within(Time)`` — relaxed-contiguity
+    matching with a per-match time bound. Every consumed row (matched
+    AND skipped) must fall inside ``[first_ts, first_ts + within]``;
+    a chain that cannot complete in the window yields no match (a
+    shorter in-window completion is preferred, per greedy
+    backtracking over the truncated run). Greedy, ONE ROW PER MATCH,
+    AFTER MATCH SKIP PAST LAST ROW.
+
+    Lowering: the :func:`match_recognize_within` anchored machinery
+    with the relaxed captured regex — per anchor the eligible run is
+    the contiguous rows with ``ts <= ts_anchor + within`` and the
+    anchored scan applies to exactly that substring (the time bound
+    also CLOSES the skip-till-next state that an unbounded relaxed
+    scan would hold open, so this is hot-key-safe without
+    sessionizing — the within window IS the bound). Measures are
+    decoded by re-extracting the capture groups from the matched
+    substring itself, which reproduces the original parse exactly:
+    every alternative explored before the first success depends only
+    on consumed content. Same single shuffle, zero Python.
+
+    Returns ``key..., match_no, first_event_id, last_event_id,
+    n_rows (variable-consumed), n_skipped, n_<var>...`` (the relaxed
+    measure set). Window boundary CLOSED, as the within engine.
+    """
+    _validate_relaxed(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    chars = _char_map(pattern)
+    regex = _relaxed_regex(pattern, chars)
+    anchored = f"^(?:{regex})"
+    lead = _leading_classes(pattern, chars)
+    win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+
+    tok_char: F.Column = F.lit("z")
+    for etype, ch in reversed(chars.items()):
+        tok_char = F.when(F.col(type_col) == etype, ch).otherwise(tok_char)
+    rows = events.select(
+        *[F.col(k) for k in keys],
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";"))
+            .alias("tok"),
+        ).alias("t"),
+    )
+    grouped = rows.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("t")).alias("arr")
+    )
+    out = _within_core(grouped, keys, anchored, win, lead)
+    m = F.col("col")["m"]
+    n_vars = [
+        _relaxed_var_count(
+            F.regexp_extract(m, anchored, i + 1), var, etype, chars
+        )
+        for i, (var, etype, _) in enumerate(pattern)
+    ]
+    n_rows = n_vars[0]
+    for c in n_vars[1:]:
+        n_rows = n_rows + c
+    n_tok = (F.length(m) - F.length(F.translate(m, ";", ""))).cast("long")
+    return out.select(
+        *[F.col(k) for k in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract(m, "^[a-z]([0-9]+);", 1).cast("long")
+        .alias("first_event_id"),
+        F.regexp_extract(m, "([0-9]+);$", 1).cast("long")
+        .alias("last_event_id"),
+        n_rows.cast("long").alias("n_rows"),
+        (n_tok - n_rows).cast("long").alias("n_skipped"),
+        *n_vars,
+    )
+
+
+def match_recognize_relaxed_within_oracle_sql(
+    pattern,
+    within_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_relaxed_within`:
+    the within engine's per-anchor truncated substring + recursive-CTE
+    selection, with the relaxed captured regex and per-group measure
+    re-extraction from the matched substring."""
+    _validate_relaxed(pattern)
+    chars = _char_map(pattern)
+    regex = _relaxed_regex(pattern, chars)
+    case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+    lead = _leading_classes(pattern, chars)
+    prune = (
+        "WHERE substring(r.tok, 1, 1) IN ("
+        + ", ".join(f"'{c}'" for c in lead) + ")"
+    ) if lead else ""
+
+    def strip_class(expr: str, cls: str) -> str:
+        for c in cls:
+            expr = f"replace({expr}, '{c}', '')"
+        return expr
+
+    def group_expr(i: int) -> str:
+        return f"regexp_extract(m, '^(?:{regex})', {i + 1})"
+
+    def count_expr(i, etype) -> str:
+        g = group_expr(i)
+        cls = _var_class(etype, chars)
+        cls_cnt = f"length({g}) - length({strip_class(g, cls)})"
+        if _var_negated(etype):
+            return (f"(length({g}) - length(replace({g}, ';', '')))"
+                    f" - ({cls_cnt})")
+        return cls_cnt
+
+    n_exprs = [count_expr(i, etype)
+               for i, (_, etype, _) in enumerate(pattern)]
+    n_rows = " + ".join(f"({e})" for e in n_exprs)
+    var_counts = ",\n           ".join(
+        f"CAST({e} AS BIGINT) AS n_{var.lower()}"
+        for e, (var, _, _) in zip(n_exprs, pattern)
+    )
+    return f"""
+    WITH RECURSIVE src AS (SELECT * FROM {table}),
+    toks AS (
+        SELECT {key}, {ts}, {id_col},
+               CASE {type_col} {case} ELSE 'z' END || {id_col} || ';' AS tok
+        FROM src
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col}, tok,
+               row_number() OVER w AS rn,
+               CAST(1 + COALESCE(SUM(length(tok))
+                   OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off,
+               COUNT(*) OVER (PARTITION BY {key} ORDER BY {ts}
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND INTERVAL {int(within_minutes)} MINUTE
+                                  FOLLOWING) AS rj
+        FROM toks
+        WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {id_col})
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key}),
+    hits AS (
+        SELECT r.{key}, r.off,
+               regexp_extract(
+                   substring(q.s, CAST(r.off AS INT),
+                             CAST(COALESCE(r2.off, length(q.s) + 1) - r.off
+                                  AS INT)),
+                   '^(?:{regex})', 0) AS m
+        FROM r
+        JOIN seq q ON q.{key} = r.{key}
+        LEFT JOIN r r2 ON r2.{key} = r.{key} AND r2.rn = r.rj + 1
+        {prune}
+    ),
+    hr AS (SELECT {key}, off, m,
+                  CAST(off + length(m) AS BIGINT) AS resume
+           FROM hits WHERE m <> ''),
+    pick AS (
+        SELECT {key}, off, m, resume, 1 AS match_no
+        FROM hr h
+        WHERE off = (SELECT min(off) FROM hr h2 WHERE h2.{key} = h.{key})
+      UNION ALL
+        SELECT n.{key}, n.off, n.m, n.resume, p.match_no + 1
+        FROM pick p JOIN hr n ON n.{key} = p.{key} AND n.off >= p.resume
+        WHERE n.off = (SELECT min(n2.off) FROM hr n2
+                       WHERE n2.{key} = p.{key} AND n2.off >= p.resume)
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           CAST(regexp_extract(m, '^[a-z]([0-9]+);', 1) AS BIGINT)
+               AS first_event_id,
+           CAST(regexp_extract(m, '([0-9]+);$', 1) AS BIGINT)
+               AS last_event_id,
+           CAST({n_rows} AS BIGINT) AS n_rows,
+           CAST((length(m) - length(replace(m, ';', ''))) - ({n_rows})
+               AS BIGINT) AS n_skipped,
+           {var_counts}
+    FROM pick
+    """
+
+
+# ---------------------------------------------------------------------------
+# notFollowedBy — Flink CEP's absence constraint between variables
+# ---------------------------------------------------------------------------
+
+
+def _relaxed_forbid(pattern):
+    """Split 4-tuple relaxed entries ``(var, etype, quant, forbid)``
+    into the plain 3-tuple pattern plus a per-index forbid map.
+    ``forbid`` is an event type (or tuple of types) that must NOT
+    occur among the rows skipped while waiting for the variable —
+    Flink's ``notFollowedBy(N).followedBy(X)`` linking. 3-tuples pass
+    through with no constraint."""
+    plain, forbid = [], {}
+    for i, el in enumerate(pattern):
+        if len(el) == 4:
+            var, etype, quant, f = el
+            plain.append((var, etype, quant))
+            if f:
+                forbid[i] = (f,) if isinstance(f, str) else tuple(f)
+        elif len(el) == 3:
+            plain.append(el)
+        else:
+            raise ValueError(
+                "pattern entries are (var, types, quant[, forbid])")
+    return plain, forbid
+
+
+def _validate_relaxed_not(plain, forbid) -> dict:
+    _validate_relaxed(plain)
+    if 0 in forbid:
+        raise ValueError(
+            "the first variable cannot carry a forbid set: nothing is "
+            "skipped before the match anchor (Flink's notFollowedBy "
+            "cannot be the first pattern element either)")
+    for i, types in forbid.items():
+        var, etype, _ = plain[i]
+        if _var_negated(etype):
+            raise ValueError(
+                f"variable {var!r}: forbid sets on complement variables "
+                "are not supported (the complement already constrains "
+                "the skipped rows)")
+        if not types:
+            raise ValueError(f"variable {var!r}: empty forbid set")
+    return forbid
+
+
+def _relaxed_not_regex(plain, forbid, chars) -> str:
+    """The relaxed regex with per-variable forbid classes folded into
+    the flat char-class lowering: while waiting for variable i, the
+    skip class excludes BOTH its admit letters and its forbidden
+    letters — a forbidden row stops the skip dead and (since the admit
+    atom then fails) kills the attempt, which is exactly
+    notFollowedBy's absence semantics. The unbounded any-token star
+    likewise becomes ``[^f]*`` (no forbidden char may appear anywhere
+    inside the variable's consumed span, including between repeats —
+    Flink's relaxed oneOrMore under a notFollowedBy guard)."""
+    pieces = []
+    for i, (var, etype, quant) in enumerate(plain):
+        if i not in forbid:
+            pieces.append(_relaxed_piece(etype, quant, chars, first=(i == 0)))
+            continue
+        fcls = "".join(chars[t] for t in forbid[i])
+        cls = _var_class(etype, chars)
+        a = f"{cls if len(cls) == 1 else f'[{cls}]'}[0-9]+;"
+        skip = f"[^{cls}{fcls}]*"
+        anyok = f"[^{fcls}]*"
+        lo, hi, lazy = _quant_parse(quant)
+        zz = "?" if lazy else ""
+        opt = "??" if lazy else "?"
+        if quant == "1":
+            pieces.append(f"({skip}{a})")
+        elif quant in ("?", "??"):
+            pieces.append(f"((?:{skip}{a}){zz})")
+        elif quant in ("+", "+?"):
+            pieces.append(f"({anyok}{zz}{a})")
+        elif quant in ("*", "*?"):
+            pieces.append(f"((?:{anyok}{zz}{a}){opt})")
+        else:  # bounded {m,n}: per-occurrence skip class, depth <= n
+            pieces.append(f"((?:{skip}{a}){_quant_regex(quant)})")
+    return "".join(pieces)
+
+
+def match_recognize_relaxed_not(
+    events: DataFrame,
+    pattern: list[tuple],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Relaxed matching with ABSENCE constraints — Flink CEP's
+    ``notFollowedBy(N).followedBy(X)`` linking: pattern entries may be
+    4-tuples ``(var, types, quant, forbid_types)`` where a row of a
+    forbidden type occurring among the rows SKIPPED while waiting for
+    the variable (or between its relaxed repeats) kills the match
+    attempt at that anchor. Everything else is
+    :func:`match_recognize_relaxed` — same measures (the forbid set
+    only restricts which rows may be skipped), same single shuffle,
+    same flat char-class lowering (the forbid letters simply join the
+    skip-class complement, so the scan stays iterative and
+    hot-key-safe for positive variables).
+
+    Note the alphabet subtlety: forbidden types join the pattern
+    alphabet (they get token chars), so rows of those types are
+    VISIBLE to the scan even though no variable matches them.
+    """
+    plain, forbid = _relaxed_forbid(pattern)
+    _validate_relaxed_not(plain, forbid)
+    keys = [key] if isinstance(key, str) else list(key)
+    chars = _char_map(
+        plain + [("__F", types, "1") for types in forbid.values()]
+    )
+    regex = _relaxed_not_regex(plain, forbid, chars)
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    k = len(plain)
+    groups = seq.select(
+        *[F.col(c) for c in keys],
+        F.regexp_extract_all("s", F.lit(regex), F.lit(0)).alias("w"),
+        *[
+            F.regexp_extract_all("s", F.lit(regex), F.lit(i + 1)).alias(f"g{i}")
+            for i in range(k)
+        ],
+    )
+    zipped = groups.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(
+            F.arrays_zip(F.col("w"), *[F.col(f"g{i}") for i in range(k)])
+        ),
+    )
+    w = F.col("col")["w"]
+    n_vars = [
+        _relaxed_var_count(F.col("col")[f"g{i}"], var, etype, chars)
+        for i, (var, etype, _) in enumerate(plain)
+    ]
+    n_tok_w = (F.length(w) - F.length(F.translate(w, ";", ""))).cast("long")
+    n_rows = n_vars[0]
+    for c in n_vars[1:]:
+        n_rows = n_rows + c
+    return zipped.select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract(w, "^[a-z]([0-9]+);", 1).cast("long").alias("first_event_id"),
+        F.regexp_extract(w, "([0-9]+);$", 1).cast("long").alias("last_event_id"),
+        n_rows.cast("long").alias("n_rows"),
+        (n_tok_w - n_rows).cast("long").alias("n_skipped"),
+        *n_vars,
+    )
+
+
+def match_recognize_relaxed_not_oracle_sql(
+    pattern,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_relaxed_not` (the
+    relaxed oracle with the forbid-extended alphabet and regex)."""
+    plain, forbid = _relaxed_forbid(pattern)
+    _validate_relaxed_not(plain, forbid)
+    chars = _char_map(
+        plain + [("__F", types, "1") for types in forbid.values()]
+    )
+    regex = _relaxed_not_regex(plain, forbid, chars)
+    return _relaxed_oracle_with(plain, chars, regex, [key],
+                                f"SELECT * FROM {table}",
                                 ts, type_col, id_col)

@@ -36,6 +36,10 @@ from ..operators.cep import (
     match_recognize_relaxed_oracle_sql,
     match_recognize_relaxed_sessionized,
     match_recognize_relaxed_sessionized_oracle_sql,
+    match_recognize_relaxed_not,
+    match_recognize_relaxed_not_oracle_sql,
+    match_recognize_relaxed_within,
+    match_recognize_relaxed_within_oracle_sql,
     match_recognize_runagg,
     match_recognize_runagg_oracle_sql,
     match_recognize_runagg_sessionized,
@@ -393,6 +397,51 @@ def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical captured scan."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_relaxed(ev, CEP_FB_PATTERN)
+
+
+# followedBy with an absence guard — Flink's notFollowedBy linking:
+# V followedBy C+ followedBy P, but an ERROR occurring while waiting
+# for the purchase (or among the clicks) kills the chain.
+CEP_FB_NOT_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "+", "error"),
+    ("P", "purchase", "1", "error"),
+]
+
+
+@query("q_cep_not_followed_by",
+       oracle=match_recognize_relaxed_not_oracle_sql(CEP_FB_NOT_PATTERN))
+def q_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's notFollowedBy — the absence constraint between
+    relaxed pattern steps: PATTERN V C+ P where an error row occurring
+    among the skipped/repeated rows while waiting for C or P kills the
+    attempt (a chain completing BEFORE the error still matches, per
+    backtracking). Lowering: the forbidden types join the token
+    alphabet and their letters join each guarded variable's skip-class
+    complement — the flat char-class scan stays iterative and
+    hot-key-safe. DuckDB oracle replays the identical forbid-extended
+    regex; hypothesis-tested vs the forbid-aware reference matcher."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_not(ev, CEP_FB_NOT_PATTERN)
+
+
+@query("q_cep_followed_by_within",
+       oracle=match_recognize_relaxed_within_oracle_sql(
+           CEP_FB_PATTERN, within_minutes=360))
+def q_cep_followed_by_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's canonical real-world composition:
+    begin.followedBy(...).within(Time) — relaxed PATTERN (V C+ P) per
+    user with every consumed row inside [first_ts, first_ts + 6h].
+    The within bound also CLOSES the skip-till-next state an unbounded
+    relaxed scan holds open, so this is the hot-key-safe flat form
+    (the alternative deployment shape to sessionizing). Anchored
+    time-truncated scan (the within machinery) with the relaxed
+    captured regex; measures re-extracted from the matched substring.
+    DuckDB oracle replays the truncated scan + recursive-CTE
+    selection."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_within(ev, CEP_FB_PATTERN,
+                                          within_minutes=360)
 
 
 @query("q_cep_followed_by_sessionized",

@@ -45,6 +45,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cep import (
     match_recognize_define_sessionized,
+    match_recognize_relaxed_sessionized,
     match_recognize_runagg_sessionized,
     match_recognize_sessionized,
     sessionize,
@@ -78,8 +79,9 @@ class SessionCepSink:
                  store_dir: str | None = None,
                  matcher: str = "types", skip: str = "past_last_row",
                  observe: bool = True):
-        if matcher not in ("types", "define", "runagg"):
-            raise ValueError("matcher must be 'types', 'define' or 'runagg'")
+        if matcher not in ("types", "define", "runagg", "relaxed"):
+            raise ValueError(
+                "matcher must be 'types', 'define', 'runagg' or 'relaxed'")
         self.pattern = pattern
         self.gap_minutes = gap_minutes
         self.key, self.ts, self.id_col = key, ts, id_col
@@ -162,6 +164,14 @@ class SessionCepSink:
                 hist, self.pattern, self.gap_minutes,
                 key=self.key, ts=self.ts, id_col=self.id_col,
                 skip=self.skip,
+            )
+        elif self.matcher == "relaxed":
+            # round 9: Flink followedBy under the same session-close
+            # emission contract — the deployment shape that bounds
+            # skip-till-next state by session length
+            matched = match_recognize_relaxed_sessionized(
+                hist, self.pattern, self.gap_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
             )
         else:
             matched = match_recognize_sessionized(

@@ -343,9 +343,10 @@ def test_cep_empty_types_rejected_everywhere(spark, sf_dir):
 
 
 def test_runagg_interior_scope_validation(spark, sf_dir):
-    """The interior form accepts exactly one single-row suffix after
-    the aggregate variable; deeper tails and quantified suffixes stay
-    rejected with the documented NFA rationale."""
+    """The interior form accepts exactly one suffix variable after the
+    aggregate, quantified '1' or — since round 9 — '+'; multi-variable
+    tails and other suffix quantifiers stay rejected with the
+    documented NFA rationale."""
     import pytest
 
     from flink_realtime_edu_demo_spark.operators.cep import (
@@ -360,8 +361,14 @@ def test_runagg_interior_scope_validation(spark, sf_dir):
     with pytest.raises(ValueError, match="final or followed by exactly one"):
         match_recognize_runagg(
             ev, [agg, ("C", {}, "1"), ("D", {}, "1")])
-    with pytest.raises(ValueError, match="quantifier '1'"):
-        match_recognize_runagg(ev, [agg, ("C", {}, "+")])
+    with pytest.raises(ValueError, match="quantifier in"):
+        match_recognize_runagg(ev, [agg, ("C", {}, "*")])
+    with pytest.raises(ValueError, match="quantifier in"):
+        match_recognize_runagg(ev, [agg, ("C", {}, "{1,2}")])
+    # the round-9 tail form: '+' suffixes are legal now
+    assert match_recognize_runagg(
+        ev, [agg, ("C", {}, "+")], ts="event_id"
+    ).count() == 0
     with pytest.raises(ValueError, match="exactly one variable"):
         match_recognize_runagg(
             ev, [agg, ("C", {"agg": "sum", "cmp": "<", "thr": 1.0}, "+")])

@@ -328,6 +328,22 @@ def _py_relaxed_matches(types: list[str], pattern):
     consume their skipped rows; AFTER MATCH SKIP PAST LAST ROW.
     Returns [(start, end, counts_per_variable)] with [start, end)
     index spans."""
+    out, i = [], 0
+    n = len(types)
+    while i < n:
+        r = _py_relaxed_attempt(types, pattern, i)
+        if r is not None and r[0] > i:
+            out.append((i, r[0], r[1]))
+            i = r[0]
+        else:
+            i += 1
+    return out
+
+
+def _py_relaxed_attempt(types: list[str], pattern, start: int):
+    """One anchored relaxed match attempt at index ``start``: returns
+    (end_exclusive, counts_per_variable) or None — the backtracking
+    core shared by the flat and the within reference matchers."""
     vars_ = [(_pred(t), _parse_quant(q)) for _, t, q in pattern]
     n = len(types)
 
@@ -359,15 +375,7 @@ def _py_relaxed_matches(types: list[str], pattern):
                 return r[0], [c] + r[1]
         return None
 
-    out, i = [], 0
-    while i < n:
-        r = rec(i, 0)
-        if r is not None and r[0] > i:
-            out.append((i, r[0], r[1]))
-            i = r[0]
-        else:
-            i += 1
-    return out
+    return rec(start, 0)
 
 
 # Relaxed matching's one extra plan-time rule: mandatory first variable
@@ -657,6 +665,197 @@ def test_match_recognize_within_matches_reference(spark, typed_gaps, pat, w):
         for r in match_recognize_within(ev, pattern, w).collect()
     )
     assert got == [(s, e) for s, e in want], (rows, pat, w, got, want)
+
+
+# --- match_recognize_relaxed_not vs a forbid-aware skip-gap matcher ---
+
+def _py_relaxed_not_matches(types, plain, forbid):
+    """Reference for notFollowedBy: the relaxed matcher where the skip
+    loop FAILS the occurrence if it meets a forbidden type for the
+    variable it is waiting on (admit wins over forbid when a type is
+    both). Returns [(start, end_exclusive, counts)]."""
+    vars_ = [(_pred(t), _parse_quant(q)) for _, t, q in plain]
+    n = len(types)
+
+    def rec(pos, vi):
+        if vi == len(vars_):
+            return pos, []
+        allowed, (lo, hi, lazy) = vars_[vi]
+        bad = forbid.get(vi, ())
+        ends = [pos]
+        cur = pos
+        while hi is None or len(ends) - 1 < hi:
+            if vi == 0 and len(ends) == 1:
+                nxt = cur + 1 if (cur < n and allowed(types[cur])) else None
+            else:
+                j, nxt = cur, None
+                while j < n:
+                    if allowed(types[j]):
+                        nxt = j + 1
+                        break
+                    if types[j] in bad:
+                        break
+                    j += 1
+            if nxt is None:
+                break
+            cur = nxt
+            ends.append(cur)
+        cmax = len(ends) - 1
+        if cmax < lo:
+            return None
+        order = range(lo, cmax + 1) if lazy else range(cmax, lo - 1, -1)
+        for c in order:
+            r = rec(ends[c], vi + 1)
+            if r is not None:
+                return r[0], [c] + r[1]
+        return None
+
+    out, i = [], 0
+    while i < n:
+        r = rec(i, 0)
+        if r is not None and r[0] > i:
+            out.append((i, r[0], r[1]))
+            i = r[0]
+        else:
+            i += 1
+    return out
+
+
+_NOT_PATTERNS = [
+    [("V", "view", "1"), ("C", "click", "+", "error"),
+     ("P", "purchase", "1", "error")],
+    [("V", "view", "1"), ("P", "purchase", "1", "click")],
+    [("A", "click", "1"), ("B", ("view", "error"), "+", "purchase"),
+     ("C", "signup", "1")],
+    [("V", "view", "1"), ("C", "click", "*", "error"),
+     ("P", "purchase", "1")],
+    [("V", "view", "1"), ("C", "click", "{1,2}", "error"),
+     ("P", "purchase", "1")],
+    [("V", "view", "1"), ("C", "click", "+?", "error"),
+     ("P", "purchase", "1", "signup")],
+    [("V", ("view", "signup"), "1"), ("C", "click", "??", "purchase"),
+     ("E", "error", "1", ("purchase", "signup"))],
+]
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=0, max_size=40,
+    ),
+    pi=st.integers(0, len(_NOT_PATTERNS) - 1),
+)
+def test_match_recognize_relaxed_not_matches_reference(spark, types, pi):
+    """notFollowedBy: the forbid-extended char-class lowering must
+    reproduce the forbid-aware reference matcher — including chains
+    clipped by a forbidden row (shorter completions must survive),
+    forbid on quantified/lazy/bounded variables, multi-type forbids,
+    and admit-beats-forbid overlaps."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        _relaxed_forbid,
+        match_recognize_relaxed_not,
+    )
+
+    pattern = _NOT_PATTERNS[pi]
+    plain, forbid = _relaxed_forbid(pattern)
+    want = sorted(
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in _py_relaxed_not_matches(types, plain, forbid)
+    )
+    if not types:
+        return
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(types)],
+        "user_id long, event_id long, event_type string",
+    )
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_{v.lower()}"] for v, _, _ in plain),
+        )
+        for r in match_recognize_relaxed_not(
+            ev, pattern, ts="event_id"
+        ).collect()
+    )
+    assert got == want, (types, pattern, got, want)
+
+
+# --- match_recognize_relaxed_within vs a time-bounded skip-gap matcher ---
+
+def _py_relaxed_within(rows, pattern, w_minutes):
+    """Reference for relaxed (followedBy) + WITHIN: per anchor the row
+    universe is truncated to the contiguous run with
+    ts <= ts_anchor + w (closed bound), the skip-gap backtracking
+    attempt must start AT the anchor, and matches are selected left to
+    right with SKIP PAST LAST ROW. rows = [(type, ts_minutes)].
+    Returns [(start, end_exclusive, counts_per_variable)]."""
+    out, i = [], 0
+    while i < len(rows):
+        lim = i
+        while lim + 1 < len(rows) and rows[lim + 1][1] <= rows[i][1] + w_minutes:
+            lim += 1
+        r = _py_relaxed_attempt([t for t, _ in rows[i:lim + 1]], pattern, 0)
+        if r is not None and r[0] > 0:
+            out.append((i, i + r[0], r[1]))
+            i = i + r[0]
+        else:
+            i += 1
+    return out
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_gaps=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 40),
+        ),
+        min_size=1, max_size=30,
+    ),
+    pat=relaxed_pattern_strategy,
+    w=st.sampled_from([15, 60, 240]),
+)
+def test_match_recognize_relaxed_within_matches_reference(
+    spark, typed_gaps, pat, w
+):
+    """followedBy + WITHIN: the time-truncated anchored relaxed scan
+    must reproduce the reference's spans AND measures — including
+    chains the unbounded relaxed engine would extend past the window
+    (truncation must prefer the shorter in-window completion) and
+    skipped-row counts inside the bound."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed_within,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    acc = 0
+    rows = []
+    for t, gap in typed_gaps:
+        acc += gap
+        rows.append((t, acc))
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    want = sorted(
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in _py_relaxed_within(rows, pattern, w)
+    )
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(len(pattern))),
+        )
+        for r in match_recognize_relaxed_within(ev, pattern, w).collect()
+    )
+    assert got == want, (rows, pat, w, got, want)
 
 
 # --- match_recognize_define_within vs a time-bounded define reference ---

@@ -922,3 +922,51 @@ def test_stateful_funnel_single_pass_matches_batch(spark, sf_dir, stream_dir):
                           to_us(r.step_3_ts))
     assert exp, "fixture should contain completed funnels"
     assert final == exp
+
+
+def test_streaming_cep_relaxed_stream_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Streaming followedBy (round 9): the relaxed matcher under the
+    session-close emission contract converges to the batch sessionized
+    relaxed answer — valid incrementally because a closed session never
+    gains rows, so skip-till-next state is final at publication."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    pat = [("V", "view", "1"), ("C", "click", "+"), ("P", "purchase", "1")]
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink(pat, gap_minutes=gap, matcher="relaxed")
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_rx_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES") <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no):
+            (r.first_event_id, r.last_event_id, r.n_rows, r.n_skipped)
+        for r in match_recognize_relaxed_sessionized(ev, pat, gap)
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    got = {
+        k: (v["first_event_id"], v["last_event_id"], v["n_rows"], v["n_skipped"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))
