@@ -2724,7 +2724,11 @@ def _relaxed_piece(etype, quant: str, chars: dict[str, str],
         if quant == "1":
             return f"({skip}{a})"
         if quant in ("?", "??"):
-            return f"((?:{skip}{a}){zz})"
+            # the OUTER optionality marker: '?' greedy / '??' lazy
+            # (not zz, which is empty for greedy forms — a dropped
+            # marker here made V? mandatory; caught by the all-rows
+            # reference test)
+            return f"((?:{skip}{a}){opt})"
         if quant in ("+", "+?"):
             return f"({anytk}{a})"
         if quant in ("*", "*?"):
@@ -3263,7 +3267,9 @@ def _relaxed_not_regex(plain, forbid, chars) -> str:
         if quant == "1":
             pieces.append(f"({skip}{a})")
         elif quant in ("?", "??"):
-            pieces.append(f"((?:{skip}{a}){zz})")
+            # outer optionality marker ('?' greedy / '??' lazy), same
+            # fix as _relaxed_piece's '?' branch
+            pieces.append(f"((?:{skip}{a}){opt})")
         elif quant in ("+", "+?"):
             pieces.append(f"({anyok}{zz}{a})")
         elif quant in ("*", "*?"):
@@ -3359,3 +3365,164 @@ def match_recognize_relaxed_not_oracle_sql(
     return _relaxed_oracle_with(plain, chars, regex, [key],
                                 f"SELECT * FROM {table}",
                                 ts, type_col, id_col)
+
+
+def _relaxed_classified(var_name: str, etype, chars: dict[str, str]):
+    """Transform lambda for one relaxed piece's token array: admit
+    tokens classify as the variable, skipped (gap) tokens classify as
+    NULL — Flink's select() sees only the former; the NULL rows are
+    the consumed-but-unmatched gap, surfaced so ALL consumed rows
+    appear exactly once."""
+    cls = _var_class(etype, chars)
+    neg = _var_negated(etype)
+
+    def f(tok):
+        ch = F.substring(tok, 1, 1)
+        is_admit = (~ch.isin(*list(cls))) if neg else ch.isin(*list(cls))
+        return F.struct(
+            F.when(is_admit, F.lit(var_name)).alias("classifier"),
+            F.regexp_extract(tok, "([0-9]+);", 1).cast("long")
+            .alias("event_id"),
+        )
+
+    return f
+
+
+def match_recognize_relaxed_all_rows(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ALL ROWS output for relaxed (followedBy) matching — the shape
+    Flink CEP's ``select()``/``flatSelect()`` hands the user: every row
+    a match CONSUMED, with ``classifier`` = the pattern variable that
+    matched it, or NULL for rows the match skipped while waiting
+    (consumed-but-unmatched — Flink drops these from select() output;
+    filtering ``classifier IS NOT NULL`` reproduces that exactly, and
+    surfacing them keeps every consumed row accounted for once).
+
+    Lowering: the relaxed captured pieces are contiguous and cover the
+    whole match, so per match the per-piece group arrays are exploded
+    token-wise; a token classifies by whether its type char is in the
+    piece variable's admit class. Same single shuffle; k+1 regex
+    passes per key string (k = pattern arity).
+
+    Returns ``key..., match_no, row_in_match (1-based over consumed
+    rows), classifier (nullable), event_id``.
+    """
+    _validate_relaxed(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    chars = _char_map(pattern)
+    regex = _relaxed_regex(pattern, chars)
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    k = len(pattern)
+    groups = seq.select(
+        *[F.col(c) for c in keys],
+        *[
+            F.regexp_extract_all("s", F.lit(regex), F.lit(i + 1)).alias(f"g{i}")
+            for i in range(k)
+        ],
+    )
+    zipped = groups.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(F.arrays_zip(*[F.col(f"g{i}") for i in range(k)])),
+    ).select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        F.regexp_extract_all(
+                            F.col("col")[f"g{i}"],
+                            F.lit("[a-z][0-9]+;"),
+                            F.lit(0),
+                        ),
+                        _relaxed_classified(var, etype, chars),
+                    )
+                    for i, (var, etype, _) in enumerate(pattern)
+                ]
+            )
+        ).alias("rows"),
+    )
+    return zipped.select(
+        *[F.col(c) for c in keys],
+        "match_no",
+        F.posexplode("rows"),
+    ).select(
+        *[F.col(c) for c in keys],
+        "match_no",
+        (F.col("pos") + 1).cast("long").alias("row_in_match"),
+        F.col("col")["classifier"].alias("classifier"),
+        F.col("col")["event_id"].alias("event_id"),
+    )
+
+
+def match_recognize_relaxed_all_rows_oracle_sql(
+    pattern,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_relaxed_all_rows`:
+    the same captured relaxed scan, per-variable group arrays unnested
+    token-wise with the admit-class CASE classifier."""
+    _validate_relaxed(pattern)
+    chars = _char_map(pattern)
+    regex = _relaxed_regex(pattern, chars)
+    case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+    k = len(pattern)
+    gcols = ",\n               ".join(
+        f"regexp_extract_all(s, '{regex}', {i + 1}) AS g{i}" for i in range(k)
+    )
+    gsel = ", ".join(f"g{i}[i] AS r{i}" for i in range(k))
+
+    def cls_case_tok(i, var, etype) -> str:
+        cls = _var_class(etype, chars)
+        inset = ", ".join(f"'{c}'" for c in cls)
+        cond = (f"substring(tks[j], 1, 1) NOT IN ({inset})"
+                if _var_negated(etype)
+                else f"substring(tks[j], 1, 1) IN ({inset})")
+        return f"CASE WHEN {cond} THEN '{var}' END"
+
+    # no WITH ORDINALITY in DuckDB 1.0 — index via generate_series
+    branches = "\n      UNION ALL\n        ".join(
+        f"SELECT {key}, match_no, {i} AS vord, j,\n"
+        f"               {cls_case_tok(i, var, etype)} AS classifier,\n"
+        f"               CAST(regexp_extract(tks[j], '([0-9]+);', 1)"
+        f" AS BIGINT) AS event_id\n"
+        f"        FROM (SELECT {key}, match_no,"
+        f" regexp_extract_all(r{i}, '[a-z][0-9]+;') AS tks FROM pm),\n"
+        f"             unnest(generate_series(1, len(tks))) AS u(j)"
+        for i, (var, etype, _) in enumerate(pattern)
+    )
+    return f"""
+    WITH src AS (SELECT * FROM {table}),
+    toks AS (
+        SELECT {key},
+               CASE {type_col} {case} ELSE 'z' END || {id_col} || ';' AS tok,
+               {ts}, {id_col}
+        FROM src
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key}),
+    m AS (SELECT {key},
+               len(regexp_extract_all(s, '{regex}', 1)) AS nm,
+               {gcols}
+          FROM seq),
+    pm AS (SELECT {key}, CAST(i AS BIGINT) AS match_no, {gsel}
+           FROM m, unnest(generate_series(1, nm)) AS t(i)),
+    vr AS (
+        {branches}
+    )
+    SELECT {key}, match_no,
+           CAST(row_number() OVER (PARTITION BY {key}, match_no
+                                   ORDER BY vord, j) AS BIGINT) AS row_in_match,
+           classifier, event_id
+    FROM vr
+    """

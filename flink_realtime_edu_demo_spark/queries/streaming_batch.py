@@ -36,6 +36,8 @@ from ..operators.cep import (
     match_recognize_relaxed_oracle_sql,
     match_recognize_relaxed_sessionized,
     match_recognize_relaxed_sessionized_oracle_sql,
+    match_recognize_relaxed_all_rows,
+    match_recognize_relaxed_all_rows_oracle_sql,
     match_recognize_relaxed_not,
     match_recognize_relaxed_not_oracle_sql,
     match_recognize_relaxed_within,
@@ -423,6 +425,20 @@ def q_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex; hypothesis-tested vs the forbid-aware reference matcher."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_relaxed_not(ev, CEP_FB_NOT_PATTERN)
+
+
+@query("q_cep_followed_by_rows",
+       oracle=match_recognize_relaxed_all_rows_oracle_sql(CEP_FB_PATTERN))
+def q_cep_followed_by_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's select()/flatSelect() output shape for followedBy:
+    every row a relaxed match CONSUMED, classified by the pattern
+    variable that matched it (NULL = skipped while waiting — Flink
+    drops these; filter classifier IS NOT NULL to reproduce select()
+    exactly). Per-piece captured spans exploded token-wise with an
+    admit-class classifier; same single shuffle. DuckDB oracle replays
+    the per-variable group unnest with the same CASE classifier."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_all_rows(ev, CEP_FB_PATTERN)
 
 
 @query("q_cep_followed_by_within",

@@ -342,14 +342,17 @@ def _py_relaxed_matches(types: list[str], pattern):
 
 def _py_relaxed_attempt(types: list[str], pattern, start: int):
     """One anchored relaxed match attempt at index ``start``: returns
-    (end_exclusive, counts_per_variable) or None — the backtracking
-    core shared by the flat and the within reference matchers."""
+    (end_exclusive, counts_per_variable, piece_ends) or None — the
+    backtracking core shared by the flat, within, and all-rows
+    reference matchers. ``piece_ends[i]`` is the end-exclusive index
+    of variable i's consumed span (its start is the previous piece's
+    end, or the match start for i=0)."""
     vars_ = [(_pred(t), _parse_quant(q)) for _, t, q in pattern]
     n = len(types)
 
     def rec(pos: int, vi: int):
         if vi == len(vars_):
-            return pos, []
+            return pos, [], []
         allowed, (lo, hi, lazy) = vars_[vi]
         ends = [pos]
         cur = pos
@@ -372,7 +375,7 @@ def _py_relaxed_attempt(types: list[str], pattern, start: int):
         for c in order:
             r = rec(ends[c], vi + 1)
             if r is not None:
-                return r[0], [c] + r[1]
+                return r[0], [c] + r[1], [ends[c]] + r[2]
         return None
 
     return rec(start, 0)
@@ -665,6 +668,62 @@ def test_match_recognize_within_matches_reference(spark, typed_gaps, pat, w):
         for r in match_recognize_within(ev, pattern, w).collect()
     )
     assert got == [(s, e) for s, e in want], (rows, pat, w, got, want)
+
+
+# --- match_recognize_relaxed_all_rows vs the same reference, per-row ---
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=0, max_size=40,
+    ),
+    pat=relaxed_pattern_strategy,
+)
+def test_match_recognize_relaxed_all_rows_matches_reference(spark, types, pat):
+    """The select()-shape ALL ROWS output must classify every consumed
+    row exactly as the reference parse does: rows inside variable i's
+    piece classify as V<i> when its predicate admits them and NULL
+    (skipped) otherwise, in match order with 1-based row_in_match."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed_all_rows,
+    )
+
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    preds = [_pred(t) for _, t, _ in pattern]
+    want = []
+    i, mno = 0, 0
+    while i < len(types):
+        r = _py_relaxed_attempt(types, pattern, i)
+        if r is not None and r[0] > i:
+            mno += 1
+            rim, prev = 0, i
+            for vi, pe in enumerate(r[2]):
+                for pos in range(prev, pe):
+                    rim += 1
+                    want.append((
+                        mno, rim,
+                        f"V{vi}" if preds[vi](types[pos]) else None,
+                        pos,
+                    ))
+                prev = pe
+            i = r[0]
+        else:
+            i += 1
+    if not types:
+        return
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(types)],
+        "user_id long, event_id long, event_type string",
+    )
+    got = sorted(
+        (r.match_no, r.row_in_match, r.classifier, r.event_id)
+        for r in match_recognize_relaxed_all_rows(
+            ev, pattern, ts="event_id"
+        ).collect()
+    )
+    assert got == sorted(want), (types, pat, got, want)
 
 
 # --- match_recognize_relaxed_not vs a forbid-aware skip-gap matcher ---
