@@ -50,7 +50,7 @@ _VERIFIED_GREEN = (
     # verdicts. The two rows-only keys (q_agg_approx_uv,
     # q_agg_approx_quantile) stay here -- their no_oracle verdict can
     # never change, so a window slot on them is wasted.
-    "q_join_semi", "q_join_theta", "q_join_window", "q_llm_dedup_chargram", "q_llm_dedup_exact", "q_llm_dedup_fuzzy",
+    "q_join_left", "q_join_semi", "q_join_theta", "q_join_window", "q_llm_dedup_chargram", "q_llm_dedup_exact", "q_llm_dedup_fuzzy",
     "q_mm_dedup_payload", "q_scd2_asof_enrich", "q_scd2_build",
     "q_set_except", "q_set_intersect", "q_set_union", "q_set_union_all",
     "q_side_output", "q_sort_limit", "q_stream_hop", "q_stream_session",
@@ -93,28 +93,27 @@ _VERIFIED_GREEN = (
 )
 
 # Keys deliberately re-surfaced for the round-9 driver window.
-# FIRST: the seven new round-9 keys with no driver verdict yet
+# FIRST: the eight new round-9 keys with no driver verdict yet
 # (relaxed-contiguity followedBy CEP x5 incl. within, notFollowedBy
-# and the select()-shape ALL ROWS, BPE merges, quantified-tail
-# runagg), then the 3 changed-operator runagg sentinels, the 26
-# remaining round-4 verdicts (5 rounds stale -- the VERDICT r8
-# "stalest verdict <= r5" target) and the 13 stalest round-5
-# verdicts. Window total is exactly 1 warmup + 49 = 50.
+# and the select()-shape ALL ROWS; BPE merges + encode;
+# quantified-tail runagg), then the 3 changed-operator runagg
+# sentinels, the 26 remaining round-4 verdicts (5 rounds stale --
+# the VERDICT r8 "stalest verdict <= r5" target) and the 12 stalest
+# round-5 verdicts. Window total is exactly 1 warmup + 49 = 50.
 _REVERIFY_FRONT = (
     "q_cep_followed_by", "q_cep_followed_by_sessionized", "q_llm_bpe_merges",
-    "q_cep_runagg_tail", "q_cep_followed_by_within", "q_cep_not_followed_by",
-    "q_cep_followed_by_rows", "q_cep_runagg", "q_cep_runagg_interior",
-    "q_cep_runagg_sessionized", "q_join_lateral", "q_llm_bigram_score",
-    "q_llm_heavy_hitters", "q_llm_minhash_lsh", "q_llm_pack_chunks",
-    "q_llm_pack_greedy", "q_llm_pii_scrub", "q_llm_rand_proj",
-    "q_llm_substring_dedup", "q_llm_token_len_hist",
+    "q_llm_bpe_encode", "q_cep_runagg_tail", "q_cep_followed_by_within",
+    "q_cep_not_followed_by", "q_cep_followed_by_rows", "q_cep_runagg",
+    "q_cep_runagg_interior", "q_cep_runagg_sessionized", "q_join_lateral",
+    "q_llm_bigram_score", "q_llm_heavy_hitters", "q_llm_minhash_lsh",
+    "q_llm_pack_chunks", "q_llm_pack_greedy", "q_llm_pii_scrub",
+    "q_llm_rand_proj", "q_llm_substring_dedup", "q_llm_token_len_hist",
     "q_stream_session_dyngap", "q_tpch_q1", "q_tpch_q11", "q_tpch_q12",
     "q_tpch_q13", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q2",
     "q_tpch_q21", "q_tpch_q8", "q_tpch_q9", "q_ts_gapfill", "q_ts_interp",
     "q_ts_ohlc", "q_unpivot", "q_fn_bitwise", "q_fn_datetime", "q_fn_hash",
     "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2", "q_join_anti",
     "q_join_cross_topk", "q_join_full", "q_join_inner", "q_join_interval",
-    "q_join_left",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -384,12 +384,12 @@ def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ITERS = 4
 
 
-def _bpe_merge_oracle_sql(iters: int) -> str:
-    """DuckDB SQL replaying :func:`q_llm_bpe_merges`: the same word-
-    frequency vocabulary, character symbolization, and ``iters``
-    unrolled merge steps as flat chained CTEs (the q_llm_kmeans
-    precedent — DuckDB 1.0's list_reduce is unsound, and the relational
-    gaps-and-islands merge needs no fold anyway)."""
+def _bpe_chain_ctes(iters: int) -> list[str]:
+    """The shared CTE chain of the BPE oracles: word-frequency
+    vocabulary, character symbolization, and ``iters`` unrolled merge
+    steps (the q_llm_kmeans precedent — DuckDB 1.0's list_reduce is
+    unsound, and the relational gaps-and-islands merge needs no fold
+    anyway)."""
     ctes = ["""
     words AS (
         SELECT t.w AS word
@@ -431,16 +431,42 @@ def _bpe_merge_oracle_sql(iters: int) -> str:
                    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
                    CASE WHEN mstart THEN sym || nxt ELSE sym END AS sym
             FROM g{i} WHERE NOT prevm)""")
+    return ctes
+
+
+def _bpe_merge_oracle_sql(iters: int) -> str:
+    """DuckDB SQL replaying :func:`q_llm_bpe_merges` (the chain's
+    per-iteration top pairs, unioned)."""
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS iter, lhs, rhs, lhs || rhs AS merged,"
         f" pair_count FROM t{i}"
         for i in range(1, iters + 1)
     )
-    return "WITH" + ",".join(ctes) + "\n    " + unions
+    return "WITH" + ",".join(_bpe_chain_ctes(iters)) + "\n    " + unions
 
 
-@query("q_llm_bpe_merges", oracle=_bpe_merge_oracle_sql(_BPE_ITERS))
-def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_encode_oracle_sql(iters: int) -> str:
+    """DuckDB SQL replaying :func:`q_llm_bpe_encode`: the same chain,
+    then per-word post-merge symbol counts joined back to each
+    document's word stream."""
+    return ("WITH" + ",".join(_bpe_chain_ctes(iters)) + f""",
+    wt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+           FROM m{iters} GROUP BY word),
+    dw AS (SELECT doc_id, t.w AS word
+           FROM documents, unnest(regexp_extract_all(text, '[a-z]+')) AS t(w))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(wt.n_tok) AS BIGINT) AS n_tokens
+    FROM dw JOIN wt USING (word)
+    GROUP BY doc_id""")
+
+
+def _bpe_chain(docs: DataFrame):
+    """Shared BPE training chain: returns (merge_rows, final_rows) —
+    the per-iteration top-pair DataFrames and the fully-merged vocab
+    symbol rows (word, cnt, pos, sym) after _BPE_ITERS merges. See
+    :func:`q_llm_bpe_merges` for the plan shape."""
     """BPE tokenizer training — the pair-count merge loop (Sennrich et
     al. 2016), the one standard training-data pipeline stage SURVEY §2
     had no key for: count adjacent symbol pairs over the word-frequency
@@ -462,7 +488,6 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT counts (deterministic in both engines)."""
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(
             F.explode(
@@ -551,7 +576,55 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
 
+    return merge_rows, cur
+
+
+@query("q_llm_bpe_merges", oracle=_bpe_merge_oracle_sql(_BPE_ITERS))
+def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training — the pair-count merge table (see the
+    chain docstring above for semantics and the 100 TB plan shape:
+    one corpus-scale word count, vocab-scale iterations, persisted
+    1-row tops broadcast back, gaps-and-islands greedy merge)."""
+    merge_rows, _ = _bpe_chain(load(spark, sf_dir, "documents"))
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
     return out
+
+
+@query("q_llm_bpe_encode", oracle=_bpe_encode_oracle_sql(_BPE_ITERS))
+def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — encode the corpus with the learned
+    merges, the stage every training-data pipeline runs after
+    tokenizer training to budget sequence lengths: per document, the
+    token count after _BPE_ITERS merges vs raw word/char counts.
+
+    Spark-first shape: the training chain already leaves the VOCAB
+    fully merged (final rows = (word, cnt, pos, sym)), so encoding is
+    a per-word symbol count over that vocab-sized table BROADCAST back
+    into each document's word stream — the corpus-scale side is one
+    explode + one broadcast-hash join + one map-side-combined
+    aggregation; no per-document merge work at all. At 100 TB the
+    vocabulary stays Heaps'-bounded and broadcastable; if it ever
+    outgrew the broadcast threshold the join degrades to a hash join
+    on the word key, still one shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    _, cur = _bpe_chain(docs)
+    wtok = cur.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    return (
+        words.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
