@@ -88,19 +88,21 @@ _VERIFIED_GREEN = (
     "q_filter_pred", "q_fn_monthmath", "q_fn_struct", "q_fn_url",
     "q_join_asof", "q_json_extract", "q_llm_decontam_bloom",
     "q_llm_semantic_dedup", "q_mm_resize", "q_project_arith", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q6", "q_upsert_latest", "q_agg_approx_quantile",
-    "q_agg_approx_uv",
+    "q_tpch_q19", "q_tpch_q6", "q_upsert_latest", "q_join_interval",
+    "q_agg_approx_quantile", "q_agg_approx_uv",
 )
 
 # Keys deliberately re-surfaced for the round-9 driver window.
-# FIRST: the eight new round-9 keys with no driver verdict yet
-# (relaxed-contiguity followedBy CEP x5 incl. within, notFollowedBy
-# and the select()-shape ALL ROWS; BPE merges + encode;
+# FIRST: the nine new round-9 keys with no driver verdict yet
+# (relaxed-contiguity followedBy CEP x5 incl. within, notFollowedBy,
+# the select()-shape ALL ROWS and followedByAny; BPE merges + encode;
 # quantified-tail runagg), then the 3 changed-operator runagg
 # sentinels, the 26 remaining round-4 verdicts (5 rounds stale --
-# the VERDICT r8 "stalest verdict <= r5" target) and the 12 stalest
-# round-5 verdicts. Window total is exactly 1 warmup + 49 = 50.
+# the VERDICT r8 "stalest verdict <= r5" target) and the 11 stalest
+# round-5 verdicts (q_join_interval rotated back out to make room
+# for followedByAny). Window total is exactly 1 warmup + 49 = 50.
 _REVERIFY_FRONT = (
+    "q_cep_followed_by_any",
     "q_cep_followed_by", "q_cep_followed_by_sessionized", "q_llm_bpe_merges",
     "q_llm_bpe_encode", "q_cep_runagg_tail", "q_cep_followed_by_within",
     "q_cep_not_followed_by", "q_cep_followed_by_rows", "q_cep_runagg",
@@ -113,7 +115,7 @@ _REVERIFY_FRONT = (
     "q_tpch_q21", "q_tpch_q8", "q_tpch_q9", "q_ts_gapfill", "q_ts_interp",
     "q_ts_ohlc", "q_unpivot", "q_fn_bitwise", "q_fn_datetime", "q_fn_hash",
     "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2", "q_join_anti",
-    "q_join_cross_topk", "q_join_full", "q_join_inner", "q_join_interval",
+    "q_join_cross_topk", "q_join_full", "q_join_inner",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

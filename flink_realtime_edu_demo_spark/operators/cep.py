@@ -3526,3 +3526,165 @@ def match_recognize_relaxed_all_rows_oracle_sql(
            classifier, event_id
     FROM vr
     """
+
+
+# --- followedByAny: non-deterministic relaxed contiguity ------------------
+#
+# Flink CEP's THIRD linking mode (Pattern.followedByAny / NFACompiler's
+# SKIP_TILL_ANY_MATCH): where followedBy commits to the FIRST admitting
+# row after each partial match, followedByAny branches on EVERY
+# admitting row — the result is ALL ordered combinations (e_1 < ... <
+# e_k in event order) whose elements satisfy the per-variable
+# predicates. That enumeration is not a single regex scan (one scan
+# yields one parse) — it is a k-way ordered JOIN, which is exactly how
+# a relational engine should run it: each variable's admitted rows are
+# a filtered projection of the event stream, and the combinations fall
+# out of a chain of per-key equi-joins with an order predicate. Spark
+# hash-partitions every join in the chain on the same key columns, so
+# the accumulated left side keeps its partitioning and each step
+# shuffles only the new (filtered, narrow) admitted stream.
+
+def _validate_fba(pattern) -> None:
+    if len(pattern) < 2:
+        raise ValueError("followedByAny needs at least two variables")
+    seen: set[str] = set()
+    for var, _etype, quant in pattern:
+        if quant != "1":
+            raise ValueError(
+                "followedByAny enumerates ALL combinations, so every "
+                "variable is single-occurrence (quant '1'); Flink's "
+                "oneOrMore+allowCombinations explodes the same way its "
+                "NFA state does — use the relaxed (followedBy) or "
+                "strict engine for quantified variables")
+        v = var.lower()
+        if v in seen:
+            raise ValueError(f"duplicate variable name {var!r}")
+        seen.add(v)
+
+
+def _fba_pred_col(etype, type_col: str):
+    cond = F.col(type_col).isin(*_types_of(etype))
+    return ~cond if _var_negated(etype) else cond
+
+
+def _fba_pred_sql(etype, type_col: str) -> str:
+    types = ", ".join(f"'{t}'" for t in _types_of(etype))
+    op = "NOT IN" if _var_negated(etype) else "IN"
+    return f"{type_col} {op} ({types})"
+
+
+def match_recognize_followed_by_any(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    within_minutes: int | None = None,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flink CEP's ``followedByAny`` (skip-till-any-match): emit one
+    row per ordered COMBINATION ``(e_1, ..., e_k)`` of events of the
+    same key where ``e_i`` satisfies variable ``i``'s type predicate
+    (alternations and ``!``-complements as in the strict engine, all
+    variables single-occurrence — :func:`_validate_fba`) and the
+    events are strictly increasing in ``(ts, id)`` order. With
+    ``within_minutes`` set (Flink's ``.within()``), every element must
+    fall inside ``[first_ts, first_ts + within]`` — apply it in
+    production: it is what bounds the per-key combination count.
+
+    No after-match skip applies — Flink pairs followedByAny with
+    NO_SKIP for exactly this reason: every branch IS a match.
+
+    Plan: k per-key filtered projections of the event stream chained
+    through k-1 equi-joins on the key columns with the order (and
+    within) predicate as join residuals. All joins share the same hash
+    partitioning, so only each new admitted side shuffles; the within
+    bound rides INSIDE every join condition, pruning combinations as
+    early as possible rather than post-filtering the full product.
+
+    Returns ``key..., <var>_event_id per variable, first_ts, last_ts``.
+    """
+    _validate_fba(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    k = len(pattern)
+
+    def admitted(i: int) -> DataFrame:
+        var, etype, _ = pattern[i]
+        return events.filter(_fba_pred_col(etype, type_col)).select(
+            *[F.col(c) for c in keys],
+            F.col(ts).alias(f"_ts_{i}"),
+            F.col(id_col).alias(f"{var.lower()}_event_id"),
+        )
+
+    cur = admitted(0)
+    for i in range(1, k):
+        nxt = admitted(i)
+        for c in keys:
+            nxt = nxt.withColumnRenamed(c, f"_r_{c}")
+        cond = F.lit(True)
+        for c in keys:
+            cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+        prev_id = f"{pattern[i - 1][0].lower()}_event_id"
+        cur_id = f"{pattern[i][0].lower()}_event_id"
+        p_ts, c_ts = F.col(f"_ts_{i - 1}"), F.col(f"_ts_{i}")
+        cond = cond & (
+            (p_ts < c_ts)
+            | ((p_ts == c_ts) & (F.col(prev_id) < F.col(cur_id)))
+        )
+        if within_minutes is not None:
+            cond = cond & (
+                c_ts <= F.col("_ts_0")
+                + F.expr(f"INTERVAL {int(within_minutes)} MINUTE")
+            )
+        cur = cur.join(nxt, cond, "inner").drop(
+            *[f"_r_{c}" for c in keys])
+    return cur.select(
+        *[F.col(c) for c in keys],
+        *[F.col(f"{var.lower()}_event_id") for var, _, _ in pattern],
+        F.col("_ts_0").alias("first_ts"),
+        F.col(f"_ts_{k - 1}").alias("last_ts"),
+    )
+
+
+def match_recognize_followed_by_any_oracle_sql(
+    pattern,
+    within_minutes: int | None = None,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_followed_by_any` —
+    the same k-way ordered join, spelled as plain ANSI joins (the
+    combination semantics are fully relational; no regex replay
+    needed)."""
+    _validate_fba(pattern)
+    k = len(pattern)
+    joins = []
+    for i in range(1, k):
+        _, etype, _ = pattern[i]
+        conds = [
+            f"e0.{key} = e{i}.{key}",
+            f"(e{i - 1}.{ts} < e{i}.{ts} OR (e{i - 1}.{ts} = e{i}.{ts} "
+            f"AND e{i - 1}.{id_col} < e{i}.{id_col}))",
+            _fba_pred_sql(etype, f"e{i}.{type_col}"),
+        ]
+        if within_minutes is not None:
+            conds.append(
+                f"e{i}.{ts} <= e0.{ts} + INTERVAL {int(within_minutes)} "
+                "MINUTE")
+        joins.append(f"JOIN {table} e{i} ON " + " AND ".join(conds))
+    id_cols = ",\n           ".join(
+        f"e{i}.{id_col} AS {var.lower()}_event_id"
+        for i, (var, _, _) in enumerate(pattern)
+    )
+    return f"""
+    SELECT e0.{key},
+           {id_cols},
+           e0.{ts} AS first_ts,
+           e{k - 1}.{ts} AS last_ts
+    FROM {table} e0
+    {' '.join(joins)}
+    WHERE {_fba_pred_sql(pattern[0][1], f'e0.{type_col}')}
+    """

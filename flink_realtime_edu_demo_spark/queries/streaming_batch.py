@@ -41,6 +41,8 @@ from ..operators.cep import (
     match_recognize_relaxed_not,
     match_recognize_relaxed_not_oracle_sql,
     match_recognize_relaxed_within,
+    match_recognize_followed_by_any,
+    match_recognize_followed_by_any_oracle_sql,
     match_recognize_relaxed_within_oracle_sql,
     match_recognize_runagg,
     match_recognize_runagg_oracle_sql,
@@ -472,6 +474,39 @@ def q_cep_followed_by_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load(spark, sf_dir, "events")
     return match_recognize_relaxed_sessionized(
         ev, CEP_FB_PATTERN, gap_minutes=720
+    )
+
+
+# followedByAny: single-occurrence steps (validated), 24 h within —
+# the bound is what keeps the combination count linear in data volume
+# (at sf0.001/0.01/0.1 the fixture yields 19/182/1959 combinations).
+CEP_FBA_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "1"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_followed_by_any",
+       oracle=match_recognize_followed_by_any_oracle_sql(
+           CEP_FBA_PATTERN, within_minutes=1440))
+def q_cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's THIRD linking mode, followedByAny /
+    skip-till-any-match: every ordered (view, click, purchase)
+    COMBINATION per user inside a 24-hour window from the first
+    element — where followedBy commits to the first admitting row,
+    followedByAny branches on every one (Flink pairs it with NO_SKIP).
+    Relational lowering: combination semantics are a k-way ordered
+    join, so the plan is k filtered projections of events chained
+    through equi-joins on user_id with the order + within predicates
+    as residuals — all joins share one hash partitioning, only each
+    new admitted side shuffles, and the within bound prunes inside
+    every join rather than post-filtering the product. DuckDB oracle
+    is the same joins in ANSI SQL. Property-tested against a
+    brute-force itertools enumerator (tests/test_property.py)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_followed_by_any(
+        ev, CEP_FBA_PATTERN, within_minutes=1440
     )
 
 

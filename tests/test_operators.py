@@ -1153,3 +1153,56 @@ def test_cc_jump_log_rounds_on_path(spark, sf_dir):
     assert rounds <= math.ceil(math.log2(n)) + 2, rounds
     out = labels.collect()
     assert len(out) == n and all(r.label == 0 for r in out)
+
+
+def test_followed_by_any_within_and_validation(spark):
+    """followedByAny with .within(): combinations whose later elements
+    fall outside [first_ts, first_ts + within] are pruned inside the
+    join, and the single-occurrence / duplicate-name plan-time rules
+    reject unsupported patterns with actionable errors."""
+    import datetime as dt
+
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_followed_by_any,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: V at t0; C at +10m and +90m; P at +30m and +200m
+        (1, 1, t0, "view"),
+        (1, 2, t0 + dt.timedelta(minutes=10), "click"),
+        (1, 3, t0 + dt.timedelta(minutes=30), "purchase"),
+        (1, 4, t0 + dt.timedelta(minutes=90), "click"),
+        (1, 5, t0 + dt.timedelta(minutes=200), "purchase"),
+        # user 2: order violated (P before C)
+        (2, 6, t0, "view"),
+        (2, 7, t0 + dt.timedelta(minutes=5), "purchase"),
+        (2, 8, t0 + dt.timedelta(minutes=9), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    pat = [("V", "view", "1"), ("C", "click", "1"), ("P", "purchase", "1")]
+
+    unbounded = match_recognize_followed_by_any(ev, pat)
+    got_all = sorted((r.v_event_id, r.c_event_id, r.p_event_id)
+                     for r in unbounded.collect())
+    # user 1: (1,2,3), (1,2,5), (1,4,5); user 2: none (order)
+    assert got_all == [(1, 2, 3), (1, 2, 5), (1, 4, 5)]
+
+    within = match_recognize_followed_by_any(ev, pat, within_minutes=60)
+    got_60 = sorted((r.v_event_id, r.c_event_id, r.p_event_id, r.first_ts,
+                     r.last_ts) for r in within.collect())
+    assert [(a, b, c) for a, b, c, *_ in got_60] == [(1, 2, 3)]
+    assert got_60[0][3] == t0 and got_60[0][4] == t0 + dt.timedelta(minutes=30)
+
+    with pytest.raises(ValueError, match="single-occurrence"):
+        match_recognize_followed_by_any(ev, [("V", "view", "1"),
+                                             ("C", "click", "+")])
+    with pytest.raises(ValueError, match="duplicate"):
+        match_recognize_followed_by_any(ev, [("V", "view", "1"),
+                                             ("v", "click", "1")])
+    with pytest.raises(ValueError, match="at least two"):
+        match_recognize_followed_by_any(ev, [("V", "view", "1")])

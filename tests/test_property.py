@@ -1878,3 +1878,54 @@ def test_match_recognize_runagg_interior_matches_reference(
         ).collect()
     )
     assert got == sorted(want), (rows, pattern, skip, got, want)
+
+
+# --- followedByAny (skip-till-any-match) vs brute-force enumeration ---
+
+fba_var_strategy = st.sampled_from(
+    ["view", "click", "purchase", ("view", "click"), ("click", "error"),
+     "!purchase", ("!", "view", "click")]
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=0, max_size=14,
+    ),
+    etypes=st.lists(fba_var_strategy, min_size=2, max_size=3),
+)
+def test_followed_by_any_matches_bruteforce(spark, types, etypes):
+    """The chained ordered-join lowering must enumerate exactly the
+    brute-force combination set — every strictly-increasing index
+    tuple whose elements satisfy the per-variable predicates
+    (alternations and complements included), nothing else, no
+    duplicates."""
+    import itertools
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_followed_by_any,
+    )
+
+    pattern = [(f"V{i}", t, "1") for i, t in enumerate(etypes)]
+    preds = [_pred(t) for t in etypes]
+    want = sorted(
+        combo
+        for combo in itertools.combinations(range(len(types)), len(etypes))
+        if all(p(types[i]) for p, i in zip(preds, combo))
+    )
+    if not types:
+        return
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(types)],
+        "user_id long, event_id long, event_type string",
+    )
+    got = sorted(
+        tuple(r[f"v{i}_event_id"] for i in range(len(etypes)))
+        for r in match_recognize_followed_by_any(
+            ev, pattern, ts="event_id"
+        ).collect()
+    )
+    assert got == want, (types, etypes, got, want)

@@ -27,8 +27,10 @@ ALLOWED_NESTED_LOOP = {
     "q_subquery_scalar", "q_llm_tfidf", "q_llm_keyword_topk",
     "q_tpch_q11", "q_tpch_q15", "q_tpch_q22",
     # BPE merges: each iteration's top pair is a persisted 1-row
-    # broadcast crossJoin back into the vocab rows (queries/llm3.py)
-    "q_llm_bpe_merges",
+    # broadcast crossJoin back into the vocab rows (queries/llm3.py);
+    # encode replays the same training chain before its (vocab-scale)
+    # broadcast join back into the corpus word stream
+    "q_llm_bpe_merges", "q_llm_bpe_encode",
 }
 
 # Iterative keys: a per-iteration aggregation over REDUCED data
@@ -37,7 +39,7 @@ ALLOWED_NESTED_LOOP = {
 # a shape that is already the one you'd want at 100 TB. Bounded at 16
 # so a genuinely runaway plan still flags.
 ALLOWED_ITERATIVE = {
-    "q_llm_bpe_merges",
+    "q_llm_bpe_merges", "q_llm_bpe_encode",
 }
 
 
