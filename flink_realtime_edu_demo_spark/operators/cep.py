@@ -3602,6 +3602,20 @@ def match_recognize_followed_by_any(
     bound rides INSIDE every join condition, pruning combinations as
     early as possible rather than post-filtering the full product.
 
+    HOT-KEY GUARD (measured, tools/hotkey_stress.py): a plain per-key
+    equi-join degenerates on one hot key — every accumulated row
+    probes the key's ENTIRE admitted history (the hash bucket is the
+    whole key), an O(V·C) term no within residual can cut because
+    residuals run after the probe. With ``within`` set, the bucket of
+    width ``within`` containing ``first_ts`` joins the equi-key
+    (events within the bound sit in the anchor's bucket or the next
+    one, so the accumulated side explodes to those 2 candidates — the
+    binned-range-join construction of operators/rangejoin.py): probes
+    now touch ~2 windows of events instead of the key's history,
+    restoring per-window cost on hot keys at the price of doubling
+    the (already pruned) accumulated side. Unbounded calls keep the
+    plain key join — their output is the quadratic, not the probe.
+
     Returns ``key..., <var>_event_id per variable, first_ts, last_ts``.
     """
     _validate_fba(pattern)
@@ -3615,6 +3629,11 @@ def match_recognize_followed_by_any(
             F.col(ts).alias(f"_ts_{i}"),
             F.col(id_col).alias(f"{var.lower()}_event_id"),
         )
+
+    wsec = None if within_minutes is None else int(within_minutes) * 60
+
+    def bucket(col) -> "F.Column":
+        return F.floor(F.unix_timestamp(col) / F.lit(wsec))
 
     cur = admitted(0)
     for i in range(1, k):
@@ -3631,13 +3650,23 @@ def match_recognize_followed_by_any(
             (p_ts < c_ts)
             | ((p_ts == c_ts) & (F.col(prev_id) < F.col(cur_id)))
         )
-        if within_minutes is not None:
+        if wsec is not None:
             cond = cond & (
                 c_ts <= F.col("_ts_0")
                 + F.expr(f"INTERVAL {int(within_minutes)} MINUTE")
             )
-        cur = cur.join(nxt, cond, "inner").drop(
-            *[f"_r_{c}" for c in keys])
+            # candidate buckets of the anchor: a row inside the within
+            # bound lands in bucket(first_ts) or bucket(first_ts)+1
+            b0 = bucket(F.col("_ts_0"))
+            left = cur.withColumn(
+                "_bc", F.explode(F.array(b0, b0 + F.lit(1))))
+            nxt = nxt.withColumn("_rb", bucket(F.col(f"_ts_{i}")))
+            cond = cond & (F.col("_bc") == F.col("_rb"))
+            cur = left.join(nxt, cond, "inner").drop(
+                "_bc", "_rb", *[f"_r_{c}" for c in keys])
+        else:
+            cur = cur.join(nxt, cond, "inner").drop(
+                *[f"_r_{c}" for c in keys])
     return cur.select(
         *[F.col(c) for c in keys],
         *[F.col(f"{var.lower()}_event_id") for var, _, _ in pattern],

@@ -154,6 +154,29 @@ def main() -> None:
         out["relaxed_sessionized"][str(n)] = {"sec": dt, "matches": len(m)}
         print(f"  relaxed_sess n={n}: {dt:>7.2f}s  {len(m)} matches",
               flush=True)
+    # round 9b: followedByAny (combination enumeration) on the same hot
+    # key. Its hazard is OUTPUT volume, not scan cost: combinations are
+    # the semantics. The declared mitigation is the within bound — here
+    # 24 h, which can't span the 25 h pauses, so combinations stay
+    # per-burst and the total count grows LINEARLY with N (bursts) even
+    # though one unbounded key would be Θ(V·C·P) ≈ cubic. count() not
+    # collect(): the result is the measured quantity, not driver state.
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_followed_by_any,
+    )
+
+    FBA_PATTERN = [("V", "view", "1"), ("C", "click", "1"),
+                   ("P", "purchase", "1")]
+    out["fba_within"] = {}
+    for n in (20_000, 100_000, 200_000):
+        ev = hot_events_fb(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        cnt = match_recognize_followed_by_any(
+            ev, FBA_PATTERN, within_minutes=1440).count()
+        dt = round(time.perf_counter() - t0, 2)
+        out["fba_within"][str(n)] = {"sec": dt, "matches": cnt}
+        print(f"  fba_within  n={n}: {dt:>7.2f}s  {cnt} matches",
+              flush=True)
     # both runagg forms must find work proportional to N (the flat form
     # finds slightly FEWER matches — under-threshold B+ runs span
     # pauses and merge episodes, see module docstring — but the count
@@ -165,7 +188,8 @@ def main() -> None:
     # argument, on top of the cost argument, for sessionizing
     # followedBy on unbounded keys (mirrors the operator docstring).
     for fam, ns in (("flat", (5_000, 10_000)), ("sessionized", (20_000, 100_000)),
-                    ("relaxed_sessionized", (20_000, 100_000))):
+                    ("relaxed_sessionized", (20_000, 100_000)),
+                    ("fba_within", (20_000, 100_000))):
         a, b = (out[fam][str(n)]["matches"] for n in ns)
         ratio = b / a
         want = ns[1] / ns[0]
