@@ -77,7 +77,7 @@ _VERIFIED_GREEN = (
     "q_llm_tfidf", "q_subquery_corr", "q_subquery_scalar", "q_tpch_q10",
     "q_tpch_q14", "q_tpch_q4", "q_tpch_q7", "q_win_ntile",
     "q_agg_approx_uv_kmv", "q_agg_collect", "q_agg_cube", "q_agg_filtered",
-    "q_agg_having", "q_agg_percentile", "q_agg_regression", "q_agg_rollup",
+    "q_agg_having", "q_agg_percentile", "q_agg_rollup",
     "q_agg_stats", "q_case_when", "q_cep_all_rows", "q_cep_all_rows_define",
     "q_cep_alternation", "q_cep_group_quantifier", "q_cep_measures",
     "q_cep_negation", "q_cep_pattern", "q_cep_permute", "q_cep_prev",
@@ -89,20 +89,26 @@ _VERIFIED_GREEN = (
     "q_join_asof", "q_json_extract", "q_llm_decontam_bloom",
     "q_llm_semantic_dedup", "q_mm_resize", "q_project_arith", "q_tpch_q18",
     "q_tpch_q19", "q_tpch_q6", "q_upsert_latest", "q_join_interval",
-    "q_agg_approx_quantile", "q_agg_approx_uv",
+    "q_join_full", "q_join_cross_topk", "q_join_inner", "q_agg_approx_quantile",
+    "q_agg_approx_uv",
 )
 
 # Keys deliberately re-surfaced for the round-9 driver window.
-# FIRST: the nine new round-9 keys with no driver verdict yet
+# FIRST: the eleven new round-9 keys with no driver verdict yet
 # (relaxed-contiguity followedBy CEP x5 incl. within, notFollowedBy,
-# the select()-shape ALL ROWS and followedByAny; BPE merges + encode;
-# quantified-tail runagg), then the 3 changed-operator runagg
-# sentinels, the 26 remaining round-4 verdicts (5 rounds stale --
-# the VERDICT r8 "stalest verdict <= r5" target) and the 11 stalest
-# round-5 verdicts (q_join_interval rotated back out to make room
-# for followedByAny). Window total is exactly 1 warmup + 49 = 50.
+# the select()-shape ALL ROWS, followedByAny + its sessionized
+# deployment shape; BPE merges + encode; quantified-tail runagg;
+# dup-cluster canonicalization) plus q_agg_regression (source changed
+# this round: the 100x soak caught `n * sxx` overflowing int64, sums
+# now convert to double before the slope algebra — re-verify), then
+# the 3 changed-operator runagg sentinels, the 26 remaining round-4
+# verdicts (5 rounds stale -- the VERDICT r8 "stalest verdict <= r5"
+# target) and the 8 stalest round-5 verdicts (q_join_interval/
+# q_join_full/q_join_cross_topk/q_join_inner rotated back out to make
+# room for the newest keys). Window total is exactly 1 warmup + 49 = 50.
 _REVERIFY_FRONT = (
-    "q_cep_followed_by_any",
+    "q_cep_followed_by_any", "q_cep_followed_by_any_sessionized",
+    "q_llm_canonical_pick", "q_agg_regression",
     "q_cep_followed_by", "q_cep_followed_by_sessionized", "q_llm_bpe_merges",
     "q_llm_bpe_encode", "q_cep_runagg_tail", "q_cep_followed_by_within",
     "q_cep_not_followed_by", "q_cep_followed_by_rows", "q_cep_runagg",
@@ -115,7 +121,6 @@ _REVERIFY_FRONT = (
     "q_tpch_q21", "q_tpch_q8", "q_tpch_q9", "q_ts_gapfill", "q_ts_interp",
     "q_ts_ohlc", "q_unpivot", "q_fn_bitwise", "q_fn_datetime", "q_fn_hash",
     "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2", "q_join_anti",
-    "q_join_cross_topk", "q_join_full", "q_join_inner",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

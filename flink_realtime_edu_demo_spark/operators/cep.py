@@ -3675,6 +3675,52 @@ def match_recognize_followed_by_any(
     )
 
 
+def _fba_oracle_core(
+    pattern,
+    within_minutes: int | None,
+    keys: list[str],
+    source_sql: str,
+    ts: str,
+    type_col: str,
+    id_col: str,
+) -> str:
+    """Shared DuckDB replay of :func:`match_recognize_followed_by_any`
+    — the same k-way ordered join, spelled as plain ANSI joins over a
+    source subquery (the combination semantics are fully relational;
+    no regex replay needed). ``keys`` may be compound (the sessionized
+    form joins on (key, session_id))."""
+    _validate_fba(pattern)
+    k = len(pattern)
+    joins = []
+    for i in range(1, k):
+        _, etype, _ = pattern[i]
+        conds = [f"e0.{c} = e{i}.{c}" for c in keys] + [
+            f"(e{i - 1}.{ts} < e{i}.{ts} OR (e{i - 1}.{ts} = e{i}.{ts} "
+            f"AND e{i - 1}.{id_col} < e{i}.{id_col}))",
+            _fba_pred_sql(etype, f"e{i}.{type_col}"),
+        ]
+        if within_minutes is not None:
+            conds.append(
+                f"e{i}.{ts} <= e0.{ts} + INTERVAL {int(within_minutes)} "
+                "MINUTE")
+        joins.append(f"JOIN src e{i} ON " + " AND ".join(conds))
+    key_cols = ", ".join(f"e0.{c}" for c in keys)
+    id_cols = ",\n           ".join(
+        f"e{i}.{id_col} AS {var.lower()}_event_id"
+        for i, (var, _, _) in enumerate(pattern)
+    )
+    return f"""
+    WITH src AS ({source_sql})
+    SELECT {key_cols},
+           {id_cols},
+           e0.{ts} AS first_ts,
+           e{k - 1}.{ts} AS last_ts
+    FROM src e0
+    {' '.join(joins)}
+    WHERE {_fba_pred_sql(pattern[0][1], f'e0.{type_col}')}
+    """
+
+
 def match_recognize_followed_by_any_oracle_sql(
     pattern,
     within_minutes: int | None = None,
@@ -3684,36 +3730,56 @@ def match_recognize_followed_by_any_oracle_sql(
     type_col: str = "event_type",
     id_col: str = "event_id",
 ) -> str:
-    """DuckDB SQL replaying :func:`match_recognize_followed_by_any` —
-    the same k-way ordered join, spelled as plain ANSI joins (the
-    combination semantics are fully relational; no regex replay
-    needed)."""
-    _validate_fba(pattern)
-    k = len(pattern)
-    joins = []
-    for i in range(1, k):
-        _, etype, _ = pattern[i]
-        conds = [
-            f"e0.{key} = e{i}.{key}",
-            f"(e{i - 1}.{ts} < e{i}.{ts} OR (e{i - 1}.{ts} = e{i}.{ts} "
-            f"AND e{i - 1}.{id_col} < e{i}.{id_col}))",
-            _fba_pred_sql(etype, f"e{i}.{type_col}"),
-        ]
-        if within_minutes is not None:
-            conds.append(
-                f"e{i}.{ts} <= e0.{ts} + INTERVAL {int(within_minutes)} "
-                "MINUTE")
-        joins.append(f"JOIN {table} e{i} ON " + " AND ".join(conds))
-    id_cols = ",\n           ".join(
-        f"e{i}.{id_col} AS {var.lower()}_event_id"
-        for i, (var, _, _) in enumerate(pattern)
+    """DuckDB SQL replaying :func:`match_recognize_followed_by_any`."""
+    return _fba_oracle_core(pattern, within_minutes, [key],
+                            f"SELECT * FROM {table}", ts, type_col, id_col)
+
+
+def match_recognize_followed_by_any_sessionized(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    gap_minutes: int,
+    within_minutes: int | None = None,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sessionized deployment shape for followedByAny: combinations
+    cannot span a session gap, so the per-key combination space is
+    bounded by session length — the same state-bound answer the other
+    engines give, and the shape the streaming SessionCepSink deploys
+    (a closed session's combination set is final). Adds ``session_id``
+    to the output columns."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize_followed_by_any(
+        s, pattern, within_minutes=within_minutes,
+        key=[key, "session_id"], ts=ts, type_col=type_col, id_col=id_col,
     )
-    return f"""
-    SELECT e0.{key},
-           {id_cols},
-           e0.{ts} AS first_ts,
-           e{k - 1}.{ts} AS last_ts
-    FROM {table} e0
-    {' '.join(joins)}
-    WHERE {_fba_pred_sql(pattern[0][1], f'e0.{type_col}')}
-    """
+
+
+def match_recognize_followed_by_any_sessionized_oracle_sql(
+    pattern,
+    gap_minutes: int,
+    within_minutes: int | None = None,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying
+    :func:`match_recognize_followed_by_any_sessionized`."""
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return _fba_oracle_core(pattern, within_minutes, [key, "session_id"],
+                            source, ts, type_col, id_col)

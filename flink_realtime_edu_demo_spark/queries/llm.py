@@ -1183,6 +1183,86 @@ def q_llm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_canonical_pick",
+    oracle="""
+    WITH RECURSIVE
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+           FROM words,
+                unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    sdf AS (SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) BETWEEN 2 AND 64),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh a JOIN sh b USING (shingle) JOIN sdf USING (shingle)
+             WHERE a.doc_id < b.doc_id),
+    common AS (SELECT cand.id_a, cand.id_b, COUNT(*) AS n_common
+               FROM cand
+               JOIN sh a ON a.doc_id = cand.id_a
+               JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+    edges AS (SELECT id_a, id_b FROM common
+              JOIN counts ca ON ca.doc_id = id_a
+              JOIN counts cb ON cb.doc_id = id_b
+              WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+        SELECT DISTINCT a AS id, a AS label FROM sym
+        UNION
+        SELECT s.a AS id, r.label FROM sym s JOIN reach r ON r.id = s.b
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS group_id
+             FROM reach GROUP BY id),
+    sized AS (SELECT c.doc_id, c.group_id,
+                     CAST(length(d.text) AS BIGINT) AS n_chars
+              FROM comp c JOIN documents d USING (doc_id)),
+    pick AS (SELECT doc_id, group_id, n_chars,
+                    first_value(doc_id) OVER (
+                        PARTITION BY group_id
+                        ORDER BY n_chars DESC, doc_id) AS canonical_id
+             FROM sized)
+    SELECT p.doc_id, p.group_id, s.n_members, p.n_chars, p.canonical_id,
+           p.doc_id = p.canonical_id AS keep
+    FROM pick p
+    JOIN (SELECT group_id, COUNT(*) AS n_members
+          FROM comp GROUP BY 1) s USING (group_id)
+    """,
+)
+def q_llm_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster CANONICALIZATION — the pipeline stage between
+    near-dup grouping and corpus filtering: inside every connected
+    dup cluster keep exactly one document (longest text wins, doc_id
+    breaks ties — the standard 'keep the most complete copy'
+    heuristic) and mark the rest as drops. Same edge list + components
+    machinery as q_llm_dup_groups; the pick is one first_value window
+    over the SAME group partitioning the member count uses, so
+    canonical selection adds no extra shuffle. Emits one decision row
+    per clustered doc (singletons never enter the edge list — they are
+    trivially keeps and would only pad the output)."""
+    d = load_spread(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingles(d), threshold=0.5, max_df=MAX_DF).select(
+        "id_a", "id_b"
+    )
+    labels = connected_components(pairs)
+    sized = labels.join(
+        d.select(F.col("doc_id").alias("id"),
+                 F.length("text").cast("long").alias("n_chars")),
+        "id",
+    )
+    w = Window.partitionBy("label")
+    wo = w.orderBy(F.col("n_chars").desc(), F.col("id"))
+    return sized.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("group_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+        F.col("n_chars"),
+        F.first("id").over(wo).alias("canonical_id"),
+    ).withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+
+
+@query(
     "q_llm_entropy",
     oracle="""
     WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch

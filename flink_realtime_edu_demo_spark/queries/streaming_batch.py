@@ -43,6 +43,8 @@ from ..operators.cep import (
     match_recognize_relaxed_within,
     match_recognize_followed_by_any,
     match_recognize_followed_by_any_oracle_sql,
+    match_recognize_followed_by_any_sessionized,
+    match_recognize_followed_by_any_sessionized_oracle_sql,
     match_recognize_relaxed_within_oracle_sql,
     match_recognize_runagg,
     match_recognize_runagg_oracle_sql,
@@ -507,6 +509,26 @@ def q_cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return match_recognize_followed_by_any(
         ev, CEP_FBA_PATTERN, within_minutes=1440
+    )
+
+
+@query("q_cep_followed_by_any_sessionized",
+       oracle=match_recognize_followed_by_any_sessionized_oracle_sql(
+           CEP_FBA_PATTERN, gap_minutes=720))
+def q_cep_followed_by_any_sessionized(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Sessionized followedByAny — the deployment shape the streaming
+    SessionCepSink runs (matcher='fba'): 12-hour sessions per user,
+    then every ordered (view, click, purchase) combination WITHIN each
+    session. The session bound is what makes unbounded-within
+    combination enumeration deployable: the per-key combination space
+    is bounded by session length, and a closed session's combination
+    set is final (the streaming emission contract). One sort-shuffle
+    on user_id for the sessionize window; the joins then key on
+    (user_id, session_id)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_followed_by_any_sessionized(
+        ev, CEP_FBA_PATTERN, gap_minutes=720
     )
 
 

@@ -416,8 +416,8 @@ def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
         SELECT o_orderpriority,
                COUNT(*) AS n,
-               SUM(x) AS sx,
-               SUM(x * x) AS sxx,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
                CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
                CAST(SUM(CAST(x * y AS DECIMAL(28,2))) AS DOUBLE) AS sxy,
                CAST(SUM(CAST(y * y AS DECIMAL(30,4))) AS DOUBLE) AS syy
@@ -451,8 +451,16 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # sx/sxx SUM exactly in int64 (safe to ~4e12 rows/group at this
+        # x range), then convert to double BEFORE the slope algebra:
+        # the 100x soak caught `n * sxx` overflowing int64 under ANSI
+        # (DuckDB silently promotes its sums to HUGEINT, so only the
+        # Spark side threw). Both engines now run the derived algebra
+        # in double on identically-rounded inputs — at the sf0.01 gate
+        # every sum is < 2^53, so the conversion is exact and the hash
+        # unaffected.
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
         F.sum(F.col("y").cast("decimal(18,2)")).cast("double").alias("sy"),
         F.sum((F.col("x") * F.col("y")).cast("decimal(28,2)"))
         .cast("double").alias("sxy"),

@@ -45,6 +45,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cep import (
     match_recognize_define_sessionized,
+    match_recognize_followed_by_any_sessionized,
     match_recognize_relaxed_sessionized,
     match_recognize_runagg_sessionized,
     match_recognize_sessionized,
@@ -70,7 +71,11 @@ class SessionCepSink:
     given ``skip`` policy; ``matcher='runagg'`` runs the
     running-aggregate DEFINE engine (round 7 — the sessionized form,
     so the per-key O(rows²) scan is bounded by session length even in
-    the stream). All are safe under incremental recompute: a closed
+    the stream); ``matcher='fba'`` runs followedByAny combination
+    enumeration (round 9 — ``within_minutes`` forwarded; match_no
+    synthesized over the variable-id tuple, stable because closed
+    sessions never gain rows). All are safe under incremental
+    recompute: a closed
     session can never gain rows, so PREV/NEXT navigation, prefix sums
     and skip-policy selection are final at publication time."""
 
@@ -78,14 +83,16 @@ class SessionCepSink:
                  ts: str = "ts", id_col: str = "event_id",
                  store_dir: str | None = None,
                  matcher: str = "types", skip: str = "past_last_row",
+                 within_minutes: int | None = None,
                  observe: bool = True):
-        if matcher not in ("types", "define", "runagg", "relaxed"):
-            raise ValueError(
-                "matcher must be 'types', 'define', 'runagg' or 'relaxed'")
+        if matcher not in ("types", "define", "runagg", "relaxed", "fba"):
+            raise ValueError("matcher must be 'types', 'define', "
+                             "'runagg', 'relaxed' or 'fba'")
         self.pattern = pattern
         self.gap_minutes = gap_minutes
         self.key, self.ts, self.id_col = key, ts, id_col
         self.matcher, self.skip = matcher, skip
+        self.within_minutes = within_minutes
         base = store_dir or tempfile.mkdtemp(prefix="session_cep_")
         self.staging_dir = f"{base}/staging"
         self.meta_dir = f"{base}/meta"
@@ -172,6 +179,27 @@ class SessionCepSink:
             matched = match_recognize_relaxed_sessionized(
                 hist, self.pattern, self.gap_minutes,
                 key=self.key, ts=self.ts, id_col=self.id_col,
+            )
+        elif self.matcher == "fba":
+            # round 9: followedByAny (combination enumeration) on
+            # session close. Combinations carry no inherent match_no;
+            # synthesize one as a row_number over the variable-id
+            # tuple — deterministic, and STABLE because a closed
+            # session never gains rows (only closed sessions publish).
+            from pyspark.sql.window import Window
+
+            matched = match_recognize_followed_by_any_sessionized(
+                hist, self.pattern, self.gap_minutes,
+                within_minutes=self.within_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
+            )
+            id_cols = [f"{var.lower()}_event_id"
+                       for var, _, _ in self.pattern]
+            matched = matched.withColumn(
+                "match_no",
+                F.row_number().over(
+                    Window.partitionBy(self.key, "session_id")
+                    .orderBy(*id_cols)).cast("long"),
             )
         else:
             matched = match_recognize_sessionized(

@@ -970,3 +970,62 @@ def test_streaming_cep_relaxed_stream_equals_batch(spark, sf_dir, stream_dir, tm
         for k, v in sink.emitted.items()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_streaming_cep_fba_stream_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Streaming followedByAny (round 9): the fba matcher under the
+    session-close emission contract converges to the batch sessionized
+    combination set — valid incrementally because a closed session
+    never gains rows, so the combination set (and the synthesized
+    match_no over the variable-id tuple) is final at publication."""
+    from pyspark.sql.window import Window
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_followed_by_any_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    pat = [("V", "view", "1"), ("C", "click", "1"), ("P", "purchase", "1")]
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink(pat, gap_minutes=gap, matcher="fba")
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_fba_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES") <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    batch = (
+        match_recognize_followed_by_any_sessionized(ev, pat, gap)
+        .withColumn(
+            "match_no",
+            F.row_number().over(
+                Window.partitionBy("user_id", "session_id")
+                .orderBy("v_event_id", "c_event_id", "p_event_id"))
+            .cast("long"))
+        .join(closed, ["user_id", "session_id"])
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no):
+            (r.v_event_id, r.c_event_id, r.p_event_id)
+        for r in batch.collect()
+    }
+    got = {
+        k: (v["v_event_id"], v["c_event_id"], v["p_event_id"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))
