@@ -89,7 +89,8 @@ _VERIFIED_GREEN = (
     "q_join_asof", "q_json_extract", "q_llm_decontam_bloom",
     "q_llm_semantic_dedup", "q_mm_resize", "q_project_arith", "q_tpch_q18",
     "q_tpch_q19", "q_tpch_q6", "q_upsert_latest", "q_join_interval",
-    "q_join_full", "q_join_cross_topk", "q_join_inner", "q_agg_approx_quantile",
+    "q_join_full", "q_join_cross_topk", "q_join_inner", "q_join_anti",
+    "q_agg_approx_quantile",
     "q_agg_approx_uv",
 )
 
@@ -103,12 +104,12 @@ _VERIFIED_GREEN = (
 # now convert to double before the slope algebra — re-verify), then
 # the 3 changed-operator runagg sentinels, the 26 remaining round-4
 # verdicts (5 rounds stale -- the VERDICT r8 "stalest verdict <= r5"
-# target) and the 8 stalest round-5 verdicts (q_join_interval/
-# q_join_full/q_join_cross_topk/q_join_inner rotated back out to make
-# room for the newest keys). Window total is exactly 1 warmup + 49 = 50.
+# target) and the 7 stalest round-5 verdicts (q_join_interval/full/
+# cross_topk/inner/anti rotated back out to make room for the newest
+# keys, q_cep_followed_by_define last). Window = 1 warmup + 49 = 50.
 _REVERIFY_FRONT = (
     "q_cep_followed_by_any", "q_cep_followed_by_any_sessionized",
-    "q_llm_canonical_pick", "q_agg_regression",
+    "q_llm_canonical_pick", "q_agg_regression", "q_cep_followed_by_define",
     "q_cep_followed_by", "q_cep_followed_by_sessionized", "q_llm_bpe_merges",
     "q_llm_bpe_encode", "q_cep_runagg_tail", "q_cep_followed_by_within",
     "q_cep_not_followed_by", "q_cep_followed_by_rows", "q_cep_runagg",
@@ -120,7 +121,7 @@ _REVERIFY_FRONT = (
     "q_tpch_q13", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q2",
     "q_tpch_q21", "q_tpch_q8", "q_tpch_q9", "q_ts_gapfill", "q_ts_interp",
     "q_ts_ohlc", "q_unpivot", "q_fn_bitwise", "q_fn_datetime", "q_fn_hash",
-    "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2", "q_join_anti",
+    "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2716,7 +2716,19 @@ def _relaxed_piece(etype, quant: str, chars: dict[str, str],
         if hi is None and lo == 1:
             return f"({admit}(?:{occ}*{zz}))"
         return f"({admit}{occ}{{{lo - 1},{hi - 1}}}{zz})"
-    cls = _var_class(etype, chars)
+    return _relaxed_pos_piece(_var_class(etype, chars), quant, first)
+
+
+def _relaxed_pos_piece(cls: str, quant: str, first: bool) -> str:
+    """The flat char-class-star relaxed piece for a POSITIVE admit
+    class ``cls`` (a string of token-head letters) — shared by the
+    type-alphabet engine (via :func:`_relaxed_piece`) and the bitmask
+    DEFINE alphabet (:func:`match_recognize_relaxed_define`), whose
+    classes are just different letter sets over the same token
+    grammar."""
+    lo, hi, lazy = _quant_parse(quant)
+    zz = "?" if lazy else ""
+    opt = "??" if lazy else "?"
     a = f"{cls if len(cls) == 1 else f'[{cls}]'}[0-9]+;"
     skip = f"[^{cls}]*"          # to the FIRST cls-token (deterministic)
     anytk = f"[a-z0-9;]*{zz}"    # settle at last/first cls-token
@@ -3783,3 +3795,185 @@ def match_recognize_followed_by_any_sessionized_oracle_sql(
               FROM {table})"""
     return _fba_oracle_core(pattern, within_minutes, [key, "session_id"],
                             source, ts, type_col, id_col)
+
+
+# --- relaxed contiguity over DEFINE conditions -----------------------------
+#
+# Flink CEP composes followedBy with SimpleConditions on VALUES, not
+# just event types — `begin("start").where(type).followedBy("drop")
+# .where(value < prev)` is the everyday shape. The strict DEFINE
+# engine already reduces arbitrary row-local predicates (types, PREV/
+# NEXT value navigation) to a bitmask token alphabet; relaxed matching
+# over that alphabet is the same consuming-gap lowering with a
+# different letter set, so the two engines compose for free: bitmask
+# tokens (one shuffle, JVM lag/lead) x flat char-class gap stars
+# (hot-key-safe, RE2-replayable).
+
+def match_recognize_relaxed_define(
+    events: DataFrame,
+    pattern: list[tuple[str, dict, str]],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Relaxed-contiguity (followedBy / skip-till-next) matching whose
+    variables carry DEFINE conditions — ``types`` alternations and/or
+    PREV/NEXT value navigation (``dir`` / ``next_dir``), the
+    :func:`match_recognize_define` dict language. Semantics: between
+    consecutive occurrences, rows the next expected variable's DEFINE
+    rejects are skipped (and consumed by the match); quantified
+    variables are internally relaxed; greedy left-to-right, ONE ROW
+    PER MATCH, AFTER MATCH SKIP PAST LAST ROW; the first variable must
+    be mandatory. PREV/NEXT navigate PHYSICAL partition rows (computed
+    by lag/lead BEFORE tokenization — SQL:2016's offset navigation;
+    Flink's iterative conditions over matched-so-far events are a
+    different, stateful construct and stay out of scope).
+
+    Lowering: the define engine's 2^k bitmask alphabet (k <= 4), then
+    per-variable consuming-gap pieces over each variable's bit class —
+    the identical flat char-class stars as the type-alphabet engine
+    (:func:`_relaxed_pos_piece`), so one shuffle, zero Python rows,
+    iterative JVM regex on hot keys. Per-variable counts are exact:
+    gap rows inside a piece are by construction outside the variable's
+    class. Returns ``key..., match_no, first_event_id, last_event_id,
+    n_rows, n_skipped, n_<variable>...``."""
+    _validate_defines(pattern)
+    if _quant_min(pattern[0][2]) < 1:
+        raise ValueError(
+            "relaxed (followedBy) matching needs a mandatory first "
+            "variable: the match anchor is the first variable's first "
+            "row")
+    keys = [key] if isinstance(key, str) else list(key)
+    classes = _bitmask_classes(pattern)
+    regex = "".join(
+        _relaxed_pos_piece(cls, quant, first=(i == 0))
+        for i, (cls, (_, _, quant)) in enumerate(zip(classes, pattern))
+    )
+    seq = _define_tokens(events, pattern, keys, ts, type_col, id_col,
+                         value_col)
+    k = len(pattern)
+    s = F.concat_ws("", "toks")
+    groups = seq.select(
+        *[F.col(c) for c in keys],
+        F.regexp_extract_all(s, F.lit(regex), F.lit(0)).alias("w"),
+        *[
+            F.regexp_extract_all(s, F.lit(regex), F.lit(i + 1)).alias(f"g{i}")
+            for i in range(k)
+        ],
+    )
+    zipped = groups.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(
+            F.arrays_zip(F.col("w"), *[F.col(f"g{i}") for i in range(k)])
+        ),
+    )
+    w = F.col("col")["w"]
+    n_vars = [
+        (F.length(F.col("col")[f"g{i}"])
+         - F.length(F.translate(F.col("col")[f"g{i}"], cls, "")))
+        .cast("long").alias(f"n_{var.lower()}")
+        for i, (cls, (var, _, _)) in enumerate(zip(classes, pattern))
+    ]
+    n_tok_w = (F.length(w) - F.length(F.translate(w, ";", ""))).cast("long")
+    n_rows = n_vars[0]
+    for c in n_vars[1:]:
+        n_rows = n_rows + c
+    return zipped.select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract(w, "^[a-z]([0-9]+);", 1).cast("long").alias("first_event_id"),
+        F.regexp_extract(w, "([0-9]+);$", 1).cast("long").alias("last_event_id"),
+        n_rows.cast("long").alias("n_rows"),
+        (n_tok_w - n_rows).cast("long").alias("n_skipped"),
+        *n_vars,
+    )
+
+
+def match_recognize_relaxed_define_oracle_sql(
+    pattern: list[tuple[str, dict, str]],
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_relaxed_define` —
+    the define engine's bitmask token CTE (same lag/lead, same CASE
+    bits) scanned by the identical relaxed gap-class regex (RE2 agrees
+    with Java regex on leftmost-first greedy/lazy settle order over
+    plain char classes)."""
+    _validate_defines(pattern)
+    if _quant_min(pattern[0][2]) < 1:
+        raise ValueError("mandatory first variable (see engine)")
+    classes = _bitmask_classes(pattern)
+    regex = "".join(
+        _relaxed_pos_piece(cls, quant, first=(i == 0))
+        for i, (cls, (_, _, quant)) in enumerate(zip(classes, pattern))
+    )
+    k = len(pattern)
+    bits = []
+    for i, (_, define, _) in enumerate(pattern):
+        conds = []
+        if define.get("types"):
+            alts = ", ".join(f"'{t}'" for t in _types_of(define["types"]))
+            conds.append(f"{type_col} IN ({alts})")
+        if define.get("dir") == "up":
+            conds.append(f"{value_col} > prev_v")
+        elif define.get("dir") == "down":
+            conds.append(f"{value_col} < prev_v")
+        if define.get("next_dir") == "up":
+            conds.append(f"{value_col} < next_v")
+        elif define.get("next_dir") == "down":
+            conds.append(f"{value_col} > next_v")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        bits.append(f"(CASE WHEN {cond} THEN {1 << i} ELSE 0 END)")
+    bm = " + ".join(bits)
+
+    def strip_class(expr: str, cls: str) -> str:
+        for c in cls:
+            expr = f"replace({expr}, '{c}', '')"
+        return expr
+
+    n_exprs = [
+        f"length(r{i}) - length({strip_class(f'r{i}', cls)})"
+        for i, cls in enumerate(classes)
+    ]
+    n_rows = " + ".join(f"({e})" for e in n_exprs)
+    var_counts = ",\n           ".join(
+        f"CAST({e} AS BIGINT) AS n_{var.lower()}"
+        for e, (var, _, _) in zip(n_exprs, pattern)
+    )
+    gcols = ",\n               ".join(
+        f"regexp_extract_all(s, '{regex}', {i + 1}) AS g{i}" for i in range(k)
+    )
+    rsel = ", ".join(f"g{i}[i] AS r{i}" for i in range(k))
+    return f"""
+    WITH src AS (
+        SELECT {key}, {ts}, {id_col},
+               chr(97 + ({bm})) || {id_col} || ';' AS tok
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+                     lag({value_col}) OVER (PARTITION BY {key}
+                                            ORDER BY {ts}, {id_col}) AS prev_v,
+                     lead({value_col}) OVER (PARTITION BY {key}
+                                             ORDER BY {ts}, {id_col}) AS next_v
+              FROM {table})
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM src GROUP BY {key}),
+    m AS (SELECT {key},
+               regexp_extract_all(s, '{regex}', 0) AS w,
+               {gcols}
+          FROM seq),
+    ex AS (SELECT {key}, CAST(i AS BIGINT) AS match_no, w[i] AS wm, {rsel}
+           FROM m, unnest(generate_series(1, len(w))) AS t(i))
+    SELECT {key}, match_no,
+           CAST(regexp_extract(wm, '^[a-z]([0-9]+);', 1) AS BIGINT) AS first_event_id,
+           CAST(regexp_extract(wm, '([0-9]+);$', 1) AS BIGINT) AS last_event_id,
+           CAST({n_rows} AS BIGINT) AS n_rows,
+           CAST((length(wm) - length(replace(wm, ';', ''))) - ({n_rows}) AS BIGINT) AS n_skipped,
+           {var_counts}
+    FROM ex
+    """

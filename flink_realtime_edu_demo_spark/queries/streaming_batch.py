@@ -45,6 +45,8 @@ from ..operators.cep import (
     match_recognize_followed_by_any_oracle_sql,
     match_recognize_followed_by_any_sessionized,
     match_recognize_followed_by_any_sessionized_oracle_sql,
+    match_recognize_relaxed_define,
+    match_recognize_relaxed_define_oracle_sql,
     match_recognize_relaxed_within_oracle_sql,
     match_recognize_runagg,
     match_recognize_runagg_oracle_sql,
@@ -510,6 +512,34 @@ def q_cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_followed_by_any(
         ev, CEP_FBA_PATTERN, within_minutes=1440
     )
+
+
+# followedBy with VALUE conditions — Flink's everyday composition:
+# begin.where(type=view).followedBy(drop).where(value < prev)
+# .followedBy(buy).where(type=purchase)
+CEP_FB_DEFINE_PATTERN = [
+    ("S", {"types": "view"}, "1"),
+    ("D", {"dir": "down"}, "+"),
+    ("P", {"types": "purchase"}, "1"),
+]
+
+
+@query("q_cep_followed_by_define",
+       oracle=match_recognize_relaxed_define_oracle_sql(
+           CEP_FB_DEFINE_PATTERN))
+def q_cep_followed_by_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relaxed-contiguity (followedBy) matching with DEFINE conditions
+    on VALUES — Flink CEP's everyday SimpleCondition composition: a
+    view, followedBy one-or-more falling rows (value < PREV(value),
+    physical-row navigation), followedBy a purchase; rows the next
+    expected DEFINE rejects are skipped and consumed. The strict
+    engine's 2^k bitmask token alphabet composed with the relaxed
+    engine's flat consuming-gap char stars — one shuffle, zero Python,
+    hot-key-safe iterative regex. DuckDB oracle replays the identical
+    bitmask CASE + gap-class scan; hypothesis-tested against the
+    reference relaxed matcher over the bitmask alphabet."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_define(ev, CEP_FB_DEFINE_PATTERN)
 
 
 @query("q_cep_followed_by_any_sessionized",

@@ -1929,3 +1929,88 @@ def test_followed_by_any_matches_bruteforce(spark, types, etypes):
         ).collect()
     )
     assert got == want, (types, etypes, got, want)
+
+
+# --- match_recognize_relaxed_define vs the reference relaxed matcher ---
+
+rx_define_strategy = st.lists(
+    st.tuples(
+        st.sampled_from([
+            {"types": "view"}, {"types": "click"},
+            {"types": ("view", "click")},
+            {"dir": "up"}, {"dir": "down"},
+            {"types": "click", "dir": "up"}, {},
+        ]),
+        st.sampled_from(["1", "?", "+", "*", "+?", "{1,2}", "{0,2}?"]),
+    ),
+    min_size=1, max_size=3,
+).filter(lambda p: _parse_quant(p[0][1])[0] >= 1)  # mandatory first var
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["view", "click", "purchase"]),
+                  st.integers(min_value=0, max_value=3)),
+        min_size=0, max_size=25,
+    ),
+    pat=rx_define_strategy,
+)
+def test_relaxed_define_matches_reference(spark, rows, pat):
+    """The bitmask-alphabet relaxed lowering must agree with the
+    reference relaxed matcher run over the REDUCED alphabet: each
+    row's 'type' is its satisfied-defines bitmask char (computed
+    independently in the test, physical-prev navigation), and variable
+    i's predicate is its bit class — which reduces relaxed-DEFINE
+    matching to the already-proven relaxed reference."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed_define,
+    )
+
+    pattern = [(f"V{i}", d, q) for i, (d, q) in enumerate(pat)]
+    k = len(pattern)
+    # independent bitmask per row (prev = physical previous row)
+    toks = []
+    for i, (t, v) in enumerate(rows):
+        prev = rows[i - 1][1] if i > 0 else None
+        bm = 0
+        for vi, (_, d, _) in enumerate(pattern):
+            ok = True
+            if d.get("types"):
+                types = (d["types"],) if isinstance(d["types"], str) \
+                    else tuple(d["types"])
+                ok = ok and t in types
+            if d.get("dir") == "up":
+                ok = ok and prev is not None and v > prev
+            elif d.get("dir") == "down":
+                ok = ok and prev is not None and v < prev
+            if ok:
+                bm |= 1 << vi
+        toks.append(chr(97 + bm))
+    classes = [
+        tuple(chr(97 + m) for m in range(1 << k) if m & (1 << i))
+        for i in range(k)
+    ]
+    ref_pattern = [(f"V{i}", classes[i], q)
+                   for i, (_, _, q) in enumerate(pattern)]
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in _py_relaxed_matches(toks, ref_pattern)
+    ]
+    if not rows:
+        return
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(k)),
+        )
+        for r in match_recognize_relaxed_define(
+            ev, pattern, ts="event_id"
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pat, got, want)
