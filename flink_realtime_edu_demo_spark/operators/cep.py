@@ -3977,3 +3977,394 @@ def match_recognize_relaxed_define_oracle_sql(
            {var_counts}
     FROM ex
     """
+
+
+# --------------------------------------------------------------------------
+# Flink loop MODIFIERS over relaxed linking: until() stop conditions and
+# times(n).consecutive() — the two Pattern-API loop refinements left after
+# the round-9 relaxed trio (followedBy / notFollowedBy / followedByAny).
+# Reference surface: Flink CEP Pattern.oneOrMore().until(cond) and
+# Pattern.times(m, n).consecutive(); both lower to flat char-class pieces
+# over the same one-shuffle token string, so the scan stays iterative
+# (hot-key-safe) and the DuckDB oracle replays the identical regex.
+# --------------------------------------------------------------------------
+
+_LOOP_QUANTS = ("+", "+?", "*", "*?")
+
+
+def _split_until(pattern):
+    """Split 4-tuple entries ``(var, types, quant, until_types)`` into
+    the plain 3-tuple pattern plus a per-index stop map — Flink's
+    ``oneOrMore().until(stopCondition)``. 3-tuples pass through."""
+    plain, until = [], {}
+    for i, el in enumerate(pattern):
+        if len(el) == 4:
+            var, etype, quant, u = el
+            plain.append((var, etype, quant))
+            if not u:
+                raise ValueError(f"variable {var!r}: empty until set")
+            until[i] = (u,) if isinstance(u, str) else tuple(u)
+        elif len(el) == 3:
+            plain.append(el)
+        else:
+            raise ValueError(
+                "pattern entries are (var, types, quant[, until_types])")
+    return plain, until
+
+
+def _validate_until(plain, until) -> None:
+    _validate_relaxed(plain)
+    if not until:
+        raise ValueError("no until set given — use match_recognize_relaxed")
+    for i, stop in until.items():
+        var, etype, quant = plain[i]
+        if _var_negated(etype):
+            raise ValueError(
+                f"variable {var!r}: until on complement variables is not "
+                "supported (the complement predicate already constrains "
+                "every consumed row)")
+        if not stop:
+            raise ValueError(f"variable {var!r}: empty until set")
+        lo, hi, _ = _quant_parse(quant)
+        if hi == 1:
+            raise ValueError(
+                f"variable {var!r}: until() modifies LOOPING patterns "
+                "(oneOrMore / times with max > 1), not single-row "
+                f"variables (quant {quant!r})")
+        if quant not in _LOOP_QUANTS and lo < 1:
+            raise ValueError(
+                f"variable {var!r}: bounded until needs min >= 1 "
+                f"(got {quant!r})")
+        overlap = set(_types_of(etype)) & set(stop)
+        if overlap:
+            raise ValueError(
+                f"variable {var!r}: until types {sorted(overlap)} overlap "
+                "the variable's own types — a row cannot be both taken by "
+                "and stop the loop (Flink evaluates the stop condition "
+                "first, so such a row would always stop; spell that as a "
+                "narrower variable predicate instead)")
+
+
+def _until_piece(etype, quant, chars, stop_types, first: bool) -> str:
+    """A looping variable's piece with a stop class: the loop's FIRST
+    occurrence is found by the ordinary relaxed waiting skip (the stop
+    condition binds to the LOOP, which has not started while waiting —
+    a stop row before the first taken row is skippable), but from the
+    first taken row onward no stop row may be crossed: interior gap
+    stars exclude the stop letters, so the greedy scan settles at the
+    last admitting row before the first stop row and the match
+    proceeds to the next variable with the occurrences accumulated —
+    Flink's "until stops the loop from accepting further events",
+    NOT notFollowedBy's kill-the-attempt semantics."""
+    cls = _var_class(etype, chars)
+    fcls = "".join(chars[t] for t in stop_types)
+    a = f"{cls if len(cls) == 1 else f'[{cls}]'}[0-9]+;"
+    skipw = f"[^{cls}]*"        # waiting: may cross stop rows
+    anyf = f"[^{fcls}]*"        # inside the loop: never crosses a stop row
+    occf = f"[^{cls}{fcls}]*"   # bounded per-occurrence skip inside the loop
+    lo, hi, lazy = _quant_parse(quant)
+    zz = "?" if lazy else ""
+    opt = "??" if lazy else "?"
+    core = f"{a}(?:{anyf}{zz}{a}){opt}" if hi is None else \
+        f"{a}(?:{occf}{a}){{{lo - 1},{hi - 1}}}{zz}"
+    if quant in ("*", "*?"):
+        core = f"{a}(?:{anyf}{zz}{a}){opt}"
+        return f"((?:{skipw}{core}){opt})"
+    if first:
+        return f"({core})"
+    return f"({skipw}{core})"
+
+
+def _until_regex(plain, until, chars) -> str:
+    return "".join(
+        _until_piece(etype, quant, chars, until[i], first=(i == 0))
+        if i in until
+        else _relaxed_piece(etype, quant, chars, first=(i == 0))
+        for i, (_, etype, quant) in enumerate(plain)
+    )
+
+
+def _relaxed_spark_with(
+    events: DataFrame,
+    plain,
+    chars: dict[str, str],
+    regex: str,
+    keys: list[str],
+    ts: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared Spark-side decode for relaxed-family variants that bring
+    their own alphabet + regex (the engine-side twin of
+    :func:`_relaxed_oracle_with`): one shuffle to the per-key token
+    string, regexp_extract_all per capture group, posexplode over the
+    zipped matches, char-count measures."""
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    k = len(plain)
+    groups = seq.select(
+        *[F.col(c) for c in keys],
+        F.regexp_extract_all("s", F.lit(regex), F.lit(0)).alias("w"),
+        *[
+            F.regexp_extract_all("s", F.lit(regex), F.lit(i + 1)).alias(f"g{i}")
+            for i in range(k)
+        ],
+    )
+    zipped = groups.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(
+            F.arrays_zip(F.col("w"), *[F.col(f"g{i}") for i in range(k)])
+        ),
+    )
+    w = F.col("col")["w"]
+    n_vars = [
+        _relaxed_var_count(F.col("col")[f"g{i}"], var, etype, chars)
+        for i, (var, etype, _) in enumerate(plain)
+    ]
+    n_tok_w = (F.length(w) - F.length(F.translate(w, ";", ""))).cast("long")
+    n_rows = n_vars[0]
+    for c in n_vars[1:]:
+        n_rows = n_rows + c
+    return zipped.select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract(w, "^[a-z]([0-9]+);", 1).cast("long")
+        .alias("first_event_id"),
+        F.regexp_extract(w, "([0-9]+);$", 1).cast("long")
+        .alias("last_event_id"),
+        n_rows.cast("long").alias("n_rows"),
+        (n_tok_w - n_rows).cast("long").alias("n_skipped"),
+        *n_vars,
+    )
+
+
+def match_recognize_until(
+    events: DataFrame,
+    pattern: list[tuple],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Relaxed matching with LOOP STOP conditions — Flink CEP's
+    ``oneOrMore().until(stopCondition)`` / ``times(m,n).until(...)``:
+    pattern entries may be 4-tuples ``(var, types, quant, until_types)``
+    on looping variables, where a row of a stop type TERMINATES the
+    loop — no later row may be taken into it and no stop row may be
+    crossed between its repeats — but the match itself SURVIVES with
+    the occurrences accumulated so far (the stop row is not consumed
+    by the loop; later variables' relaxed gaps may skip it). Contrast
+    :func:`match_recognize_relaxed_not`, where a forbidden row KILLS
+    the attempt.
+
+    Documented mode (property-tested vs an independent backtracking
+    matcher): the stop condition binds from the loop's first TAKEN row
+    onward; rows crossed while still WAITING for the first occurrence
+    belong to the preceding followedBy link, where stop rows are
+    skippable. A row satisfying both the variable and the stop set is
+    rejected at plan time (Flink checks until first, so such a row
+    always stops — spell it as a narrower variable predicate).
+
+    Same single shuffle, flat char-class lowering (the stop letters
+    join the interior gap-class complements), same measures as
+    :func:`match_recognize_relaxed`. Stop types join the alphabet so
+    stop rows are visible to the scan.
+    """
+    plain, until = _split_until(pattern)
+    _validate_until(plain, until)
+    keys = [key] if isinstance(key, str) else list(key)
+    chars = _char_map(
+        plain + [("__U", types, "1") for types in until.values()]
+    )
+    regex = _until_regex(plain, until, chars)
+    return _relaxed_spark_with(events, plain, chars, regex, keys,
+                               ts, type_col, id_col)
+
+
+def match_recognize_until_oracle_sql(
+    pattern,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_until` (the relaxed
+    oracle with the stop-extended alphabet and regex)."""
+    plain, until = _split_until(pattern)
+    _validate_until(plain, until)
+    chars = _char_map(
+        plain + [("__U", types, "1") for types in until.values()]
+    )
+    regex = _until_regex(plain, until, chars)
+    return _relaxed_oracle_with(plain, chars, regex, [key],
+                                f"SELECT * FROM {table}",
+                                ts, type_col, id_col)
+
+
+def match_recognize_until_sessionized(
+    events: DataFrame,
+    pattern: list[tuple],
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sessionized deployment shape for until-matching (the state-bound
+    form — matches cannot span a session gap; adds ``session_id``)."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize_until(
+        s, pattern, key=[key, "session_id"],
+        ts=ts, type_col=type_col, id_col=id_col,
+    )
+
+
+def match_recognize_until_sessionized_oracle_sql(
+    pattern,
+    gap_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_until_sessionized`."""
+    plain, until = _split_until(pattern)
+    _validate_until(plain, until)
+    chars = _char_map(
+        plain + [("__U", types, "1") for types in until.values()]
+    )
+    regex = _until_regex(plain, until, chars)
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return _relaxed_oracle_with(plain, chars, regex, [key, "session_id"],
+                                source, ts, type_col, id_col)
+
+
+def _validate_consecutive(plain, consecutive) -> set:
+    _validate_relaxed(plain)
+    names = {var for var, _, _ in plain}
+    consec = set(consecutive or ())
+    unknown = consec - names
+    if unknown:
+        raise ValueError(f"consecutive names unknown variables: "
+                         f"{sorted(unknown)}")
+    if not consec:
+        raise ValueError(
+            "no consecutive set given — use match_recognize_relaxed")
+    for var, etype, quant in plain:
+        if var not in consec:
+            continue
+        if _var_negated(etype):
+            raise ValueError(
+                f"variable {var!r}: consecutive() on complement variables "
+                "is not supported (their admit class includes digits, so "
+                "the adjacency char-run lowering is unsound)")
+        _, hi, _ = _quant_parse(quant)
+        if hi == 1:
+            raise ValueError(
+                f"variable {var!r}: consecutive() modifies LOOPING "
+                f"patterns, not single-row variables (quant {quant!r})")
+    return consec
+
+
+def _consec_piece(etype, quant, chars, first: bool) -> str:
+    """A looping variable's piece under STRICT internal contiguity —
+    Flink's ``times(m,n).consecutive()`` / ``oneOrMore().consecutive()``
+    inside an otherwise relaxed (followedBy) chain: the link INTO the
+    variable still skips rejected rows, but the loop's occurrences must
+    be ADJACENT rows, anchored at the first admitting row
+    (skip-till-next never passes over an admitting row, so the first
+    eligible row starts the run; a too-short run there fails the
+    attempt rather than hunting for a later longer run).
+
+    Flat lowering for the unbounded forms: an adjacent run of
+    cls-tokens is one char-regex ``[cls][cls0-9;]*;`` — the run chars
+    exclude every other class letter, so the star cannot cross a
+    foreign token, and the demanded trailing ';' makes every giveback
+    settle on a token boundary. Iterative, hot-key-safe. Bounded
+    ``{m,n}`` keeps the token-group repetition (depth <= n, small by
+    construction)."""
+    cls = _var_class(etype, chars)
+    head = cls if len(cls) == 1 else f"[{cls}]"
+    a = f"{head}[0-9]+;"
+    run = f"[{cls}0-9;]"
+    skipw = f"[^{cls}]*"
+    lo, hi, lazy = _quant_parse(quant)
+    zz = "?" if lazy else ""
+    opt = "??" if lazy else "?"
+    lead = "" if first else skipw
+    if hi is None:
+        core = f"{head}{run}*{zz};"
+        if lo == 0:
+            return f"((?:{lead}{core}){opt})"
+        return f"({lead}{core})"
+    if lo == 0:
+        return f"((?:{lead}(?:{a}){{1,{hi}}}{zz}){opt})"
+    return f"({lead}(?:{a}){{{lo},{hi}}}{zz})"
+
+
+def _consec_regex(plain, consec, chars) -> str:
+    return "".join(
+        _consec_piece(etype, quant, chars, first=(i == 0))
+        if var in consec
+        else _relaxed_piece(etype, quant, chars, first=(i == 0))
+        for i, (var, etype, quant) in enumerate(plain)
+    )
+
+
+def match_recognize_consecutive(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    consecutive,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Relaxed matching with STRICT-internal loops — Flink CEP's
+    ``times(m, n).consecutive()`` / ``oneOrMore().consecutive()``:
+    variables named in ``consecutive`` take ADJACENT rows only (no rows
+    skipped between the loop's repeats), while the links BETWEEN
+    variables stay relaxed (followedBy). The run anchors at the first
+    admitting row after the previous variable (skip-till-next — an
+    admitting row is never passed over while waiting), extends while
+    rows stay adjacent and admitting, and gives back occurrences
+    greedily (or takes fewest-first for reluctant quantifiers).
+
+    Same single shuffle, same flat char-class lowering and measures as
+    :func:`match_recognize_relaxed`; property-tested against an
+    independent adjacency-aware backtracking matcher."""
+    consec = _validate_consecutive(pattern, consecutive)
+    keys = [key] if isinstance(key, str) else list(key)
+    chars = _char_map(pattern)
+    regex = _consec_regex(pattern, consec, chars)
+    return _relaxed_spark_with(events, pattern, chars, regex, keys,
+                               ts, type_col, id_col)
+
+
+def match_recognize_consecutive_oracle_sql(
+    pattern,
+    consecutive,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_consecutive`."""
+    consec = _validate_consecutive(pattern, consecutive)
+    chars = _char_map(pattern)
+    regex = _consec_regex(pattern, consec, chars)
+    return _relaxed_oracle_with(pattern, chars, regex, [key],
+                                f"SELECT * FROM {table}",
+                                ts, type_col, id_col)

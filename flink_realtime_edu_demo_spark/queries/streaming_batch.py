@@ -48,6 +48,12 @@ from ..operators.cep import (
     match_recognize_relaxed_define,
     match_recognize_relaxed_define_oracle_sql,
     match_recognize_relaxed_within_oracle_sql,
+    match_recognize_until,
+    match_recognize_until_oracle_sql,
+    match_recognize_until_sessionized,
+    match_recognize_until_sessionized_oracle_sql,
+    match_recognize_consecutive,
+    match_recognize_consecutive_oracle_sql,
     match_recognize_runagg,
     match_recognize_runagg_oracle_sql,
     match_recognize_runagg_sessionized,
@@ -560,6 +566,99 @@ def q_cep_followed_by_any_sessionized(spark: SparkSession,
     return match_recognize_followed_by_any_sessionized(
         ev, CEP_FBA_PATTERN, gap_minutes=720
     )
+
+
+# Flink's oneOrMore().until(stop): collect clicks after a signup UNTIL
+# an error occurs, then a purchase. The error ENDS the click loop (no
+# click after it is taken) but the match survives — contrast
+# notFollowedBy, where the error would kill the whole attempt.
+CEP_UNTIL_PATTERN = [
+    ("S", "signup", "1"),
+    ("C", "click", "+", "error"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_until",
+       oracle=match_recognize_until_oracle_sql(CEP_UNTIL_PATTERN))
+def q_cep_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's loop STOP condition — ``oneOrMore().until(cond)``:
+    signup followedBy click+ UNTIL error followedBy purchase. Once the
+    click loop has taken its first row, an error row terminates the
+    loop (no later click is taken, no error may be crossed between
+    repeats) but the match still completes with the clicks accumulated
+    — the documented contrast to q_cep_not_followed_by, where the
+    error kills the attempt. Stop letters join the interior gap-class
+    complements of the flat char-star lowering: one shuffle, zero
+    Python, hot-key-safe iterative regex. DuckDB oracle replays the
+    identical stop-extended scan; property-tested against a stop-aware
+    backtracking reference (tests/test_property.py)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_until(ev, CEP_UNTIL_PATTERN)
+
+
+@query("q_cep_until_sessionized",
+       oracle=match_recognize_until_sessionized_oracle_sql(
+           CEP_UNTIL_PATTERN, gap_minutes=720))
+def q_cep_until_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized until-matching — the state-bound deployment shape:
+    12-hour sessions per user, then the until pattern within each
+    session (partial-match state cannot span a key's history). Same
+    one sort-shuffle sessionize front as the other sessionized CEP
+    keys; match keys are (user_id, session_id)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_until_sessionized(
+        ev, CEP_UNTIL_PATTERN, gap_minutes=720
+    )
+
+
+# Flink's times(m,n).consecutive(): the loop's rows must be ADJACENT
+# (strict contiguity INSIDE the loop) while the links between
+# variables stay relaxed (followedBy).
+CEP_CONSEC_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "{2,3}"),
+    ("P", "purchase", "1"),
+]
+
+CEP_CONSEC_RUN_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "+"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_times_consecutive",
+       oracle=match_recognize_consecutive_oracle_sql(
+           CEP_CONSEC_PATTERN, ("C",)))
+def q_cep_times_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's ``times(2,3).consecutive()``: a view, followedBy a
+    run of 2-3 STRICTLY ADJACENT clicks, followedBy a purchase. The
+    run anchors at the first click after the view (skip-till-next
+    never passes over an admitting row); a lone click there fails the
+    attempt — the behavioral difference from plain times(2,3), which
+    would assemble the run from scattered clicks. Bounded runs keep
+    the token-group repetition (depth <= 3); DuckDB replays the same
+    regex; property-tested against an adjacency-aware backtracking
+    reference."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_consecutive(ev, CEP_CONSEC_PATTERN, ("C",))
+
+
+@query("q_cep_consecutive",
+       oracle=match_recognize_consecutive_oracle_sql(
+           CEP_CONSEC_RUN_PATTERN, ("C",)))
+def q_cep_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's ``oneOrMore().consecutive()``: a view, followedBy a
+    maximal run of ADJACENT clicks (greedy, giveback inside the run),
+    followedBy a purchase. The unbounded run lowers to ONE flat char
+    regex ``c[c0-9;]*;`` — the run chars exclude every other class
+    letter so the star cannot cross a foreign token, and the demanded
+    trailing ';' settles every giveback on a token boundary: iterative
+    and hot-key-safe at any run length. One shuffle, zero Python;
+    DuckDB oracle replays the identical scan."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_consecutive(ev, CEP_CONSEC_RUN_PATTERN, ("C",))
 
 
 # The classic MATCH_RECOGNIZE V-shape: any starting row, a nonempty

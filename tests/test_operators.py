@@ -1206,3 +1206,56 @@ def test_followed_by_any_within_and_validation(spark):
                                              ("v", "click", "1")])
     with pytest.raises(ValueError, match="at least two"):
         match_recognize_followed_by_any(ev, [("V", "view", "1")])
+
+
+def test_cep_until_validation():
+    """Plan-time rules for until(): looping quantifier only, positive
+    variables only, nonempty stop set disjoint from the variable's own
+    types, bounded forms need min >= 1."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_until_oracle_sql as o,
+    )
+
+    with pytest.raises(ValueError, match="LOOPING"):
+        o([("A", "view", "1"), ("B", "click", "1", "error")])
+    with pytest.raises(ValueError, match="LOOPING"):
+        o([("A", "view", "1"), ("B", "click", "?", "error")])
+    with pytest.raises(ValueError, match="overlap"):
+        o([("A", "view", "1"), ("B", ("click", "error"), "+", "error")])
+    with pytest.raises(ValueError, match="complement"):
+        o([("A", "view", "1"), ("B", "!purchase", "+", "error")])
+    with pytest.raises(ValueError, match="empty until set"):
+        o([("A", "view", "1"), ("B", "click", "+", ())])
+    with pytest.raises(ValueError, match="min >= 1"):
+        o([("A", "view", "1"), ("B", "click", "{0,3}", "error")])
+    with pytest.raises(ValueError, match="no until set"):
+        o([("A", "view", "1"), ("B", "click", "+")])
+    # mandatory-first rule inherited from the relaxed engine
+    with pytest.raises(ValueError, match="mandatory first"):
+        o([("A", "view", "?"), ("B", "click", "+", "error")])
+    # a well-formed pattern emits SQL
+    assert "regexp_extract_all" in o(
+        [("A", "view", "1"), ("B", "click", "+", "error")])
+
+
+def test_cep_consecutive_validation():
+    """Plan-time rules for consecutive(): known looping variables,
+    positive only, nonempty set."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_consecutive_oracle_sql as o,
+    )
+
+    pat = [("A", "view", "1"), ("B", "click", "+")]
+    with pytest.raises(ValueError, match="unknown variables"):
+        o(pat, ("X",))
+    with pytest.raises(ValueError, match="no consecutive set"):
+        o(pat, ())
+    with pytest.raises(ValueError, match="LOOPING"):
+        o([("A", "view", "1"), ("B", "click", "1")], ("B",))
+    with pytest.raises(ValueError, match="complement"):
+        o([("A", "view", "1"), ("B", "!purchase", "+")], ("B",))
+    assert "regexp_extract_all" in o(pat, ("B",))

@@ -2014,3 +2014,267 @@ def test_relaxed_define_matches_reference(spark, rows, pat):
         ).collect()
     )
     assert got == sorted(want), (rows, pat, got, want)
+
+
+# --- match_recognize_until vs a stop-aware backtracking reference ---
+
+def _py_until_matches(types, plain, until):
+    """Reference matcher for LOOP STOP conditions (Flink's
+    oneOrMore().until): relaxed matching where, once a stopped
+    variable's loop has taken its first row, a stop-type row ends the
+    loop — the occurrence scan may not cross it — while rows crossed
+    WAITING for the first occurrence follow the plain relaxed link
+    (stop rows skippable there). The match survives with the
+    occurrences accumulated (contrast the notFollowedBy reference,
+    where a forbidden row kills the attempt)."""
+    vars_ = [
+        (_pred(t), _parse_quant(q), set(until.get(i, ())))
+        for i, (_, t, q) in enumerate(plain)
+    ]
+    n = len(types)
+
+    def attempt(start):
+        def rec(pos, vi):
+            if vi == len(vars_):
+                return pos, []
+            allowed, (lo, hi, lazy), stop = vars_[vi]
+            ends = [pos]
+            cur = pos
+            while hi is None or len(ends) - 1 < hi:
+                if vi == 0 and len(ends) == 1:
+                    nxt = cur + 1 if (cur < n and allowed(types[cur])) else None
+                else:
+                    in_loop = len(ends) > 1
+                    j = cur
+                    blocked = False
+                    while j < n and not allowed(types[j]):
+                        if in_loop and stop and types[j] in stop:
+                            blocked = True
+                            break
+                        j += 1
+                    nxt = None if (blocked or j >= n) else j + 1
+                if nxt is None:
+                    break
+                cur = nxt
+                ends.append(cur)
+            cmax = len(ends) - 1
+            if cmax < lo:
+                return None
+            order = range(lo, cmax + 1) if lazy else range(cmax, lo - 1, -1)
+            for c in order:
+                r = rec(ends[c], vi + 1)
+                if r is not None:
+                    return r[0], [c] + r[1]
+            return None
+
+        return rec(start, 0)
+
+    out, i = [], 0
+    while i < n:
+        r = attempt(i)
+        if r is not None and r[0] > i:
+            out.append((i, r[0], r[1]))
+            i = r[0]
+        else:
+            i += 1
+    return out
+
+
+_UNTIL_TYPES = ["view", "click", "purchase", "error", "signup"]
+
+
+@st.composite
+def until_pattern_strategy(draw):
+    first_t = draw(st.sampled_from(["view", "signup", "purchase"]))
+    loop_t = draw(st.sampled_from(
+        ["click", "view", ("click", "view"), ("click", "purchase")]))
+    loop_types = (loop_t,) if isinstance(loop_t, str) else loop_t
+    loop_q = draw(st.sampled_from(
+        ["+", "+?", "*", "*?", "{1,2}", "{2,3}", "{2,3}?"]))
+    stop_t = draw(st.sampled_from(
+        [t for t in _UNTIL_TYPES if t not in loop_types]))
+    tail = draw(st.sampled_from(
+        [None, ("purchase", "1"), ("error", "?"), (("purchase", "error"), "+")]))
+    pat = [("A", first_t, "1"), ("B", loop_t, loop_q, stop_t)]
+    if tail is not None:
+        pat.append(("C", tail[0], tail[1]))
+    return pat
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(st.sampled_from(_UNTIL_TYPES), min_size=0, max_size=40),
+    pat=until_pattern_strategy(),
+)
+def test_match_recognize_until_matches_reference(spark, types, pat):
+    """until(): the stop-extended gap-class lowering must produce
+    exactly the stop-aware reference matcher's spans AND measures —
+    loop ends at the first stop row after loop entry, waiting gaps
+    still cross stop rows, match survives with accumulated repeats —
+    across greedy/reluctant/bounded loop quantifiers and optional or
+    quantified trailing variables."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_until,
+    )
+
+    plain = [el[:3] for el in pat]
+    until = {i: (el[3],) for i, el in enumerate(pat) if len(el) > 3}
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in _py_until_matches(types, plain, until)
+    ]
+    if not types:
+        return
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(types)],
+        "user_id long, event_id long, event_type string",
+    )
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_{v.lower()}"] for v, _, _ in plain),
+        )
+        for r in match_recognize_until(ev, pat, ts="event_id").collect()
+    )
+    assert got == sorted(want), (types, pat, got, want)
+
+
+# --- match_recognize_consecutive vs an adjacency-aware reference ---
+
+def _py_consec_matches(types, plain, consec):
+    """Reference matcher for STRICT-internal loops (Flink's
+    times(m,n).consecutive()): variables in ``consec`` anchor at the
+    first admitting row after the previous variable (skip-till-next)
+    and take ADJACENT admitting rows only — a too-short run there
+    fails the attempt rather than hunting for a later run; giveback
+    settles inside the run. Other variables match relaxed."""
+    vars_ = [
+        (_pred(t), _parse_quant(q), v in consec) for v, t, q in plain
+    ]
+    n = len(types)
+
+    def attempt(start):
+        def rec(pos, vi):
+            if vi == len(vars_):
+                return pos, []
+            allowed, (lo, hi, lazy), is_c = vars_[vi]
+            if is_c:
+                if vi == 0:
+                    j = pos if (pos < n and allowed(types[pos])) else None
+                else:
+                    j = pos
+                    while j < n and not allowed(types[j]):
+                        j += 1
+                    if j >= n:
+                        j = None
+                run = 0
+                if j is not None:
+                    while (j + run < n and allowed(types[j + run])
+                           and (hi is None or run < hi)):
+                        run += 1
+                if run < lo:
+                    return None
+                order = (range(lo, run + 1) if lazy
+                         else range(run, lo - 1, -1))
+                for c in order:
+                    nxt = pos if c == 0 else j + c
+                    r = rec(nxt, vi + 1)
+                    if r is not None:
+                        return r[0], [c] + r[1]
+                return None
+            ends = [pos]
+            cur = pos
+            while hi is None or len(ends) - 1 < hi:
+                if vi == 0 and len(ends) == 1:
+                    nxt = cur + 1 if (cur < n and allowed(types[cur])) else None
+                else:
+                    j2 = cur
+                    while j2 < n and not allowed(types[j2]):
+                        j2 += 1
+                    nxt = j2 + 1 if j2 < n else None
+                if nxt is None:
+                    break
+                cur = nxt
+                ends.append(cur)
+            cmax = len(ends) - 1
+            if cmax < lo:
+                return None
+            order = range(lo, cmax + 1) if lazy else range(cmax, lo - 1, -1)
+            for c in order:
+                r = rec(ends[c], vi + 1)
+                if r is not None:
+                    return r[0], [c] + r[1]
+            return None
+
+        return rec(start, 0)
+
+    out, i = [], 0
+    while i < n:
+        r = attempt(i)
+        if r is not None and r[0] > i:
+            out.append((i, r[0], r[1]))
+            i = r[0]
+        else:
+            i += 1
+    return out
+
+
+@st.composite
+def consec_pattern_strategy(draw):
+    first = draw(st.sampled_from(
+        [None, ("view", "1"), ("signup", "1"), ("view", "{1,2}")]))
+    loop_t = draw(st.sampled_from(
+        ["click", "view", ("click", "view"), ("click", "error")]))
+    loop_q = draw(st.sampled_from(
+        ["+", "+?", "*", "*?", "{1,2}", "{2,3}", "{0,2}", "{2,3}?"]))
+    tail = draw(st.sampled_from(
+        [None, ("purchase", "1"), ("error", "?"), ("purchase", "+")]))
+    pat = []
+    if first is not None:
+        pat.append(("A", first[0], first[1]))
+    pat.append(("B", loop_t, loop_q))
+    if tail is not None:
+        pat.append(("C", tail[0], tail[1]))
+    # engine rules: mandatory first variable, >=1 mandatory row total
+    if _parse_quant(pat[0][2])[0] < 1:
+        pat.insert(0, ("Z", "signup", "1"))
+    return pat
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(st.sampled_from(_UNTIL_TYPES), min_size=0, max_size=40),
+    pat=consec_pattern_strategy(),
+)
+def test_match_recognize_consecutive_matches_reference(spark, types, pat):
+    """consecutive(): the adjacency char-run lowering must produce
+    exactly the adjacency-aware reference matcher's spans AND measures
+    — run anchored at the first eligible row, giveback inside the run,
+    too-short runs failing the attempt — across greedy/reluctant/
+    bounded loop quantifiers and relaxed neighbours."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_consecutive,
+    )
+
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in _py_consec_matches(types, pat, {"B"})
+    ]
+    if not types:
+        return
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(types)],
+        "user_id long, event_id long, event_type string",
+    )
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_{v.lower()}"] for v, _, _ in pat),
+        )
+        for r in match_recognize_consecutive(
+            ev, pat, {"B"}, ts="event_id"
+        ).collect()
+    )
+    assert got == sorted(want), (types, pat, got, want)
