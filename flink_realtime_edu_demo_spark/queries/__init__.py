@@ -21,6 +21,7 @@ _MODULES = (
     "llm",
     "llm2",
     "llm3",
+    "llm4",
     "udfs",
     "analytics",
     "analytics2",

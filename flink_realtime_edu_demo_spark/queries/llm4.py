@@ -1,0 +1,329 @@
+"""LLM-data-pipeline operators, wave 4 (round 10): Gopher quality
+rules, CCNet-style LM familiarity buckets, and the REMOVAL half of
+Lee-et-al. substring deduplication.
+
+All three are published, public techniques re-expressed Spark-first:
+- Gopher rules (Rae et al. 2021, arXiv:2112.11446 Table A1): the
+  fixed-threshold lexical filters every large-corpus pipeline runs
+  first — word-count bounds, mean-word-length bounds, symbol-to-word
+  ratio, alphabetic-word ratio, stopword floor;
+- LM buckets (Wenzek et al. 2019, CCNet, arXiv:1911.00359): rank
+  documents by language-model familiarity and split the corpus into
+  head/middle/tail terciles — CCNet trains on head+middle and drops
+  the tail;
+- substring scrub (Lee et al., ACL'22 'Deduplicating Training Data'):
+  q_llm_substring_dedup (queries/llm.py) is the REPORTING half (find
+  20-token windows shared across docs); this key is the CUTTER its
+  docstring promises downstream — remove the duplicated spans from
+  every non-canonical document and reassemble the surviving text.
+
+Determinism notes: every keep/drop decision here is exact integer
+arithmetic (ratio thresholds are cross-multiplied, never divided);
+the bucket sort key is an int/int double division with identical
+operands in both engines and doc_id tie-breaks, so NTILE is total-
+order deterministic; window hashes are md5 over the exact window
+text, the same convention as q_llm_substring_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import load_spread
+
+# the STOPWORDS tuple of queries/llm.py, inlined in SQL form once
+_STOP_SQL = "('the','a','of','and','in','to','is')"
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+@query(
+    "q_llm_gopher_rules",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '),
+                           x -> length(x) > 0) AS w
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(coalesce(list_aggregate(
+                   list_transform(w, x -> length(x)), 'sum'), 0)
+                   AS BIGINT) AS sum_wlen,
+               CAST(len(list_filter(w, x -> x IN {_STOP_SQL}))
+                   AS BIGINT) AS n_stop,
+               CAST(len(list_filter(w,
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(list_filter(w,
+                   x -> contains(x, '#') OR contains(x, '...')))
+                   AS BIGINT) AS n_sym
+        FROM f
+    )
+    SELECT doc_id, n_words, sum_wlen, n_stop, n_alpha, n_sym,
+           (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+           (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+               AS r_meanlen,
+           (10 * n_sym <= n_words) AS r_symratio,
+           (5 * n_alpha >= 4 * n_words) AS r_alpha,
+           (n_stop >= 2) AS r_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+            AND (10 * n_sym <= n_words)
+            AND (5 * n_alpha >= 4 * n_words)
+            AND (n_stop >= 2)) AS keep
+    FROM feat
+    """,
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Table A1) — the
+    standard pre-training lexical gate, one rule column each plus the
+    conjunction: word count in [50, 100000], mean word length in
+    [3, 10], symbol-to-word ratio ('#' or '...') <= 0.1, >= 80% of
+    words containing an alphabetic character, and >= 2 stopwords.
+
+    Entirely narrow (zero shuffles): one pass of higher-order array
+    functions per document, no explode, no join — the 100 TB shape is
+    a map over the corpus scan. Every threshold is cross-multiplied
+    integer arithmetic (3*n <= sum <= 10*n, 5*alpha >= 4*n), so no
+    float division ever decides a keep bit and the DuckDB replay is
+    hash-exact."""
+    d = load_spread(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    feat = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(w, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0).cast("long"),
+        ).alias("sum_wlen"),
+        F.size(F.filter(w, lambda t: t.isin(*_STOPWORDS)))
+        .cast("long").alias("n_stop"),
+        F.size(F.filter(w, lambda t: t.rlike("[a-zA-Z]")))
+        .cast("long").alias("n_alpha"),
+        F.size(
+            F.filter(
+                w,
+                lambda t: t.contains("#") | t.contains("..."),
+            )
+        ).cast("long").alias("n_sym"),
+    )
+    r_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    r_ml = (3 * F.col("n_words") <= F.col("sum_wlen")) & (
+        F.col("sum_wlen") <= 10 * F.col("n_words")
+    )
+    r_sy = 10 * F.col("n_sym") <= F.col("n_words")
+    r_al = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_st = F.col("n_stop") >= 2
+    return feat.select(
+        "doc_id", "n_words", "sum_wlen", "n_stop", "n_alpha", "n_sym",
+        r_wc.alias("r_wordcount"),
+        r_ml.alias("r_meanlen"),
+        r_sy.alias("r_symratio"),
+        r_al.alias("r_alpha"),
+        r_st.alias("r_stopwords"),
+        (r_wc & r_ml & r_sy & r_al & r_st).alias("keep"),
+    )
+
+
+@query(
+    "q_llm_lm_buckets",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    bg AS (SELECT doc_id,
+                  array_to_string(list_slice(w, i, i + 1), ' ') AS bigram
+           FROM words,
+                unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    cnt AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS df
+            FROM bg GROUP BY 1),
+    score AS (SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(df) AS BIGINT) AS sum_df
+              FROM bg JOIN cnt USING (bigram)
+              GROUP BY doc_id),
+    b AS (SELECT doc_id, n_bigrams, sum_df,
+                 NTILE(3) OVER (ORDER BY sum_df * 1.0 / n_bigrams DESC,
+                                doc_id) AS t
+          FROM score)
+    SELECT doc_id, n_bigrams, sum_df,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+    FROM b
+    """,
+)
+def q_llm_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning (Wenzek et al. 2019): score
+    every document by corpus-LM familiarity (mean corpus bigram
+    frequency — the relational stand-in for the KenLM perplexity CCNet
+    uses, same machinery as q_llm_bigram_score), then NTILE(3) the
+    corpus by descending familiarity. CCNet keeps head+middle for
+    training and drops the tail; the bucket label is the key's output
+    so downstream mixes can weight terciles differently.
+
+    Determinism: the sort key is an int/int double division with
+    byte-identical operands in both engines and a doc_id tie-break, so
+    the tercile assignment is total-order deterministic (duplicated
+    docs score identically and split by id). Plan: the two bigram
+    shuffles + one global-window NTILE. The single-partition NTILE
+    sort is the documented 100 TB hazard — deployment replaces it with
+    approx percentile cutpoints on the score (the q_llm_quant
+    precedent); the exact form is the oracle-checkable contract."""
+    d = load_spread(spark, sf_dir, "documents")
+    from ..operators.minhash import _ngram_zip
+
+    arr = F.split(F.col("text"), " ")
+    bg = d.select(
+        "doc_id",
+        F.explode(_ngram_zip(arr, 2, " ", keep_partial=False)).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    score = (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+    )
+    t = F.ntile(3).over(
+        Window.orderBy(
+            (F.col("sum_df") * F.lit(1.0) / F.col("n_bigrams")).desc(),
+            F.col("doc_id"),
+        )
+    )
+    return score.select(
+        "doc_id", "n_bigrams", "sum_df",
+        F.when(t == 1, "head").when(t == 2, "middle")
+        .otherwise("tail").alias("bucket"),
+    )
+
+
+@query(
+    "q_llm_substring_scrub",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    win AS (SELECT doc_id, i,
+                   md5(array_to_string(list_slice(w, i, i + 19), ' '))
+                       AS win_md5
+            FROM words,
+                 unnest(generate_series(1, len(w) - 19)) AS t(i)),
+    dup AS (SELECT win_md5, MIN(doc_id) AS keep_doc_id
+            FROM win GROUP BY win_md5
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    cover AS (SELECT DISTINCT win.doc_id, p.p
+              FROM win JOIN dup USING (win_md5),
+                   unnest(generate_series(win.i, win.i + 19)) AS p(p)
+              WHERE win.doc_id <> dup.keep_doc_id),
+    tok AS (SELECT doc_id, unnest(w) AS tok,
+                   generate_subscripts(w, 1) AS p
+            FROM words),
+    kept AS (SELECT tok.doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    string_agg(tok.tok, ' ' ORDER BY tok.p) AS kept_text
+             FROM tok
+             LEFT JOIN cover ON tok.doc_id = cover.doc_id
+                            AND tok.p = cover.p
+             WHERE cover.p IS NULL
+             GROUP BY tok.doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(string_split(d.text, ' '))
+                - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(k.kept_text, '') AS kept_text
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_llm_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of Lee-et-al. substring dedup — the cutter
+    q_llm_substring_dedup's docstring promises downstream: for every
+    20-token window shared by >= 2 distinct documents, the canonical
+    keeper (min doc_id) keeps its text and every other document drops
+    ALL its token positions covered by that window; surviving tokens
+    reassemble in order. Output per document: original word count,
+    removed-token count, and the scrubbed text (empty when a document
+    was entirely duplicated spans).
+
+    Plan: the same one-shuffle window-hash groupBy as the reporting
+    key, a broadcast-or-shuffle join back on win_md5, an interval
+    explode to covered positions (bounded at 20x the duplicated-window
+    stream, NOT the corpus), a position anti-join, and one per-doc
+    reassembly groupBy. Nothing is quadratic: every stage is linear in
+    the token stream or the duplicated subset. At 100 TB the same
+    MOD-sampling note as the reporting key applies to the window
+    stream; the cover/anti-join stages only ever see the DUPLICATED
+    fraction."""
+    d = load_spread(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    windows = F.when(
+        F.size(arr) >= 20,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 19),
+            lambda i: F.array_join(F.slice(arr, i, 20), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = d.select(
+        "doc_id", F.posexplode(windows).alias("i0", "win")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        F.md5(F.col("win").cast("binary")).alias("win_md5"),
+    )
+    dup = (
+        win.groupBy("win_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("win_md5", "keep_doc_id")
+    )
+    cover = (
+        win.join(dup, "win_md5")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + 19)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok = d.select(
+        "doc_id", F.posexplode(arr).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = (
+        tok.join(cover, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        d.select("doc_id", F.size(arr).cast("long").alias("n_words"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
