@@ -1946,7 +1946,7 @@ def match_recognize_define_sessionized_oracle_sql(
 _RUNAGG_CMP = {"<", "<=", ">", ">="}
 
 
-def _validate_runagg(pattern) -> tuple[list, tuple, tuple | None]:
+def _validate_runagg(pattern) -> tuple[list, tuple, list]:
     """pattern: (var, define, quant) list where exactly ONE variable's
     define carries the running aggregate — keys ``agg`` ('sum' | 'avg'
     over ``value_col``), ``cmp`` ('<' '<=' '>' '>='), ``thr`` (number),
@@ -1955,17 +1955,22 @@ def _validate_runagg(pattern) -> tuple[list, tuple, tuple | None]:
 
     Scope (documented in COVERAGE.md): the aggregate variable takes
     quantifier '+' or '*' and sits in FINAL position, or — the bounded
-    interior form (round 7) — is followed by exactly ONE simple suffix
-    variable with quantifier '1' (`PATTERN (A B+ C)`) or, since round
-    9, '+' (`PATTERN (A B+ C+)`): greedy B backtracks to the longest
-    run whose next row satisfies C, which the prefix-sum machinery
-    resolves without an NFA; a '+' suffix then absorbs the MAXIMAL
-    consecutive satisfying run (its extent is a precomputed suffix-min
-    lookup, the ``nb`` trick applied to the suffix flag). Multi-
-    variable tails after the aggregate still need a true NFA and stay
-    descoped.
+    interior forms — is followed by ANY number of single-row simple
+    suffix variables of which the LAST may instead take '+'
+    (`PATTERN (A B+ C)`, round 7; `PATTERN (A B+ C+)`, round 9;
+    `PATTERN (A B+ C D ... [Z+])`, round 10): greedy B backtracks to
+    the longest run whose following rows satisfy the whole suffix
+    CHAIN — a fixed conjunction of position-shifted flags, so the
+    prefix-sum machinery still resolves it without an NFA; a final '+'
+    then absorbs the MAXIMAL consecutive satisfying run (its extent is
+    a precomputed suffix-min lookup, the ``nb`` trick applied to the
+    last suffix flag). Still descoped (true-NFA territory): '+' on a
+    NON-final suffix variable, and optional/bounded suffix
+    quantifiers — those make the suffix chain's length itself a
+    search dimension.
 
-    Returns ``(prefix_vars, aggregate_var, suffix_var_or_None)``.
+    Returns ``(prefix_vars, aggregate_var, suffix_vars)`` — the last a
+    (possibly empty) list.
     """
     if not pattern:
         raise ValueError("pattern needs at least one variable")
@@ -1979,21 +1984,17 @@ def _validate_runagg(pattern) -> tuple[list, tuple, tuple | None]:
         raise ValueError("exactly one variable must carry the running "
                          "aggregate ('agg' define key)")
     ai = agg_idx[0]
-    if ai < len(pattern) - 2:
-        raise ValueError(
-            "aggregate variable must be final or followed by exactly one "
-            "single-row suffix variable (deeper interior positions need "
-            "an NFA — descoped, see COVERAGE.md)")
     avar, adef, aquant = pattern[ai]
     prefix = pattern[:ai]
-    suffix = pattern[ai + 1] if ai == len(pattern) - 2 else None
+    suffixes = list(pattern[ai + 1:])
 
-    def check_simple(var, define, quant, role):
-        allowed = ("1", "+") if role == "suffix" else ("1",)
+    def check_simple(var, define, quant, role, last=False):
+        allowed = ("1", "+") if (role == "suffix" and last) else ("1",)
         if quant not in allowed:
             raise ValueError(
                 f"{role} variable {var!r} must have quantifier in "
-                f"{allowed} (running-aggregate scope)")
+                f"{allowed} (running-aggregate scope; a '+' suffix "
+                "must be the final variable)")
         bad = set(define) - {"types", "dir"}
         if bad:
             raise ValueError(f"{role} variable {var!r}: unknown or "
@@ -2004,8 +2005,9 @@ def _validate_runagg(pattern) -> tuple[list, tuple, tuple | None]:
 
     for var, define, quant in prefix:
         check_simple(var, define, quant, "prefix")
-    if suffix is not None:
-        check_simple(suffix[0], suffix[1], suffix[2], "suffix")
+    for si, (svar, sdef, squant) in enumerate(suffixes):
+        check_simple(svar, sdef, squant, "suffix",
+                     last=(si == len(suffixes) - 1))
     if aquant not in ("+", "*"):
         raise ValueError(
             f"aggregate variable {avar!r} needs quantifier '+' or '*'")
@@ -2022,11 +2024,11 @@ def _validate_runagg(pattern) -> tuple[list, tuple, tuple | None]:
         raise ValueError("thr must be a number")
     if adef.get("dir") not in (None, "up", "down"):
         raise ValueError("dir must be 'up' or 'down'")
-    if aquant == "*" and not prefix and suffix is None:
+    if aquant == "*" and not prefix and not suffixes:
         raise ValueError(
             "pattern may match zero rows (all variables optional) — "
             "at least one variable needs a mandatory row")
-    return prefix, pattern[ai], suffix
+    return prefix, pattern[ai], suffixes
 
 
 def _runagg_cmp_col(agg: str, cmp: str, thr: float, sum_col, t_col):
@@ -2066,14 +2068,16 @@ def match_recognize_runagg(
     comparison; the first failing row ends the run (greedy longest
     match, rows are contiguous, so the aggregate over B's rows is a
     difference of partition prefix sums). The aggregate variable may
-    be FINAL, or — the bounded interior form — followed by exactly one
-    simple suffix variable (`PATTERN (A B+ C)`): greedy B then
-    backtracks to the LONGEST run whose next row satisfies C, resolved
-    as an array_max over the same prefix-sum candidates (no NFA). A
-    '+'-quantified suffix (`PATTERN (A B+ C+)`, round 9 — the first
-    slice of the formerly descoped quantified-tail boundary) then
-    absorbs the MAXIMAL consecutive satisfying run: its extent is the
-    precomputed per-row ``ns`` suffix-min lookup, O(1) per candidate.
+    be FINAL, or — the bounded interior form — followed by ANY number
+    of single-row simple suffix variables (`PATTERN (A B+ C)`,
+    `PATTERN (A B+ C D)`, round 10): greedy B then backtracks to the
+    LONGEST run whose following rows satisfy the whole suffix CHAIN —
+    a fixed conjunction of position-shifted flag lookups, resolved as
+    an array_max over the same prefix-sum candidates (no NFA). A
+    '+'-quantified FINAL suffix (`PATTERN (A B+ C+)` round 9,
+    `PATTERN (A B+ C D+)` round 10) then absorbs the MAXIMAL
+    consecutive satisfying run: its extent is the precomputed per-row
+    ``ns`` suffix-min lookup, O(1) per candidate.
 
     Lowering (one shuffle, zero Python): per key, an ordered window
     computes row numbers and an EXACT DECIMAL(18,6) running sum of
@@ -2104,11 +2108,12 @@ def match_recognize_runagg(
     """
     from pyspark.sql.window import Window
 
-    prefix, (_, adef, aquant), suffix = _validate_runagg(pattern)
+    prefix, (_, adef, aquant), suffixes = _validate_runagg(pattern)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
     keys = [key] if isinstance(key, str) else list(key)
     p = len(prefix)
+    ks = len(suffixes)
     min_b = 1 if aquant == "+" else 0
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
@@ -2145,14 +2150,18 @@ def match_recognize_runagg(
     nb = F.min(F.when(~okb_col, rn)).over(
         w.rowsBetween(0, Window.unboundedFollowing)
     )
-    oksuf_col = (simple_ok(suffix[1]) if suffix is not None else F.lit(False))
-    # ns: row number of the NEXT row (this one included) whose suffix
-    # flag is false — the same suffix-min trick as nb, riding the same
-    # shuffle. For a '+'-quantified suffix it turns "maximal
-    # consecutive oksuf run starting here" into an O(1) lookup.
-    tail = suffix is not None and suffix[2] == "+"
+    oksufs_col = (
+        F.array(*[simple_ok(d) for _, d, _ in suffixes])
+        if suffixes else F.array().cast("array<boolean>")
+    )
+    # ns: row number of the NEXT row (this one included) whose LAST
+    # suffix flag is false — the same suffix-min trick as nb, riding
+    # the same shuffle. For a '+'-quantified final suffix it turns
+    # "maximal consecutive satisfying run starting here" into an O(1)
+    # lookup.
+    tail = bool(suffixes) and suffixes[-1][2] == "+"
     ns = (
-        F.min(F.when(~oksuf_col, rn)).over(
+        F.min(F.when(~simple_ok(suffixes[-1][1]), rn)).over(
             w.rowsBetween(0, Window.unboundedFollowing)
         )
         if tail else F.lit(None).cast("long")
@@ -2164,7 +2173,7 @@ def match_recognize_runagg(
             F.col(id_col).alias("id"),
             F.array(*[simple_ok(d) for _, d, _ in prefix]).alias("okpre"),
             okb_col.alias("okb"),
-            oksuf_col.alias("oksuf"),
+            oksufs_col.alias("oksufs"),
             sp.alias("sp"),
             (sp - vdec).alias("sp0"),
             nb.alias("nb"),
@@ -2269,7 +2278,7 @@ def match_recognize_runagg(
         l_rows = F.when(s > n, F.lit(0)).otherwise(
             F.coalesce(accept_fail, (n - s + 2).cast("int")) - 1
         )
-        if suffix is None:
+        if not suffixes:
             return F.struct(
                 j.cast("long").alias("off"),
                 (j + p + l_rows - 1).cast("long").alias("end"),
@@ -2277,32 +2286,49 @@ def match_recognize_runagg(
                 (pre_ok & (l_rows >= min_b)).alias("valid"),
             )
         # bounded interior form: greedy backtracking = the LONGEST
-        # aggregate run t in [min_b, maxrun] whose NEXT row (s + t)
-        # satisfies the suffix variable's define — array_max over the
-        # suffix-flag-filtered candidate lengths (try_element_at, so a
-        # run ending at the partition edge simply drops out)
+        # aggregate run t in [min_b, maxrun] whose FOLLOWING rows
+        # s+t .. s+t+ks-1 satisfy the whole suffix chain — a fixed
+        # conjunction of position-shifted flag lookups (round 10: any
+        # number of single-row suffix variables, the lead-flag
+        # composition that keeps multi-variable tails NFA-free) —
+        # array_max over the chain-satisfying candidate lengths
+        # (try_element_at, so a run ending at the partition edge
+        # simply drops out)
+
+        def _suf_chain_ok(t):
+            ok = F.lit(True)
+            for q in range(ks):
+                ok = ok & F.coalesce(
+                    F.element_at(
+                        F.try_element_at(
+                            arr, (s + t + F.lit(q)).cast("int")
+                        )["oksufs"],
+                        q + 1,
+                    ),
+                    F.lit(False),
+                )
+            return ok
+
         t_sel = F.array_max(
             F.filter(
                 F.when(
                     l_rows >= min_b,
                     F.sequence(F.lit(min_b).cast("int"), l_rows.cast("int")),
                 ).otherwise(F.array().cast("array<int>")),
-                lambda t: F.coalesce(
-                    F.try_element_at(arr, (s + t).cast("int"))["oksuf"],
-                    F.lit(False),
-                ),
+                _suf_chain_ok,
             )
         )
-        if suffix[2] == "+":
-            # '+'-quantified tail (round 9): the suffix absorbs the
-            # MAXIMAL consecutive oksuf run from its first row s+t_sel
-            # — extent = the precomputed ns lookup at that row (the
-            # run's first non-satisfying successor), so the tail costs
-            # O(1) per candidate like the monotone nb path.
-            first_c = s + t_sel
+        if tail:
+            # '+'-quantified FINAL suffix (round 9): it absorbs the
+            # MAXIMAL consecutive satisfying run from its first row
+            # s+t_sel+ks-1 — extent = the precomputed ns lookup at
+            # that row (the run's first non-satisfying successor), so
+            # the tail costs O(1) per candidate like the monotone nb
+            # path.
+            first_c = s + t_sel + F.lit(ks - 1)
             end = F.coalesce(at(first_c)["ns"] - 1, n.cast("long"))
         else:
-            end = s + t_sel
+            end = s + t_sel + F.lit(ks - 1)
         return F.struct(
             j.cast("long").alias("off"),
             end.cast("long").alias("end"),
@@ -2390,10 +2416,12 @@ def match_recognize_runagg_oracle_sql(
     non-overlapping selection via a recursive CTE. ``keys``/
     ``source_sql`` support composite partitions over a derived event
     source — the sessionized deployment shape."""
-    prefix, (_, adef, aquant), suffix = _validate_runagg(pattern)
+    prefix, (_, adef, aquant), suffixes = _validate_runagg(pattern)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
     p = len(prefix)
+    ks = len(suffixes)
+    tail = bool(suffixes) and suffixes[-1][2] == "+"
     min_b = 1 if aquant == "+" else 0
     klist = keys or [key]
     key = ", ".join(klist)  # every {key} below is the full key list
@@ -2425,10 +2453,23 @@ def match_recognize_runagg_oracle_sql(
         f"{simple_sql(d)} AS okp{i},\n           "
         for i, (_, d, _) in enumerate(prefix)
     )
-    oksuf = (
-        f"{simple_sql(suffix[1])} AS oksuf,\n           "
-        if suffix is not None else ""
-    )
+    # oksuf = the suffix CHAIN flag at its START row: the first suffix
+    # variable's condition here AND each later one's at the q-th
+    # following row (lead over the same window — the engine checks the
+    # identical positions via try_element_at on the collected array).
+    # oksuflast = the LAST suffix variable's own flag, used to extend a
+    # '+'-quantified final suffix to its maximal consecutive run.
+    if suffixes:
+        chain = [simple_sql(suffixes[0][1])] + [
+            f"COALESCE(lead({simple_sql(d)}, {q}) OVER w, FALSE)"
+            for q, (_, d, _) in enumerate(suffixes) if q >= 1
+        ]
+        oksuf = f"({' AND '.join(chain)}) AS oksuf,\n           "
+        if tail:
+            oksuf += (f"{simple_sql(suffixes[-1][1])} AS oksuflast,"
+                      "\n           ")
+    else:
+        oksuf = ""
     if p == 0:
         prefix_ok = "TRUE"
         base = "sp0"
@@ -2445,7 +2486,7 @@ def match_recognize_runagg_oracle_sql(
     )
     accept = f"(r2.okb AND ({val_e} {adef['cmp']} {float(adef['thr'])}))"
     order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
-    if suffix is None:
+    if not suffixes:
         # maximal run = up to the first failing row; endrn is its last row
         m1 = f"""
     m1 AS (
@@ -2456,20 +2497,23 @@ def match_recognize_runagg_oracle_sql(
         WHERE COALESCE(failrn, n + 1) - (off + {p}) >= {min_b}
     )"""
     else:
-        # bounded interior form: the suffix row sits at off+p+t for the
-        # chosen run length t in [min_b, maxrun]; greedy backtracking
-        # picks the LARGEST t whose suffix row satisfies its define.
-        # A '+'-quantified suffix (round 9) then extends endrn to the
-        # last row of the maximal consecutive oksuf run — the row
-        # before the run's first non-satisfying successor (n if none),
-        # the same ns lookup the Spark engine precomputes.
+        # bounded interior form: the suffix CHAIN starts at off+p+t for
+        # the chosen run length t in [min_b, maxrun]; greedy
+        # backtracking picks the LARGEST t whose chain flag (oksuf)
+        # holds at that row — the chain's later rows are folded into
+        # oksuf via leads, so ANY number of single-row suffix variables
+        # costs the same correlated MAX (round 10). A '+'-quantified
+        # FINAL suffix (round 9) then extends endrn to the last row of
+        # the maximal consecutive oksuflast run from the chain's last
+        # row — the row before the run's first non-satisfying successor
+        # (n if none), the same ns lookup the Spark engine precomputes.
         eq_r3sx = " AND ".join(f"r3.{k} = sx.{k}" for k in klist)
-        if suffix[2] == "+":
+        if tail:
             endrn_sql = f"""COALESCE((SELECT min(r3.rn) FROM r r3
-                    WHERE {eq_r3sx} AND r3.rn >= sx.sufrn
-                      AND NOT r3.oksuf) - 1, sx.n)"""
+                    WHERE {eq_r3sx} AND r3.rn >= sx.sufrn + {ks - 1}
+                      AND NOT r3.oksuflast) - 1, sx.n)"""
         else:
-            endrn_sql = "sx.sufrn"
+            endrn_sql = f"sx.sufrn + {ks - 1}"
         sx_key = ", ".join(f"sx.{k}" for k in klist)
         m1 = f"""
     mx AS (

@@ -1007,11 +1007,46 @@ def q_cep_runagg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shuffle zero-Python plan. The DuckDB oracle replays the run
     extension as a correlated MIN over the suffix flags;
     hypothesis-tested vs the extended reference matcher in
-    tests/test_property.py. Multi-variable tails remain descoped
-    (COVERAGE.md). Semantics source: Flink MATCH_RECOGNIZE docs /
-    SQL:2016 row-pattern matching (public, per SURVEY §0)."""
+    tests/test_property.py. Multi-variable tails are
+    q_cep_runagg_multi_tail (round 10). Semantics source: Flink
+    MATCH_RECOGNIZE docs / SQL:2016 row-pattern matching (public, per
+    SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_runagg(ev, CEP_RUNAGG_TAIL_PATTERN)
+
+
+# The multi-variable tail form: PATTERN (A B+ C D+) — the suffix is a
+# CHAIN (purchase, then error run), folded into one position-shifted
+# conjunction so the backtracking search stays NFA-free.
+CEP_RUNAGG_MULTI_TAIL_PATTERN = [
+    ("A", {"types": "view"}, "1"),
+    ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+"),
+    ("C", {"types": "click"}, "1"),
+    ("D", {"types": ("purchase", "error")}, "+"),
+]
+
+
+@query("q_cep_runagg_multi_tail",
+       oracle=match_recognize_runagg_oracle_sql(
+           CEP_RUNAGG_MULTI_TAIL_PATTERN))
+def q_cep_runagg_multi_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-variable tail running-aggregate form (round 10 — closes
+    the 'multi-variable tails need an NFA' slice of the documented
+    runagg boundary): PATTERN (A B+ C D+) DEFINE A AS type='view',
+    B AS SUM(B.value) < 150, C AS type='click', D AS type IN
+    (purchase, error). The whole single-row suffix CHAIN becomes one
+    position-shifted flag conjunction (C here AND D at the next row —
+    leads in the oracle, array lookups in the engine), so greedy B+
+    backtracks against it exactly like the one-variable interior form
+    and the final D+ still extends by the O(1) ns suffix-min lookup:
+    no NFA, same one-shuffle zero-Python plan. What remains descoped:
+    '+' on a NON-final suffix variable and optional/bounded suffix
+    quantifiers, which make the chain length itself a search dimension
+    (COVERAGE.md). Hypothesis-tested vs the chain-aware reference
+    matcher; the DuckDB oracle replays the identical lead-folded
+    flags."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_runagg(ev, CEP_RUNAGG_MULTI_TAIL_PATTERN)
 
 
 @query("q_cep_runagg_sessionized",

@@ -343,10 +343,10 @@ def test_cep_empty_types_rejected_everywhere(spark, sf_dir):
 
 
 def test_runagg_interior_scope_validation(spark, sf_dir):
-    """The interior form accepts exactly one suffix variable after the
-    aggregate, quantified '1' or — since round 9 — '+'; multi-variable
-    tails and other suffix quantifiers stay rejected with the
-    documented NFA rationale."""
+    """The interior form accepts any number of single-row suffix
+    variables after the aggregate (round 10), the LAST optionally '+'
+    (round 9); '+' on a non-final suffix variable and other suffix
+    quantifiers stay rejected with the documented NFA rationale."""
     import pytest
 
     from flink_realtime_edu_demo_spark.operators.cep import (
@@ -358,16 +358,20 @@ def test_runagg_interior_scope_validation(spark, sf_dir):
         "user_id long, event_id long, event_type string, value double",
     )
     agg = ("B", {"agg": "sum", "cmp": "<", "thr": 1.0}, "+")
-    with pytest.raises(ValueError, match="final or followed by exactly one"):
-        match_recognize_runagg(
-            ev, [agg, ("C", {}, "1"), ("D", {}, "1")])
     with pytest.raises(ValueError, match="quantifier in"):
         match_recognize_runagg(ev, [agg, ("C", {}, "*")])
     with pytest.raises(ValueError, match="quantifier in"):
         match_recognize_runagg(ev, [agg, ("C", {}, "{1,2}")])
-    # the round-9 tail form: '+' suffixes are legal now
+    # '+' on a NON-final suffix variable is the remaining NFA boundary
+    with pytest.raises(ValueError, match="final variable"):
+        match_recognize_runagg(ev, [agg, ("C", {}, "+"), ("D", {}, "1")])
+    # the round-9 tail form: a final '+' suffix is legal
     assert match_recognize_runagg(
         ev, [agg, ("C", {}, "+")], ts="event_id"
+    ).count() == 0
+    # the round-10 multi-variable tail: chains of '1' suffixes are legal
+    assert match_recognize_runagg(
+        ev, [agg, ("C", {}, "1"), ("D", {}, "1")], ts="event_id"
     ).count() == 0
     with pytest.raises(ValueError, match="exactly one variable"):
         match_recognize_runagg(

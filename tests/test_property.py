@@ -1653,8 +1653,10 @@ def _py_runagg_spans(rows, pattern, skip):
     agg_i = next(i for i, (_, d, _) in enumerate(pattern) if "agg" in d)
     prefix = pattern[:agg_i]
     _, adef, aq = pattern[agg_i]
-    suffix = pattern[agg_i + 1] if agg_i == len(pattern) - 2 else None
+    suffixes = pattern[agg_i + 1:]
     p = len(prefix)
+    ks = len(suffixes)
+    tail = bool(suffixes) and suffixes[-1][2] == "+"
     min_b = 1 if aq == "+" else 0
     thr = adef["thr"]
 
@@ -1686,15 +1688,19 @@ def _py_runagg_spans(rows, pattern, skip):
             acc, length = tot, length + 1
         if length < min_b:
             return None
-        if suffix is None:
+        if not suffixes:
             return (j, j + p + length - 1)
         for t in range(length, min_b - 1, -1):  # greedy backtracking
-            i = s + t
-            if i < len(rows) and sat(i, suffix[1]):
-                if suffix[2] == "+":
-                    # quantified tail: absorb the maximal consecutive
-                    # satisfying run from the first suffix row
-                    while i + 1 < len(rows) and sat(i + 1, suffix[1]):
+            # the whole single-row suffix CHAIN must hold at s+t..
+            if all(
+                s + t + q < len(rows) and sat(s + t + q, suffixes[q][1])
+                for q in range(ks)
+            ):
+                i = s + t + ks - 1
+                if tail:
+                    # quantified FINAL suffix: absorb the maximal
+                    # consecutive satisfying run from its first row
+                    while i + 1 < len(rows) and sat(i + 1, suffixes[-1][1]):
                         i += 1
                 return (j, i)
         return None
@@ -2278,3 +2284,59 @@ def test_match_recognize_consecutive_matches_reference(spark, types, pat):
         ).collect()
     )
     assert got == sorted(want), (types, pat, got, want)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error", "purchase"]),
+            st.integers(-3, 5),
+        ),
+        min_size=1, max_size=30,
+    ),
+    prefix=runagg_prefix,
+    adef=runagg_adef,
+    suf1=st.sampled_from([
+        {}, {"types": ("click",)}, {"types": ("view", "error")},
+        {"dir": "up"},
+    ]),
+    suf2=st.sampled_from([
+        {}, {"types": ("purchase",)}, {"types": ("error",)},
+        {"dir": "down"},
+    ]),
+    last_q=st.sampled_from(["1", "+"]),
+    aq=st.sampled_from(["+", "*"]),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_runagg_multi_tail_matches_reference(
+    spark, rows, prefix, adef, suf1, suf2, last_q, aq, skip_sel
+):
+    """The multi-variable tail form (round 10 — PATTERN (A B+ C D) and
+    PATTERN (A B+ C D+)) must reproduce the reference's spans: greedy
+    backtracking over the aggregate run against the WHOLE suffix chain
+    (two position-shifted flags), with an optional maximal-run final
+    '+' — across sum/avg, all comparators, dir/type chain defines, and
+    both skip modes."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg,
+    )
+
+    pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
+    pattern.append(("B", adef, aq))
+    pattern.append(("S1", suf1, "1"))
+    pattern.append(("S2", suf2, last_q))
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_runagg_spans(rows, pattern, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_runagg(
+            ev, pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pattern, skip, got, want)
