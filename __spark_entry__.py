@@ -94,26 +94,31 @@ _VERIFIED_GREEN = (
     "q_agg_approx_uv",
 )
 
-# Keys deliberately re-surfaced for the round-9 driver window.
-# FIRST: the eleven new round-9 keys with no driver verdict yet
-# (relaxed-contiguity followedBy CEP x5 incl. within, notFollowedBy,
-# the select()-shape ALL ROWS, followedByAny + its sessionized
-# deployment shape; BPE merges + encode; quantified-tail runagg;
-# dup-cluster canonicalization) plus q_agg_regression (source changed
-# this round: the 100x soak caught `n * sxx` overflowing int64, sums
-# now convert to double before the slope algebra — re-verify), then
-# the 3 changed-operator runagg sentinels, the 26 remaining round-4
-# verdicts (5 rounds stale -- the VERDICT r8 "stalest verdict <= r5"
-# target) and the 7 stalest round-5 verdicts (q_join_interval/full/
-# cross_topk/inner/anti rotated back out to make room for the newest
-# keys, q_cep_followed_by_define last). Window = 1 warmup + 49 = 50.
+# Keys deliberately re-surfaced for the round-10 driver window. The
+# round-9 driver window never executed (no CORRECTNESS_r09 artifact was
+# produced), so every key the r9 front surfaced is STILL unverified and
+# stays queued here. FIRST: the eight new round-10 keys (until() +
+# consecutive() loop modifiers x4, Gopher rules, LM buckets, substring
+# scrub, runagg multi-variable tail), then the runagg
+# changed-operator sentinels (operators/cep.py runagg machinery
+# changed AGAIN this round: suffix list + chain conjunction — the
+# per-query-source hash guard cannot see operator edits, so they
+# rotate forward by hand per its documented limitation), then the
+# thirteen round-9 keys that never got their verdict, q_agg_regression
+# (r9 source change, same story), the 26 remaining round-4 verdicts
+# and the 7 stalest round-5 verdicts. 57 > 49 window slots: the tail
+# overflow (q_fn_* r5 sentinels) leads the next rotation.
 _REVERIFY_FRONT = (
+    "q_cep_until", "q_cep_until_sessionized", "q_cep_times_consecutive",
+    "q_cep_consecutive", "q_llm_gopher_rules", "q_llm_lm_buckets",
+    "q_llm_substring_scrub", "q_cep_runagg_multi_tail",
+    "q_cep_runagg", "q_cep_runagg_interior", "q_cep_runagg_sessionized",
+    "q_cep_runagg_tail",
     "q_cep_followed_by_any", "q_cep_followed_by_any_sessionized",
     "q_llm_canonical_pick", "q_agg_regression", "q_cep_followed_by_define",
     "q_cep_followed_by", "q_cep_followed_by_sessionized", "q_llm_bpe_merges",
-    "q_llm_bpe_encode", "q_cep_runagg_tail", "q_cep_followed_by_within",
-    "q_cep_not_followed_by", "q_cep_followed_by_rows", "q_cep_runagg",
-    "q_cep_runagg_interior", "q_cep_runagg_sessionized", "q_join_lateral",
+    "q_llm_bpe_encode", "q_cep_followed_by_within",
+    "q_cep_not_followed_by", "q_cep_followed_by_rows", "q_join_lateral",
     "q_llm_bigram_score", "q_llm_heavy_hitters", "q_llm_minhash_lsh",
     "q_llm_pack_chunks", "q_llm_pack_greedy", "q_llm_pii_scrub",
     "q_llm_rand_proj", "q_llm_substring_dedup", "q_llm_token_len_hist",

@@ -4412,3 +4412,53 @@ def match_recognize_consecutive_oracle_sql(
     return _relaxed_oracle_with(pattern, chars, regex, [key],
                                 f"SELECT * FROM {table}",
                                 ts, type_col, id_col)
+
+
+def match_recognize_consecutive_sessionized(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    consecutive,
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sessionized deployment shape for strict-internal-loop matching
+    (adds ``session_id``; matches cannot span a session gap — the same
+    state bound as the other sessionized CEP shapes)."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize_consecutive(
+        s, pattern, consecutive, key=[key, "session_id"],
+        ts=ts, type_col=type_col, id_col=id_col,
+    )
+
+
+def match_recognize_consecutive_sessionized_oracle_sql(
+    pattern,
+    consecutive,
+    gap_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying
+    :func:`match_recognize_consecutive_sessionized`."""
+    consec = _validate_consecutive(pattern, consecutive)
+    chars = _char_map(pattern)
+    regex = _consec_regex(pattern, consec, chars)
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return _relaxed_oracle_with(pattern, chars, regex, [key, "session_id"],
+                                source, ts, type_col, id_col)

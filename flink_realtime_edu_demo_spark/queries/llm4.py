@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..tables import load_spread
+from ..tables import load, load_spread
 
 # the STOPWORDS tuple of queries/llm.py, inlined in SQL form once
 _STOP_SQL = "('the','a','of','and','in','to','is')"
@@ -286,6 +286,10 @@ def q_llm_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select("win_md5", "keep_doc_id")
     )
+    # NOTE no .distinct() on the covered positions: left_anti tests
+    # existence, so right-side duplicates are free — dropping the
+    # dedup removes a full exchange of the WIDEST intermediate (the
+    # 20x interval explode), 5 -> 4 shuffles (plan_audit flag, r10)
     cover = (
         win.join(dup, "win_md5")
         .filter(F.col("doc_id") != F.col("keep_doc_id"))
@@ -295,7 +299,6 @@ def q_llm_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("i"), F.col("i") + 19)
             ).alias("p"),
         )
-        .distinct()
     )
     tok = d.select(
         "doc_id", F.posexplode(arr).alias("p0", "tok")
@@ -316,8 +319,17 @@ def q_llm_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_text"),
         )
     )
+    # the closing scan is a NARROW doc-level projection (doc_id +
+    # word count) — plain load(), no spread repartition: its join
+    # against the already-doc_id-partitioned `kept` needs no width
+    # (plan_audit flag, r10: 5 -> 4 exchanges)
+    d_total = load(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.size(arr).cast("long").alias("n_words"))
+        d_total.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long")
+            .alias("n_words"),
+        )
         .join(kept, "doc_id", "left")
         .select(
             "doc_id",

@@ -44,11 +44,13 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cep import (
+    match_recognize_consecutive_sessionized,
     match_recognize_define_sessionized,
     match_recognize_followed_by_any_sessionized,
     match_recognize_relaxed_sessionized,
     match_recognize_runagg_sessionized,
     match_recognize_sessionized,
+    match_recognize_until_sessionized,
     sessionize,
 )
 from .sinks import idempotent_foreach_batch
@@ -74,8 +76,10 @@ class SessionCepSink:
     the stream); ``matcher='fba'`` runs followedByAny combination
     enumeration (round 9 — ``within_minutes`` forwarded; match_no
     synthesized over the variable-id tuple, stable because closed
-    sessions never gain rows). All are safe under incremental
-    recompute: a closed
+    sessions never gain rows); ``matcher='until'`` runs the loop-stop
+    engine and ``matcher='consecutive'`` the strict-internal-loop
+    engine (round 10 — ``consecutive`` names the loop variables). All
+    are safe under incremental recompute: a closed
     session can never gain rows, so PREV/NEXT navigation, prefix sums
     and skip-policy selection are final at publication time."""
 
@@ -84,15 +88,19 @@ class SessionCepSink:
                  store_dir: str | None = None,
                  matcher: str = "types", skip: str = "past_last_row",
                  within_minutes: int | None = None,
+                 consecutive=None,
                  observe: bool = True):
-        if matcher not in ("types", "define", "runagg", "relaxed", "fba"):
+        if matcher not in ("types", "define", "runagg", "relaxed", "fba",
+                           "until", "consecutive"):
             raise ValueError("matcher must be 'types', 'define', "
-                             "'runagg', 'relaxed' or 'fba'")
+                             "'runagg', 'relaxed', 'fba', 'until' or "
+                             "'consecutive'")
         self.pattern = pattern
         self.gap_minutes = gap_minutes
         self.key, self.ts, self.id_col = key, ts, id_col
         self.matcher, self.skip = matcher, skip
         self.within_minutes = within_minutes
+        self.consecutive = consecutive
         base = store_dir or tempfile.mkdtemp(prefix="session_cep_")
         self.staging_dir = f"{base}/staging"
         self.meta_dir = f"{base}/meta"
@@ -178,6 +186,20 @@ class SessionCepSink:
             # skip-till-next state by session length
             matched = match_recognize_relaxed_sessionized(
                 hist, self.pattern, self.gap_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
+            )
+        elif self.matcher == "until":
+            # round 10: oneOrMore().until(stop) on session close — the
+            # stop condition already bounds loop state; the session
+            # bound caps the waiting gaps too
+            matched = match_recognize_until_sessionized(
+                hist, self.pattern, self.gap_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
+            )
+        elif self.matcher == "consecutive":
+            # round 10: times/oneOrMore .consecutive() on session close
+            matched = match_recognize_consecutive_sessionized(
+                hist, self.pattern, self.consecutive, self.gap_minutes,
                 key=self.key, ts=self.ts, id_col=self.id_col,
             )
         elif self.matcher == "fba":

@@ -1029,3 +1029,106 @@ def test_streaming_cep_fba_stream_equals_batch(spark, sf_dir, stream_dir, tmp_pa
         for k, v in sink.emitted.items()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_streaming_cep_until_stream_equals_batch(spark, sf_dir, stream_dir,
+                                                 tmp_path):
+    """Streaming until() (round 10): the loop-stop matcher under the
+    session-close emission contract converges to the batch sessionized
+    until answer — valid incrementally because a closed session never
+    gains rows, so the loop's stop point is final at publication."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_until_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    pat = [("S", "signup", "1"), ("C", "click", "+", "error"),
+           ("P", "purchase", "1")]
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink(pat, gap_minutes=gap, matcher="until")
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_ut_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES")
+                <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no):
+            (r.first_event_id, r.last_event_id, r.n_rows, r.n_skipped)
+        for r in match_recognize_until_sessionized(ev, pat, gap)
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    got = {
+        k: (v["first_event_id"], v["last_event_id"], v["n_rows"],
+            v["n_skipped"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))
+
+
+def test_streaming_cep_consecutive_stream_equals_batch(spark, sf_dir,
+                                                       stream_dir, tmp_path):
+    """Streaming consecutive() (round 10): the strict-internal-loop
+    matcher under the session-close emission contract converges to the
+    batch sessionized consecutive answer."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_consecutive_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    pat = [("V", "view", "1"), ("C", "click", "+"), ("P", "purchase", "1")]
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink(pat, gap_minutes=gap, matcher="consecutive",
+                          consecutive=("C",))
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_cs_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES")
+                <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no):
+            (r.first_event_id, r.last_event_id, r.n_rows, r.n_skipped)
+        for r in match_recognize_consecutive_sessionized(ev, pat, ("C",), gap)
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    got = {
+        k: (v["first_event_id"], v["last_event_id"], v["n_rows"],
+            v["n_skipped"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))

@@ -177,6 +177,67 @@ def main() -> None:
         out["fba_within"][str(n)] = {"sec": dt, "matches": cnt}
         print(f"  fba_within  n={n}: {dt:>7.2f}s  {cnt} matches",
               flush=True)
+    # round 10: the two new loop modifiers on the same hot key.
+    # until(): errors (1 in 41) STOP the click loop, so even the FLAT
+    # form's matches are bounded by error spacing — the stop condition
+    # is itself a state bound, measured here (contrast relaxed_flat's
+    # single giant match). consecutive(): adjacency bounds every run
+    # (views break clicks every 5 rows), the flat char-run scan stays
+    # linear. Both counts must scale ~linearly with N.
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_consecutive,
+        match_recognize_until,
+    )
+
+    def hot_events_fbe(n):
+        ev = hot_events_fb(spark, n)
+        return ev.withColumn(
+            "event_type",
+            F.when((F.col("event_id") % 41 == 0)
+                   & (F.col("event_id") % 97 != 0), "error")
+            .otherwise(F.col("event_type")),
+        )
+
+    from pyspark.sql import functions as F
+
+    UNTIL_PATTERN = [("V", "view", "1"), ("C", "click", "+", "error"),
+                     ("P", "purchase", "1")]
+    CONSEC_PATTERN = [("V", "view", "1"), ("C", "click", "+"),
+                      ("P", "purchase", "1")]
+    out["until_flat"] = {}
+    out["consecutive_flat"] = {}
+    for n in (20_000, 100_000, 200_000):
+        ev = hot_events_fbe(n).localCheckpoint()
+        t0 = time.perf_counter()
+        m = match_recognize_until(ev, UNTIL_PATTERN).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["until_flat"][str(n)] = {"sec": dt, "matches": len(m)}
+        print(f"  until_flat  n={n}: {dt:>7.2f}s  {len(m)} matches",
+              flush=True)
+        ev2 = hot_events_fb(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        m2 = match_recognize_consecutive(ev2, CONSEC_PATTERN, ("C",)).collect()
+        dt2 = round(time.perf_counter() - t0, 2)
+        out["consecutive_flat"][str(n)] = {"sec": dt2, "matches": len(m2)}
+        print(f"  consec_flat n={n}: {dt2:>7.2f}s  {len(m2)} matches",
+              flush=True)
+    # round 10b: the multi-variable-tail runagg on the runagg stream —
+    # the suffix chain adds O(1) lookups per candidate, so its envelope
+    # must track the single-suffix interior form, not add a new term.
+    MT_PATTERN = [("A", {"types": "view"}, "1"),
+                  ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+"),
+                  ("C", {"types": "click"}, "1"),
+                  ("D", {"types": "click"}, "+")]
+    out["runagg_multi_tail_flat"] = {}
+    for n in (5_000, 10_000, 20_000):
+        ev = hot_events(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        m = match_recognize_runagg(ev, MT_PATTERN).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["runagg_multi_tail_flat"][str(n)] = {"sec": dt,
+                                                 "matches": len(m)}
+        print(f"  runagg_mt   n={n}: {dt:>7.2f}s  {len(m)} matches",
+              flush=True)
     # both runagg forms must find work proportional to N (the flat form
     # finds slightly FEWER matches — under-threshold B+ runs span
     # pauses and merge episodes, see module docstring — but the count
@@ -189,7 +250,10 @@ def main() -> None:
     # followedBy on unbounded keys (mirrors the operator docstring).
     for fam, ns in (("flat", (5_000, 10_000)), ("sessionized", (20_000, 100_000)),
                     ("relaxed_sessionized", (20_000, 100_000)),
-                    ("fba_within", (20_000, 100_000))):
+                    ("fba_within", (20_000, 100_000)),
+                    ("until_flat", (20_000, 100_000)),
+                    ("consecutive_flat", (20_000, 100_000)),
+                    ("runagg_multi_tail_flat", (5_000, 10_000))):
         a, b = (out[fam][str(n)]["matches"] for n in ns)
         ratio = b / a
         want = ns[1] / ns[0]
