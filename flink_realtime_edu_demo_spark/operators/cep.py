@@ -4462,3 +4462,284 @@ def match_recognize_consecutive_sessionized_oracle_sql(
               FROM {table})"""
     return _relaxed_oracle_with(pattern, chars, regex, [key, "session_id"],
                                 source, ts, type_col, id_col)
+
+
+# --------------------------------------------------------------------------
+# GROUPED quantifiers under RELAXED linking — Flink's GroupPattern
+# (begin(Pattern).followedBy(...).times(n)) with the Pattern API's
+# DEFAULT followedBy contiguity: `A followedBy (B C)+` where the links
+# between elements, between group iterations, AND between a group's
+# inner variables all skip rows the next expected variable rejects.
+# The strict-contiguity group engine is match_recognize_groups.
+# --------------------------------------------------------------------------
+
+
+def _relaxed_piece_body(etype, quant, chars, first: bool) -> str:
+    """A variable's relaxed piece WITHOUT its capture group — for
+    composition inside a group loop (captures inside a quantified
+    group would retain only the last iteration, so group forms capture
+    per ELEMENT instead). Every :func:`_relaxed_piece` branch returns
+    exactly one outer capture wrapping a balanced body; re-wrap it
+    non-capturing."""
+    p = _relaxed_piece(etype, quant, chars, first)
+    if not (p.startswith("(") and p.endswith(")")):
+        raise AssertionError(f"unexpected piece shape: {p!r}")
+    return f"(?:{p[1:-1]})"
+
+
+def _relaxed_group_parts(pattern):
+    """Validate + lower a grouped RELAXED pattern. Elements are
+    ``(var, types, quant)`` or ``(group_name, [inner 3-tuples],
+    quant)`` — the same grammar as :func:`_group_parts`, the same
+    scope rules (one nesting level; a group's inner minimum row count
+    >= 1 so no zero-width loop iteration exists), plus the relaxed
+    engine's rules over the EFFECTIVE pattern (mandatory first
+    element, no complement at or before the first mandatory variable).
+
+    Lowering: each top-level element becomes ONE capture group — a
+    plain variable is its flat relaxed piece; a group is the
+    concatenation of its inner variables' non-capturing relaxed pieces
+    wrapped in ``(?:...)``<quant>. The FIRST element anchors exactly
+    like the flat engine: for a leading group, iteration 1 uses the
+    anchored first-variable piece and iterations 2.. the plain one
+    (a regex loop cannot special-case its first pass, so the loop is
+    unrolled once). Java regex recurses once per group ITERATION
+    (bounded by rows/inner-min; the strict group engine shares this —
+    sessionized deployment is the hot-key answer, as everywhere).
+
+    Returns ``(flat_vars, chars, regex, names)`` where names has one
+    entry per top-level element (capture order).
+    """
+    flat: list[tuple] = []
+    names: list[str] = []
+    for el in pattern:
+        if not (isinstance(el, tuple) and len(el) == 3):
+            raise ValueError(
+                "pattern element must be (name, types_or_inner_list, quant)")
+        name, body, quant = el
+        names.append(name)
+        if isinstance(body, list):
+            if not body:
+                raise ValueError(f"group {name!r} needs at least one variable")
+            for sub in body:
+                if not (isinstance(sub, tuple) and len(sub) == 3):
+                    raise ValueError(
+                        f"group {name!r}: inner element must be "
+                        "(var, types, quant)")
+                if isinstance(sub[1], list):
+                    raise ValueError(
+                        "nested groups are not supported (one level — "
+                        "see COVERAGE.md)")
+                _quant_regex(sub[2])
+            _quant_regex(quant)
+            if sum(_quant_min(q) for _, _, q in body) == 0:
+                raise ValueError(
+                    f"group {name!r}: inner variables must guarantee at "
+                    "least one row per iteration (zero-width loop "
+                    "iterations are rejected at plan time)")
+            flat.extend(body)
+        else:
+            flat.append(el)
+    eff = []
+    for name, body, quant in pattern:
+        if isinstance(body, list):
+            gmin = _quant_min(quant)
+            eff.extend((v, e, q if gmin >= 1 else "*") for v, e, q in body)
+        else:
+            eff.append((name, body, quant))
+    _validate_relaxed(eff)
+    chars = _char_map(flat)
+    pieces = []
+    for i, (name, body, quant) in enumerate(pattern):
+        first = i == 0
+        if not isinstance(body, list):
+            pieces.append(_relaxed_piece(body, quant, chars, first=first))
+            continue
+        inner_plain = "".join(
+            _relaxed_piece_body(e, q, chars, first=False)
+            for _, e, q in body
+        )
+        if not first:
+            pieces.append(f"((?:{inner_plain}){_quant_regex(quant)})")
+            continue
+        # leading group: anchored iteration 1 + plain iterations 2..
+        inner_anchored = "".join(
+            _relaxed_piece_body(e, q, chars, first=(bi == 0))
+            for bi, (_, e, q) in enumerate(body)
+        )
+        lo, hi, lazy = _quant_parse(quant)
+        zz = "?" if lazy else ""
+        if hi == 1:  # quant '1' (min >= 1 guaranteed by _validate_relaxed)
+            pieces.append(f"({inner_anchored})")
+        elif hi is None:
+            pieces.append(f"({inner_anchored}(?:{inner_plain})*{zz})")
+        else:
+            pieces.append(
+                f"({inner_anchored}(?:{inner_plain})"
+                f"{{{lo - 1},{hi - 1}}}{zz})")
+    return flat, chars, "".join(pieces), names
+
+
+def match_recognize_relaxed_groups(
+    events: DataFrame,
+    pattern: list[tuple],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Grouped quantifiers under RELAXED (followedBy) linking — Flink
+    CEP's ``GroupPattern``: ``A followedBy (B C)+`` and friends, where
+    rows the next expected variable rejects are skipped (and consumed)
+    between elements, between group iterations, and between a group's
+    inner variables alike. Same grammar and scope rules as the strict
+    :func:`match_recognize_groups`; same relaxed semantics, plan rules
+    and consuming-gap trade as :func:`match_recognize_relaxed`;
+    property-tested against an independent group-aware relaxed
+    backtracking matcher.
+
+    Output: one row per match with ``match_no``, ``first_event_id``,
+    ``last_event_id``, ``n_rows`` (ALL tokens the match consumed —
+    admitted and skipped; gap rows are consumed by the match exactly
+    as in the flat relaxed engine) and ``n_tok_<element>`` — the
+    tokens each top-level ELEMENT's span consumed (a capture per
+    element; captures per inner variable would retain only a loop's
+    last iteration, hence the per-element grain — the strict group
+    engine's per-type counts have the same one-level-coarser
+    precedent). One shuffle, zero Python."""
+    flat, chars, regex, names = _relaxed_group_parts(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    k = len(names)
+    groups = seq.select(
+        *[F.col(c) for c in keys],
+        F.regexp_extract_all("s", F.lit(regex), F.lit(0)).alias("w"),
+        *[
+            F.regexp_extract_all("s", F.lit(regex), F.lit(i + 1)).alias(f"g{i}")
+            for i in range(k)
+        ],
+    )
+    zipped = groups.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(
+            F.arrays_zip(F.col("w"), *[F.col(f"g{i}") for i in range(k)])
+        ),
+    )
+    w = F.col("col")["w"]
+
+    def n_tok(col):
+        return (F.length(col) - F.length(F.translate(col, ";", ""))) \
+            .cast("long")
+
+    return zipped.select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract(w, "^[a-z]([0-9]+);", 1).cast("long")
+        .alias("first_event_id"),
+        F.regexp_extract(w, "([0-9]+);$", 1).cast("long")
+        .alias("last_event_id"),
+        n_tok(w).alias("n_rows"),
+        *[
+            n_tok(F.col("col")[f"g{i}"]).alias(f"n_tok_{n.lower()}")
+            for i, n in enumerate(names)
+        ],
+    )
+
+
+def match_recognize_relaxed_groups_oracle_sql(
+    pattern,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    keys: list | None = None,
+    source_sql: str | None = None,
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_relaxed_groups`
+    (same alphabet, same per-element captured regex, token counts =
+    ';' counts over the captured spans). ``keys``/``source_sql``
+    support the sessionized composite-partition shape."""
+    flat, chars, regex, names = _relaxed_group_parts(pattern)
+    case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+    key = ", ".join(keys) if keys else key
+    inner = source_sql or f"SELECT * FROM {table}"
+    k = len(names)
+    gcols = ",\n               ".join(
+        f"regexp_extract_all(s, '{regex}', {i + 1}) AS g{i}" for i in range(k)
+    )
+    rsel = ", ".join(f"g{i}[i] AS r{i}" for i in range(k))
+    tok_counts = ",\n           ".join(
+        f"CAST(length(r{i}) - length(replace(r{i}, ';', '')) AS BIGINT) "
+        f"AS n_tok_{n.lower()}"
+        for i, n in enumerate(names)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {key},
+               CASE {type_col} {case} ELSE 'z' END || {id_col} || ';' AS tok,
+               {ts}, {id_col}
+        FROM ({inner})
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {key}),
+    m AS (SELECT {key},
+               regexp_extract_all(s, '{regex}', 0) AS w,
+               {gcols}
+          FROM seq),
+    ex AS (SELECT {key}, CAST(i AS BIGINT) AS match_no, w[i] AS wm, {rsel}
+           FROM m, unnest(generate_series(1, len(w))) AS t(i))
+    SELECT {key}, match_no,
+           CAST(regexp_extract(wm, '^[a-z]([0-9]+);', 1) AS BIGINT) AS first_event_id,
+           CAST(regexp_extract(wm, '([0-9]+);$', 1) AS BIGINT) AS last_event_id,
+           CAST(length(wm) - length(replace(wm, ';', '')) AS BIGINT) AS n_rows,
+           {tok_counts}
+    FROM ex
+    """
+
+
+def match_recognize_relaxed_groups_sessionized(
+    events: DataFrame,
+    pattern: list[tuple],
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sessionized deployment shape for relaxed grouped matching
+    (adds ``session_id``; the group-iteration recursion depth and
+    skip-till-next state are both bounded by session length)."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize_relaxed_groups(
+        s, pattern, key=[key, "session_id"],
+        ts=ts, type_col=type_col, id_col=id_col,
+    )
+
+
+def match_recognize_relaxed_groups_sessionized_oracle_sql(
+    pattern,
+    gap_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying
+    :func:`match_recognize_relaxed_groups_sessionized`."""
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return match_recognize_relaxed_groups_oracle_sql(
+        pattern, ts=ts, type_col=type_col, id_col=id_col,
+        keys=[key, "session_id"], source_sql=source,
+    )

@@ -54,6 +54,10 @@ from ..operators.cep import (
     match_recognize_until_sessionized_oracle_sql,
     match_recognize_consecutive,
     match_recognize_consecutive_oracle_sql,
+    match_recognize_relaxed_groups,
+    match_recognize_relaxed_groups_oracle_sql,
+    match_recognize_relaxed_groups_sessionized,
+    match_recognize_relaxed_groups_sessionized_oracle_sql,
     match_recognize_runagg,
     match_recognize_runagg_oracle_sql,
     match_recognize_runagg_sessionized,
@@ -659,6 +663,71 @@ def q_cep_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the identical scan."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_consecutive(ev, CEP_CONSEC_RUN_PATTERN, ("C",))
+
+
+# Flink GroupPattern under the DEFAULT followedBy linking: a signup,
+# then one-or-more (click -> purchase) CYCLES, rows the next expected
+# variable rejects skipped between elements, iterations, and inner
+# variables alike. The strict-contiguity analog is
+# q_cep_group_quantifier.
+CEP_RG_PATTERN = [
+    ("S", "signup", "1"),
+    ("G", [("C", "click", "1"), ("P", "purchase", "1")], "+"),
+]
+
+CEP_RG_BOUNDED_PATTERN = [
+    ("V", "view", "1"),
+    ("G", [("C", "click", "1"), ("E", "error", "?")], "{2,3}"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_followed_by_group",
+       oracle=match_recognize_relaxed_groups_oracle_sql(CEP_RG_PATTERN))
+def q_cep_followed_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantifiers under RELAXED linking (round 10) — Flink
+    CEP's GroupPattern with the Pattern API's default followedBy
+    contiguity: PATTERN (S (C P)+) per user, skip-till-next between
+    elements, between group iterations, and between the group's inner
+    variables. One capture per top-level ELEMENT (captures inside a
+    quantified group would retain only the last iteration), measures
+    = per-element consumed-token counts. Same one-shuffle token scan;
+    DuckDB replays the identical regex; property-tested vs a relaxed
+    group-aware backtracking reference (tests/test_property.py)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_groups(ev, CEP_RG_PATTERN)
+
+
+@query("q_cep_followed_by_group_bounded",
+       oracle=match_recognize_relaxed_groups_oracle_sql(
+           CEP_RG_BOUNDED_PATTERN))
+def q_cep_followed_by_group_bounded(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Bounded relaxed group with an OPTIONAL inner variable:
+    PATTERN (V (C E?){2,3} P) — Flink's times(2,3) over a group whose
+    second member may be absent per iteration. Exercises the
+    backtracking interplay the bounded loop + optional inner form
+    creates (the group may give back iterations AND the inner E may
+    toggle) — all resolved by the same leftmost-greedy regex scan both
+    engines share."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_groups(ev, CEP_RG_BOUNDED_PATTERN)
+
+
+@query("q_cep_followed_by_group_sessionized",
+       oracle=match_recognize_relaxed_groups_sessionized_oracle_sql(
+           CEP_RG_PATTERN, gap_minutes=720))
+def q_cep_followed_by_group_sessionized(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Sessionized relaxed grouped matching — the deployment shape:
+    12-hour sessions bound both the skip-till-next state AND the group
+    loop's regex recursion depth (one JVM frame per iteration — the
+    one relaxed lowering that is NOT flat char stars, so the session
+    bound matters twice here)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_groups_sessionized(
+        ev, CEP_RG_PATTERN, gap_minutes=720
+    )
 
 
 # The classic MATCH_RECOGNIZE V-shape: any starting row, a nonempty

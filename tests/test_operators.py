@@ -1263,3 +1263,26 @@ def test_cep_consecutive_validation():
     with pytest.raises(ValueError, match="complement"):
         o([("A", "view", "1"), ("B", "!purchase", "+")], ("B",))
     assert "regexp_extract_all" in o(pat, ("B",))
+
+
+def test_cep_relaxed_groups_validation():
+    """Plan-time rules for relaxed groups: group grammar (one nesting
+    level, nonempty body, inner min >= 1), plus the relaxed engine's
+    mandatory-first rule over the EFFECTIVE pattern."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed_groups_oracle_sql as o,
+    )
+
+    g = ("G", [("C", "click", "1"), ("P", "purchase", "1")], "+")
+    with pytest.raises(ValueError, match="nested groups"):
+        o([("S", "signup", "1"),
+           ("G", [("H", [("C", "click", "1")], "+")], "+")])
+    with pytest.raises(ValueError, match="at least one variable"):
+        o([("S", "signup", "1"), ("G", [], "+")])
+    with pytest.raises(ValueError, match="zero-width"):
+        o([("S", "signup", "1"), ("G", [("C", "click", "?")], "+")])
+    with pytest.raises(ValueError, match="mandatory first"):
+        o([("G", [("C", "click", "1")], "*"), ("P", "purchase", "1")])
+    assert "regexp_extract_all" in o([("S", "signup", "1"), g])

@@ -2340,3 +2340,136 @@ def test_match_recognize_runagg_multi_tail_matches_reference(
         ).collect()
     )
     assert got == sorted(want), (rows, pattern, skip, got, want)
+
+
+# --- match_recognize_relaxed_groups vs a relaxed group-aware reference ---
+
+def _py_relaxed_group_spans(types, pattern):
+    """Reference matcher for GROUPED quantifiers under RELAXED linking:
+    the group-aware DFS of _py_group_spans with the relaxed occurrence
+    rule of _py_relaxed_matches — an occurrence skips rows its
+    variable rejects and consumes the first row it admits (the very
+    first occurrence of the whole match is anchored); matches consume
+    their skipped rows; AFTER MATCH SKIP PAST LAST ROW."""
+    n = len(types)
+
+    def occ_ends(pos, allowed, hi, anchored):
+        ends, cur = [pos], pos
+        while hi is None or len(ends) - 1 < hi:
+            if anchored and len(ends) == 1:
+                nxt = cur + 1 if (cur < n and allowed(types[cur])) else None
+            else:
+                j = cur
+                while j < n and not allowed(types[j]):
+                    j += 1
+                nxt = j + 1 if j < n else None
+            if nxt is None:
+                break
+            cur = nxt
+            ends.append(cur)
+        return ends
+
+    def gen_var(pos, etype, quant, anchored):
+        lo, hi, lazy = _parse_quant(quant)
+        ends = occ_ends(pos, _pred(etype), hi, anchored)
+        cmax = len(ends) - 1
+        if cmax < lo:
+            return
+        order = range(lo, cmax + 1) if lazy else range(cmax, lo - 1, -1)
+        for c in order:
+            yield ends[c]
+
+    def gen_once(pos, body, bi, anchored):
+        if bi == len(body):
+            yield pos
+            return
+        _, etype, q = body[bi]
+        for mid in gen_var(pos, etype, q, anchored and bi == 0):
+            yield from gen_once(mid, body, bi + 1, False)
+
+    def gen_group(pos, body, lo, hi, lazy, done, elems, ei, anchored):
+        can_more = hi is None or done < hi
+        if lazy and done >= lo:
+            yield from gen_seq(pos, elems, ei + 1, False)
+        if can_more:
+            for mid in gen_once(pos, body, 0, anchored and done == 0):
+                if mid == pos:
+                    continue
+                yield from gen_group(mid, body, lo, hi, lazy, done + 1,
+                                     elems, ei, anchored)
+        if not lazy and done >= lo:
+            yield from gen_seq(pos, elems, ei + 1, False)
+
+    def gen_seq(pos, elems, ei, anchored):
+        if ei == len(elems):
+            yield pos
+            return
+        _, body, quant = elems[ei]
+        if isinstance(body, list):
+            lo, hi, lazy = _parse_quant(quant)
+            yield from gen_group(pos, body, lo, hi, lazy, 0, elems, ei,
+                                 anchored)
+            return
+        for mid in gen_var(pos, body, quant, anchored):
+            yield from gen_seq(mid, elems, ei + 1, False)
+
+    spans, i = [], 0
+    while i < n:
+        e = next(gen_seq(i, pattern, 0, True), None)
+        if e is not None and e > i:
+            spans.append((i, e))
+            i = e
+        else:
+            i += 1
+    return spans
+
+
+relaxed_grouped_pattern_strategy = grouped_pattern_strategy.filter(
+    lambda els: _grp_eff_min(els[0]) >= 1  # mandatory first element
+)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=0, max_size=40,
+    ),
+    els=relaxed_grouped_pattern_strategy,
+)
+def test_match_recognize_relaxed_groups_matches_reference(spark, types, els):
+    """The relaxed grouped lowering (per-element captures, unrolled
+    anchored first iteration) must reproduce the relaxed group-aware
+    reference's spans — across greedy/reluctant/bounded group
+    quantifiers, quantified inner variables, and group/variable mixes
+    where cross-iteration backtracking matters."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed_groups,
+    )
+
+    pattern, vi = [], 0
+    for gi, (tag, body, q) in enumerate(els):
+        if tag == "grp":
+            inner = []
+            for t, iq in body:
+                inner.append((f"V{vi}", t, iq))
+                vi += 1
+            pattern.append((f"G{gi}", inner, q))
+        else:
+            pattern.append((f"V{vi}", body, q))
+            vi += 1
+    want = _py_relaxed_group_spans(types, pattern)
+    if not types:
+        return
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string"
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id + 1)
+        for r in match_recognize_relaxed_groups(
+            ev, pattern, ts="event_id"
+        ).collect()
+    )
+    assert got == [(s, e) for s, e in want], (types, els, got, want)
