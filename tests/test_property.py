@@ -201,9 +201,10 @@ def _parse_quant(quant: str):
         return 1, None, quant == "+?"
     if quant in ("*", "*?"):
         return 0, None, quant == "*?"
-    m = re.match(r"^\{(\d+),(\d+)\}(\?)?$", quant)
+    m = re.match(r"^\{(\d+),(\d*)\}(\?)?$", quant)
     assert m, quant
-    return int(m.group(1)), int(m.group(2)), bool(m.group(3))
+    hi = None if m.group(2) == "" else int(m.group(2))
+    return int(m.group(1)), hi, bool(m.group(3))
 
 
 def _pred(etype):
@@ -276,7 +277,8 @@ cep_pattern_strategy = st.lists(
                          "!purchase", ("!", "view", "click")]),  # complements
         st.sampled_from(["1", "?", "+", "*",
                          "??", "+?", "*?",          # reluctant
-                         "{1,2}", "{0,2}?", "{2,3}?"]),  # bounded ±lazy
+                         "{1,2}", "{0,2}?", "{2,3}?",  # bounded ±lazy
+                         "{2,}", "{2,}?"]),  # timesOrMore (r10)
     ),
     min_size=1,
     max_size=4,
@@ -521,7 +523,7 @@ _group_element = st.one_of(
     # group
     st.tuples(st.just("grp"), _group_inner,
               st.sampled_from(["1", "?", "+", "*", "+?", "*?",
-                               "{1,2}", "{0,2}?", "{2,3}"])),
+                               "{1,2}", "{0,2}?", "{2,3}", "{2,}"])),
 )
 
 
@@ -2096,7 +2098,8 @@ def until_pattern_strategy(draw):
         ["click", "view", ("click", "view"), ("click", "purchase")]))
     loop_types = (loop_t,) if isinstance(loop_t, str) else loop_t
     loop_q = draw(st.sampled_from(
-        ["+", "+?", "*", "*?", "{1,2}", "{2,3}", "{2,3}?"]))
+        ["+", "+?", "*", "*?", "{1,2}", "{2,3}", "{2,3}?",
+         "{2,}", "{2,}?"]))
     stop_t = draw(st.sampled_from(
         [t for t in _UNTIL_TYPES if t not in loop_types]))
     tail = draw(st.sampled_from(
@@ -2233,7 +2236,8 @@ def consec_pattern_strategy(draw):
     loop_t = draw(st.sampled_from(
         ["click", "view", ("click", "view"), ("click", "error")]))
     loop_q = draw(st.sampled_from(
-        ["+", "+?", "*", "*?", "{1,2}", "{2,3}", "{0,2}", "{2,3}?"]))
+        ["+", "+?", "*", "*?", "{1,2}", "{2,3}", "{0,2}", "{2,3}?",
+         "{2,}"]))
     tail = draw(st.sampled_from(
         [None, ("purchase", "1"), ("error", "?"), ("purchase", "+")]))
     pat = []
@@ -2424,8 +2428,20 @@ def _py_relaxed_group_spans(types, pattern):
     return spans
 
 
+def _relaxed_grp_first_ok(els):
+    """Engine rule over the EFFECTIVE pattern: the first flattened
+    VARIABLE must be mandatory — for a leading group that means both
+    the group quantifier and its FIRST inner variable have min >= 1."""
+    tag, body, q = els[0]
+    if _parse_quant(q)[0] < 1:
+        return False
+    if tag == "grp":
+        return _parse_quant(body[0][1])[0] >= 1
+    return True
+
+
 relaxed_grouped_pattern_strategy = grouped_pattern_strategy.filter(
-    lambda els: _grp_eff_min(els[0]) >= 1  # mandatory first element
+    _relaxed_grp_first_ok
 )
 
 
@@ -2473,3 +2489,110 @@ def test_match_recognize_relaxed_groups_matches_reference(spark, types, els):
         ).collect()
     )
     assert got == [(s, e) for s, e in want], (types, els, got, want)
+
+
+# --- match_recognize_until_define via bitmask reduction to the until ref ---
+
+@st.composite
+def until_define_strategy(draw):
+    first = draw(st.sampled_from([
+        {"types": "view"}, {"types": ("view", "purchase")}, {"dir": "up"},
+    ]))
+    loop = draw(st.sampled_from([
+        {"types": "click"}, {"types": ("view", "click")},
+        {"dir": "up"}, {},
+    ]))
+    loop_q = draw(st.sampled_from(["+", "+?", "*", "{1,2}", "{2,3}?"]))
+    stop = draw(st.sampled_from([
+        {"types": "purchase"}, {"dir": "down"},
+        {"types": "click", "dir": "down"},
+    ]))
+    tail = draw(st.sampled_from(
+        [None, ({"types": "purchase"}, "1"), ({}, "?")]))
+    pat = [("A", first, "1"), ("B", loop, loop_q, stop)]
+    if tail is not None:
+        pat.append(("C", tail[0], tail[1]))
+    return pat
+
+
+@settings(max_examples=35, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["view", "click", "purchase"]),
+                  st.integers(min_value=0, max_value=3)),
+        min_size=0, max_size=25,
+    ),
+    pat=until_define_strategy(),
+)
+def test_until_define_matches_reference(spark, rows, pat):
+    """until() over VALUE defines must agree with the stop-aware until
+    reference run over the REDUCED (k+1)-bit alphabet: each row's
+    'type' is its satisfied-defines bitmask char (stop define = bit
+    k, computed independently with physical-prev navigation), the
+    loop variable's predicate is its bit class MINUS stop-bit chars
+    (stop evaluated first), and the stop set is the stop-bit class —
+    which reduces until-DEFINE matching to the already-proven until
+    reference."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_until_define,
+    )
+
+    plain = [el[:3] for el in pat]
+    i_u = next(i for i, el in enumerate(pat) if len(el) == 4)
+    stop = pat[i_u][3]
+    ext = plain + [("__STOP", stop, "1")]
+    k = len(plain)
+    toks = []
+    for i, (t, v) in enumerate(rows):
+        prev = rows[i - 1][1] if i > 0 else None
+        bm = 0
+        for vi, (_, d, _) in enumerate(ext):
+            ok = True
+            if d.get("types"):
+                types = (d["types"],) if isinstance(d["types"], str) \
+                    else tuple(d["types"])
+                ok = ok and t in types
+            if d.get("dir") == "up":
+                ok = ok and prev is not None and v > prev
+            elif d.get("dir") == "down":
+                ok = ok and prev is not None and v < prev
+            if ok:
+                bm |= 1 << vi
+        toks.append(chr(97 + bm))
+    classes = [
+        tuple(chr(97 + m) for m in range(1 << (k + 1)) if m & (1 << i))
+        for i in range(k + 1)
+    ]
+    stop_chars = set(classes[k])
+    ref_plain = []
+    for i, (v_, _, q) in enumerate(plain):
+        cls = classes[i]
+        if i == i_u:
+            cls = tuple(c for c in cls if c not in stop_chars)
+        ref_plain.append((f"V{i}", cls, q))
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in _py_until_matches(
+            toks, ref_plain, {i_u: classes[k]})
+    ]
+    if not rows:
+        return
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    pattern = [
+        (f"V{i}", d, q) if i != i_u else (f"V{i}", d, q, stop)
+        for i, (_, d, q) in enumerate(plain)
+    ]
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(k)),
+        )
+        for r in match_recognize_until_define(
+            ev, pattern, ts="event_id"
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pat, got, want)
