@@ -45,6 +45,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cep import (
     match_recognize_consecutive_sessionized,
+    match_recognize_relaxed_groups_sessionized,
     match_recognize_define_sessionized,
     match_recognize_followed_by_any_sessionized,
     match_recognize_relaxed_sessionized,
@@ -77,8 +78,10 @@ class SessionCepSink:
     enumeration (round 9 — ``within_minutes`` forwarded; match_no
     synthesized over the variable-id tuple, stable because closed
     sessions never gain rows); ``matcher='until'`` runs the loop-stop
-    engine and ``matcher='consecutive'`` the strict-internal-loop
-    engine (round 10 — ``consecutive`` names the loop variables). All
+    engine, ``matcher='consecutive'`` the strict-internal-loop
+    engine (round 10 — ``consecutive`` names the loop variables), and
+    ``matcher='relaxed_groups'`` the grouped-quantifier followedBy
+    engine (round 10). All
     are safe under incremental recompute: a closed
     session can never gain rows, so PREV/NEXT navigation, prefix sums
     and skip-policy selection are final at publication time."""
@@ -91,10 +94,10 @@ class SessionCepSink:
                  consecutive=None,
                  observe: bool = True):
         if matcher not in ("types", "define", "runagg", "relaxed", "fba",
-                           "until", "consecutive"):
+                           "until", "consecutive", "relaxed_groups"):
             raise ValueError("matcher must be 'types', 'define', "
-                             "'runagg', 'relaxed', 'fba', 'until' or "
-                             "'consecutive'")
+                             "'runagg', 'relaxed', 'fba', 'until', "
+                             "'consecutive' or 'relaxed_groups'")
         self.pattern = pattern
         self.gap_minutes = gap_minutes
         self.key, self.ts, self.id_col = key, ts, id_col
@@ -200,6 +203,14 @@ class SessionCepSink:
             # round 10: times/oneOrMore .consecutive() on session close
             matched = match_recognize_consecutive_sessionized(
                 hist, self.pattern, self.consecutive, self.gap_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
+            )
+        elif self.matcher == "relaxed_groups":
+            # round 10: GroupPattern under followedBy on session close
+            # (the session bound also caps the group loop's regex
+            # recursion depth)
+            matched = match_recognize_relaxed_groups_sessionized(
+                hist, self.pattern, self.gap_minutes,
                 key=self.key, ts=self.ts, id_col=self.id_col,
             )
         elif self.matcher == "fba":

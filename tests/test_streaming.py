@@ -1132,3 +1132,56 @@ def test_streaming_cep_consecutive_stream_equals_batch(spark, sf_dir,
         for k, v in sink.emitted.items()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_streaming_cep_relaxed_groups_stream_equals_batch(spark, sf_dir,
+                                                          stream_dir,
+                                                          tmp_path):
+    """Streaming GroupPattern-under-followedBy (round 10): the relaxed
+    grouped matcher under the session-close emission contract
+    converges to the batch sessionized answer (the session bound also
+    caps the group loop's regex recursion depth)."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed_groups_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    pat = [("S", "signup", "1"),
+           ("G", [("C", "click", "1"), ("P", "purchase", "1")], "+")]
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink(pat, gap_minutes=gap, matcher="relaxed_groups")
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_rg_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES")
+                <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no):
+            (r.first_event_id, r.last_event_id, r.n_rows, r.n_tok_g)
+        for r in match_recognize_relaxed_groups_sessionized(ev, pat, gap)
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    got = {
+        k: (v["first_event_id"], v["last_event_id"], v["n_rows"],
+            v["n_tok_g"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))
