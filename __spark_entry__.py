@@ -97,17 +97,17 @@ _VERIFIED_GREEN = (
 # Keys deliberately re-surfaced for the round-10 driver window. The
 # round-9 driver window never executed (no CORRECTNESS_r09 artifact was
 # produced), so every key the r9 front surfaced is STILL unverified and
-# stays queued here. FIRST: the thirteen new round-10 keys (until() +
+# stays queued here. FIRST: the fourteen new round-10 keys (until() +
 # consecutive() loop modifiers x4, Gopher rules, LM buckets, substring
 # scrub, runagg multi-variable tail, relaxed GroupPattern x3,
-# value-condition until, timesOrMore), then the runagg
+# value-condition until, timesOrMore, DSIR), then the runagg
 # changed-operator sentinels (operators/cep.py runagg machinery
 # changed AGAIN this round: suffix list + chain conjunction — the
 # per-query-source hash guard cannot see operator edits, so they
 # rotate forward by hand per its documented limitation), then the
 # thirteen round-9 keys that never got their verdict, q_agg_regression
 # (r9 source change, same story), the 26 remaining round-4 verdicts
-# and the 7 stalest round-5 verdicts. 62 > 49 window slots: the tail
+# and the 7 stalest round-5 verdicts. 63 > 49 window slots: the tail
 # overflow (q_fn_* r5 sentinels) leads the next rotation.
 _REVERIFY_FRONT = (
     "q_cep_until", "q_cep_until_sessionized", "q_cep_times_consecutive",
@@ -115,7 +115,7 @@ _REVERIFY_FRONT = (
     "q_llm_substring_scrub", "q_cep_runagg_multi_tail",
     "q_cep_followed_by_group", "q_cep_followed_by_group_bounded",
     "q_cep_followed_by_group_sessionized", "q_cep_until_define",
-    "q_cep_times_or_more",
+    "q_cep_times_or_more", "q_llm_dsir",
     "q_cep_runagg", "q_cep_runagg_interior", "q_cep_runagg_sessionized",
     "q_cep_runagg_tail",
     "q_cep_followed_by_any", "q_cep_followed_by_any_sessionized",

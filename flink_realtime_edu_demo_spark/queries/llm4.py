@@ -339,3 +339,137 @@ def q_llm_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
         )
     )
+
+
+@query(
+    "q_llm_dsir",
+    oracle="""
+    WITH tok AS (
+        SELECT d.doc_id, d.lang,
+               CAST(concat('0x', substring(md5(t.w), 1, 8)) AS BIGINT) % 64
+                   AS b
+        FROM documents d, unnest(string_split(d.text, ' ')) AS t(w)
+        WHERE length(t.w) > 0
+    ),
+    bucket AS (
+        SELECT b,
+               CAST(COUNT(*) AS BIGINT) AS r_b,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS t_b
+        FROM tok GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(r_b) AS BIGINT) AS big_r,
+               CAST(SUM(t_b) AS BIGINT) AS big_t
+        FROM bucket
+    ),
+    db AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY doc_id, b
+    ),
+    folded AS (
+        SELECT db.doc_id,
+               CAST(SUM(db.n) AS BIGINT) AS n_words,
+               list_reduce(
+                   list_transform(
+                       list(CAST(db.n AS DOUBLE) * (ln(bucket.t_b + 1)
+                            - ln(bucket.r_b + 1)) ORDER BY db.b),
+                       x -> x),
+                   (a, acc2) -> a + acc2) AS acc
+        FROM db JOIN bucket USING (b)
+        GROUP BY db.doc_id
+    ),
+    wgt AS (
+        SELECT f.doc_id, f.n_words,
+               f.acc + f.n_words * (ln(tot.big_r + 64) - ln(tot.big_t + 64))
+                   AS w
+        FROM folded f, tot
+    )
+    SELECT doc_id, n_words, round(w, 6) AS weight_r,
+           (NTILE(2) OVER (ORDER BY w DESC, doc_id) = 1) AS selected
+    FROM wgt
+    """,
+)
+def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every document by the hashed-n-gram
+    importance weight log p_target(x)/p_raw(x), here with 64 md5
+    buckets over unigrams, the English slice as the target
+    distribution, and +1 smoothing; keep the top half by weight. The
+    weight decomposes as an ordered per-bucket fold
+    Σ_b n_db·(ln(t_b+1) − ln(r_b+1)) plus n_d·(ln(R+64) − ln(T+64)) —
+    the only float accumulation runs over the per-doc bucket list
+    SORTED by bucket id in BOTH engines (the q_llm_entropy bit-stable
+    fold precedent), and the selection rank breaks ties on doc_id, so
+    the kept set is deterministic cross-engine.
+
+    Plan: one token explode feeding two map-side-combined aggs (the
+    64-row bucket table — broadcast — and per-doc bucket counts), a
+    broadcast join, one per-doc fold, and a doc-level NTILE (the same
+    documented 100 TB note as q_llm_lm_buckets: deployment swaps the
+    global sort for approx cutpoints on the weight)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_spread(spark, sf_dir, "documents")
+    w = F.explode(F.split(F.col("text"), " ")).alias("w")
+    tok = (
+        d.select("doc_id", "lang", w)
+        .filter(F.length("w") > 0)
+        .select(
+            "doc_id", "lang",
+            (F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8),
+                    16, 10).cast("long") % 64).alias("b"),
+        )
+    )
+    # ONE corpus-scale shuffle to the (doc, lang, bucket) grain; the
+    # bucket table, its corpus totals (a 64-row global window — no
+    # crossJoin scalar), and the per-doc folds all derive from it on
+    # monotonically shrinking grains
+    db = tok.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bucket = db.groupBy("b").agg(
+        F.sum("n").cast("long").alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+        .cast("long").alias("t_b"),
+    )
+    wall = W.partitionBy()
+    bw = bucket.select(
+        "b", "r_b", "t_b",
+        F.sum("r_b").over(wall).cast("long").alias("big_r"),
+        F.sum("t_b").over(wall).cast("long").alias("big_t"),
+    )
+    folded = (
+        db.join(F.broadcast(bw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("b", "n", "t_b", "r_b"))
+                    ),
+                    lambda s: s["n"].cast("double")
+                    * (F.log(s["t_b"] + F.lit(1).cast("double"))
+                       - F.log(s["r_b"] + F.lit(1).cast("double"))),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("acc"),
+            F.first("big_r").alias("big_r"),
+            F.first("big_t").alias("big_t"),
+        )
+    )
+    wgt = folded.select(
+        "doc_id", "n_words",
+        (F.col("acc")
+         + F.col("n_words")
+         * (F.log(F.col("big_r") + F.lit(64).cast("double"))
+            - F.log(F.col("big_t") + F.lit(64).cast("double")))).alias("w"),
+    )
+    t = F.ntile(2).over(W.orderBy(F.col("w").desc(), F.col("doc_id")))
+    return wgt.select(
+        "doc_id", "n_words",
+        F.round("w", 6).alias("weight_r"),
+        (t == 1).alias("selected"),
+    )

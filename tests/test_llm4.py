@@ -90,3 +90,25 @@ def test_substring_scrub_accounting_and_untouched_docs(spark, sf_dir):
     assert dup, "fixture must contain cross-doc duplicated windows"
     keepers = {r["keep_doc_id"] for r in dup}
     assert keepers <= set(rows)
+
+
+def test_dsir_selects_target_like_docs(spark, sf_dir):
+    """DSIR invariants: the selected set is the top half by weight
+    (sizes differ by at most one, every selected weight >= every
+    unselected weight up to the rounding grain), and — the point of
+    importance resampling — documents from the target (English) slice
+    are over-represented among the selected."""
+    rows = QUERIES["q_llm_dsir"](spark, sf_dir).collect()
+    assert rows
+    sel = [r for r in rows if r["selected"]]
+    uns = [r for r in rows if not r["selected"]]
+    assert abs(len(sel) - len(uns)) <= 1
+    assert min(r["weight_r"] for r in sel) >= \
+        max(r["weight_r"] for r in uns) - 1e-6
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    en_sel = sum(1 for r in sel if langs[r["doc_id"]] == "en") / len(sel)
+    en_uns = sum(1 for r in uns if langs[r["doc_id"]] == "en") / len(uns)
+    assert en_sel > en_uns, (en_sel, en_uns)
