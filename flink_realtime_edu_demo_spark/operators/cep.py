@@ -246,6 +246,65 @@ def _seq_strings(
     )
 
 
+# An UNBOUNDED quantifier applied to a regex GROUP — `(?:...)+`,
+# `(?:...)*`, `(?:...){m,}` — compiles to Java regex's recursive Loop
+# node: one JVM stack frame per iteration, and for per-token atoms one
+# frame per TOKEN. On a hot key that is not a slowdown but a
+# StackOverflowError that KILLS the local JVM (measured round 10:
+# the strict engine survives a 1000-token contiguous run and dies at
+# 1500; the relaxed GROUP engine survives ~515 iterations in one
+# match and dies by ~1030). The flat char-class lowerings
+# (relaxed positive pieces, consecutive runs, greedy {m,}) carry no
+# such construct and scan 200k-token keys iteratively (HOTKEY.json).
+# Bounded `{m,n}` group repetition has plan-time-known depth and is
+# exempt. Where the compiled pattern DOES contain a recursive loop,
+# every token-string scan below guards the per-key token count and
+# raises a pointed error instead of crashing the JVM. The bound is
+# set below BOTH measured grains (per-token: safe at 1000, dead at
+# 1500; per-iteration: safe at 515, dead by 1030 — iterations are
+# bounded by tokens), with margin; every fixture key holds <= 99
+# events, so no green path can fire it.
+_RECURSIVE_LOOP = _re.compile(r"\)(?:[+*]|\{\d+,\})\??")
+_GUARD_TOKENS = 500
+
+
+def _stack_guard(s_col, regex: str):
+    """Pass ``s_col`` through unchanged, but if ``regex`` contains a
+    recursive (unbounded group) loop, assert the per-key token count
+    stays under the measured-safe bound first — a clean per-key error
+    beats a JVM-killing StackOverflowError."""
+    if not _RECURSIVE_LOOP.search(regex):
+        return s_col
+    n_tok = F.length(s_col) - F.length(F.translate(s_col, ";", ""))
+    chk = F.assert_true(
+        n_tok <= _GUARD_TOKENS,
+        F.lit(
+            f"per-key token string exceeds {_GUARD_TOKENS} tokens and "
+            "the pattern compiles to a recursive Java-regex loop "
+            "(unbounded quantifier over a group/complement atom) — the "
+            "scan would overflow the JVM stack; use the sessionized "
+            "form to bound per-key state, or a bounded {m,n} quantifier"
+        ),
+    )
+    return F.when(chk.isNull(), s_col)
+
+
+def _guard_tokens_array(arr_col, toks_col, regex: str):
+    """The :func:`_stack_guard` twin for the define engines' token
+    ARRAY layout (count = array size)."""
+    if not _RECURSIVE_LOOP.search(regex):
+        return toks_col
+    chk = F.assert_true(
+        F.size(arr_col) <= _GUARD_TOKENS,
+        F.lit(
+            f"per-key token count exceeds {_GUARD_TOKENS} and the "
+            "pattern compiles to a recursive Java-regex loop — use the "
+            "sessionized form or a bounded {m,n} quantifier"
+        ),
+    )
+    return F.when(chk.isNull(), toks_col)
+
+
 def _scan(
     events: DataFrame,
     pattern,
@@ -261,6 +320,8 @@ def _scan(
     :func:`match_recognize_permute` (they differ only in how the
     token-level regex is built from the flat variable list)."""
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    seq = seq.select(*[F.col(k) for k in keys],
+                     _stack_guard(F.col("s"), regex).alias("s"))
     matched = seq.select(
         *[F.col(k) for k in keys],
         F.posexplode(F.regexp_extract_all("s", F.lit(regex), F.lit(0))),
@@ -426,6 +487,8 @@ def match_recognize_all_rows(
     chars = _char_map(pattern)
     regex = _token_regex_captured(pattern, chars)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    seq = seq.select(*[F.col(k) for k in keys],
+                     _stack_guard(F.col("s"), regex).alias("s"))
     return _all_rows_decode(seq, keys, regex, [v for v, _, _ in pattern])
 
 
@@ -660,6 +723,8 @@ def _within_core(
     def at(i):
         return F.element_at(arr, i.cast("int"))
 
+    guard_scan = _RECURSIVE_LOOP.search(anchored) is not None
+
     def cand(j):
         # eligible rows: the contiguous run j..R with ts <= ts_j + win
         bound = at(j)["ts"] + win
@@ -669,6 +734,19 @@ def _within_core(
         m = F.regexp_extract(
             F.col("s").substr(off_j, end_off - off_j), anchored, 0
         )
+        if guard_scan:
+            # the WITHIN window is the scanned span here, so the
+            # recursion bound is the window's token count, not the
+            # key's (see _stack_guard)
+            chk = F.assert_true(
+                r_j - j + 1 <= F.lit(_GUARD_TOKENS),
+                F.lit(
+                    f"a WITHIN window holds more than {_GUARD_TOKENS} "
+                    "tokens and the pattern compiles to a recursive "
+                    "Java-regex loop — shrink the window or sessionize"
+                ),
+            )
+            m = F.when(chk.isNull(), m)
         return F.struct(off_j.cast("long").alias("off"), m.alias("m"))
 
     anchors = (
@@ -1312,7 +1390,9 @@ def match_recognize_define(
         return seq.select(
             *[F.col(k) for k in keys],
             F.posexplode(
-                F.regexp_extract_all(F.concat_ws("", "toks"), F.lit(regex), F.lit(0))
+                F.regexp_extract_all(
+                    _stack_guard(F.concat_ws("", "toks"), regex),
+                    F.lit(regex), F.lit(0))
             ),
         ).select(
             *[F.col(k) for k in keys],
@@ -1341,7 +1421,7 @@ def match_recognize_define(
     hits = (
         seq.select(
             *[F.col(k) for k in keys],
-            F.concat_ws("", "toks").alias("s"),
+            _stack_guard(F.concat_ws("", "toks"), regex).alias("s"),
             F.explode(F.slice(offsets, 1, F.size("toks"))).alias("off"),
         )
         .select(
@@ -1597,7 +1677,8 @@ def match_recognize_define_all_rows(
     seq = _define_tokens(events, pattern, keys, ts, type_col, id_col,
                          value_col)
     seq_s = seq.select(
-        *[F.col(k) for k in keys], F.concat_ws("", "toks").alias("s")
+        *[F.col(k) for k in keys],
+        _stack_guard(F.concat_ws("", "toks"), regex).alias("s"),
     )
     return _all_rows_decode(seq_s, keys, regex, [v for v, _, _ in pattern])
 
@@ -2906,6 +2987,8 @@ def match_recognize_relaxed(
     chars = _char_map(pattern)
     regex = _relaxed_regex(pattern, chars)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    seq = seq.select(*[F.col(k) for k in keys],
+                     _stack_guard(F.col("s"), regex).alias("s"))
     k = len(pattern)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -3391,6 +3474,8 @@ def match_recognize_relaxed_not(
     )
     regex = _relaxed_not_regex(plain, forbid, chars)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    seq = seq.select(*[F.col(k) for k in keys],
+                     _stack_guard(F.col("s"), regex).alias("s"))
     k = len(plain)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -3498,6 +3583,8 @@ def match_recognize_relaxed_all_rows(
     chars = _char_map(pattern)
     regex = _relaxed_regex(pattern, chars)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    seq = seq.select(*[F.col(k) for k in keys],
+                     _stack_guard(F.col("s"), regex).alias("s"))
     k = len(pattern)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -3922,7 +4009,7 @@ def match_recognize_relaxed_define(
     seq = _define_tokens(events, pattern, keys, ts, type_col, id_col,
                          value_col)
     k = len(pattern)
-    s = F.concat_ws("", "toks")
+    s = _stack_guard(F.concat_ws("", "toks"), regex)
     groups = seq.select(
         *[F.col(c) for c in keys],
         F.regexp_extract_all(s, F.lit(regex), F.lit(0)).alias("w"),
@@ -4186,6 +4273,8 @@ def _relaxed_spark_with(
     string, regexp_extract_all per capture group, posexplode over the
     zipped matches, char-count measures."""
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    seq = seq.select(*[F.col(k) for k in keys],
+                     _stack_guard(F.col("s"), regex).alias("s"))
     k = len(plain)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -4659,6 +4748,8 @@ def match_recognize_relaxed_groups(
     flat, chars, regex, names = _relaxed_group_parts(pattern)
     keys = [key] if isinstance(key, str) else list(key)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
+    seq = seq.select(*[F.col(k) for k in keys],
+                     _stack_guard(F.col("s"), regex).alias("s"))
     k = len(names)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -4937,7 +5028,7 @@ def match_recognize_until_define(
     regex = _until_define_regex(plain, until)
     seq = _define_tokens(events, ext, keys, ts, type_col, id_col, value_col)
     k = len(plain)
-    s = F.concat_ws("", "toks")
+    s = _stack_guard(F.concat_ws("", "toks"), regex)
     groups = seq.select(
         *[F.col(c) for c in keys],
         F.regexp_extract_all(s, F.lit(regex), F.lit(0)).alias("w"),

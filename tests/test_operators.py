@@ -1342,3 +1342,48 @@ def test_cep_times_or_more_quant_forms():
     # strict + relaxed oracles both build (no raise)
     match_recognize_oracle_sql(pat)
     match_recognize_relaxed_oracle_sql(pat)
+
+
+def test_cep_recursive_loop_stack_guard(spark, sf_dir):
+    """Patterns that compile to a recursive Java-regex loop (unbounded
+    group quantifiers — the strict engine's per-token loops, relaxed
+    GROUP loops, complement pieces) must fail a hot key with a clean
+    per-key error instead of a JVM-killing StackOverflowError (round
+    10: the strict engine died on a 20k-token contiguous run, the
+    relaxed group engine between ~515 and ~1030 iterations). The guard
+    must NOT fire under the bound, and flat lowerings (plain relaxed
+    pieces) carry no recursive construct at any key size."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        _GUARD_TOKENS,
+        _RECURSIVE_LOOP,
+        _relaxed_regex,
+        _char_map,
+        match_recognize,
+    )
+
+    def hot(n):
+        return spark.range(n).select(
+            F.lit(0).cast("long").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.expr("timestampadd(MINUTE, CAST(id AS INT), "
+                   "timestamp_ntz'2024-01-01')").alias("ts"),
+            F.when(F.col("id") == 0, "view").otherwise("click")
+            .alias("event_type"),
+        ).localCheckpoint()
+
+    pat = [("V", "view", "1"), ("C", "click", "+")]
+    # over the bound: clean error, session survives
+    with pytest.raises(Exception, match="token string exceeds"):
+        match_recognize(hot(_GUARD_TOKENS + 100), pat,
+                        ts="event_id").collect()
+    assert spark.range(3).count() == 3
+    # under the bound: the guard is a no-op (one maximal match)
+    m = match_recognize(hot(400), pat, ts="event_id").collect()
+    assert len(m) == 1 and m[0].last_event_id == 399
+    # flat relaxed pieces carry NO recursive construct
+    chars = _char_map(pat)
+    assert not _RECURSIVE_LOOP.search(_relaxed_regex(pat, chars))
