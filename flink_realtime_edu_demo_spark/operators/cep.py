@@ -224,10 +224,16 @@ def _seq_strings(
     ts: str,
     type_col: str,
     id_col: str,
+    guard_regex: str | None = None,
 ) -> DataFrame:
     """Tokenize each event as ``<type_char><id>;`` and concatenate per
     key in (ts, id) order — the shared front half of every type-pattern
-    scan (one shuffle; everything downstream is narrow)."""
+    scan (one shuffle; everything downstream is narrow). When
+    ``guard_regex`` contains a recursive loop (see ``_RECURSIVE_LOOP``),
+    the per-key row COUNT — a free column of the same aggregation, so
+    the guard costs one integer comparison however often downstream
+    projection collapse inlines ``s`` — is asserted under
+    ``_GUARD_TOKENS`` before the string is released to the scan."""
     tok_char: F.Column = F.lit("z")
     for etype, ch in reversed(chars.items()):
         tok_char = F.when(F.col(type_col) == etype, ch).otherwise(tok_char)
@@ -239,11 +245,23 @@ def _seq_strings(
             F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";")).alias("tok"),
         ).alias("t"),
     )
-    return toks.groupBy(*keys).agg(
+    out = toks.groupBy(*keys).agg(
         F.concat_ws(
             "", F.transform(F.array_sort(F.collect_list("t")), lambda s: s["tok"])
-        ).alias("s")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("__n_tok"),
     )
+    if guard_regex is not None and _RECURSIVE_LOOP.search(guard_regex):
+        chk = F.assert_true(
+            F.col("__n_tok") <= F.lit(_GUARD_TOKENS), F.lit(_GUARD_MSG)
+        )
+        out = out.select(
+            *[F.col(k) for k in keys],
+            F.when(chk.isNull(), F.col("s")).alias("s"),
+        )
+    else:
+        out = out.drop("__n_tok")
+    return out
 
 
 # An UNBOUNDED quantifier applied to a regex GROUP — `(?:...)+`,
@@ -268,41 +286,27 @@ _RECURSIVE_LOOP = _re.compile(r"\)(?:[+*]|\{\d+,\})\??")
 _GUARD_TOKENS = 500
 
 
-def _stack_guard(s_col, regex: str):
-    """Pass ``s_col`` through unchanged, but if ``regex`` contains a
-    recursive (unbounded group) loop, assert the per-key token count
-    stays under the measured-safe bound first — a clean per-key error
-    beats a JVM-killing StackOverflowError."""
-    if not _RECURSIVE_LOOP.search(regex):
-        return s_col
-    n_tok = F.length(s_col) - F.length(F.translate(s_col, ";", ""))
-    chk = F.assert_true(
-        n_tok <= _GUARD_TOKENS,
-        F.lit(
-            f"per-key token string exceeds {_GUARD_TOKENS} tokens and "
-            "the pattern compiles to a recursive Java-regex loop "
-            "(unbounded quantifier over a group/complement atom) — the "
-            "scan would overflow the JVM stack; use the sessionized "
-            "form to bound per-key state, or a bounded {m,n} quantifier"
-        ),
-    )
-    return F.when(chk.isNull(), s_col)
+_GUARD_MSG = (
+    f"per-key token string exceeds {_GUARD_TOKENS} tokens and "
+    "the pattern compiles to a recursive Java-regex loop "
+    "(unbounded quantifier over a group/complement atom) — the "
+    "scan would overflow the JVM stack; use the sessionized "
+    "form to bound per-key state, or a bounded {m,n} quantifier"
+)
 
 
-def _guard_tokens_array(arr_col, toks_col, regex: str):
-    """The :func:`_stack_guard` twin for the define engines' token
-    ARRAY layout (count = array size)."""
+def _guard_tokens_array(arr_col, out_col, regex: str):
+    """Pass ``out_col`` through unchanged, but if ``regex`` contains a
+    recursive (unbounded group) loop, assert the per-key token COUNT
+    (= ``size(arr_col)``, an O(1) stored length — safe to inline into
+    per-row projections) stays under the measured-safe bound first —
+    a clean per-key error beats a JVM-killing StackOverflowError."""
     if not _RECURSIVE_LOOP.search(regex):
-        return toks_col
+        return out_col
     chk = F.assert_true(
-        F.size(arr_col) <= _GUARD_TOKENS,
-        F.lit(
-            f"per-key token count exceeds {_GUARD_TOKENS} and the "
-            "pattern compiles to a recursive Java-regex loop — use the "
-            "sessionized form or a bounded {m,n} quantifier"
-        ),
+        F.size(arr_col) <= F.lit(_GUARD_TOKENS), F.lit(_GUARD_MSG)
     )
-    return F.when(chk.isNull(), toks_col)
+    return F.when(chk.isNull(), out_col)
 
 
 def _scan(
@@ -319,9 +323,8 @@ def _scan(
     shared back half of :func:`match_recognize` and
     :func:`match_recognize_permute` (they differ only in how the
     token-level regex is built from the flat variable list)."""
-    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
-    seq = seq.select(*[F.col(k) for k in keys],
-                     _stack_guard(F.col("s"), regex).alias("s"))
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
+                       guard_regex=regex)
     matched = seq.select(
         *[F.col(k) for k in keys],
         F.posexplode(F.regexp_extract_all("s", F.lit(regex), F.lit(0))),
@@ -486,9 +489,8 @@ def match_recognize_all_rows(
     keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
     regex = _token_regex_captured(pattern, chars)
-    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
-    seq = seq.select(*[F.col(k) for k in keys],
-                     _stack_guard(F.col("s"), regex).alias("s"))
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
+                       guard_regex=regex)
     return _all_rows_decode(seq, keys, regex, [v for v, _, _ in pattern])
 
 
@@ -737,7 +739,7 @@ def _within_core(
         if guard_scan:
             # the WITHIN window is the scanned span here, so the
             # recursion bound is the window's token count, not the
-            # key's (see _stack_guard)
+            # key's (the _GUARD_TOKENS rationale)
             chk = F.assert_true(
                 r_j - j + 1 <= F.lit(_GUARD_TOKENS),
                 F.lit(
@@ -1391,7 +1393,8 @@ def match_recognize_define(
             *[F.col(k) for k in keys],
             F.posexplode(
                 F.regexp_extract_all(
-                    _stack_guard(F.concat_ws("", "toks"), regex),
+                    _guard_tokens_array(F.col("arr"),
+                                        F.concat_ws("", "toks"), regex),
                     F.lit(regex), F.lit(0))
             ),
         ).select(
@@ -1421,7 +1424,8 @@ def match_recognize_define(
     hits = (
         seq.select(
             *[F.col(k) for k in keys],
-            _stack_guard(F.concat_ws("", "toks"), regex).alias("s"),
+            _guard_tokens_array(F.col("arr"), F.concat_ws("", "toks"),
+                                regex).alias("s"),
             F.explode(F.slice(offsets, 1, F.size("toks"))).alias("off"),
         )
         .select(
@@ -1678,7 +1682,8 @@ def match_recognize_define_all_rows(
                          value_col)
     seq_s = seq.select(
         *[F.col(k) for k in keys],
-        _stack_guard(F.concat_ws("", "toks"), regex).alias("s"),
+        _guard_tokens_array(F.col("arr"), F.concat_ws("", "toks"),
+                            regex).alias("s"),
     )
     return _all_rows_decode(seq_s, keys, regex, [v for v, _, _ in pattern])
 
@@ -2986,9 +2991,8 @@ def match_recognize_relaxed(
     keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
     regex = _relaxed_regex(pattern, chars)
-    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
-    seq = seq.select(*[F.col(k) for k in keys],
-                     _stack_guard(F.col("s"), regex).alias("s"))
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
+                       guard_regex=regex)
     k = len(pattern)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -3473,9 +3477,8 @@ def match_recognize_relaxed_not(
         plain + [("__F", types, "1") for types in forbid.values()]
     )
     regex = _relaxed_not_regex(plain, forbid, chars)
-    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
-    seq = seq.select(*[F.col(k) for k in keys],
-                     _stack_guard(F.col("s"), regex).alias("s"))
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
+                       guard_regex=regex)
     k = len(plain)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -3582,9 +3585,8 @@ def match_recognize_relaxed_all_rows(
     keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
     regex = _relaxed_regex(pattern, chars)
-    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
-    seq = seq.select(*[F.col(k) for k in keys],
-                     _stack_guard(F.col("s"), regex).alias("s"))
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
+                       guard_regex=regex)
     k = len(pattern)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -4009,7 +4011,7 @@ def match_recognize_relaxed_define(
     seq = _define_tokens(events, pattern, keys, ts, type_col, id_col,
                          value_col)
     k = len(pattern)
-    s = _stack_guard(F.concat_ws("", "toks"), regex)
+    s = _guard_tokens_array(F.col("arr"), F.concat_ws("", "toks"), regex)
     groups = seq.select(
         *[F.col(c) for c in keys],
         F.regexp_extract_all(s, F.lit(regex), F.lit(0)).alias("w"),
@@ -4272,9 +4274,8 @@ def _relaxed_spark_with(
     :func:`_relaxed_oracle_with`): one shuffle to the per-key token
     string, regexp_extract_all per capture group, posexplode over the
     zipped matches, char-count measures."""
-    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
-    seq = seq.select(*[F.col(k) for k in keys],
-                     _stack_guard(F.col("s"), regex).alias("s"))
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
+                       guard_regex=regex)
     k = len(plain)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -4747,9 +4748,8 @@ def match_recognize_relaxed_groups(
     precedent). One shuffle, zero Python."""
     flat, chars, regex, names = _relaxed_group_parts(pattern)
     keys = [key] if isinstance(key, str) else list(key)
-    seq = _seq_strings(events, chars, keys, ts, type_col, id_col)
-    seq = seq.select(*[F.col(k) for k in keys],
-                     _stack_guard(F.col("s"), regex).alias("s"))
+    seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
+                       guard_regex=regex)
     k = len(names)
     groups = seq.select(
         *[F.col(c) for c in keys],
@@ -5028,7 +5028,7 @@ def match_recognize_until_define(
     regex = _until_define_regex(plain, until)
     seq = _define_tokens(events, ext, keys, ts, type_col, id_col, value_col)
     k = len(plain)
-    s = _stack_guard(F.concat_ws("", "toks"), regex)
+    s = _guard_tokens_array(F.col("arr"), F.concat_ws("", "toks"), regex)
     groups = seq.select(
         *[F.col(c) for c in keys],
         F.regexp_extract_all(s, F.lit(regex), F.lit(0)).alias("w"),
