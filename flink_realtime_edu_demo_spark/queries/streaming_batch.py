@@ -1347,24 +1347,52 @@ def q_stream_late_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # Parallel prefix-scan: a single ORDER BY event_id window would drag
     # the whole stream into one partition (the WindowExec warning — a
-    # 100 TB killer). Instead: per-chunk running max (parallel), then a
-    # prefix max over the tiny chunk-summary table (N/8192 rows), then
-    # greatest() of the two. Identical output, no global shuffle-to-one.
+    # 100 TB killer). Instead: per-chunk running max (parallel), then
+    # the SAME chunking applied again to the chunk-summary table
+    # (VERDICT r10 #6: the r4 form ran one global window over the N/8192
+    # summary — fine at fixture scale, but a second level makes it
+    # unconditionally safe): the only remaining unpartitioned window
+    # runs over the DOUBLY-reduced N/8192² super-chunk table (~15k rows
+    # even at 10¹² events). greatest() folds the three levels back.
+    # Identical output, no global shuffle of non-reduced data.
     chunk = (F.col("event_id") / F.lit(8192)).cast("long")
     w_local = (
         Window.partitionBy("__chunk")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_prev = Window.orderBy("__chunk").rowsBetween(
+    chunked = ev.withColumn("__chunk", chunk)
+    # level 2: exclusive prefix max over chunks WITHIN a super-chunk
+    w_prev1 = (
+        Window.partitionBy("__chunk2")
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # level 3: exclusive prefix max over the tiny super-chunk table
+    w_prev2 = Window.orderBy("__chunk2").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    chunked = ev.withColumn("__chunk", chunk)
-    prev_chunk_max = (
+    summary1 = (
         chunked.groupBy("__chunk")
         .agg(F.max("ts").alias("__cmax"))
-        .withColumn("__prev_max", F.max("__cmax").over(w_prev))
-        .select("__chunk", "__prev_max")
+        .withColumn("__chunk2", (F.col("__chunk") / F.lit(8192)).cast("long"))
+    )
+    summary2 = (
+        summary1.groupBy("__chunk2")
+        .agg(F.max("__cmax").alias("__c2max"))
+        .withColumn("__prev2", F.max("__c2max").over(w_prev2))
+        .select("__chunk2", "__prev2")
+    )
+    prev_chunk_max = (
+        summary1.withColumn("__prev1", F.max("__cmax").over(w_prev1))
+        .join(F.broadcast(summary2), "__chunk2")
+        .select(
+            "__chunk",
+            F.greatest(
+                F.col("__prev1"),
+                F.coalesce("__prev2", "__prev1"),
+            ).alias("__prev_max"),
+        )
     )
     return (
         chunked.withColumn("__local_run", F.max("ts").over(w_local))

@@ -98,6 +98,12 @@ class SessionCepSink:
             raise ValueError("matcher must be 'types', 'define', "
                              "'runagg', 'relaxed', 'fba', 'until', "
                              "'consecutive' or 'relaxed_groups'")
+        if matcher == "consecutive" and not consecutive:
+            # eager, like the matcher-name check above: without the
+            # loop-variable set the first foreachBatch would fail
+            # mid-stream inside _validate_consecutive (ADVICE r10)
+            raise ValueError("matcher='consecutive' needs a non-empty "
+                             "'consecutive' loop-variable set")
         self.pattern = pattern
         self.gap_minutes = gap_minutes
         self.key, self.ts, self.id_col = key, ts, id_col

@@ -52,6 +52,30 @@ ALLOWED_MULTI_GRAIN = {
     "q_llm_dsir",
 }
 
+# Keys whose plan may carry an Exchange SinglePartition (global sort /
+# unpartitioned window / single-partition agg) because the input
+# feeding it is provably REDUCED first — a bounded-cardinality
+# aggregate of the corpus, never the corpus itself (VERDICT r10 #6:
+# "no unpartitioned window over non-reduced input" is now a mechanical
+# rule). Each entry documents the reduced grain.
+ALLOWED_SINGLE_PARTITION = {
+    # global ORDER BY is the key's declared contract (TakeOrdered for
+    # the limit forms; the full-sort forms are the ORDER BY surface)
+    "q_sort_limit", "q_sort_nulls",
+    # window/sort over the per-group aggregate (bounded group count):
+    "q_agg_rollup", "q_agg_cube", "q_agg_grouping_sets",  # grouping-set grain
+    "q_llm_mix_weights",      # n_sources rows after reduction
+    "q_llm_heavy_hitters",    # top-k candidate table
+    "q_llm_bpe_merges", "q_llm_bpe_encode",  # vocab-scale pair table
+    "q_stream_late_branch",   # N/8192² super-chunk summary (r11 2-level)
+    "q_llm_lm_buckets",       # documented hazard form — deployment key
+                              # is q_llm_lm_buckets_scaled (r11)
+    "q_llm_dsir",             # 64-bucket corpus stat fold
+    # 1-row / k-row scalar folds (count, corpus stats, centroids):
+    "q_subquery_scalar", "q_llm_tfidf", "q_llm_keyword_topk",
+    "q_tpch_q11", "q_tpch_q15", "q_tpch_q22",
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -92,6 +116,12 @@ def main() -> int:
                else 6 if key in ALLOWED_MULTI_GRAIN else 4)
         if n_exchange > cap:
             flags.append(f"- **{key}**: {n_exchange} shuffles — check for a reusable partitioning")
+        single = len(re.findall(r"\(\d+\) Exchange SinglePartition\b", plan))
+        if single and key not in ALLOWED_SINGLE_PARTITION:
+            flags.append(
+                f"- **{key}**: Exchange SinglePartition outside the "
+                "reduced-input allowlist — unpartitioned window/sort "
+                "over non-reduced data is a 100 TB killer")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "PLANS.md"), "w") as f:
