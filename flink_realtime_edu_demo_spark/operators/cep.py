@@ -2035,31 +2035,54 @@ def match_recognize_define_sessionized_oracle_sql(
 _RUNAGG_CMP = {"<", "<=", ">", ">="}
 
 
+_RUNAGG_BOUNDED = _re.compile(r"^\{(\d+),(\d+)\}$")
+
+
+def _desugar_suffixes(suffixes):
+    """Expand bounded ``{m,n}`` suffix quantifiers into ``m`` copies
+    with quantifier '1' followed by ``n - m`` copies with '?'
+    (round 11). Regex-equivalent under greedy semantics: all copies
+    carry the IDENTICAL define, so the expanded '?'-chain's
+    consume-first backtracking reaches the same end row as the native
+    bounded quantifier's longest-first search. Non-bounded quantifiers
+    pass through unchanged; expanded copies get suffixed variable
+    names (never user-visible — match output carries row ids, not
+    variable labels)."""
+    out = []
+    for var, d, q in suffixes:
+        mt = _RUNAGG_BOUNDED.match(q) if isinstance(q, str) else None
+        if mt:
+            m, nn = int(mt.group(1)), int(mt.group(2))
+            out.extend((f"{var}#{c}", d, "1") for c in range(m))
+            out.extend((f"{var}?{c}", d, "?") for c in range(nn - m))
+        else:
+            out.append((var, d, q))
+    return out
+
+
 def _validate_runagg(pattern) -> tuple[list, tuple, list]:
     """pattern: (var, define, quant) list where exactly ONE variable's
     define carries the running aggregate — keys ``agg`` ('sum' | 'avg'
     over ``value_col``), ``cmp`` ('<' '<=' '>' '>='), ``thr`` (number),
     plus optional simple keys ``types``/``dir``. Every OTHER variable is
-    simple (``types``/``dir``) with quantifier '1'.
+    simple (``types``/``dir``); prefix variables take quantifier '1'.
 
     Scope (documented in COVERAGE.md): the aggregate variable takes
-    quantifier '+' or '*' and sits in FINAL position, or — the bounded
-    interior forms — is followed by ANY number of single-row simple
-    suffix variables of which the LAST may instead take '+'
-    (`PATTERN (A B+ C)`, round 7; `PATTERN (A B+ C+)`, round 9;
-    `PATTERN (A B+ C D ... [Z+])`, round 10): greedy B backtracks to
-    the longest run whose following rows satisfy the whole suffix
-    CHAIN — a fixed conjunction of position-shifted flags, so the
-    prefix-sum machinery still resolves it without an NFA; a final '+'
-    then absorbs the MAXIMAL consecutive satisfying run (its extent is
-    a precomputed suffix-min lookup, the ``nb`` trick applied to the
-    last suffix flag). Still descoped (true-NFA territory): '+' on a
-    NON-final suffix variable, and optional/bounded suffix
-    quantifiers — those make the suffix chain's length itself a
-    search dimension.
+    quantifier '+' or '*' and sits in FINAL position, or is followed
+    by a suffix CHAIN of simple variables. Chain quantifiers grew by
+    round: all-'1' (`PATTERN (A B+ C)`, round 7; `(A B+ C D)`, round
+    10), a final '+' (`(A B+ C+)`, round 9; `(A B+ C D+)`, round 10),
+    and — round 11, closing the VERDICT r10 descope — '?' and
+    ``{m,n}`` anywhere plus '+' on NON-final chain variables
+    (`PATTERN (A B+ C? D+)`, `(A B+ C+ D)`, `(A B+ C{1,2} D)`).
+    The all-'1'[+final-'+'] shapes keep the round-10 position-shifted
+    flag-conjunction fast path; any other chain runs the generalized
+    right-to-left greedy-end tabulation (one e-array per chain
+    variable over the collected key, still no NFA and no Python —
+    see :func:`match_recognize_runagg`).
 
     Returns ``(prefix_vars, aggregate_var, suffix_vars)`` — the last a
-    (possibly empty) list.
+    (possibly empty, NON-desugared) list.
     """
     if not pattern:
         raise ValueError("pattern needs at least one variable")
@@ -2078,12 +2101,26 @@ def _validate_runagg(pattern) -> tuple[list, tuple, list]:
     suffixes = list(pattern[ai + 1:])
 
     def check_simple(var, define, quant, role, last=False):
-        allowed = ("1", "+") if (role == "suffix" and last) else ("1",)
-        if quant not in allowed:
+        if role == "suffix":
+            if quant not in ("1", "?", "+") and not (
+                isinstance(quant, str) and _RUNAGG_BOUNDED.match(quant)
+            ):
+                raise ValueError(
+                    f"suffix variable {var!r} must have quantifier "
+                    "'1', '?', '+' or '{m,n}' (running-aggregate "
+                    "chain scope, round 11)")
+            if isinstance(quant, str):
+                mt = _RUNAGG_BOUNDED.match(quant)
+                if mt and (int(mt.group(1)) > int(mt.group(2))
+                           or int(mt.group(2)) < 1):
+                    raise ValueError(
+                        f"suffix variable {var!r}: malformed bounded "
+                        f"quantifier {quant!r} (need 0 <= m <= n, "
+                        "n >= 1)")
+        elif quant != "1":
             raise ValueError(
-                f"{role} variable {var!r} must have quantifier in "
-                f"{allowed} (running-aggregate scope; a '+' suffix "
-                "must be the final variable)")
+                f"{role} variable {var!r} must have quantifier '1' "
+                "(running-aggregate scope)")
         bad = set(define) - {"types", "dir"}
         if bad:
             raise ValueError(f"{role} variable {var!r}: unknown or "
@@ -2113,7 +2150,13 @@ def _validate_runagg(pattern) -> tuple[list, tuple, list]:
         raise ValueError("thr must be a number")
     if adef.get("dir") not in (None, "up", "down"):
         raise ValueError("dir must be 'up' or 'down'")
-    if aquant == "*" and not prefix and not suffixes:
+    chain_min = 0
+    for _, _, q in suffixes:
+        if q in ("1", "+"):
+            chain_min += 1
+        elif isinstance(q, str) and (mt := _RUNAGG_BOUNDED.match(q)):
+            chain_min += int(mt.group(1))
+    if aquant == "*" and not prefix and chain_min == 0:
         raise ValueError(
             "pattern may match zero rows (all variables optional) — "
             "at least one variable needs a mandatory row")
@@ -2200,10 +2243,18 @@ def match_recognize_runagg(
     prefix, (_, adef, aquant), suffixes = _validate_runagg(pattern)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    suffixes = _desugar_suffixes(suffixes)
     keys = [key] if isinstance(key, str) else list(key)
     p = len(prefix)
     ks = len(suffixes)
     min_b = 1 if aquant == "+" else 0
+    # round-11 generalized chain: any '?' / non-final '+' quantifier
+    # leaves the round-10 flag-conjunction fast path (kept verbatim for
+    # the verified all-'1'[+final-'+'] shapes) for the right-to-left
+    # greedy-end tabulation below
+    general = any(q != "1" for _, _, q in suffixes[:-1]) or (
+        bool(suffixes) and suffixes[-1][2] == "?"
+    )
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
     prev_v = F.lag(value_col).over(w)
@@ -2248,12 +2299,27 @@ def match_recognize_runagg(
     # the same shuffle. For a '+'-quantified final suffix it turns
     # "maximal consecutive satisfying run starting here" into an O(1)
     # lookup.
-    tail = bool(suffixes) and suffixes[-1][2] == "+"
+    tail = bool(suffixes) and suffixes[-1][2] == "+" and not general
     ns = (
         F.min(F.when(~simple_ok(suffixes[-1][1]), rn)).over(
             w.rowsBetween(0, Window.unboundedFollowing)
         )
         if tail else F.lit(None).cast("long")
+    )
+    # nsufs (general chain only): per chain variable, the row number of
+    # the NEXT row (this one included) whose flag fails — the same
+    # suffix-min trick as nb/ns, one window expr per variable riding
+    # the single per-key shuffle. Turns "maximal flag-i run from
+    # position q" into an O(1) array lookup for non-final '+' chain
+    # variables.
+    nsufs_col = (
+        F.array(*[
+            F.min(F.when(~simple_ok(d), rn)).over(
+                w.rowsBetween(0, Window.unboundedFollowing)
+            )
+            for _, d, _ in suffixes
+        ])
+        if general else F.array().cast("array<bigint>")
     )
     rows = events.select(
         *[F.col(k) for k in keys],
@@ -2267,6 +2333,7 @@ def match_recognize_runagg(
             (sp - vdec).alias("sp0"),
             nb.alias("nb"),
             ns.alias("ns"),
+            nsufs_col.alias("nsufs"),
         ).alias("t"),
     )
     # mono: every partition value is >= 0 (sp - sp0 = the row's value),
@@ -2285,6 +2352,87 @@ def match_recognize_runagg(
 
     def at(i):
         return F.element_at(arr, i.cast("int"))
+
+    if general:
+        # Right-to-left greedy-end tabulation (round 11): for each
+        # chain index i, e{i}[pos] = the END row (1-based, inclusive)
+        # of the greedy match of chain variables i.. starting at row
+        # ``pos``, or NULL if none — exactly the regex backtracking
+        # order ('?' consumes first, '+' longest-first), tabulated
+        # bottom-up so every position is computed ONCE instead of
+        # re-searched per candidate. Arrays have n+1 entries: position
+        # n+1 is the empty-remainder sentinel (e = n, consumed
+        # nothing), so a chain that ends at the partition edge or
+        # matches empty ('?' skipped) needs no special cases. Each
+        # e-array is one JVM ``transform`` over the collected key —
+        # no Python, no extra shuffle; a non-final '+' variable costs
+        # O(run length) per position (bounded by its type-flag run,
+        # and by session length in the sessionized shape), everything
+        # else O(1) via the precomputed nsufs suffix-min lookups.
+        def _flag(pos, i):
+            return F.coalesce(
+                F.element_at(
+                    F.try_element_at(arr, pos.cast("int"))["oksufs"], i + 1
+                ),
+                F.lit(False),
+            )
+
+        grouped = grouped.withColumn(
+            f"e{ks}",
+            F.transform(
+                F.sequence(F.lit(1), n + 1),
+                lambda pos: (pos - 1).cast("long"),
+            ),
+        )
+        for i in range(ks - 1, -1, -1):
+            _, _, q = suffixes[i]
+            enext = F.col(f"e{i + 1}")
+
+            if q == "1":
+                def body(pos, i=i, enext=enext):
+                    return F.when(
+                        _flag(pos, i),
+                        F.try_element_at(enext, (pos + 1).cast("int")),
+                    )
+            elif q == "?":
+                def body(pos, i=i, enext=enext):
+                    nxt = F.try_element_at(enext, (pos + 1).cast("int"))
+                    return F.when(
+                        _flag(pos, i) & nxt.isNotNull(), nxt
+                    ).otherwise(F.element_at(enext, pos.cast("int")))
+            else:  # '+'
+                def body(pos, i=i, enext=enext):
+                    nsf = F.try_element_at(arr, pos.cast("int"))["nsufs"]
+                    m = F.when(
+                        _flag(pos, i),
+                        F.coalesce(
+                            F.element_at(nsf, i + 1), (n + 1).cast("long")
+                        ) - pos,
+                    ).otherwise(F.lit(0).cast("long"))
+                    lstar = F.array_max(
+                        F.filter(
+                            F.when(
+                                m >= 1,
+                                F.sequence(F.lit(1).cast("long"), m),
+                            ).otherwise(F.array().cast("array<bigint>")),
+                            lambda l: F.try_element_at(
+                                enext, (pos + l).cast("int")
+                            ).isNotNull(),
+                        )
+                    )
+                    return F.when(
+                        lstar.isNotNull(),
+                        F.element_at(enext, (pos + lstar).cast("int")),
+                    )
+
+            def _mk(fn):
+                # Spark HOF lambdas must declare ONLY lambda variables
+                # (extra defaulted params would be bound as Columns)
+                return lambda pos: fn(pos.cast("long"))
+
+            grouped = grouped.withColumn(
+                f"e{i}", F.transform(F.sequence(F.lit(1), n + 1), _mk(body))
+            )
 
     def cand(j):
         s = j + F.lit(p)  # first aggregate row (1-based)
@@ -2373,6 +2521,32 @@ def match_recognize_runagg(
                 (j + p + l_rows - 1).cast("long").alias("end"),
                 l_rows.cast("long").alias("b_rows"),
                 (pre_ok & (l_rows >= min_b)).alias("valid"),
+            )
+        if general:
+            # generalized chain (round 11): greedy B+ backtracking =
+            # the LARGEST run length t whose chain tabulation has a
+            # greedy end (e0[s+t] non-NULL); the end row is that
+            # tabulated value — '?'/non-final-'+' backtracking was
+            # already resolved right-to-left when e0 was built.
+            e0 = F.col("e0")
+            t_sel = F.array_max(
+                F.filter(
+                    F.when(
+                        l_rows >= min_b,
+                        F.sequence(F.lit(min_b).cast("int"),
+                                   l_rows.cast("int")),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda t: F.try_element_at(
+                        e0, (s + t).cast("int")
+                    ).isNotNull(),
+                )
+            )
+            end = F.try_element_at(e0, (s + t_sel).cast("int"))
+            return F.struct(
+                j.cast("long").alias("off"),
+                end.cast("long").alias("end"),
+                t_sel.cast("long").alias("b_rows"),
+                (pre_ok & t_sel.isNotNull()).alias("valid"),
             )
         # bounded interior form: greedy backtracking = the LONGEST
         # aggregate run t in [min_b, maxrun] whose FOLLOWING rows
@@ -2508,9 +2682,13 @@ def match_recognize_runagg_oracle_sql(
     prefix, (_, adef, aquant), suffixes = _validate_runagg(pattern)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    suffixes = _desugar_suffixes(suffixes)
     p = len(prefix)
     ks = len(suffixes)
-    tail = bool(suffixes) and suffixes[-1][2] == "+"
+    general = any(q != "1" for _, _, q in suffixes[:-1]) or (
+        bool(suffixes) and suffixes[-1][2] == "?"
+    )
+    tail = bool(suffixes) and suffixes[-1][2] == "+" and not general
     min_b = 1 if aquant == "+" else 0
     klist = keys or [key]
     key = ", ".join(klist)  # every {key} below is the full key list
@@ -2548,7 +2726,14 @@ def match_recognize_runagg_oracle_sql(
     # identical positions via try_element_at on the collected array).
     # oksuflast = the LAST suffix variable's own flag, used to extend a
     # '+'-quantified final suffix to its maximal consecutive run.
-    if suffixes:
+    if suffixes and general:
+        # generalized chain (round 11): one flag column per desugared
+        # chain variable — the tabulation CTEs below navigate them
+        oksuf = "".join(
+            f"{simple_sql(d)} AS oks{i},\n           "
+            for i, (_, d, _) in enumerate(suffixes)
+        )
+    elif suffixes:
         chain = [simple_sql(suffixes[0][1])] + [
             f"COALESCE(lead({simple_sql(d)}, {q}) OVER w, FALSE)"
             for q, (_, d, _) in enumerate(suffixes) if q >= 1
@@ -2584,6 +2769,102 @@ def match_recognize_runagg_oracle_sql(
                off + {p} + (COALESCE(failrn, n + 1) - (off + {p})) - 1 AS endrn
         FROM cand
         WHERE COALESCE(failrn, n + 1) - (off + {p}) >= {min_b}
+    )"""
+    elif general:
+        # generalized chain (round 11): replay the engine's
+        # right-to-left greedy-end tabulation as stacked CTEs —
+        # t{i}(key, pos, e) = the greedy end row of chain i.. starting
+        # at pos (NULL if no match), positions 1..n+1 per key with the
+        # n+1 empty-remainder sentinel. '1'/'?' navigate by pos+1
+        # joins; a '+' variable picks the LARGEST extension inside its
+        # maximal flag run (correlated MIN = the engine's nsufs
+        # lookup) whose remainder matches — ORDER BY pos DESC LIMIT 1
+        # is the longest-first backtracking order. m1 then selects the
+        # LARGEST aggregate run length whose chain start has a
+        # tabulated end, exactly the engine's array_max.
+        eq_rrp = " AND ".join(f"rr.{k} = p.{k}" for k in klist)
+        eq_xp = " AND ".join(f"x.{k} = p.{k}" for k in klist)
+        eq_r2p = " AND ".join(f"r2.{k} = p.{k}" for k in klist)
+        eq_nxp = " AND ".join(f"nx.{k} = p.{k}" for k in klist)
+        eq_curp = " AND ".join(f"cur.{k} = p.{k}" for k in klist)
+        eq_xc = " AND ".join(f"x.{k} = c.{k}" for k in klist)
+        eq_e0sx = " AND ".join(f"e0.{k} = sx.{k}" for k in klist)
+        p_key = ", ".join(f"p.{k}" for k in klist)
+        sx_key = ", ".join(f"sx.{k}" for k in klist)
+        chain_ctes = f"""
+    pos AS (
+        SELECT {key}, rn AS pos, n FROM r
+      UNION ALL
+        SELECT {key}, n + 1 AS pos, n
+        FROM (SELECT DISTINCT {key}, n FROM r)
+    ),
+    t{ks} AS (
+        SELECT {key}, pos, CAST(pos - 1 AS BIGINT) AS e FROM pos
+    )"""
+        for i in range(ks - 1, -1, -1):
+            _, _, q = suffixes[i]
+            if q == "1":
+                body = f"""
+    t{i} AS (
+        SELECT {p_key}, p.pos,
+               CASE WHEN COALESCE(rr.oks{i}, FALSE) THEN nx.e END AS e
+        FROM pos p
+        LEFT JOIN r rr ON {eq_rrp} AND rr.rn = p.pos
+        LEFT JOIN t{i + 1} nx ON {eq_nxp} AND nx.pos = p.pos + 1
+    )"""
+            elif q == "?":
+                body = f"""
+    t{i} AS (
+        SELECT {p_key}, p.pos,
+               CASE WHEN COALESCE(rr.oks{i}, FALSE) AND nx.e IS NOT NULL
+                    THEN nx.e ELSE cur.e END AS e
+        FROM pos p
+        LEFT JOIN r rr ON {eq_rrp} AND rr.rn = p.pos
+        LEFT JOIN t{i + 1} nx ON {eq_nxp} AND nx.pos = p.pos + 1
+        LEFT JOIN t{i + 1} cur ON {eq_curp} AND cur.pos = p.pos
+    )"""
+            else:  # '+'
+                body = f"""
+    t{i} AS (
+        SELECT {p_key}, p.pos,
+               (SELECT x.e FROM t{i + 1} x
+                WHERE {eq_xp}
+                  AND x.pos >= p.pos + 1
+                  AND x.pos <= p.pos + (
+                      CASE WHEN COALESCE(rr.oks{i}, FALSE)
+                           THEN COALESCE((SELECT MIN(r2.rn) FROM r r2
+                                          WHERE {eq_r2p}
+                                            AND r2.rn >= p.pos
+                                            AND NOT r2.oks{i}),
+                                         p.n + 1) - p.pos
+                           ELSE 0 END)
+                  AND x.e IS NOT NULL
+                ORDER BY x.pos DESC LIMIT 1) AS e
+        FROM pos p
+        LEFT JOIN r rr ON {eq_rrp} AND rr.rn = p.pos
+    )"""
+            chain_ctes += "," + body
+        m1 = chain_ctes + f""",
+    mx AS (
+        SELECT {key}, off, base, n,
+               COALESCE(failrn, n + 1) - (off + {p}) AS maxb
+        FROM cand
+    ),
+    m1 AS (
+        SELECT {sx_key}, sx.off, sx.base,
+               sx.sufstart - sx.off - {p} AS b_rows,
+               (SELECT e0.e FROM t0 e0
+                WHERE {eq_e0sx} AND e0.pos = sx.sufstart) AS endrn
+        FROM (
+            SELECT {c_key}, c.off, c.base, c.n,
+                   (SELECT max(x.pos) FROM t0 x
+                    WHERE {eq_xc}
+                      AND x.pos >= c.off + {p} + {min_b}
+                      AND x.pos <= c.off + {p} + c.maxb
+                      AND x.e IS NOT NULL) AS sufstart
+            FROM mx c WHERE c.maxb >= {min_b}
+        ) sx
+        WHERE sx.sufstart IS NOT NULL
     )"""
     else:
         # bounded interior form: the suffix CHAIN starts at off+p+t for
@@ -5161,3 +5442,379 @@ def match_recognize_until_define_oracle_sql(
            {var_counts}
     FROM ex
     """
+
+
+# --- Iterative conditions (round 11 — VERDICT r10 next-step #5) ------------
+#
+# Flink CEP's IterativeCondition lets a loop variable's predicate read the
+# events matched SO FAR (ctx.getEventsForPattern). The runagg family covers
+# the contiguous-suffix aggregate cases; this engine covers the other
+# canonical form from the Flink docs: a loop variable compared against the
+# ANCHOR (first matched) event's value — `PATTERN (A B+) DEFINE B AS
+# B.value < A.value * factor` (the docs' middle.price > start.price).
+# Semantics source: Flink CEP IterativeCondition docs / SQL:2016 row-pattern
+# matching DEFINE with navigation to FIRST(A.value) (public, per SURVEY §0).
+# Reference repo ships no code (README.md:1) — parity is vs SURVEY §2.9.
+
+_ITER_CMP = {"<", "<=", ">", ">="}
+
+
+def _validate_iterative(anchor_def: dict, loop_def: dict) -> None:
+    """anchor_def: simple keys ``types``/``dir`` (the A variable).
+    loop_def: ``cmp`` + ``factor`` (the anchor-relative predicate
+    B.value cmp A.value * factor) plus optional simple ``types``/
+    ``dir`` own-row conditions conjoined with it."""
+    bad = set(anchor_def) - {"types", "dir"}
+    if bad:
+        raise ValueError(f"anchor define: unknown keys {sorted(bad)}")
+    if anchor_def.get("dir") not in (None, "up", "down"):
+        raise ValueError("dir must be 'up' or 'down'")
+    bad = set(loop_def) - {"types", "dir", "cmp", "factor"}
+    if bad:
+        raise ValueError(f"loop define: unknown keys {sorted(bad)}")
+    if loop_def.get("cmp") not in _ITER_CMP:
+        raise ValueError(f"cmp must be one of {sorted(_ITER_CMP)}")
+    if not isinstance(loop_def.get("factor"), (int, float)):
+        raise ValueError("factor must be a number")
+    if loop_def.get("dir") not in (None, "up", "down"):
+        raise ValueError("dir must be 'up' or 'down'")
+
+
+def match_recognize_iterative(
+    events: DataFrame,
+    anchor_def: dict,
+    loop_def: dict,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    min_loop: int = 1,
+    skip: str = "past_last_row",
+) -> DataFrame:
+    """MATCH_RECOGNIZE with an ITERATIVE loop condition referencing the
+    anchor event (round 11): PATTERN (A B+) DEFINE A AS <anchor_def>,
+    B AS value <cmp> A.value * <factor> [AND <own-row conds>] — B
+    absorbs contiguous rows while the anchor-relative comparison (and
+    any own-row condition) holds; the first failing row ends the run
+    (greedy longest match). ``min_loop=0`` makes the loop optional
+    (PATTERN (A B*)).
+
+    Lowering (one shuffle, zero Python): per key, one ordered window
+    computes row numbers + the anchor/loop OWN-ROW boolean flags; rows
+    collect into one sorted array and a JVM ``transform`` attempts a
+    match at every anchor-flagged offset j — the loop run length is
+    the FIRST position whose own-row flag fails OR whose value breaks
+    the anchor-relative comparison against arr[j].value * factor
+    (``filter`` + ``array_min``). The anchor-relative threshold makes
+    the scan inherently per-anchor (no precomputable failure index —
+    the nb trick needs an anchor-independent flag), so the cost class
+    is the documented anchored O(rows²) scan, bounded by session
+    length in :func:`match_recognize_iterative_sessionized` — the
+    deployment shape, same as the runagg family. AFTER MATCH: both
+    skip policies via the same non-overlapping fold as runagg.
+
+    The float product ``A.value * factor`` and the comparison run in
+    IEEE double in BOTH engines from byte-identical parquet operands,
+    so the accept bit can never disagree cross-engine.
+
+    Returns one row per match: ``key..., match_no, first_event_id,
+    last_event_id, n_rows, b_rows``.
+
+    Precondition: ``(ts, id_col)`` unique per key (the runagg array/
+    window alignment invariant)."""
+    from pyspark.sql.window import Window
+
+    _validate_iterative(anchor_def, loop_def)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    if min_loop not in (0, 1):
+        raise ValueError("min_loop must be 0 or 1 ('*' or '+')")
+    keys = [key] if isinstance(key, str) else list(key)
+    cmp = loop_def["cmp"]
+    factor = float(loop_def["factor"])
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    prev_v = F.lag(value_col).over(w)
+
+    def simple_ok(define) -> F.Column:
+        conds = []
+        if define.get("types"):
+            conds.append(F.col(type_col).isin(*_types_of(define["types"])))
+        if define.get("dir") == "up":
+            conds.append(F.col(value_col) > prev_v)
+        elif define.get("dir") == "down":
+            conds.append(F.col(value_col) < prev_v)
+        out = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            out = out & c
+        return F.coalesce(out, F.lit(False))
+
+    rows = events.select(
+        *[F.col(k) for k in keys],
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).cast("double").alias("v"),
+            simple_ok(anchor_def).alias("oka"),
+            simple_ok(loop_def).alias("okb"),
+        ).alias("t"),
+    )
+    grouped = rows.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("t")).alias("arr")
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+
+    def at(i):
+        return F.element_at(arr, i.cast("int"))
+
+    def _cmp(val, thr):
+        if cmp == "<":
+            return val < thr
+        if cmp == "<=":
+            return val <= thr
+        if cmp == ">":
+            return val > thr
+        return val >= thr
+
+    def cand(j):
+        thr = at(j)["v"] * F.lit(factor)
+        fail = F.array_min(
+            F.filter(
+                F.when(
+                    n >= j + 1,
+                    F.sequence(F.lit(1).cast("int"), (n - j).cast("int")),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda t: ~(at(j + t)["okb"] & _cmp(at(j + t)["v"], thr)),
+            )
+        )
+        b_rows = F.coalesce(fail, (n - j + 1).cast("int")) - 1
+        return F.struct(
+            j.cast("long").alias("off"),
+            (j + b_rows).cast("long").alias("end"),
+            b_rows.cast("long").alias("b_rows"),
+            (b_rows >= min_loop).alias("valid"),
+        )
+
+    seq = F.filter(
+        F.sequence(F.lit(1), n), lambda j: F.element_at(arr, j)["oka"]
+    )
+    cands = F.filter(F.transform(seq, cand), lambda c: c["valid"])
+    if skip == "past_last_row":
+        init = F.expr(
+            "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
+            "array<struct<off:bigint,end:bigint,b_rows:bigint,valid:boolean>>))"
+        )
+        sel = F.aggregate(
+            cands,
+            init,
+            lambda acc, c: F.when(
+                c["off"] >= acc["p"],
+                F.struct(
+                    (c["end"] + 1).alias("p"),
+                    F.concat(acc["sel"], F.array(c)).alias("sel"),
+                ),
+            ).otherwise(acc),
+        )["sel"]
+    else:
+        sel = cands
+    out = grouped.select(
+        *[F.col(k) for k in keys],
+        arr,
+        F.posexplode(sel),
+    )
+    c = F.col("col")
+    return out.select(
+        *[F.col(k) for k in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.element_at(arr, c["off"].cast("int"))["id"].alias("first_event_id"),
+        F.element_at(arr, c["end"].cast("int"))["id"].alias("last_event_id"),
+        (c["end"] - c["off"] + 1).alias("n_rows"),
+        c["b_rows"].alias("b_rows"),
+    )
+
+
+def match_recognize_iterative_oracle_sql(
+    anchor_def: dict,
+    loop_def: dict,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    min_loop: int = 1,
+    skip: str = "past_last_row",
+    keys: list[str] | None = None,
+    source_sql: str | None = None,
+) -> str:
+    """DuckDB SQL replaying :func:`match_recognize_iterative`: the same
+    per-anchor first-failure scan as a correlated MIN whose accept
+    condition multiplies the ANCHOR row's value by the factor (both
+    engines: IEEE double from identical operands), and the same
+    left-to-right non-overlapping selection for past_last_row."""
+    _validate_iterative(anchor_def, loop_def)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    if min_loop not in (0, 1):
+        raise ValueError("min_loop must be 0 or 1")
+    cmp = loop_def["cmp"]
+    factor = float(loop_def["factor"])
+    klist = keys or [key]
+    key = ", ".join(klist)
+    eq_r2c = " AND ".join(f"r2.{k} = c.{k}" for k in klist)
+    eq_rfm = " AND ".join(f"rf.{k} = m1.{k}" for k in klist)
+    eq_rlm = " AND ".join(f"rl.{k} = m1.{k}" for k in klist)
+    eq_c2c = " AND ".join(f"c2.{k} = c.{k}" for k in klist)
+    eq_nxpk = " AND ".join(f"nx.{k} = pk.{k}" for k in klist)
+    eq_n2pk = " AND ".join(f"n2.{k} = pk.{k}" for k in klist)
+    c_key = ", ".join(f"c.{k}" for k in klist)
+    m1_key = ", ".join(f"m1.{k}" for k in klist)
+    nx_key = ", ".join(f"nx.{k}" for k in klist)
+    inner = source_sql or f"SELECT * FROM {table}"
+
+    def simple_sql(define: dict) -> str:
+        conds = []
+        if define.get("types"):
+            alts = ", ".join(f"'{t}'" for t in _types_of(define["types"]))
+            conds.append(f"{type_col} IN ({alts})")
+        if define.get("dir") == "up":
+            conds.append(f"{value_col} > prev_v")
+        elif define.get("dir") == "down":
+            conds.append(f"{value_col} < prev_v")
+        body = " AND ".join(conds) if conds else "TRUE"
+        return f"COALESCE({body}, FALSE)"
+
+    accept = (f"(r2.okb AND (r2.v {cmp} c.aval * {factor}))")
+    order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    if skip == "to_next_row":
+        numbering = f"""
+    SELECT {key}, CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
+                       AS BIGINT) AS match_no,
+           CAST(first_event_id AS BIGINT) AS first_event_id,
+           CAST(last_event_id AS BIGINT) AS last_event_id,
+           CAST(endrn - off + 1 AS BIGINT) AS n_rows,
+           CAST(b_rows AS BIGINT) AS b_rows
+    FROM m2"""
+    else:
+        numbering = f"""
+    pick AS (
+        SELECT {key}, off, endrn, first_event_id, last_event_id,
+               b_rows, 1 AS match_no
+        FROM m2 c
+        WHERE off = (SELECT min(off) FROM m2 c2 WHERE {eq_c2c})
+      UNION ALL
+        SELECT {nx_key}, nx.off, nx.endrn, nx.first_event_id,
+               nx.last_event_id, nx.b_rows, pk.match_no + 1
+        FROM pick pk JOIN m2 nx
+             ON {eq_nxpk} AND nx.off > pk.endrn
+        WHERE nx.off = (SELECT min(n2.off) FROM m2 n2
+                        WHERE {eq_n2pk} AND n2.off > pk.endrn)
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           CAST(first_event_id AS BIGINT) AS first_event_id,
+           CAST(last_event_id AS BIGINT) AS last_event_id,
+           CAST(endrn - off + 1 AS BIGINT) AS n_rows,
+           CAST(b_rows AS BIGINT) AS b_rows
+    FROM pick"""
+        numbering = "," + numbering
+    return f"""
+    WITH RECURSIVE base_src AS (
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               lag({value_col}) OVER ({order}) AS prev_v
+        FROM ({inner})
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col},
+               row_number() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY {key}) AS n,
+               CAST({value_col} AS DOUBLE) AS v,
+               {simple_sql(anchor_def)} AS oka,
+               {simple_sql(loop_def)} AS okb
+        FROM base_src
+        WINDOW w AS ({order})
+    ),
+    cand AS (
+        SELECT {c_key}, c.off, c.n, c.aval,
+               (SELECT min(r2.rn) FROM r r2
+                WHERE {eq_r2c} AND r2.rn >= c.off + 1
+                  AND NOT {accept}) AS failrn
+        FROM (SELECT {key}, rn AS off, n, v AS aval
+              FROM r WHERE oka) c
+    ),
+    m1 AS (
+        SELECT {key}, off,
+               COALESCE(failrn, n + 1) - (off + 1) AS b_rows,
+               off + COALESCE(failrn, n + 1) - (off + 1) AS endrn
+        FROM cand
+        WHERE COALESCE(failrn, n + 1) - (off + 1) >= {min_loop}
+    ),
+    m2 AS (
+        SELECT {m1_key}, m1.off, m1.endrn, m1.b_rows,
+               rf.{id_col} AS first_event_id,
+               rl.{id_col} AS last_event_id
+        FROM m1
+        JOIN r rf ON {eq_rfm} AND rf.rn = m1.off
+        JOIN r rl ON {eq_rlm} AND rl.rn = m1.endrn
+    ){numbering}
+    """
+
+
+def match_recognize_iterative_sessionized(
+    events: DataFrame,
+    anchor_def: dict,
+    loop_def: dict,
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    min_loop: int = 1,
+    skip: str = "past_last_row",
+) -> DataFrame:
+    """Sessionized deployment shape for iterative conditions: the
+    per-anchor scan is bounded by SESSION length instead of key
+    history — the same envelope closure as the runagg/PREV sessionized
+    shapes. Output adds ``session_id``."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize_iterative(
+        s, anchor_def, loop_def, key=[key, "session_id"], ts=ts,
+        type_col=type_col, id_col=id_col, value_col=value_col,
+        min_loop=min_loop, skip=skip,
+    )
+
+
+def match_recognize_iterative_sessionized_oracle_sql(
+    anchor_def: dict,
+    loop_def: dict,
+    gap_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    min_loop: int = 1,
+    skip: str = "past_last_row",
+) -> str:
+    """DuckDB replay of :func:`match_recognize_iterative_sessionized`
+    (the shared sessionize window, then the iterative replay over the
+    composite (key, session_id) partition)."""
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return match_recognize_iterative_oracle_sql(
+        anchor_def, loop_def, ts=ts, type_col=type_col, id_col=id_col,
+        value_col=value_col, min_loop=min_loop, skip=skip,
+        keys=[key, "session_id"], source_sql=source,
+    )

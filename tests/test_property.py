@@ -6,7 +6,7 @@ from __future__ import annotations
 import datetime as dt
 import re
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType
@@ -1643,6 +1643,42 @@ def test_scd2_enrich_matches_pointwise_reference(spark, evs):
     assert got == exp
 
 
+def _chain_end(rows, suffixes, sat, pos, ci):
+    """Greedy suffix-chain matcher for the runagg reference (round 11):
+    returns the EXCLUSIVE end index of the greedy match of chain
+    variables ci.. starting at 0-based ``pos``, or None. Implements
+    regex backtracking natively — '?' consumes first, '+' and {m,n}
+    longest-first — and handles {m,n} WITHOUT the engine's desugar
+    expansion, so a desugar bug cannot pass both sides."""
+    if ci == len(suffixes):
+        return pos
+    _, d, qn = suffixes[ci]
+    if qn == "1":
+        if pos < len(rows) and sat(pos, d):
+            return _chain_end(rows, suffixes, sat, pos + 1, ci + 1)
+        return None
+    if qn == "?":
+        if pos < len(rows) and sat(pos, d):
+            r = _chain_end(rows, suffixes, sat, pos + 1, ci + 1)
+            if r is not None:
+                return r
+        return _chain_end(rows, suffixes, sat, pos, ci + 1)
+    if qn == "+":
+        lo, hi = 1, len(rows)
+    else:  # {m,n}
+        lo, hi = (int(x) for x in qn.strip("{}").split(","))
+    m = 0
+    while pos + m < len(rows) and m < hi and sat(pos + m, d):
+        m += 1
+    for length in range(m, max(lo, 1) - 1, -1):
+        r = _chain_end(rows, suffixes, sat, pos + length, ci + 1)
+        if r is not None:
+            return r
+    if lo == 0:  # {0,n}: the empty consumption is a legal fallback
+        return _chain_end(rows, suffixes, sat, pos, ci + 1)
+    return None
+
+
 def _py_runagg_spans(rows, pattern, skip):
     """Independent greedy reference for running-aggregate DEFINEs:
     rows = [(type, int_value)], single key, ordered by index. Returns
@@ -1693,18 +1729,9 @@ def _py_runagg_spans(rows, pattern, skip):
         if not suffixes:
             return (j, j + p + length - 1)
         for t in range(length, min_b - 1, -1):  # greedy backtracking
-            # the whole single-row suffix CHAIN must hold at s+t..
-            if all(
-                s + t + q < len(rows) and sat(s + t + q, suffixes[q][1])
-                for q in range(ks)
-            ):
-                i = s + t + ks - 1
-                if tail:
-                    # quantified FINAL suffix: absorb the maximal
-                    # consecutive satisfying run from its first row
-                    while i + 1 < len(rows) and sat(i + 1, suffixes[-1][1]):
-                        i += 1
-                return (j, i)
+            e = _chain_end(rows, suffixes, sat, s + t, 0)
+            if e is not None:
+                return (j, e - 1)
         return None
 
     spans, i = [], 0
@@ -1886,6 +1913,175 @@ def test_match_recognize_runagg_interior_matches_reference(
         ).collect()
     )
     assert got == sorted(want), (rows, pattern, skip, got, want)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(-3, 5),  # negatives: exercise the non-mono rescan
+        ),
+        min_size=1, max_size=26,
+    ),
+    prefix=runagg_prefix,
+    adef=runagg_adef,
+    chain=st.lists(
+        st.tuples(
+            st.sampled_from([
+                {}, {"types": ("click",)}, {"types": ("view", "error")},
+                {"types": ("click", "error")}, {"dir": "up"},
+                {"dir": "down"},
+            ]),
+            st.sampled_from(["1", "?", "+", "{0,1}", "{1,2}", "{0,2}",
+                             "{2,2}", "{2,3}"]),
+        ),
+        min_size=1, max_size=3,
+    ),
+    aq=st.sampled_from(["+", "*"]),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_runagg_general_chain_matches_reference(
+    spark, rows, prefix, adef, chain, aq, skip_sel
+):
+    """The round-11 generalized suffix chain ('?' anywhere, '+' on
+    NON-final variables, bounded {m,n} via desugar) must reproduce the
+    native-backtracking reference's spans over RANDOM chains of 1-3
+    quantified variables — the reference handles {m,n} without the
+    engine's desugar expansion, so the desugar lowering itself is
+    under test. Covers the q_cep_runagg_chain / _plus_interior /
+    _bounded shapes and arbitrary mixes the declared keys don't pin."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg,
+    )
+
+    # patterns that can match zero rows (B* + an all-optional chain,
+    # no prefix) are rejected by validation — not a matchable shape
+    chain_min = sum(
+        1 if q in ("1", "+") else int(q.strip("{}").split(",")[0])
+        if q.startswith("{") else 0
+        for _, q in chain
+    )
+    assume(not (aq == "*" and not prefix and chain_min == 0))
+    pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
+    pattern.append(("B", adef, aq))
+    pattern.extend((f"S{i}", d, q) for i, (d, q) in enumerate(chain))
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_runagg_spans(rows, pattern, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_runagg(
+            ev, pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pattern, skip, got, want)
+
+
+def _py_iterative_spans(rows, anchor_def, loop_def, min_loop, skip):
+    """Independent reference for iterative (anchor-referencing)
+    conditions: a plain NFA-style scan that CARRIES the matched-so-far
+    context — at each anchor-satisfying index j, extend while the
+    row's own-row condition holds AND row.value <cmp> rows[j].value *
+    factor. No shared lowering with the engine (the engine tabulates
+    flags + array scans; this walks rows imperatively)."""
+    cmpf = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[
+        loop_def["cmp"]]
+    factor = float(loop_def["factor"])
+
+    def sat(i, d):
+        ok = True
+        if d.get("types"):
+            ok = ok and rows[i][0] in d["types"]
+        if d.get("dir") == "up":
+            ok = ok and i > 0 and rows[i][1] > rows[i - 1][1]
+        elif d.get("dir") == "down":
+            ok = ok and i > 0 and rows[i][1] < rows[i - 1][1]
+        return ok
+
+    def attempt(j):
+        if not sat(j, anchor_def):
+            return None
+        thr = rows[j][1] * factor
+        e = j
+        while (e + 1 < len(rows) and sat(e + 1, loop_def)
+               and cmpf(rows[e + 1][1], thr)):
+            e += 1
+        if e - j < min_loop:
+            return None
+        return (j, e)
+
+    spans, i = [], 0
+    if skip == "past_last_row":
+        while i < len(rows):
+            m = attempt(i)
+            if m:
+                spans.append(m)
+                i = m[1] + 1
+            else:
+                i += 1
+    else:
+        for i in range(len(rows)):
+            m = attempt(i)
+            if m:
+                spans.append(m)
+    return spans
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(-3, 6),
+        ),
+        min_size=1, max_size=30,
+    ),
+    anchor=st.sampled_from([
+        {}, {"types": ("view",)}, {"types": ("view", "click")},
+        {"dir": "up"},
+    ]),
+    loop=st.builds(
+        lambda extra, cmp, factor: {**extra, "cmp": cmp, "factor": factor},
+        st.sampled_from([{}, {"types": ("click", "error")}, {"dir": "down"}]),
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.sampled_from([0.5, 1.0, 1.1, 2.0, -1.5]),
+    ),
+    min_loop=st.integers(0, 1),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_iterative_matches_reference(
+    spark, rows, anchor, loop, min_loop, skip_sel
+):
+    """The iterative-condition engine (round 11: DEFINE B AS B.value
+    <cmp> A.value * factor) must reproduce the context-carrying
+    reference NFA's spans across comparators, negative factors (sign
+    flips make the comparison non-monotone in the anchor), own-row
+    type/dir conjuncts, optional loops and both skip modes."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_iterative,
+    )
+
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_iterative_spans(rows, anchor, loop, min_loop, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_iterative(
+            ev, anchor, loop, ts="event_id", min_loop=min_loop, skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (rows, anchor, loop, min_loop, skip,
+                                 got, want)
 
 
 # --- followedByAny (skip-till-any-match) vs brute-force enumeration ---

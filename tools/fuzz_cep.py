@@ -1,0 +1,384 @@
+"""Extended randomized CEP fuzz: engine vs independent reference
+matchers on corpora LARGER than the hypothesis budgets (COVERAGE.md
+closing-assurance ledger; VERDICT r10 next-step #7 asked for this to
+be a committed, growing harness instead of a per-round one-off).
+
+Families (engine -> reference, both from the per-engine property
+suites in tests/test_property.py):
+
+- runagg_chain   match_recognize_runagg (generalized '?'/'+'/{m,n}
+                 suffix chains, round 11) vs _py_runagg_spans with the
+                 NATIVE-{m,n} _chain_end backtracker
+- iterative      match_recognize_iterative (anchor-referencing DEFINE,
+                 round 11) vs the context-carrying _py_iterative_spans
+- until          match_recognize_until vs the stop-aware
+                 _py_until_matches (spans + measures)
+- consecutive    match_recognize_consecutive vs the adjacency-aware
+                 _py_consec_matches (spans + measures)
+- relaxed_groups match_recognize_relaxed_groups vs
+                 _py_relaxed_group_spans
+- until_define   match_recognize_until_define vs _py_until_matches
+                 over the reduced bitmask alphabet (the proven
+                 reduction from the property suite)
+
+Deterministic: seeded random.Random; same seed -> same corpora. Exits
+nonzero on the first mismatch with the reproducing (family, seed).
+
+Usage: python tools/fuzz_cep.py [per-family-corpora] [seed]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import random
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+_spec = importlib.util.spec_from_file_location(
+    "ref_matchers", os.path.join(_REPO, "tests", "test_property.py")
+)
+ref = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(ref)
+
+from flink_realtime_edu_demo_spark.operators.cep import (  # noqa: E402
+    match_recognize_consecutive,
+    match_recognize_iterative,
+    match_recognize_relaxed_groups,
+    match_recognize_runagg,
+    match_recognize_until,
+    match_recognize_until_define,
+)
+
+TYPES5 = ["view", "click", "purchase", "error", "signup"]
+
+
+def _ev(spark, rows_or_types, with_value):
+    if with_value:
+        data = [(1, i, t, float(v)) for i, (t, v) in enumerate(rows_or_types)]
+        schema = "user_id long, event_id long, event_type string, value double"
+    else:
+        data = [(1, i, t) for i, t in enumerate(rows_or_types)]
+        schema = "user_id long, event_id long, event_type string"
+    return spark.createDataFrame(data, schema)
+
+
+def fuzz_runagg_chain(spark, rng):
+    rows = [
+        (rng.choice(["view", "click", "error"]), rng.randint(-3, 5))
+        for _ in range(rng.randint(30, 80))
+    ]
+    prefix = [
+        rng.choice([
+            {}, {"dir": "up"}, {"dir": "down"},
+            {"types": ("view", "click")}, {"types": ("click",)},
+        ])
+        for _ in range(rng.randint(0, 2))
+    ]
+    adef = {
+        "agg": rng.choice(["sum", "avg"]),
+        "cmp": rng.choice(["<", "<=", ">", ">="]),
+        "thr": float(rng.randint(-2, 8)),
+    }
+    if rng.random() < 0.3:
+        adef["types"] = rng.choice([("view", "click"), ("click", "error")])
+    chain = [
+        (
+            rng.choice([
+                {}, {"types": ("click",)}, {"types": ("view", "error")},
+                {"types": ("click", "error")}, {"dir": "up"},
+                {"dir": "down"},
+            ]),
+            rng.choice(["1", "?", "+", "{0,1}", "{1,2}", "{0,2}", "{2,2}",
+                        "{2,3}", "{1,3}"]),
+        )
+        for _ in range(rng.randint(1, 3))
+    ]
+    aq = rng.choice(["+", "*"])
+    chain_min = sum(
+        1 if q in ("1", "+") else int(q.strip("{}").split(",")[0])
+        if q.startswith("{") else 0
+        for _, q in chain
+    )
+    if aq == "*" and not prefix and chain_min == 0:
+        prefix = [{"types": ("view",)}]
+    skip = rng.choice(["past_last_row", "to_next_row"])
+    pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
+    pattern.append(("B", adef, aq))
+    pattern.extend((f"S{i}", d, q) for i, (d, q) in enumerate(chain))
+    want = ref._py_runagg_spans(rows, pattern, skip)
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_runagg(
+            _ev(spark, rows, True), pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), ("runagg_chain", rows, pattern, skip,
+                                 got, want)
+
+
+def fuzz_iterative(spark, rng):
+    rows = [
+        (rng.choice(["view", "click", "error"]), rng.randint(-3, 6))
+        for _ in range(rng.randint(30, 80))
+    ]
+    anchor = rng.choice([
+        {}, {"types": ("view",)}, {"types": ("view", "click")},
+        {"dir": "up"},
+    ])
+    loop = dict(rng.choice(
+        [{}, {"types": ("click", "error")}, {"dir": "down"}]))
+    loop["cmp"] = rng.choice(["<", "<=", ">", ">="])
+    loop["factor"] = rng.choice([0.5, 1.0, 1.1, 2.0, -1.5])
+    min_loop = rng.randint(0, 1)
+    skip = rng.choice(["past_last_row", "to_next_row"])
+    want = ref._py_iterative_spans(rows, anchor, loop, min_loop, skip)
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_iterative(
+            _ev(spark, rows, True), anchor, loop, ts="event_id",
+            min_loop=min_loop, skip=skip,
+        ).collect()
+    )
+    assert got == sorted(want), ("iterative", rows, anchor, loop,
+                                 min_loop, skip, got, want)
+
+
+def _until_pattern(rng):
+    first_t = rng.choice(["view", "signup", "purchase"])
+    loop_t = rng.choice(
+        ["click", "view", ("click", "view"), ("click", "purchase")])
+    loop_types = (loop_t,) if isinstance(loop_t, str) else loop_t
+    loop_q = rng.choice(
+        ["+", "+?", "*", "*?", "{1,2}", "{2,3}", "{2,3}?", "{2,}",
+         "{2,}?"])
+    stop_t = rng.choice([t for t in TYPES5 if t not in loop_types])
+    tail = rng.choice(
+        [None, ("purchase", "1"), ("error", "?"),
+         (("purchase", "error"), "+")])
+    pat = [("A", first_t, "1"), ("B", loop_t, loop_q, stop_t)]
+    if tail is not None:
+        pat.append(("C", tail[0], tail[1]))
+    return pat
+
+
+def fuzz_until(spark, rng):
+    types = [rng.choice(TYPES5) for _ in range(rng.randint(40, 120))]
+    pat = _until_pattern(rng)
+    plain = [el[:3] for el in pat]
+    until = {i: (el[3],) for i, el in enumerate(pat) if len(el) > 3}
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in ref._py_until_matches(types, plain, until)
+    ]
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_{v.lower()}"] for v, _, _ in plain),
+        )
+        for r in match_recognize_until(
+            _ev(spark, types, False), pat, ts="event_id"
+        ).collect()
+    )
+    assert got == sorted(want), ("until", types, pat, got, want)
+
+
+def fuzz_consecutive(spark, rng):
+    types = [rng.choice(TYPES5) for _ in range(rng.randint(40, 120))]
+    first = rng.choice(
+        [None, ("view", "1"), ("signup", "1"), ("view", "{1,2}")])
+    loop_t = rng.choice(
+        ["click", "view", ("click", "view"), ("click", "error")])
+    loop_q = rng.choice(
+        ["+", "+?", "*", "*?", "{1,2}", "{2,3}", "{0,2}", "{2,3}?",
+         "{2,}"])
+    tail = rng.choice(
+        [None, ("purchase", "1"), ("error", "?"), ("purchase", "+")])
+    pat = []
+    if first is not None:
+        pat.append(("A", first[0], first[1]))
+    pat.append(("B", loop_t, loop_q))
+    if tail is not None:
+        pat.append(("C", tail[0], tail[1]))
+    if ref._parse_quant(pat[0][2])[0] < 1:
+        pat.insert(0, ("Z", "signup", "1"))
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in ref._py_consec_matches(types, pat, {"B"})
+    ]
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_{v.lower()}"] for v, _, _ in pat),
+        )
+        for r in match_recognize_consecutive(
+            _ev(spark, types, False), pat, {"B"}, ts="event_id"
+        ).collect()
+    )
+    assert got == sorted(want), ("consecutive", types, pat, got, want)
+
+
+def fuzz_relaxed_groups(spark, rng):
+    types = [rng.choice(TYPES5) for _ in range(rng.randint(40, 100))]
+    # mirror grouped_pattern_strategy's shapes: var/group mixes with
+    # quantified inner variables, first flattened variable mandatory
+    def var_el():
+        return ("var",
+                rng.choice(["view", "click", ("click", "view"),
+                            "purchase", ("purchase", "error")]),
+                rng.choice(["1", "+", "?", "{1,2}"]))
+
+    def grp_el():
+        body = [
+            (rng.choice(["click", "view", ("click", "error"), "purchase"]),
+             rng.choice(["1", "1", "+", "{1,2}"]))
+            for _ in range(rng.randint(1, 2))
+        ]
+        return ("grp", body, rng.choice(["+", "{1,2}", "{1,3}", "+?"]))
+
+    for _ in range(50):
+        els = []
+        for _ in range(rng.randint(1, 3)):
+            els.append(grp_el() if rng.random() < 0.5 else var_el())
+        if not any(t == "grp" for t, _, _ in els):
+            els[rng.randrange(len(els))] = grp_el()
+        if ref._relaxed_grp_first_ok(els):
+            break
+    else:
+        return  # no valid pattern drawn; skip this corpus
+    pattern, vi = [], 0
+    for gi, (tag, body, q) in enumerate(els):
+        if tag == "grp":
+            inner = []
+            for t, iq in body:
+                inner.append((f"V{vi}", t, iq))
+                vi += 1
+            pattern.append((f"G{gi}", inner, q))
+        else:
+            pattern.append((f"V{vi}", body, q))
+            vi += 1
+    want = ref._py_relaxed_group_spans(types, pattern)
+    got = sorted(
+        (r.first_event_id, r.last_event_id + 1)
+        for r in match_recognize_relaxed_groups(
+            _ev(spark, types, False), pattern, ts="event_id"
+        ).collect()
+    )
+    assert got == [(s, e) for s, e in want], ("relaxed_groups", types,
+                                              pattern, got, want)
+
+
+def fuzz_until_define(spark, rng):
+    rows = [
+        (rng.choice(["view", "click", "purchase"]), rng.randint(0, 3))
+        for _ in range(rng.randint(30, 70))
+    ]
+    first = rng.choice([
+        {"types": "view"}, {"types": ("view", "purchase")}, {"dir": "up"},
+    ])
+    loop = rng.choice([
+        {"types": "click"}, {"types": ("view", "click")},
+        {"dir": "up"}, {},
+    ])
+    loop_q = rng.choice(["+", "+?", "*", "{1,2}", "{2,3}?"])
+    stop = rng.choice([
+        {"types": "purchase"}, {"dir": "down"},
+        {"types": "click", "dir": "down"},
+    ])
+    tail = rng.choice([None, ({"types": "purchase"}, "1"), ({}, "?")])
+    pat = [("A", first, "1"), ("B", loop, loop_q, stop)]
+    if tail is not None:
+        pat.append(("C", tail[0], tail[1]))
+    plain = [el[:3] for el in pat]
+    i_u = next(i for i, el in enumerate(pat) if len(el) == 4)
+    ext = plain + [("__STOP", stop, "1")]
+    k = len(plain)
+    toks = []
+    for i, (t, v) in enumerate(rows):
+        prev = rows[i - 1][1] if i > 0 else None
+        bm = 0
+        for vi2, (_, d, _) in enumerate(ext):
+            ok = True
+            if d.get("types"):
+                tt = (d["types"],) if isinstance(d["types"], str) \
+                    else tuple(d["types"])
+                ok = ok and t in tt
+            if d.get("dir") == "up":
+                ok = ok and prev is not None and v > prev
+            elif d.get("dir") == "down":
+                ok = ok and prev is not None and v < prev
+            if ok:
+                bm |= 1 << vi2
+        toks.append(chr(97 + bm))
+    classes = [
+        tuple(chr(97 + m) for m in range(1 << (k + 1)) if m & (1 << i))
+        for i in range(k + 1)
+    ]
+    stop_chars = set(classes[k])
+    ref_plain = []
+    for i, (_, _, q) in enumerate(plain):
+        cls = classes[i]
+        if i == i_u:
+            cls = tuple(c for c in cls if c not in stop_chars)
+        ref_plain.append((f"V{i}", cls, q))
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in ref._py_until_matches(
+            toks, ref_plain, {i_u: classes[k]})
+    ]
+    pattern = [
+        (f"V{i}", d, q) if i != i_u else (f"V{i}", d, q, stop)
+        for i, (_, d, q) in enumerate(plain)
+    ]
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(k)),
+        )
+        for r in match_recognize_until_define(
+            _ev(spark, rows, True), pattern, ts="event_id"
+        ).collect()
+    )
+    assert got == sorted(want), ("until_define", rows, pattern, got, want)
+
+
+FAMILIES = [
+    ("runagg_chain", fuzz_runagg_chain),
+    ("iterative", fuzz_iterative),
+    ("until", fuzz_until),
+    ("consecutive", fuzz_consecutive),
+    ("relaxed_groups", fuzz_relaxed_groups),
+    ("until_define", fuzz_until_define),
+]
+
+
+def main() -> int:
+    per_family = int(sys.argv[1]) if len(sys.argv) > 1 else 35
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1101
+    from flink_realtime_edu_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz-cep", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    total = 0
+    for name, fn in FAMILIES:
+        for c in range(per_family):
+            # str seed: deterministic across processes (tuple/str
+            # __hash__ is randomized by PYTHONHASHSEED)
+            rng = random.Random(f"{seed}:{name}:{c}")
+            try:
+                fn(spark, rng)
+            except AssertionError:
+                print(f"MISMATCH family={name} corpus={c} seed={seed}")
+                raise
+            total += 1
+        print(f"{name}: {per_family} corpora OK")
+    print(f"fuzz_cep: {total} checks, 0 mismatches "
+          f"(seed={seed}, {per_family}/family)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
