@@ -35,41 +35,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # enforced by tests/test_verified_green.py against the recorded source
 # hashes (regenerate with tools/gen_green_hashes.py after a driver round).
 _VERIFIED_GREEN = (
-    # Refreshed for round 9 from CORRECTNESS_r08.json (VERDICT r8
-    # next-step #2): every key below is driver-green and its query
-    # body unchanged since that verdict (staleness enforced by
-    # tests/test_verified_green.py). Ordered stalest-verdict-first
-    # (r5 verdicts lead, then r6/r7/r8), so the window's spare slots
-    # in future rounds re-check the oldest greens next. Held OUT and
-    # surfaced in _REVERIFY_FRONT instead: the 4 new round-9 keys,
-    # the 3 q_cep_runagg* keys (operators/cep.py runagg machinery
-    # changed this round: ns suffix-min column + tail branch — the
-    # per-query-source hash guard cannot see operator edits, so they
-    # rotate forward by hand per its documented limitation), all 26
-    # remaining round-4 verdicts, and the 16 stalest round-5
-    # verdicts. The two rows-only keys (q_agg_approx_uv,
+    # Refreshed for round 11 from CORRECTNESS_r10.json: stalest-first
+    # (r5/r6-era verdicts lead; the 49 keys the r10 driver window
+    # verified sit at the BACK as the freshest). Held OUT and surfaced
+    # in _REVERIFY_FRONT instead: the 14 r10-window overflow keys, the
+    # 6 new round-11 keys, the changed-operator runagg family +
+    # late_branch, and the 23 stalest r5-era greens re-checked this
+    # round. The two rows-only keys (q_agg_approx_uv,
     # q_agg_approx_quantile) stay here -- their no_oracle verdict can
     # never change, so a window slot on them is wasted.
-    "q_join_left", "q_join_semi", "q_join_theta", "q_join_window", "q_llm_dedup_chargram", "q_llm_dedup_exact", "q_llm_dedup_fuzzy",
-    "q_mm_dedup_payload", "q_scd2_asof_enrich", "q_scd2_build",
-    "q_set_except", "q_set_intersect", "q_set_union", "q_set_union_all",
-    "q_side_output", "q_sort_limit", "q_stream_hop", "q_stream_session",
-    "q_stream_tumble", "q_stream_window_topn", "q_topn_per_key", "q_tpch_q20",
-    "q_tpch_q22", "q_ts_interval_merge", "q_win_laglead", "q_win_moving_avg",
-    "q_win_rank", "q_agg_argminmax", "q_agg_basic", "q_agg_bool",
-    "q_agg_count_distinct", "q_agg_grouping_sets", "q_agg_null_group",
-    "q_dedup_exact", "q_fn_array", "q_fn_cast", "q_fn_datetime2",
-    "q_fn_editdist", "q_fn_trig", "q_funnel", "q_join_range_bin",
-    "q_llm_ann_ivf", "q_llm_centroids", "q_llm_dedup_simhash",
-    "q_llm_dup_groups", "q_llm_fingerprint", "q_llm_kmeans",
-    "q_llm_kmeans_assign", "q_llm_knn", "q_llm_knn_ivf_scaled",
-    "q_llm_lang_id", "q_llm_quality", "q_llm_tokens", "q_llm_winnow",
-    "q_mm_features", "q_mm_frames", "q_mm_meta_filter", "q_pivot",
-    "q_set_except_all", "q_set_intersect_all", "q_sort_nulls",
-    "q_stream_cumulate", "q_stream_late_branch", "q_tpch_q3", "q_tpch_q5",
-    "q_udaf_groupagg", "q_udf_scalar", "q_udtf_split", "q_win_dist",
-    "q_win_range_frame", "q_win_running_sum", "q_agg_corr", "q_agg_listagg",
-    "q_agg_mode", "q_agg_salted_count", "q_fn_try", "q_join_lookup_async",
+    "q_topn_per_key", "q_tpch_q20",
+    "q_tpch_q22",  # these 3 displaced from the r11 window by the
+                   # sessionized-chain / iterative-anchor / within
+                   # keys; stalest greens, re-queue next round
+    "q_ts_interval_merge", "q_win_laglead", "q_win_moving_avg", "q_win_rank",
+    "q_agg_argminmax", "q_agg_basic", "q_agg_bool", "q_agg_count_distinct",
+    "q_agg_grouping_sets", "q_agg_null_group", "q_dedup_exact", "q_fn_array",
+    "q_fn_cast", "q_fn_datetime2", "q_fn_editdist", "q_fn_trig", "q_funnel",
+    "q_join_range_bin", "q_llm_ann_ivf", "q_llm_centroids",
+    "q_llm_dedup_simhash", "q_llm_dup_groups", "q_llm_fingerprint",
+    "q_llm_kmeans", "q_llm_kmeans_assign", "q_llm_knn",
+    "q_llm_knn_ivf_scaled", "q_llm_lang_id", "q_llm_quality", "q_llm_tokens",
+    "q_llm_winnow", "q_mm_features", "q_mm_frames", "q_mm_meta_filter",
+    "q_pivot", "q_set_except_all", "q_set_intersect_all", "q_sort_nulls",
+    "q_stream_cumulate", "q_tpch_q3", "q_tpch_q5", "q_udaf_groupagg",
+    "q_udf_scalar", "q_udtf_split", "q_win_dist", "q_win_range_frame",
+    "q_win_running_sum", "q_agg_corr", "q_agg_listagg", "q_agg_mode",
+    "q_agg_salted_count", "q_fn_try", "q_join_lookup_async",
     "q_join_skew_salted", "q_llm_clean_corpus", "q_llm_decontam",
     "q_llm_embed_quant", "q_llm_entropy", "q_llm_keyword_topk",
     "q_llm_mix_weights", "q_llm_quality_clf", "q_llm_repetition",
@@ -77,8 +69,8 @@ _VERIFIED_GREEN = (
     "q_llm_tfidf", "q_subquery_corr", "q_subquery_scalar", "q_tpch_q10",
     "q_tpch_q14", "q_tpch_q4", "q_tpch_q7", "q_win_ntile",
     "q_agg_approx_uv_kmv", "q_agg_collect", "q_agg_cube", "q_agg_filtered",
-    "q_agg_having", "q_agg_percentile", "q_agg_rollup",
-    "q_agg_stats", "q_case_when", "q_cep_all_rows", "q_cep_all_rows_define",
+    "q_agg_having", "q_agg_percentile", "q_agg_rollup", "q_agg_stats",
+    "q_case_when", "q_cep_all_rows", "q_cep_all_rows_define",
     "q_cep_alternation", "q_cep_group_quantifier", "q_cep_measures",
     "q_cep_negation", "q_cep_pattern", "q_cep_permute", "q_cep_prev",
     "q_cep_prev_sessionized", "q_cep_quantifier", "q_cep_reluctant",
@@ -90,47 +82,51 @@ _VERIFIED_GREEN = (
     "q_llm_semantic_dedup", "q_mm_resize", "q_project_arith", "q_tpch_q18",
     "q_tpch_q19", "q_tpch_q6", "q_upsert_latest", "q_join_interval",
     "q_join_full", "q_join_cross_topk", "q_join_inner", "q_join_anti",
-    "q_agg_approx_quantile",
-    "q_agg_approx_uv",
-)
-
-# Keys deliberately re-surfaced for the round-10 driver window. The
-# round-9 driver window never executed (no CORRECTNESS_r09 artifact was
-# produced), so every key the r9 front surfaced is STILL unverified and
-# stays queued here. FIRST: the fourteen new round-10 keys (until() +
-# consecutive() loop modifiers x4, Gopher rules, LM buckets, substring
-# scrub, runagg multi-variable tail, relaxed GroupPattern x3,
-# value-condition until, timesOrMore, DSIR), then the runagg
-# changed-operator sentinels (operators/cep.py runagg machinery
-# changed AGAIN this round: suffix list + chain conjunction — the
-# per-query-source hash guard cannot see operator edits, so they
-# rotate forward by hand per its documented limitation), then the
-# thirteen round-9 keys that never got their verdict, q_agg_regression
-# (r9 source change, same story), the 26 remaining round-4 verdicts
-# and the 7 stalest round-5 verdicts. 63 > 49 window slots: the tail
-# overflow (q_fn_* r5 sentinels) leads the next rotation.
-_REVERIFY_FRONT = (
-    "q_cep_until", "q_cep_until_sessionized", "q_cep_times_consecutive",
+    "q_agg_approx_quantile", "q_agg_approx_uv", "q_cep_until",
+    "q_cep_until_sessionized", "q_cep_times_consecutive",
     "q_cep_consecutive", "q_llm_gopher_rules", "q_llm_lm_buckets",
-    "q_llm_substring_scrub", "q_cep_runagg_multi_tail",
-    "q_cep_followed_by_group", "q_cep_followed_by_group_bounded",
-    "q_cep_followed_by_group_sessionized", "q_cep_until_define",
-    "q_cep_times_or_more", "q_llm_dsir",
-    "q_cep_runagg", "q_cep_runagg_interior", "q_cep_runagg_sessionized",
-    "q_cep_runagg_tail",
+    "q_llm_substring_scrub", "q_cep_followed_by_group",
+    "q_cep_followed_by_group_bounded", "q_cep_followed_by_group_sessionized",
+    "q_cep_until_define", "q_cep_times_or_more", "q_llm_dsir",
     "q_cep_followed_by_any", "q_cep_followed_by_any_sessionized",
     "q_llm_canonical_pick", "q_agg_regression", "q_cep_followed_by_define",
     "q_cep_followed_by", "q_cep_followed_by_sessionized", "q_llm_bpe_merges",
-    "q_llm_bpe_encode", "q_cep_followed_by_within",
-    "q_cep_not_followed_by", "q_cep_followed_by_rows", "q_join_lateral",
-    "q_llm_bigram_score", "q_llm_heavy_hitters", "q_llm_minhash_lsh",
-    "q_llm_pack_chunks", "q_llm_pack_greedy", "q_llm_pii_scrub",
-    "q_llm_rand_proj", "q_llm_substring_dedup", "q_llm_token_len_hist",
+    "q_llm_bpe_encode", "q_cep_followed_by_within", "q_cep_not_followed_by",
+    "q_cep_followed_by_rows", "q_join_lateral", "q_llm_bigram_score",
+    "q_llm_heavy_hitters", "q_llm_minhash_lsh", "q_llm_pack_chunks",
+    "q_llm_pack_greedy", "q_llm_pii_scrub", "q_llm_rand_proj",
+    "q_llm_substring_dedup", "q_llm_token_len_hist",
     "q_stream_session_dyngap", "q_tpch_q1", "q_tpch_q11", "q_tpch_q12",
     "q_tpch_q13", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q2",
+)
+
+# Round-11 window (49 + warmup): leads with the 14 keys that OVERFLOWED
+# the round-10 window and carried r5-r7-stale driver verdicts (VERDICT
+# r10 next-step #2), then the 9 new round-11 keys (lm_buckets_scaled,
+# the 4 generalized runagg-chain shapes, the 4 iterative-condition
+# keys), then the 6 keys whose ENGINE changed this round (the whole
+# runagg family gained the nsufs struct field; late_branch got the
+# second chunking level) — the per-query-source hash guard cannot see
+# operator edits, so they rotate forward by hand per its documented
+# limitation — and fills the remaining slots with the stalest greens
+# (r5-verdict-era joins/setops/stream-window keys).
+_REVERIFY_FRONT = (
     "q_tpch_q21", "q_tpch_q8", "q_tpch_q9", "q_ts_gapfill", "q_ts_interp",
     "q_ts_ohlc", "q_unpivot", "q_fn_bitwise", "q_fn_datetime", "q_fn_hash",
     "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2",
+    "q_llm_lm_buckets_scaled", "q_cep_runagg_chain",
+    "q_cep_runagg_plus_interior", "q_cep_runagg_bounded", "q_cep_iterative",
+    "q_cep_iterative_anchor", "q_cep_iterative_within",
+    "q_cep_iterative_sessionized", "q_cep_runagg_chain_sessionized",
+    "q_cep_runagg", "q_cep_runagg_interior",
+    "q_cep_runagg_tail", "q_cep_runagg_multi_tail",
+    "q_cep_runagg_sessionized", "q_stream_late_branch", "q_join_left",
+    "q_join_semi", "q_join_theta", "q_join_window", "q_llm_dedup_chargram",
+    "q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_mm_dedup_payload",
+    "q_scd2_asof_enrich", "q_scd2_build", "q_set_except", "q_set_intersect",
+    "q_set_union", "q_set_union_all", "q_side_output", "q_sort_limit",
+    "q_stream_hop", "q_stream_session", "q_stream_tumble",
+    "q_stream_window_topn",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5491,6 +5491,8 @@ def match_recognize_iterative(
     value_col: str = "value",
     min_loop: int = 1,
     skip: str = "past_last_row",
+    suffix_def: dict | None = None,
+    within_minutes: int | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE with an ITERATIVE loop condition referencing the
     anchor event (round 11): PATTERN (A B+) DEFINE A AS <anchor_def>,
@@ -5498,7 +5500,14 @@ def match_recognize_iterative(
     absorbs contiguous rows while the anchor-relative comparison (and
     any own-row condition) holds; the first failing row ends the run
     (greedy longest match). ``min_loop=0`` makes the loop optional
-    (PATTERN (A B*)).
+    (PATTERN (A B*)). ``suffix_def`` appends a single-row terminator
+    (PATTERN (A B+ C)): greedy B backtracks to the longest run whose
+    NEXT row satisfies it — the runagg-interior backtracking.
+    ``within_minutes`` is Flink's ``.within()``: every match row must
+    fall inside [anchor_ts, anchor_ts + W]; because the collected
+    array is time-sorted the bound TRUNCATES the per-anchor scan, so
+    it is also the hot-key-safe flat deployment form (the
+    q_cep_followed_by_within precedent).
 
     Lowering (one shuffle, zero Python): per key, one ordered window
     computes row numbers + the anchor/loop OWN-ROW boolean flags; rows
@@ -5530,6 +5539,16 @@ def match_recognize_iterative(
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
     if min_loop not in (0, 1):
         raise ValueError("min_loop must be 0 or 1 ('*' or '+')")
+    if suffix_def is not None:
+        bad = set(suffix_def) - {"types", "dir"}
+        if bad:
+            raise ValueError(f"suffix define: unknown keys {sorted(bad)}")
+        if suffix_def.get("dir") not in (None, "up", "down"):
+            raise ValueError("dir must be 'up' or 'down'")
+    if within_minutes is not None and not (
+        isinstance(within_minutes, int) and within_minutes > 0
+    ):
+        raise ValueError("within_minutes must be a positive int")
     keys = [key] if isinstance(key, str) else list(key)
     cmp = loop_def["cmp"]
     factor = float(loop_def["factor"])
@@ -5558,6 +5577,8 @@ def match_recognize_iterative(
             F.col(value_col).cast("double").alias("v"),
             simple_ok(anchor_def).alias("oka"),
             simple_ok(loop_def).alias("okb"),
+            (simple_ok(suffix_def) if suffix_def is not None
+             else F.lit(False)).alias("oks"),
         ).alias("t"),
     )
     grouped = rows.groupBy(*keys).agg(
@@ -5580,21 +5601,69 @@ def match_recognize_iterative(
 
     def cand(j):
         thr = at(j)["v"] * F.lit(factor)
+        if within_minutes is not None:
+            # Flink's .within(): every match row's event time must fall
+            # inside [anchor_ts, anchor_ts + W]. The collected array is
+            # time-sorted, so the first out-of-window row fails the
+            # accept condition and TRUNCATES the scan — the within
+            # bound is also what bounds per-anchor work on a hot key
+            # (the flat deployment form, like q_cep_followed_by_within)
+            bound = at(j)["ts"] + F.expr(
+                f"INTERVAL {int(within_minutes)} MINUTE")
+
+            def in_w(pos):
+                return at(pos)["ts"] <= bound
+        else:
+            def in_w(pos):
+                return F.lit(True)
+
         fail = F.array_min(
             F.filter(
                 F.when(
                     n >= j + 1,
                     F.sequence(F.lit(1).cast("int"), (n - j).cast("int")),
                 ).otherwise(F.array().cast("array<int>")),
-                lambda t: ~(at(j + t)["okb"] & _cmp(at(j + t)["v"], thr)),
+                lambda t: ~(at(j + t)["okb"] & _cmp(at(j + t)["v"], thr)
+                            & in_w(j + t)),
             )
         )
-        b_rows = F.coalesce(fail, (n - j + 1).cast("int")) - 1
+        b_max = F.coalesce(fail, (n - j + 1).cast("int")) - 1
+        if suffix_def is None:
+            return F.struct(
+                j.cast("long").alias("off"),
+                (j + b_max).cast("long").alias("end"),
+                b_max.cast("long").alias("b_rows"),
+                (b_max >= min_loop).alias("valid"),
+            )
+        # single-row suffix anchor (PATTERN (A B+ C)): greedy B gives
+        # rows back until the NEXT row satisfies the suffix define
+        # (and the within bound) — the runagg-interior backtracking,
+        # here a max over suffix-flagged candidate ends
+        t_sel = F.array_max(
+            F.filter(
+                F.when(
+                    b_max >= min_loop,
+                    F.sequence(F.lit(min_loop).cast("int"),
+                               b_max.cast("int")),
+                ).otherwise(F.array().cast("array<int>")),
+                # try_element_at: NULL struct past the array end folds
+                # to False (suffix row must exist)
+                lambda t: F.coalesce(
+                    F.try_element_at(arr, (j + t + 1).cast("int"))["oks"]
+                    & (
+                        F.try_element_at(
+                            arr, (j + t + 1).cast("int"))["ts"] <= bound
+                        if within_minutes is not None else F.lit(True)
+                    ),
+                    F.lit(False),
+                ),
+            )
+        )
         return F.struct(
             j.cast("long").alias("off"),
-            (j + b_rows).cast("long").alias("end"),
-            b_rows.cast("long").alias("b_rows"),
-            (b_rows >= min_loop).alias("valid"),
+            (j + t_sel + 1).cast("long").alias("end"),
+            t_sel.cast("long").alias("b_rows"),
+            t_sel.isNotNull().alias("valid"),
         )
 
     seq = F.filter(
@@ -5648,12 +5717,16 @@ def match_recognize_iterative_oracle_sql(
     skip: str = "past_last_row",
     keys: list[str] | None = None,
     source_sql: str | None = None,
+    suffix_def: dict | None = None,
+    within_minutes: int | None = None,
 ) -> str:
     """DuckDB SQL replaying :func:`match_recognize_iterative`: the same
     per-anchor first-failure scan as a correlated MIN whose accept
     condition multiplies the ANCHOR row's value by the factor (both
-    engines: IEEE double from identical operands), and the same
-    left-to-right non-overlapping selection for past_last_row."""
+    engines: IEEE double from identical operands), the same
+    single-row-suffix backtracking as a correlated MAX, the same
+    anchor-relative within truncation, and the same left-to-right
+    non-overlapping selection for past_last_row."""
     _validate_iterative(anchor_def, loop_def)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
@@ -5686,7 +5759,41 @@ def match_recognize_iterative_oracle_sql(
         body = " AND ".join(conds) if conds else "TRUE"
         return f"COALESCE({body}, FALSE)"
 
-    accept = (f"(r2.okb AND (r2.v {cmp} c.aval * {factor}))")
+    w_sql = (f" AND r2.{ts} <= c.ats + INTERVAL {int(within_minutes)} MINUTE"
+             if within_minutes is not None else "")
+    accept = f"(r2.okb AND (r2.v {cmp} c.aval * {factor}){w_sql})"
+    oks_sql = (f"{simple_sql(suffix_def)} AS oks,\n               "
+               if suffix_def is not None else "")
+    if suffix_def is None:
+        m1 = f"""
+    m1 AS (
+        SELECT {key}, off,
+               COALESCE(failrn, n + 1) - (off + 1) AS b_rows,
+               off + COALESCE(failrn, n + 1) - (off + 1) AS endrn
+        FROM cand
+        WHERE COALESCE(failrn, n + 1) - (off + 1) >= {min_loop}
+    )"""
+    else:
+        # single-row suffix: greedy backtracking = the LARGEST loop
+        # length t whose NEXT row satisfies the suffix define (and the
+        # within bound) — a correlated MAX inside the run envelope,
+        # the runagg-interior replay
+        m1 = f"""
+    m1 AS (
+        SELECT {key}, off,
+               sufrn - off - 1 AS b_rows, sufrn AS endrn
+        FROM (
+            SELECT {c_key}, c.off, c.ats,
+                   (SELECT max(r2.rn) FROM r r2
+                    WHERE {eq_r2c}
+                      AND r2.rn >= c.off + 1 + {min_loop}
+                      AND r2.rn <= c.off + 1
+                          + (COALESCE(c.failrn, c.n + 1) - (c.off + 1))
+                      AND r2.oks{w_sql}) AS sufrn
+            FROM cand c
+        ) sx
+        WHERE sufrn IS NOT NULL
+    )"""
     order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
     if skip == "to_next_row":
         numbering = f"""
@@ -5730,26 +5837,19 @@ def match_recognize_iterative_oracle_sql(
                row_number() OVER w AS rn,
                COUNT(*) OVER (PARTITION BY {key}) AS n,
                CAST({value_col} AS DOUBLE) AS v,
-               {simple_sql(anchor_def)} AS oka,
+               {oks_sql}{simple_sql(anchor_def)} AS oka,
                {simple_sql(loop_def)} AS okb
         FROM base_src
         WINDOW w AS ({order})
     ),
     cand AS (
-        SELECT {c_key}, c.off, c.n, c.aval,
+        SELECT {c_key}, c.off, c.n, c.aval, c.ats,
                (SELECT min(r2.rn) FROM r r2
                 WHERE {eq_r2c} AND r2.rn >= c.off + 1
                   AND NOT {accept}) AS failrn
-        FROM (SELECT {key}, rn AS off, n, v AS aval
+        FROM (SELECT {key}, rn AS off, n, v AS aval, {ts} AS ats
               FROM r WHERE oka) c
-    ),
-    m1 AS (
-        SELECT {key}, off,
-               COALESCE(failrn, n + 1) - (off + 1) AS b_rows,
-               off + COALESCE(failrn, n + 1) - (off + 1) AS endrn
-        FROM cand
-        WHERE COALESCE(failrn, n + 1) - (off + 1) >= {min_loop}
-    ),
+    ),{m1},
     m2 AS (
         SELECT {m1_key}, m1.off, m1.endrn, m1.b_rows,
                rf.{id_col} AS first_event_id,

@@ -289,7 +289,11 @@ def q_llm_lm_buckets_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # log-linear bin: q >= 4096 always (every bigram's df >= 1, so the
-    # mean df >= 1), hence lv >= 12 and the lv-4 shift is well-defined
+    # mean df >= 1), hence lv >= 12 and the lv-4 shift is well-defined.
+    # persist: binned feeds BOTH the histogram and the final join — a
+    # diamond Spark would otherwise resolve by recomputing the whole
+    # bigram pipeline twice (the r4 shingle-index precedent); the
+    # persisted table is doc-grain, 4 narrow columns
     binned = score.withColumn(
         "q", F.expr("(sum_df * 4096) div n_bigrams")
     ).withColumn(
@@ -298,7 +302,7 @@ def q_llm_lm_buckets_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         (F.lit(16) * F.col("lv")
          + F.pmod(F.expr("shiftright(q, lv - 4)"), F.lit(16))).cast("long"),
-    )
+    ).persist()
     h = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("cnt_b"))
     w_hi = Window.orderBy(F.col("bin").desc()).rowsBetween(
         Window.unboundedPreceding, -1

@@ -1214,6 +1214,25 @@ def q_cep_runagg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_runagg(ev, CEP_RUNAGG_CHAIN_PATTERN)
 
 
+@query("q_cep_runagg_chain_sessionized",
+       oracle=match_recognize_runagg_sessionized_oracle_sql(
+           CEP_RUNAGG_CHAIN_PATTERN, gap_minutes=720))
+def q_cep_runagg_chain_sessionized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sessionized deployment shape for the generalized chain (round
+    11): 12-hour sessions, then PATTERN (A B+ C? D+) within each
+    (user, session). Bounds BOTH cost terms of the general path —
+    the per-position e-array tabulation and the anchored candidate
+    scan — by session length, the same envelope closure as every
+    runagg deployment shape; the '?' in the chain exercises the
+    tabulation engine over composite keys."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_runagg_sessionized(
+        ev, CEP_RUNAGG_CHAIN_PATTERN, gap_minutes=720
+    )
+
+
 # '+' on a NON-final suffix variable: the click run's extent must
 # backtrack against the single-row purchase anchor that follows it.
 CEP_RUNAGG_PLUS_INTERIOR_PATTERN = [
@@ -1319,6 +1338,44 @@ def q_cep_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     matcher (tests/test_property.py)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_iterative(ev, CEP_ITER_ANCHOR, CEP_ITER_LOOP)
+
+
+@query("q_cep_iterative_anchor",
+       oracle=match_recognize_iterative_oracle_sql(
+           CEP_ITER_ANCHOR, CEP_ITER_LOOP,
+           suffix_def={"types": "purchase"}))
+def q_cep_iterative_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative condition with a single-row terminator (round 11):
+    PATTERN (A B+ C) DEFINE A AS type='view', B AS B.value < A.value
+    * 1.1, C AS type='purchase' — the everyday Flink composition of
+    an IterativeCondition loop with a trigger event. Greedy B+
+    backtracks to the longest anchor-relative run whose NEXT row is a
+    purchase (the runagg-interior backtracking, here over the
+    anchor-dependent accept set); the oracle replays it as a
+    correlated MAX inside the run envelope."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_iterative(
+        ev, CEP_ITER_ANCHOR, CEP_ITER_LOOP,
+        suffix_def={"types": "purchase"},
+    )
+
+
+@query("q_cep_iterative_within",
+       oracle=match_recognize_iterative_oracle_sql(
+           CEP_ITER_ANCHOR, CEP_ITER_LOOP, within_minutes=1440))
+def q_cep_iterative_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative condition under Flink's .within() (round 11):
+    PATTERN (A B+) within 24 h — every match row's event time must
+    fall inside [anchor_ts, anchor_ts + 24 h]. The time-sorted
+    collected array means the bound TRUNCATES each per-anchor scan at
+    the window edge, so this is the hot-key-safe FLAT deployment form
+    of the iterative engine (per-anchor work bounded by window
+    density, not key history — the q_cep_followed_by_within
+    precedent), alongside the sessionized shape."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_iterative(
+        ev, CEP_ITER_ANCHOR, CEP_ITER_LOOP, within_minutes=1440
+    )
 
 
 @query("q_cep_iterative_sessionized",
@@ -1515,10 +1572,14 @@ def q_stream_late_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_prev2 = Window.orderBy("__chunk2").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # persist: summary1 feeds both the super-chunk fold and the
+    # per-chunk exclusive prefix — without it Spark recomputes the
+    # corpus-scale chunk aggregation twice. N/8192 rows, 3 columns.
     summary1 = (
         chunked.groupBy("__chunk")
         .agg(F.max("ts").alias("__cmax"))
         .withColumn("__chunk2", (F.col("__chunk") / F.lit(8192)).cast("long"))
+        .persist()
     )
     summary2 = (
         summary1.groupBy("__chunk2")

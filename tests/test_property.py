@@ -1982,13 +1982,17 @@ def test_match_recognize_runagg_general_chain_matches_reference(
     assert got == sorted(want), (rows, pattern, skip, got, want)
 
 
-def _py_iterative_spans(rows, anchor_def, loop_def, min_loop, skip):
+def _py_iterative_spans(rows, anchor_def, loop_def, min_loop, skip,
+                        suffix_def=None, within=None):
     """Independent reference for iterative (anchor-referencing)
     conditions: a plain NFA-style scan that CARRIES the matched-so-far
     context — at each anchor-satisfying index j, extend while the
     row's own-row condition holds AND row.value <cmp> rows[j].value *
-    factor. No shared lowering with the engine (the engine tabulates
-    flags + array scans; this walks rows imperatively)."""
+    factor. ``suffix_def``: greedy giveback until the next row
+    satisfies it. ``within``: rows are (type, value, ts_minutes) and
+    every match row needs ts <= ts_anchor + within. No shared lowering
+    with the engine (the engine tabulates flags + array scans; this
+    walks rows imperatively)."""
     cmpf = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
             ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[
         loop_def["cmp"]]
@@ -2004,15 +2008,25 @@ def _py_iterative_spans(rows, anchor_def, loop_def, min_loop, skip):
             ok = ok and i > 0 and rows[i][1] < rows[i - 1][1]
         return ok
 
+    def in_w(i, j):
+        return within is None or rows[i][2] <= rows[j][2] + within
+
     def attempt(j):
         if not sat(j, anchor_def):
             return None
         thr = rows[j][1] * factor
         e = j
         while (e + 1 < len(rows) and sat(e + 1, loop_def)
-               and cmpf(rows[e + 1][1], thr)):
+               and cmpf(rows[e + 1][1], thr) and in_w(e + 1, j)):
             e += 1
         if e - j < min_loop:
+            return None
+        if suffix_def is not None:
+            for t in range(e - j, min_loop - 1, -1):  # greedy giveback
+                nxt = j + t + 1
+                if (nxt < len(rows) and sat(nxt, suffix_def)
+                        and in_w(nxt, j)):
+                    return (j, nxt)
             return None
         return (j, e)
 
@@ -2082,6 +2096,66 @@ def test_match_recognize_iterative_matches_reference(
     )
     assert got == sorted(want), (rows, anchor, loop, min_loop, skip,
                                  got, want)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(-3, 6),
+            st.integers(0, 40),  # minutes since the previous event
+        ),
+        min_size=1, max_size=28,
+    ),
+    loop=st.builds(
+        lambda cmp, factor: {"cmp": cmp, "factor": factor},
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.sampled_from([0.5, 1.1, 2.0, -1.5]),
+    ),
+    use_suffix=st.booleans(),
+    w=st.sampled_from([None, 15, 60, 240]),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_iterative_suffix_within_matches_reference(
+    spark, typed, loop, use_suffix, w, skip_sel
+):
+    """The round-11 iterative extensions — single-row suffix anchor
+    (PATTERN (A B+ C), greedy giveback) and the .within() bound
+    (anchor-relative closed time window truncating the scan) — must
+    reproduce the context-carrying reference across both features
+    independently and composed, with both skip modes."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_iterative,
+    )
+
+    acc, rows = 0, []
+    for t, v, gap in typed:
+        acc += gap
+        rows.append((t, v, acc))
+    anchor = {"types": ("view",)}
+    suffix = {"types": ("purchase",)} if use_suffix else None
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_iterative_spans(rows, anchor, loop, 1, skip,
+                               suffix_def=suffix, within=w)
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t, float(v))
+         for i, (t, v, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_iterative(
+            ev, anchor, loop, skip=skip, suffix_def=suffix,
+            within_minutes=w,
+        ).collect()
+    )
+    assert got == sorted(want), (rows, loop, suffix, w, skip, got, want)
 
 
 # --- followedByAny (skip-till-any-match) vs brute-force enumeration ---

@@ -133,17 +133,22 @@ def fuzz_iterative(spark, rng):
     loop["cmp"] = rng.choice(["<", "<=", ">", ">="])
     loop["factor"] = rng.choice([0.5, 1.0, 1.1, 2.0, -1.5])
     min_loop = rng.randint(0, 1)
+    # r11b: half the corpora add the single-row trigger suffix
+    # (PATTERN (A B+ C)) — the greedy-giveback backtracking path
+    suffix = rng.choice(
+        [None, None, {"types": ("error",)}, {"types": ("click", "error")}])
     skip = rng.choice(["past_last_row", "to_next_row"])
-    want = ref._py_iterative_spans(rows, anchor, loop, min_loop, skip)
+    want = ref._py_iterative_spans(rows, anchor, loop, min_loop, skip,
+                                   suffix_def=suffix)
     got = sorted(
         (r.first_event_id, r.last_event_id)
         for r in match_recognize_iterative(
             _ev(spark, rows, True), anchor, loop, ts="event_id",
-            min_loop=min_loop, skip=skip,
+            min_loop=min_loop, skip=skip, suffix_def=suffix,
         ).collect()
     )
     assert got == sorted(want), ("iterative", rows, anchor, loop,
-                                 min_loop, skip, got, want)
+                                 min_loop, suffix, skip, got, want)
 
 
 def _until_pattern(rng):

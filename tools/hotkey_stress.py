@@ -238,6 +238,57 @@ def main() -> None:
                                                  "matches": len(m)}
         print(f"  runagg_mt   n={n}: {dt:>7.2f}s  {len(m)} matches",
               flush=True)
+    # round 11: the GENERALIZED chain (q_cep_runagg_chain shape — the
+    # '?' forces the e-array tabulation path) on the runagg stream.
+    # The tabulation itself is O(n · max-run) per key (runs here are
+    # ≤4 clicks); the anchored candidate scan keeps the family's
+    # O(rows²) envelope — the sessionized shape remains the
+    # deployment answer, same as every runagg form.
+    CHAIN_PATTERN = [("A", {"types": "view"}, "1"),
+                     ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+"),
+                     ("C", {"types": "click"}, "?"),
+                     ("D", {"types": "click"}, "+")]
+    out["runagg_chain_flat"] = {}
+    for n in (5_000, 10_000, 20_000):
+        ev = hot_events(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        m = match_recognize_runagg(ev, CHAIN_PATTERN).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["runagg_chain_flat"][str(n)] = {"sec": dt, "matches": len(m)}
+        print(f"  runagg_ch   n={n}: {dt:>7.2f}s  {len(m)} matches",
+              flush=True)
+    # round 11b: the iterative-condition engine — per-anchor scans with
+    # an anchor-dependent threshold (nothing precomputable), the
+    # textbook O(rows²) flat shape; the sessionized form bounds it by
+    # burst length, the same two-curve story as the base runagg.
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_iterative,
+        match_recognize_iterative_sessionized,
+    )
+
+    ITER_A = {"types": "view"}
+    ITER_B = {"cmp": "<", "factor": 1.1}
+    out["iterative_flat"] = {}
+    out["iterative_sessionized"] = {}
+    for n in (5_000, 10_000, 20_000):
+        ev = hot_events(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        m = match_recognize_iterative(ev, ITER_A, ITER_B).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["iterative_flat"][str(n)] = {"sec": dt, "matches": len(m)}
+        print(f"  iter_flat   n={n}: {dt:>7.2f}s  {len(m)} matches",
+              flush=True)
+    for n in (20_000, 100_000, 200_000):
+        ev = hot_events(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        m = match_recognize_iterative_sessionized(
+            ev, ITER_A, ITER_B, gap_minutes=GAP
+        ).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["iterative_sessionized"][str(n)] = {"sec": dt,
+                                                "matches": len(m)}
+        print(f"  iter_sess   n={n}: {dt:>7.2f}s  {len(m)} matches",
+              flush=True)
     # both runagg forms must find work proportional to N (the flat form
     # finds slightly FEWER matches — under-threshold B+ runs span
     # pauses and merge episodes, see module docstring — but the count
@@ -253,7 +304,9 @@ def main() -> None:
                     ("fba_within", (20_000, 100_000)),
                     ("until_flat", (20_000, 100_000)),
                     ("consecutive_flat", (20_000, 100_000)),
-                    ("runagg_multi_tail_flat", (5_000, 10_000))):
+                    ("runagg_multi_tail_flat", (5_000, 10_000)),
+                    ("runagg_chain_flat", (5_000, 10_000)),
+                    ("iterative_sessionized", (20_000, 100_000))):
         a, b = (out[fam][str(n)]["matches"] for n in ns)
         ratio = b / a
         want = ns[1] / ns[0]

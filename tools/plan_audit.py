@@ -50,6 +50,14 @@ ALLOWED_ITERATIVE = {
 # genuinely runaway plan flagging.
 ALLOWED_MULTI_GRAIN = {
     "q_llm_dsir",
+    # r11: corpus -> bigram df -> doc score -> ~1k-bin histogram ->
+    # broadcast map back; the persisted doc-grain diamond leaves 5
+    # exchanges, every one over strictly smaller data
+    "q_llm_lm_buckets_scaled",
+    # r11: events -> N/8192 chunk summary -> N/8192^2 super-chunk
+    # summary (the two-level prefix scan) -> broadcast joins back ->
+    # 2-row lateness agg; 6 exchanges, monotone shrinking grain
+    "q_stream_late_branch",
 }
 
 # Keys whose plan may carry an Exchange SinglePartition (global sort /
@@ -70,6 +78,11 @@ ALLOWED_SINGLE_PARTITION = {
     "q_stream_late_branch",   # N/8192² super-chunk summary (r11 2-level)
     "q_llm_lm_buckets",       # documented hazard form — deployment key
                               # is q_llm_lm_buckets_scaled (r11)
+    "q_llm_lm_buckets_scaled",  # tercile window over the <=1k-bin
+                                # histogram — the reduced form itself
+    "q_dq_profile",           # 1-row 13-metric profile aggregate; the
+                              # Sort is sort-based distinct aggregation
+                              # over per-partition partials
     "q_llm_dsir",             # 64-bucket corpus stat fold
     # 1-row / k-row scalar folds (count, corpus stats, centroids):
     "q_subquery_scalar", "q_llm_tfidf", "q_llm_keyword_topk",
@@ -116,12 +129,21 @@ def main() -> int:
                else 6 if key in ALLOWED_MULTI_GRAIN else 4)
         if n_exchange > cap:
             flags.append(f"- **{key}**: {n_exchange} shuffles — check for a reusable partitioning")
-        single = len(re.findall(r"\(\d+\) Exchange SinglePartition\b", plan))
-        if single and key not in ALLOWED_SINGLE_PARTITION:
+        # formatted mode separates the node header "(n) Exchange" from
+        # its partitioning, which lands on an "Arguments:" detail line.
+        # A SinglePartition exchange feeding a 1-row FINAL aggregate
+        # (TPC-H q6-style scalar folds) moves one partial row per
+        # upstream partition — the correct plan at any scale — so only
+        # plans that ALSO carry a Window/Sort node are candidates for
+        # the unpartitioned-window/sort hazard.
+        single = len(re.findall(r"Arguments: SinglePartition\b", plan))
+        winsort = len(re.findall(r"\(\d+\) (?:Window|Sort)\b", plan))
+        if single and winsort and key not in ALLOWED_SINGLE_PARTITION:
             flags.append(
-                f"- **{key}**: Exchange SinglePartition outside the "
-                "reduced-input allowlist — unpartitioned window/sort "
-                "over non-reduced data is a 100 TB killer")
+                f"- **{key}**: Exchange SinglePartition in a plan with "
+                "Window/Sort, outside the reduced-input allowlist — "
+                "an unpartitioned window/sort over non-reduced data "
+                "is a 100 TB killer")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "PLANS.md"), "w") as f:
