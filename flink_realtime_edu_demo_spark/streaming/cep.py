@@ -48,6 +48,7 @@ from ..operators.cep import (
     match_recognize_relaxed_groups_sessionized,
     match_recognize_define_sessionized,
     match_recognize_followed_by_any_sessionized,
+    match_recognize_iterative_sessionized,
     match_recognize_relaxed_sessionized,
     match_recognize_runagg_sessionized,
     match_recognize_sessionized,
@@ -81,7 +82,10 @@ class SessionCepSink:
     engine, ``matcher='consecutive'`` the strict-internal-loop
     engine (round 10 — ``consecutive`` names the loop variables), and
     ``matcher='relaxed_groups'`` the grouped-quantifier followedBy
-    engine (round 10). All
+    engine (round 10), and ``matcher='iterative'`` the
+    anchor-referencing IterativeCondition engine (round 11 —
+    ``pattern`` is the (anchor_def, loop_def) pair; the session bound
+    is what bounds the per-anchor scan in the stream). All
     are safe under incremental recompute: a closed
     session can never gain rows, so PREV/NEXT navigation, prefix sums
     and skip-policy selection are final at publication time."""
@@ -94,10 +98,20 @@ class SessionCepSink:
                  consecutive=None,
                  observe: bool = True):
         if matcher not in ("types", "define", "runagg", "relaxed", "fba",
-                           "until", "consecutive", "relaxed_groups"):
+                           "until", "consecutive", "relaxed_groups",
+                           "iterative"):
             raise ValueError("matcher must be 'types', 'define', "
                              "'runagg', 'relaxed', 'fba', 'until', "
-                             "'consecutive' or 'relaxed_groups'")
+                             "'consecutive', 'relaxed_groups' or "
+                             "'iterative'")
+        if matcher == "iterative" and not (
+            isinstance(pattern, (tuple, list)) and len(pattern) == 2
+            and all(isinstance(d, dict) for d in pattern)
+        ):
+            # eager, like the other constructor checks: the iterative
+            # engine takes (anchor_def, loop_def), not a variable list
+            raise ValueError("matcher='iterative' needs pattern="
+                             "(anchor_def, loop_def)")
         if matcher == "consecutive" and not consecutive:
             # eager, like the matcher-name check above: without the
             # loop-variable set the first foreachBatch would fail
@@ -218,6 +232,15 @@ class SessionCepSink:
             matched = match_recognize_relaxed_groups_sessionized(
                 hist, self.pattern, self.gap_minutes,
                 key=self.key, ts=self.ts, id_col=self.id_col,
+            )
+        elif self.matcher == "iterative":
+            # round 11: anchor-referencing IterativeCondition on
+            # session close — the session bound is what bounds the
+            # per-anchor scan in the stream, same story as runagg
+            matched = match_recognize_iterative_sessionized(
+                hist, self.pattern[0], self.pattern[1], self.gap_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
+                skip=self.skip,
             )
         elif self.matcher == "fba":
             # round 9: followedByAny (combination enumeration) on

@@ -343,10 +343,10 @@ def test_cep_empty_types_rejected_everywhere(spark, sf_dir):
 
 
 def test_runagg_interior_scope_validation(spark, sf_dir):
-    """The interior form accepts any number of single-row suffix
-    variables after the aggregate (round 10), the LAST optionally '+'
-    (round 9); '+' on a non-final suffix variable and other suffix
-    quantifiers stay rejected with the documented NFA rationale."""
+    """Round-11 chain scope: suffix quantifiers '1'/'?'/'+'/{m,n} are
+    accepted ANYWHERE in the chain (the r10 non-final-'+' NFA boundary
+    closed via the greedy-end tabulation); '*' on a suffix, malformed
+    bounded forms, and a second aggregate variable stay rejected."""
     import pytest
 
     from flink_realtime_edu_demo_spark.operators.cep import (
@@ -358,13 +358,21 @@ def test_runagg_interior_scope_validation(spark, sf_dir):
         "user_id long, event_id long, event_type string, value double",
     )
     agg = ("B", {"agg": "sum", "cmp": "<", "thr": 1.0}, "+")
-    with pytest.raises(ValueError, match="quantifier in"):
+    with pytest.raises(ValueError, match="quantifier"):
         match_recognize_runagg(ev, [agg, ("C", {}, "*")])
-    with pytest.raises(ValueError, match="quantifier in"):
-        match_recognize_runagg(ev, [agg, ("C", {}, "{1,2}")])
-    # '+' on a NON-final suffix variable is the remaining NFA boundary
-    with pytest.raises(ValueError, match="final variable"):
-        match_recognize_runagg(ev, [agg, ("C", {}, "+"), ("D", {}, "1")])
+    with pytest.raises(ValueError, match="malformed bounded"):
+        match_recognize_runagg(ev, [agg, ("C", {}, "{3,2}")])
+    with pytest.raises(ValueError, match="malformed bounded"):
+        match_recognize_runagg(ev, [agg, ("C", {}, "{0,0}")])
+    # round 11: bounded, optional, and non-final-'+' chains are legal
+    for chain in (
+        [("C", {}, "{1,2}")],
+        [("C", {}, "+"), ("D", {}, "1")],
+        [("C", {}, "?"), ("D", {}, "+")],
+    ):
+        assert match_recognize_runagg(
+            ev, [agg] + chain, ts="event_id"
+        ).count() == 0
     # the round-9 tail form: a final '+' suffix is legal
     assert match_recognize_runagg(
         ev, [agg, ("C", {}, "+")], ts="event_id"

@@ -1083,6 +1083,72 @@ def test_streaming_cep_until_stream_equals_batch(spark, sf_dir, stream_dir,
     assert got == want and want, (len(got), len(want))
 
 
+def test_streaming_cep_iterative_stream_equals_batch(spark, sf_dir,
+                                                     stream_dir, tmp_path):
+    """Streaming IterativeCondition (round 11): the anchor-referencing
+    matcher under the session-close emission contract converges to the
+    batch sessionized iterative answer — valid incrementally because a
+    closed session never gains rows, so each anchor's relative
+    threshold and first-failure extent are final at publication."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_iterative_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    anchor = {"types": "view"}
+    loop = {"cmp": "<", "factor": 1.1}
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink((anchor, loop), gap_minutes=gap,
+                          matcher="iterative")
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_it_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES")
+                <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no):
+            (r.first_event_id, r.last_event_id, r.n_rows, r.b_rows)
+        for r in match_recognize_iterative_sessionized(ev, anchor, loop, gap)
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    got = {
+        k: (v["first_event_id"], v["last_event_id"], v["n_rows"],
+            v["b_rows"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))
+
+
+def test_streaming_cep_iterative_needs_pair():
+    """matcher='iterative' without an (anchor_def, loop_def) pair is a
+    CONSTRUCTOR-time error, like the other eager matcher checks."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.streaming.cep import SessionCepSink
+
+    with pytest.raises(ValueError, match="anchor_def"):
+        SessionCepSink([("A", "view", "1")], gap_minutes=720,
+                       matcher="iterative")
+
+
 def test_streaming_cep_consecutive_stream_equals_batch(spark, sf_dir,
                                                        stream_dir, tmp_path):
     """Streaming consecutive() (round 10): the strict-internal-loop
