@@ -2137,10 +2137,24 @@ def _validate_runagg(pattern) -> tuple[list, tuple, list]:
     if aquant not in ("+", "*"):
         raise ValueError(
             f"aggregate variable {avar!r} needs quantifier '+' or '*'")
-    bad = set(adef) - {"types", "dir", "agg", "cmp", "thr"}
+    bad = set(adef) - {"types", "dir", "agg", "cmp", "thr",
+                       "anchor_cmp", "anchor_factor"}
     if bad:
         raise ValueError(f"aggregate variable {avar!r}: unknown define "
                          f"keys {sorted(bad)}")
+    # round 11b: the composed IterativeCondition — the aggregate DEFINE
+    # may ALSO carry an anchor-relative conjunct (Flink's one-lambda
+    # `sum(middle.price) < x && middle.price > start.price`):
+    # ``anchor_cmp``/``anchor_factor`` compare each tentative row's
+    # value against the MATCH-START row's value times the factor.
+    if ("anchor_cmp" in adef) != ("anchor_factor" in adef):
+        raise ValueError("anchor_cmp and anchor_factor come together")
+    if "anchor_cmp" in adef:
+        if adef["anchor_cmp"] not in _RUNAGG_CMP:
+            raise ValueError(
+                f"anchor_cmp must be one of {sorted(_RUNAGG_CMP)}")
+        if not isinstance(adef["anchor_factor"], (int, float)):
+            raise ValueError("anchor_factor must be a number")
     _reject_empty_types(avar, adef)
     if adef.get("agg") not in ("sum", "avg"):
         raise ValueError("agg must be 'sum' or 'avg'")
@@ -2161,6 +2175,20 @@ def _validate_runagg(pattern) -> tuple[list, tuple, list]:
             "pattern may match zero rows (all variables optional) — "
             "at least one variable needs a mandatory row")
     return prefix, pattern[ai], suffixes
+
+
+def _runagg_anchor_cmp(cmp: str, val, thr):
+    """The anchor-relative conjunct (round 11b): tentative row's value
+    vs match-start value * factor, IEEE double in both engines."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if cmp == "<":
+        return val < thr
+    if cmp == "<=":
+        return val <= thr
+    if cmp == ">":
+        return val > thr
+    return val >= thr
 
 
 def _runagg_cmp_col(agg: str, cmp: str, thr: float, sum_col, t_col):
@@ -2255,6 +2283,12 @@ def match_recognize_runagg(
     general = any(q != "1" for _, _, q in suffixes[:-1]) or (
         bool(suffixes) and suffixes[-1][2] == "?"
     )
+    # round 11b: composed IterativeCondition — the aggregate accept
+    # gains an anchor-relative per-row conjunct (value vs match-start
+    # value * factor); anchor-dependent, so the monotone binary-search
+    # fast path is disabled and the exact rescan decides (the anchored
+    # O(rows²) cost class, session-bounded in the sessionized shape)
+    anchored = "anchor_cmp" in adef
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
     prev_v = F.lag(value_col).over(w)
@@ -2334,6 +2368,8 @@ def match_recognize_runagg(
             nb.alias("nb"),
             ns.alias("ns"),
             nsufs_col.alias("nsufs"),
+            (F.col(value_col).cast("double") if anchored
+             else F.lit(None).cast("double")).alias("v"),
         ).alias("t"),
     )
     # mono: every partition value is >= 0 (sp - sp0 = the row's value),
@@ -2463,10 +2499,19 @@ def match_recognize_runagg(
                         adef["agg"], adef["cmp"], adef["thr"],
                         at(s + t - 1)["sp"] - base, t,
                     )
+                    & (
+                        _runagg_anchor_cmp(
+                            adef["anchor_cmp"],
+                            at(s + t - 1)["v"],
+                            at(j)["v"]
+                            * F.lit(float(adef["anchor_factor"])),
+                        )
+                        if anchored else F.lit(True)
+                    )
                 ),
             )
         )
-        if adef["agg"] == "sum" and adef["cmp"] in ("<", "<="):
+        if not anchored and adef["agg"] == "sum" and adef["cmp"] in ("<", "<="):
             # monotone fast path (VERDICT r7 #5): with non-negative
             # addends (per-key `mono` flag) the running sum is
             # non-decreasing in t, so the aggregate comparison fails on
@@ -2759,6 +2804,15 @@ def match_recognize_runagg_oracle_sql(
         if adef["agg"] == "avg" else sum_e
     )
     accept = f"(r2.okb AND ({val_e} {adef['cmp']} {float(adef['thr'])}))"
+    anchored = "anchor_cmp" in adef
+    if anchored:
+        # composed IterativeCondition (round 11b): the same per-row
+        # anchor-relative conjunct the engine folds into its rescan
+        accept = (
+            f"(r2.okb AND ({val_e} {adef['cmp']} {float(adef['thr'])}) "
+            f"AND (r2.v {adef['anchor_cmp']} c.av * "
+            f"{float(adef['anchor_factor'])}))"
+        )
     order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
     if not suffixes:
         # maximal run = up to the first failing row; endrn is its last row
@@ -2949,16 +3003,18 @@ def match_recognize_runagg_oracle_sql(
                COUNT(*) OVER (PARTITION BY {key}) AS n,
                SUM(vdec) OVER (w ROWS UNBOUNDED PRECEDING) AS sp,
                SUM(vdec) OVER (w ROWS UNBOUNDED PRECEDING) - vdec AS sp0,
-           {okpre}{oksuf}{simple_sql(adef)} AS okb
+           {okpre}{oksuf}CAST({value_col} AS DOUBLE) AS v,
+           {simple_sql(adef)} AS okb
         FROM base_src
         WINDOW w AS ({order})
     ),
     c0 AS (
-        SELECT {key}, rn AS off, n, {prefix_ok} AS prefix_ok, {base} AS base
+        SELECT {key}, rn AS off, n, v AS av,
+               {prefix_ok} AS prefix_ok, {base} AS base
         FROM r WINDOW w2 AS (PARTITION BY {key} ORDER BY rn)
     ),
     cand AS (
-        SELECT {c_key}, c.off, c.n, c.base,
+        SELECT {c_key}, c.off, c.n, c.base, c.av,
                (SELECT min(r2.rn) FROM r r2
                 WHERE {eq_r2c} AND r2.rn >= c.off + {p}
                   AND NOT {accept}) AS failrn

@@ -1178,6 +1178,37 @@ def q_cep_runagg_multi_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_runagg(ev, CEP_RUNAGG_MULTI_TAIL_PATTERN)
 
 
+# The composed IterativeCondition (round 11b): one DEFINE carrying the
+# running aggregate AND an anchor-relative per-row conjunct — the Flink
+# docs' one-lambda `sum(middle.price) < x && middle.price >
+# start.price` shape.
+CEP_RUNAGG_ITER_PATTERN = [
+    ("A", {"types": "view"}, "1"),
+    ("B", {"agg": "sum", "cmp": "<", "thr": 150.0,
+           "anchor_cmp": "<", "anchor_factor": 1.5}, "+"),
+]
+
+
+@query("q_cep_runagg_iterative",
+       oracle=match_recognize_runagg_oracle_sql(CEP_RUNAGG_ITER_PATTERN))
+def q_cep_runagg_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed iterative condition (round 11b — one more slice of the
+    'arbitrary matched-so-far predicates' gap): PATTERN (A B+) DEFINE
+    A AS type='view', B AS SUM(B.value) < 150 AND B.value < A.value *
+    1.5 — the running aggregate over B's own rows AND an
+    anchor-relative per-row comparison in ONE define, exactly the
+    Flink docs' single-lambda IterativeCondition. The aggregate side
+    keeps the exact DECIMAL prefix-sum machinery; the anchor conjunct
+    is folded into the first-failure rescan (anchor-dependent, so the
+    monotone binary-search fast path is disabled for this shape — the
+    documented anchored-scan cost class, session-bounded via
+    match_recognize_runagg_sessionized if deployed on unbounded
+    keys). Oracle: the same correlated MIN with the IEEE-double
+    anchor product; hypothesis vs the extended greedy reference."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_runagg(ev, CEP_RUNAGG_ITER_PATTERN)
+
+
 # The chain-completion form (round 11 — closes VERDICT r10 next-step
 # #4, the last documented runagg descope): an OPTIONAL single-row
 # variable between the aggregate run and a quantified tail.

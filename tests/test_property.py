@@ -1717,6 +1717,15 @@ def _py_runagg_spans(rows, pattern, skip):
             i = s + length
             if not sat(i, adef):
                 break
+            if "anchor_cmp" in adef:
+                # round 11b composed form: the row must ALSO satisfy
+                # the anchor-relative conjunct vs the MATCH-START row
+                athr = rows[j][1] * float(adef["anchor_factor"])
+                a_ok = {"<": rows[i][1] < athr, "<=": rows[i][1] <= athr,
+                        ">": rows[i][1] > athr,
+                        ">=": rows[i][1] >= athr}[adef["anchor_cmp"]]
+                if not a_ok:
+                    break
             tot = acc + rows[i][1]
             val = tot / (length + 1) if adef["agg"] == "avg" else tot
             ok = {"<": val < thr, "<=": val <= thr,
@@ -2096,6 +2105,58 @@ def test_match_recognize_iterative_matches_reference(
     )
     assert got == sorted(want), (rows, anchor, loop, min_loop, skip,
                                  got, want)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(-3, 6),
+        ),
+        min_size=1, max_size=28,
+    ),
+    prefix=runagg_prefix,
+    adef=runagg_adef,
+    anchor=st.tuples(
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.sampled_from([0.5, 1.0, 1.5, -2.0]),
+    ),
+    aq=st.sampled_from(["+", "*"]),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_runagg_iterative_matches_reference(
+    spark, rows, prefix, adef, anchor, aq, skip_sel
+):
+    """The composed IterativeCondition (round 11b: running aggregate
+    AND anchor-relative conjunct in one DEFINE) must reproduce the
+    extended greedy reference across comparators, negative factors,
+    and both skip modes — the anchor conjunct disables the monotone
+    fast path, so this also pins the rescan's correctness under the
+    added conjunct."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_runagg,
+    )
+
+    adef = {**adef, "anchor_cmp": anchor[0], "anchor_factor": anchor[1]}
+    pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
+    pattern.append(("B", adef, aq))
+    if aq == "*" and not prefix:
+        pattern.insert(0, ("Z", {"types": ("view", "click", "error")}, "1"))
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_runagg_spans(rows, pattern, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_runagg(
+            ev, pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (rows, pattern, skip, got, want)
 
 
 @settings(max_examples=25, deadline=None,

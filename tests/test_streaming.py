@@ -223,6 +223,69 @@ def test_changelog_upsert_downstream_agg_matches_batch(spark, sf_dir, stream_dir
     assert any(kind == "-U" for kind, _ in sink.changelog)
 
 
+def test_changelog_three_level_cascade_matches_batch(spark, sf_dir,
+                                                     stream_dir, tmp_path):
+    """MULTI-LEVEL retraction cascade (round 11 — the 'multi-level
+    cascades remain a documented deviation' gap from SURVEY §7 hard
+    part 1, now closed): level 1 = update-mode per-(user,type) count
+    through the upsert sink; level 2 = RetractAggregate per type
+    (group count + exact sum of the level-1 counts) consuming level
+    1's changelog; level 3 = RetractAggregate over ONE global group
+    consuming level 2's changelog (sum of level-2 group counts).
+    Every level folds +I/-U/+U, so each must equal its batch answer
+    EXACTLY — any lost retraction at any level shows up as a
+    double-count downstream. Chained incrementally via consumer=
+    (O(1) retention at level 1, the deployment shape)."""
+    from flink_realtime_edu_demo_spark.streaming.changelog import (
+        ChangelogUpsertSink,
+        RetractAggregate,
+        start_changelog_sink,
+    )
+
+    lvl3 = RetractAggregate(
+        group_fn=lambda row: "all",
+        aggs={"n_types": ("count", None),
+              "sum_pairs": ("sum", lambda row: row["n_pairs"])},
+    )
+    lvl2 = RetractAggregate(
+        group_fn=lambda row: row["event_type"],
+        aggs={"n_pairs": ("count", None),
+              "sum_n": ("sum", lambda row: row["n"])},
+        consumer=lvl3.on_change,
+    )
+    ev = stream_table(spark, stream_dir, "events")
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sink = ChangelogUpsertSink(key_cols=["user_id", "event_type"],
+                               consumer=lvl2.on_change)
+    q = start_changelog_sink(agg, str(tmp_path / "casc_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    batch = load(spark, sf_dir, "events").groupBy(
+        "user_id", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    want2 = {
+        r.event_type: {"n_pairs": r.n_pairs, "sum_n": r.sum_n}
+        for r in batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n").alias("sum_n"),
+        ).collect()
+    }
+    assert lvl2.snapshot() == want2
+    n_types = len(want2)
+    assert lvl3.snapshot() == {
+        "all": {
+            "n_types": n_types,
+            "sum_pairs": sum(v["n_pairs"] for v in want2.values()),
+        }
+    }
+    # retractions really flowed through BOTH downstream levels
+    assert any(kind == "-U" for kind, _ in lvl2.changelog)
+    assert any(kind == "-U" for kind, _ in lvl3.changelog)
+
+
 def test_changelog_sink_bounded_driver_memory(spark, sf_dir, stream_dir, tmp_path):
     """A wide batch (every user changes every micro-batch) through a sink
     whose retained-changelog cap is far below the entry volume: an
@@ -1251,3 +1314,36 @@ def test_streaming_cep_relaxed_groups_stream_equals_batch(spark, sf_dir,
         for k, v in sink.emitted.items()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_retract_aggregate_group_vanish_unit():
+    """RetractAggregate edge paths without a stream: a group whose live
+    count returns to 0 retracts its final row and leaves NO state (a
+    later insert starts fresh with +I, not +U); an update pair (-U
+    then +U) transits exact intermediate states."""
+    from flink_realtime_edu_demo_spark.streaming.changelog import (
+        RetractAggregate,
+    )
+
+    ra = RetractAggregate(
+        lambda r: r["g"],
+        {"n": ("count", None), "s": ("sum", lambda r: r["v"])},
+    )
+    ra.on_change("+I", {"g": "a", "v": 5})
+    assert ra.snapshot() == {"a": {"n": 1, "s": 5}}
+    ra.on_change("-U", {"g": "a", "v": 5})  # group vanishes
+    assert ra.snapshot() == {}
+    assert ra.changelog[-1] == ("-U", {"group": "a", "n": 1, "s": 5})
+    ra.on_change("+I", {"g": "a", "v": 3})  # reappears fresh
+    assert ra.changelog[-1] == ("+I", {"group": "a", "n": 1, "s": 3})
+    # an upstream update: -U old row, +U new row — two group changes
+    ra.on_change("-U", {"g": "a", "v": 3})
+    ra.on_change("+U", {"g": "a", "v": 7})
+    assert ra.snapshot() == {"a": {"n": 1, "s": 7}}
+    # validation is eager
+    import pytest
+
+    with pytest.raises(ValueError, match="sum needs a value_fn"):
+        RetractAggregate(lambda r: 0, {"x": ("sum", None)})
+    with pytest.raises(ValueError, match="count|sum"):
+        RetractAggregate(lambda r: 0, {"x": ("avg", None)})

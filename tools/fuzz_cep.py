@@ -84,6 +84,11 @@ def fuzz_runagg_chain(spark, rng):
     }
     if rng.random() < 0.3:
         adef["types"] = rng.choice([("view", "click"), ("click", "error")])
+    if rng.random() < 0.35:
+        # r11b: composed IterativeCondition — anchor-relative conjunct
+        # on the aggregate define (disables the monotone fast path)
+        adef["anchor_cmp"] = rng.choice(["<", "<=", ">", ">="])
+        adef["anchor_factor"] = rng.choice([0.5, 1.0, 1.5, -2.0])
     chain = [
         (
             rng.choice([
