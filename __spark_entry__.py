@@ -44,8 +44,9 @@ _VERIFIED_GREEN = (
     # round. The two rows-only keys (q_agg_approx_uv,
     # q_agg_approx_quantile) stay here -- their no_oracle verdict can
     # never change, so a window slot on them is wasted.
-    "q_stream_window_topn", "q_topn_per_key", "q_tpch_q20",
-    "q_tpch_q22",  # these 4 displaced from the r11 window by the
+    "q_stream_tumble", "q_stream_window_topn", "q_topn_per_key",
+    "q_tpch_q20",
+    "q_tpch_q22",  # these 5 displaced from the r11 window by the
                    # sessionized-chain / iterative-anchor / within /
                    # composed-iterative keys; stalest greens,
                    # re-queue next round
@@ -103,9 +104,9 @@ _VERIFIED_GREEN = (
 
 # Round-11 window (49 + warmup): leads with the 14 keys that OVERFLOWED
 # the round-10 window and carried r5-r7-stale driver verdicts (VERDICT
-# r10 next-step #2), then the 10 new round-11 keys (lm_buckets_scaled,
-# the 4 generalized runagg-chain shapes, the composed
-# runagg-iterative form, the 4 iterative-condition keys), then the 6 keys whose ENGINE changed this round (the whole
+# r10 next-step #2), then the 11 new round-11 keys (lm_buckets_scaled,
+# the 4 generalized runagg-chain shapes, the 2 composed
+# runagg-iterative forms, the 4 iterative-condition keys), then the 6 keys whose ENGINE changed this round (the whole
 # runagg family gained the nsufs struct field; late_branch got the
 # second chunking level) — the per-query-source hash guard cannot see
 # operator edits, so they rotate forward by hand per its documented
@@ -117,7 +118,8 @@ _REVERIFY_FRONT = (
     "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2",
     "q_llm_lm_buckets_scaled", "q_cep_runagg_chain",
     "q_cep_runagg_plus_interior", "q_cep_runagg_bounded",
-    "q_cep_runagg_iterative", "q_cep_iterative",
+    "q_cep_runagg_iterative", "q_cep_runagg_iter_firstloop",
+    "q_cep_iterative",
     "q_cep_iterative_anchor", "q_cep_iterative_within",
     "q_cep_iterative_sessionized", "q_cep_runagg_chain_sessionized",
     "q_cep_runagg", "q_cep_runagg_interior",
@@ -127,7 +129,7 @@ _REVERIFY_FRONT = (
     "q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_mm_dedup_payload",
     "q_scd2_asof_enrich", "q_scd2_build", "q_set_except", "q_set_intersect",
     "q_set_union", "q_set_union_all", "q_side_output", "q_sort_limit",
-    "q_stream_hop", "q_stream_session", "q_stream_tumble",
+    "q_stream_hop", "q_stream_session",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

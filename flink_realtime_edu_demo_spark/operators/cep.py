@@ -2138,7 +2138,7 @@ def _validate_runagg(pattern) -> tuple[list, tuple, list]:
         raise ValueError(
             f"aggregate variable {avar!r} needs quantifier '+' or '*'")
     bad = set(adef) - {"types", "dir", "agg", "cmp", "thr",
-                       "anchor_cmp", "anchor_factor"}
+                       "anchor_cmp", "anchor_factor", "anchor_ref"}
     if bad:
         raise ValueError(f"aggregate variable {avar!r}: unknown define "
                          f"keys {sorted(bad)}")
@@ -2146,15 +2146,23 @@ def _validate_runagg(pattern) -> tuple[list, tuple, list]:
     # may ALSO carry an anchor-relative conjunct (Flink's one-lambda
     # `sum(middle.price) < x && middle.price > start.price`):
     # ``anchor_cmp``/``anchor_factor`` compare each tentative row's
-    # value against the MATCH-START row's value times the factor.
+    # value against the anchor row's value times the factor, where
+    # ``anchor_ref`` picks the anchor: 'start' (default — the
+    # MATCH-START row, Flink's start.price) or 'first_loop' (the
+    # aggregate variable's own FIRST row — Flink's
+    # middle.first.price navigation).
     if ("anchor_cmp" in adef) != ("anchor_factor" in adef):
         raise ValueError("anchor_cmp and anchor_factor come together")
+    if "anchor_ref" in adef and "anchor_cmp" not in adef:
+        raise ValueError("anchor_ref needs anchor_cmp/anchor_factor")
     if "anchor_cmp" in adef:
         if adef["anchor_cmp"] not in _RUNAGG_CMP:
             raise ValueError(
                 f"anchor_cmp must be one of {sorted(_RUNAGG_CMP)}")
         if not isinstance(adef["anchor_factor"], (int, float)):
             raise ValueError("anchor_factor must be a number")
+        if adef.get("anchor_ref", "start") not in ("start", "first_loop"):
+            raise ValueError("anchor_ref must be 'start' or 'first_loop'")
     _reject_empty_types(avar, adef)
     if adef.get("agg") not in ("sum", "avg"):
         raise ValueError("agg must be 'sum' or 'avg'")
@@ -2503,7 +2511,8 @@ def match_recognize_runagg(
                         _runagg_anchor_cmp(
                             adef["anchor_cmp"],
                             at(s + t - 1)["v"],
-                            at(j)["v"]
+                            at(j if adef.get("anchor_ref", "start")
+                               == "start" else s)["v"]
                             * F.lit(float(adef["anchor_factor"])),
                         )
                         if anchored else F.lit(True)
@@ -2805,6 +2814,8 @@ def match_recognize_runagg_oracle_sql(
     )
     accept = f"(r2.okb AND ({val_e} {adef['cmp']} {float(adef['thr'])}))"
     anchored = "anchor_cmp" in adef
+    av_sql = ("v" if adef.get("anchor_ref", "start") == "start"
+              else f"lead(v, {p}) OVER w2")
     if anchored:
         # composed IterativeCondition (round 11b): the same per-row
         # anchor-relative conjunct the engine folds into its rescan
@@ -3009,7 +3020,7 @@ def match_recognize_runagg_oracle_sql(
         WINDOW w AS ({order})
     ),
     c0 AS (
-        SELECT {key}, rn AS off, n, v AS av,
+        SELECT {key}, rn AS off, n, {av_sql} AS av,
                {prefix_ok} AS prefix_ok, {base} AS base
         FROM r WINDOW w2 AS (PARTITION BY {key} ORDER BY rn)
     ),

@@ -1209,6 +1209,34 @@ def q_cep_runagg_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_runagg(ev, CEP_RUNAGG_ITER_PATTERN)
 
 
+# Same composed form, FIRST-loop-row navigation: the conjunct
+# references the aggregate variable's own first matched row (Flink's
+# middle.first.price), not the pattern start.
+CEP_RUNAGG_ITER_FL_PATTERN = [
+    ("A", {"types": "view"}, "1"),
+    ("B", {"agg": "sum", "cmp": "<", "thr": 150.0,
+           "anchor_cmp": "<", "anchor_factor": 1.2,
+           "anchor_ref": "first_loop"}, "+"),
+]
+
+
+@query("q_cep_runagg_iter_firstloop",
+       oracle=match_recognize_runagg_oracle_sql(CEP_RUNAGG_ITER_FL_PATTERN))
+def q_cep_runagg_iter_firstloop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed iterative condition with FIRST-loop navigation (round
+    11b): PATTERN (A B+) DEFINE B AS SUM(B.value) < 150 AND B.value <
+    FIRST(B.value) * 1.2 — the anchor-relative conjunct reads the
+    loop variable's OWN first matched row (SQL:2016
+    FIRST(B.value) / Flink's middle.first.price), the other
+    navigation target the one-lambda IterativeCondition composes
+    with. Same rescan lowering as q_cep_runagg_iterative with the
+    anchor position shifted to the aggregate run's first row (a
+    lead-by-p in the oracle's candidate table); property-tested over
+    both navigation targets in the same hypothesis strategy."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_runagg(ev, CEP_RUNAGG_ITER_FL_PATTERN)
+
+
 # The chain-completion form (round 11 — closes VERDICT r10 next-step
 # #4, the last documented runagg descope): an OPTIONAL single-row
 # variable between the aggregate run and a quantified tail.

@@ -1720,7 +1720,10 @@ def _py_runagg_spans(rows, pattern, skip):
             if "anchor_cmp" in adef:
                 # round 11b composed form: the row must ALSO satisfy
                 # the anchor-relative conjunct vs the MATCH-START row
-                athr = rows[j][1] * float(adef["anchor_factor"])
+                # ('start') or the loop's own first row ('first_loop')
+                aidx = (j if adef.get("anchor_ref", "start") == "start"
+                        else s)
+                athr = rows[aidx][1] * float(adef["anchor_factor"])
                 a_ok = {"<": rows[i][1] < athr, "<=": rows[i][1] <= athr,
                         ">": rows[i][1] > athr,
                         ">=": rows[i][1] >= athr}[adef["anchor_cmp"]]
@@ -2122,6 +2125,7 @@ def test_match_recognize_iterative_matches_reference(
     anchor=st.tuples(
         st.sampled_from(["<", "<=", ">", ">="]),
         st.sampled_from([0.5, 1.0, 1.5, -2.0]),
+        st.sampled_from(["start", "first_loop"]),
     ),
     aq=st.sampled_from(["+", "*"]),
     skip_sel=st.integers(0, 1),
@@ -2139,7 +2143,8 @@ def test_match_recognize_runagg_iterative_matches_reference(
         match_recognize_runagg,
     )
 
-    adef = {**adef, "anchor_cmp": anchor[0], "anchor_factor": anchor[1]}
+    adef = {**adef, "anchor_cmp": anchor[0], "anchor_factor": anchor[1],
+            "anchor_ref": anchor[2]}
     pattern = [(f"P{i}", d, "1") for i, d in enumerate(prefix)]
     pattern.append(("B", adef, aq))
     if aq == "*" and not prefix:

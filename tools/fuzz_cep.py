@@ -86,9 +86,11 @@ def fuzz_runagg_chain(spark, rng):
         adef["types"] = rng.choice([("view", "click"), ("click", "error")])
     if rng.random() < 0.35:
         # r11b: composed IterativeCondition — anchor-relative conjunct
-        # on the aggregate define (disables the monotone fast path)
+        # on the aggregate define (disables the monotone fast path);
+        # both navigation targets (start row / first loop row)
         adef["anchor_cmp"] = rng.choice(["<", "<=", ">", ">="])
         adef["anchor_factor"] = rng.choice([0.5, 1.0, 1.5, -2.0])
+        adef["anchor_ref"] = rng.choice(["start", "first_loop"])
     chain = [
         (
             rng.choice([
