@@ -86,7 +86,9 @@ _VERIFIED_GREEN = (
     "q_join_full", "q_join_cross_topk", "q_join_inner", "q_join_anti",
     "q_agg_approx_quantile", "q_agg_approx_uv", "q_cep_until",
     "q_cep_until_sessionized", "q_cep_times_consecutive",
-    "q_cep_consecutive", "q_llm_gopher_rules", "q_llm_lm_buckets",
+    "q_cep_consecutive", "q_llm_gopher_rules",
+    # q_llm_lm_buckets (exact NTILE) demoted to a unit-tested operator
+    # in r12 (VERDICT r11 #2) — declared key: q_llm_lm_buckets_scaled
     "q_llm_substring_scrub", "q_cep_followed_by_group",
     "q_cep_followed_by_group_bounded", "q_cep_followed_by_group_sessionized",
     "q_cep_until_define", "q_cep_times_or_more", "q_llm_dsir",

@@ -44,8 +44,16 @@ def test_lm_buckets_are_balanced_terciles(spark, sf_dir):
     """NTILE(3) must split the corpus into buckets whose sizes differ
     by at most one, cover every scored doc exactly once, and order by
     familiarity: min score(head) >= max score(middle) >= ... up to the
-    tie-break (compare on the scalar score, duplicates may straddle)."""
-    rows = QUERIES["q_llm_lm_buckets"](spark, sf_dir).collect()
+    tie-break (compare on the scalar score, duplicates may straddle).
+
+    q_llm_lm_buckets is the DEMOTED exact form (r12, VERDICT r11 #2):
+    its corpus-wide NTILE is a single-partition sort, so the declared
+    key is q_llm_lm_buckets_scaled and this form is unit-test-only —
+    called directly, not via QUERIES."""
+    from flink_realtime_edu_demo_spark.queries.llm4 import q_llm_lm_buckets
+
+    assert "q_llm_lm_buckets" not in QUERIES  # the demotion invariant
+    rows = q_llm_lm_buckets(spark, sf_dir).collect()
     assert len(rows) > 0
     assert len({r["doc_id"] for r in rows}) == len(rows)
     by = {"head": [], "middle": [], "tail": []}
@@ -55,6 +63,20 @@ def test_lm_buckets_are_balanced_terciles(spark, sf_dir):
     assert sizes[-1] - sizes[0] <= 1, sizes
     assert min(by["head"]) >= max(by["middle"]) - 1e-9
     assert min(by["middle"]) >= max(by["tail"]) - 1e-9
+
+
+def test_lm_buckets_exact_form_keeps_oracle_parity(spark, sf_dir):
+    """The demoted exact form must keep the full differential-oracle
+    contract it had as a declared key (r12 demotion, VERDICT r11 #2):
+    Spark result == LM_BUCKETS_EXACT_ORACLE on DuckDB, exact values."""
+    from flink_realtime_edu_demo_spark.queries.llm4 import (
+        LM_BUCKETS_EXACT_ORACLE, q_llm_lm_buckets)
+    from flink_realtime_edu_demo_spark.testing.compare import (
+        compare, duckdb_connect)
+
+    con = duckdb_connect(sf_dir)
+    compare(q_llm_lm_buckets(spark, sf_dir), con, LM_BUCKETS_EXACT_ORACLE,
+            key="q_llm_lm_buckets(demoted)")
 
 
 def test_substring_scrub_accounting_and_untouched_docs(spark, sf_dir):

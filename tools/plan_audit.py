@@ -76,8 +76,9 @@ ALLOWED_SINGLE_PARTITION = {
     "q_llm_heavy_hitters",    # top-k candidate table
     "q_llm_bpe_merges", "q_llm_bpe_encode",  # vocab-scale pair table
     "q_stream_late_branch",   # N/8192² super-chunk summary (r11 2-level)
-    "q_llm_lm_buckets",       # documented hazard form — deployment key
-                              # is q_llm_lm_buckets_scaled (r11)
+    # q_llm_lm_buckets (exact NTILE) was DEMOTED from the registry in
+    # r12 (VERDICT r11 #2): no declared key carries a "documented
+    # hazard form" single-partition exception any more
     "q_llm_lm_buckets_scaled",  # tercile window over the <=1k-bin
                                 # histogram — the reduced form itself
     "q_dq_profile",           # 1-row 13-metric profile aggregate; the
