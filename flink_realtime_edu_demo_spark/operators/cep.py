@@ -5940,16 +5940,23 @@ def match_recognize_iterative_sessionized(
     value_col: str = "value",
     min_loop: int = 1,
     skip: str = "past_last_row",
+    suffix_def: dict | None = None,
+    within_minutes: int | None = None,
 ) -> DataFrame:
     """Sessionized deployment shape for iterative conditions: the
     per-anchor scan is bounded by SESSION length instead of key
     history — the same envelope closure as the runagg/PREV sessionized
-    shapes. Output adds ``session_id``."""
+    shapes. Output adds ``session_id``. ``suffix_def`` (PATTERN
+    (A B+ C)) and ``within_minutes`` (Flink ``.within()``) thread
+    through to the flat engine (ADVICE r11: the sessionized wrapper
+    previously could not compose with the suffix/within features), so
+    the deployment shape covers every flat-engine pattern form."""
     s = sessionize(events, gap_minutes, key, ts, id_col)
     return match_recognize_iterative(
         s, anchor_def, loop_def, key=[key, "session_id"], ts=ts,
         type_col=type_col, id_col=id_col, value_col=value_col,
-        min_loop=min_loop, skip=skip,
+        min_loop=min_loop, skip=skip, suffix_def=suffix_def,
+        within_minutes=within_minutes,
     )
 
 
@@ -5965,6 +5972,8 @@ def match_recognize_iterative_sessionized_oracle_sql(
     value_col: str = "value",
     min_loop: int = 1,
     skip: str = "past_last_row",
+    suffix_def: dict | None = None,
+    within_minutes: int | None = None,
 ) -> str:
     """DuckDB replay of :func:`match_recognize_iterative_sessionized`
     (the shared sessionize window, then the iterative replay over the
@@ -5984,4 +5993,5 @@ def match_recognize_iterative_sessionized_oracle_sql(
         anchor_def, loop_def, ts=ts, type_col=type_col, id_col=id_col,
         value_col=value_col, min_loop=min_loop, skip=skip,
         keys=[key, "session_id"], source_sql=source,
+        suffix_def=suffix_def, within_minutes=within_minutes,
     )

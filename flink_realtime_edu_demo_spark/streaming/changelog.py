@@ -37,6 +37,19 @@ from .sinks import idempotent_foreach_batch
 INSERT = "+I"
 UPDATE_BEFORE = "-U"  # retraction of the previous row for the key
 UPDATE_AFTER = "+U"
+DELETE = "-D"         # final removal of a key (no +U follows)
+
+#: Flink's full RowKind alphabet; consumers reject anything else so a
+#: typo'd kind can never silently corrupt accumulator state.
+ROW_KINDS = (INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE)
+_RETRACT_KINDS = (UPDATE_BEFORE, DELETE)
+
+
+def _check_kind(kind: str, who: str) -> None:
+    if kind not in ROW_KINDS:
+        raise ValueError(
+            f"{who}: unknown RowKind {kind!r} (expected one of {ROW_KINDS})"
+        )
 
 
 class ChangelogUpsertSink:
@@ -158,19 +171,25 @@ class RetractJoin:
         pair = (self.lpk(lrow), self.rpk(rrow))
         merged = self._merge(lrow, rrow)
         self.changelog.append((kind, merged))
-        if kind == UPDATE_BEFORE:
+        if kind in _RETRACT_KINDS:
             del self.result[pair]
         else:
             self.result[pair] = merged
 
     def _apply(self, own, other, key_fn, pk_fn, kind, row, left_side):
+        _check_kind(kind, "RetractJoin")
         k, pk = key_fn(row), pk_fn(row)
-        if kind == UPDATE_BEFORE:
+        if kind in _RETRACT_KINDS:
+            if k not in own or pk not in own[k]:
+                raise ValueError(
+                    f"RetractJoin: {kind} for unknown row (key={k!r}, "
+                    f"pk={pk!r}) — out-of-order or malformed changelog"
+                )
             stored = own[k].pop(pk)
             if not own[k]:
                 del own[k]
             for orow in other.get(k, {}).values():
-                self._emit(UPDATE_BEFORE,
+                self._emit(kind,
                            stored if left_side else orow,
                            orow if left_side else stored)
         else:  # +I or +U: the -U for a replaced row already arrived
@@ -203,8 +222,12 @@ class RetractAggregate:
     +1/-U as -1 so retractions cancel exactly (sums should be over
     ints/Decimals for exact cancellation — the engine's dsum
     discipline; float sums would accumulate cancellation error across
-    long changelogs). A group whose live-row count returns to 0
-    retracts its final row and leaves no state.
+    long changelogs). A group whose live-row count returns to 0 emits
+    a terminal ``-D`` (DELETE) of its final row and leaves no state —
+    Flink's 4-kind RowKind protocol (r12; the r11 form emitted a lone
+    -U, which external consumers expecting a paired +U would misread).
+    Kinds outside ROW_KINDS raise, as does a retraction for a group
+    with no live state (out-of-order / malformed changelog).
 
     Emitted rows are ``{"group": g, <agg cols...>}``. Chain by passing
     this instance's ``on_change`` as the upstream's ``consumer`` and
@@ -242,9 +265,18 @@ class RetractAggregate:
         return {"group": g, **self.state[g]}
 
     def on_change(self, kind: str, row: dict) -> None:
+        _check_kind(kind, "RetractAggregate")
         sign = 1 if kind in (INSERT, UPDATE_AFTER) else -1
         g = self.group_fn(row)
         had = g in self.state
+        if sign < 0 and not had:
+            # a retraction must reference live state; zero-initializing
+            # and decrementing would silently accept an out-of-order or
+            # malformed changelog and emit a negative aggregate row
+            raise ValueError(
+                f"RetractAggregate: {kind} for unknown group {g!r} — "
+                "out-of-order or malformed changelog"
+            )
         old = self._row(g) if had else None
         if not had:
             self.state[g] = {c: 0 for c in self.aggs}
@@ -254,10 +286,13 @@ class RetractAggregate:
             acc[col] += sign * (1 if akind == "count" else fn(row))
         self._live[g] += sign
         if self._live[g] == 0:
+            # group death: Flink's -D (DELETE) — a terminal removal of
+            # the group's final row, never followed by a +U (the r11
+            # form emitted a lone -U here; -D is the 4-kind protocol)
             del self.state[g]
             del self._live[g]
             if old is not None:
-                self._emit(UPDATE_BEFORE, old)
+                self._emit(DELETE, old)
             return
         new = self._row(g)
         if old is None:
@@ -276,11 +311,12 @@ def fold_changelog(
     group_fn: Callable[[dict], Hashable],
 ) -> dict[Hashable, int]:
     """Downstream aggregate-of-aggregate over a retract stream: COUNT(*)
-    grouped by ``group_fn(row)``, folding +I/+U as +1 and -U as -1 —
+    grouped by ``group_fn(row)``, folding +I/+U as +1 and -U/-D as -1 —
     the consumer Flink generates for a second GROUP BY over an updating
     source. Correct under updates precisely because retractions arrive."""
     out: dict[Hashable, int] = {}
     for kind, row in changelog:
+        _check_kind(kind, "fold_changelog")
         g = group_fn(row)
         out[g] = out.get(g, 0) + (1 if kind in (INSERT, UPDATE_AFTER) else -1)
     return {g: n for g, n in out.items() if n != 0}

@@ -41,3 +41,27 @@ def test_query(key, spark, sf_dir, con):
         rows = df.collect()  # rows-only smoke: runs, stable schema
         assert df.columns
         assert rows is not None
+
+
+def test_iterative_sessionized_composes_suffix_and_within(spark, sf_dir, con):
+    """The sessionized iterative wrapper threads suffix_def /
+    within_minutes to the flat engine (ADVICE r11: the documented
+    deployment shape previously could not compose with the PATTERN
+    (A B+ C) and .within() features) — full differential parity with
+    the composed oracle on the events fixture."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_iterative_sessionized,
+        match_recognize_iterative_sessionized_oracle_sql,
+    )
+    from flink_realtime_edu_demo_spark.tables import load
+
+    anchor = {"types": "view"}
+    loop = {"cmp": "<", "factor": 1.1}
+    kw = dict(gap_minutes=720, suffix_def={"types": "purchase"},
+              within_minutes=1440)
+    ev = load(spark, sf_dir, "events")
+    df = match_recognize_iterative_sessionized(ev, anchor, loop, **kw)
+    sql = match_recognize_iterative_sessionized_oracle_sql(anchor, loop, **kw)
+    tiny = sf_dir.rstrip("/").endswith("sf0.001")
+    compare(df, con, sql, "iterative_sessionized+suffix+within",
+            allow_empty=tiny)

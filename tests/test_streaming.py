@@ -1318,11 +1318,16 @@ def test_streaming_cep_relaxed_groups_stream_equals_batch(spark, sf_dir,
 
 def test_retract_aggregate_group_vanish_unit():
     """RetractAggregate edge paths without a stream: a group whose live
-    count returns to 0 retracts its final row and leaves NO state (a
-    later insert starts fresh with +I, not +U); an update pair (-U
-    then +U) transits exact intermediate states."""
+    count returns to 0 emits a terminal -D (DELETE — the 4-kind
+    RowKind protocol, r12) and leaves NO state (a later insert starts
+    fresh with +I, not +U); an update pair (-U then +U) transits exact
+    intermediate states; unknown kinds and retractions for dead groups
+    raise instead of corrupting accumulators."""
+    import pytest
+
     from flink_realtime_edu_demo_spark.streaming.changelog import (
         RetractAggregate,
+        fold_changelog,
     )
 
     ra = RetractAggregate(
@@ -1333,17 +1338,54 @@ def test_retract_aggregate_group_vanish_unit():
     assert ra.snapshot() == {"a": {"n": 1, "s": 5}}
     ra.on_change("-U", {"g": "a", "v": 5})  # group vanishes
     assert ra.snapshot() == {}
-    assert ra.changelog[-1] == ("-U", {"group": "a", "n": 1, "s": 5})
+    assert ra.changelog[-1] == ("-D", {"group": "a", "n": 1, "s": 5})
+    # downstream folds -D as a retraction: net zero for the dead group
+    assert fold_changelog(ra.changelog, lambda row: row["group"]) == {}
     ra.on_change("+I", {"g": "a", "v": 3})  # reappears fresh
     assert ra.changelog[-1] == ("+I", {"group": "a", "n": 1, "s": 3})
     # an upstream update: -U old row, +U new row — two group changes
     ra.on_change("-U", {"g": "a", "v": 3})
     ra.on_change("+U", {"g": "a", "v": 7})
     assert ra.snapshot() == {"a": {"n": 1, "s": 7}}
+    # a -D from a dying upstream group folds like -U
+    ra.on_change("-D", {"g": "a", "v": 7})
+    assert ra.snapshot() == {}
+    # RowKind validation: typo'd kinds raise, they never fold as -1
+    with pytest.raises(ValueError, match="unknown RowKind"):
+        ra.on_change("-X", {"g": "a", "v": 1})
+    # a retraction for a group with no live state is a protocol error
+    with pytest.raises(ValueError, match="unknown group"):
+        ra.on_change("-U", {"g": "ghost", "v": 1})
     # validation is eager
-    import pytest
-
     with pytest.raises(ValueError, match="sum needs a value_fn"):
         RetractAggregate(lambda r: 0, {"x": ("sum", None)})
     with pytest.raises(ValueError, match="count|sum"):
         RetractAggregate(lambda r: 0, {"x": ("avg", None)})
+
+
+def test_retract_join_rejects_malformed_changelog():
+    """RetractJoin validates RowKinds and refuses a retraction for a
+    row it never indexed (out-of-order / malformed changelog); a -D
+    retracts join pairs with -D so the downstream fold nets to zero."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.streaming.changelog import (
+        RetractJoin,
+        fold_changelog,
+    )
+
+    rj = RetractJoin(
+        left_key=lambda r: r["k"], right_key=lambda r: r["k"],
+        left_pk=lambda r: r["id"], right_pk=lambda r: r["id"],
+    )
+    rj.on_left("+I", {"id": 1, "k": "a", "x": 10})
+    rj.on_right("+I", {"id": 100, "k": "a", "v": 1})
+    assert len(rj.result) == 1
+    with pytest.raises(ValueError, match="unknown RowKind"):
+        rj.on_left("~I", {"id": 2, "k": "a", "x": 11})
+    with pytest.raises(ValueError, match="unknown row"):
+        rj.on_left("-U", {"id": 99, "k": "a", "x": 0})
+    rj.on_left("-D", {"id": 1, "k": "a", "x": 10})  # terminal removal
+    assert rj.result == {}
+    assert rj.changelog[-1][0] == "-D"
+    assert fold_changelog(rj.changelog, lambda row: row["l_id"]) == {}

@@ -67,28 +67,73 @@ ALLOWED_MULTI_GRAIN = {
 # "no unpartitioned window over non-reduced input" is now a mechanical
 # rule). Each entry documents the reduced grain.
 ALLOWED_SINGLE_PARTITION = {
-    # global ORDER BY is the key's declared contract (TakeOrdered for
-    # the limit forms; the full-sort forms are the ORDER BY surface)
-    "q_sort_limit", "q_sort_nulls",
-    # window/sort over the per-group aggregate (bounded group count):
-    "q_agg_rollup", "q_agg_cube", "q_agg_grouping_sets",  # grouping-set grain
+    # r12 (ADVICE r11): the hazard check is now ANCESTRY — a Window/
+    # Sort node consuming the SinglePartition exchange's output — not
+    # co-occurrence, so the 14 entries whose Sorts were partition-local
+    # (sort-merge joins, sort-based aggregation, TakeOrdered limit
+    # forms) left the allowlist: q_sort_limit, q_sort_nulls,
+    # q_agg_rollup/cube/grouping_sets, q_llm_heavy_hitters,
+    # q_llm_bpe_merges/encode, q_dq_profile, q_subquery_scalar,
+    # q_llm_tfidf, q_tpch_q11/q15/q22. q_llm_lm_buckets (exact NTILE,
+    # the one "documented hazard form") was demoted from the registry
+    # the same round. What remains is every declared key whose plan
+    # REALLY windows/sorts a single partition — each one over provably
+    # reduced input, never the corpus:
     "q_llm_mix_weights",      # n_sources rows after reduction
-    "q_llm_heavy_hitters",    # top-k candidate table
-    "q_llm_bpe_merges", "q_llm_bpe_encode",  # vocab-scale pair table
     "q_stream_late_branch",   # N/8192² super-chunk summary (r11 2-level)
-    # q_llm_lm_buckets (exact NTILE) was DEMOTED from the registry in
-    # r12 (VERDICT r11 #2): no declared key carries a "documented
-    # hazard form" single-partition exception any more
     "q_llm_lm_buckets_scaled",  # tercile window over the <=1k-bin
                                 # histogram — the reduced form itself
-    "q_dq_profile",           # 1-row 13-metric profile aggregate; the
-                              # Sort is sort-based distinct aggregation
-                              # over per-partition partials
     "q_llm_dsir",             # 64-bucket corpus stat fold
-    # 1-row / k-row scalar folds (count, corpus stats, centroids):
-    "q_subquery_scalar", "q_llm_tfidf", "q_llm_keyword_topk",
-    "q_tpch_q11", "q_tpch_q15", "q_tpch_q22",
+    "q_llm_keyword_topk",     # rank window over the k-row keyword table
 }
+
+
+_TREE_LINE = re.compile(
+    r"^(?P<prefix>[\s:+\-*]*)(?P<name>[A-Za-z][A-Za-z0-9]*)[^(\n]*"
+    r"\((?P<id>\d+)\)\s*$"
+)
+
+
+def _single_partition_feeds_winsort(plan: str) -> bool:
+    """True iff a Window or Sort node consumes an Exchange
+    SinglePartition's output — the unpartitioned-window/global-sort
+    hazard — in a `formatted`-mode explain string.
+
+    Ancestry, not co-occurrence (ADVICE r11): partition-local Sorts
+    from sort-merge joins / sort-based aggregation live on OTHER
+    branches of the tree, so they no longer trip the flag. Walk the
+    tree section: for each SinglePartition exchange (ids taken from
+    the detail section's `Arguments: SinglePartition` blocks), collect
+    ancestors — lines above with strictly shallower indentation —
+    until the next Exchange re-partitions the data; flag if any such
+    ancestor is Window/Sort/WindowGroupLimit."""
+    single_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\b[^\n]*\n(?:[^\n(]+\n)*?"
+            r"Arguments: SinglePartition\b", plan)
+    }
+    if not single_ids:
+        return False
+    tree_lines = []
+    for line in plan.split("\n\n", 1)[0].splitlines():
+        m = _TREE_LINE.match(line)
+        if m:
+            tree_lines.append(
+                (len(m.group("prefix")), m.group("name"), m.group("id")))
+    for i, (indent, name, node_id) in enumerate(tree_lines):
+        if name != "Exchange" or node_id not in single_ids:
+            continue
+        min_indent = indent
+        for a_indent, a_name, _ in reversed(tree_lines[:i]):
+            if a_indent >= min_indent:
+                continue
+            min_indent = a_indent
+            if a_name in ("Window", "Sort", "WindowGroupLimit"):
+                return True
+            if a_name == "Exchange":  # re-partitioned — hazard over
+                break
+    return False
 
 
 def main() -> int:
@@ -134,12 +179,14 @@ def main() -> int:
         # its partitioning, which lands on an "Arguments:" detail line.
         # A SinglePartition exchange feeding a 1-row FINAL aggregate
         # (TPC-H q6-style scalar folds) moves one partial row per
-        # upstream partition — the correct plan at any scale — so only
-        # plans that ALSO carry a Window/Sort node are candidates for
-        # the unpartitioned-window/sort hazard.
-        single = len(re.findall(r"Arguments: SinglePartition\b", plan))
-        winsort = len(re.findall(r"\(\d+\) (?:Window|Sort)\b", plan))
-        if single and winsort and key not in ALLOWED_SINGLE_PARTITION:
+        # upstream partition — the correct plan at any scale — so the
+        # hazard is a Window/Sort node CONSUMING the SinglePartition
+        # exchange's output (ADVICE r11: a bare any-Sort co-occurrence
+        # also matched partition-local sorts from sort-merge joins and
+        # sort-based aggregation, flagging unrelated plans into the
+        # allowlist).
+        if _single_partition_feeds_winsort(plan) and \
+                key not in ALLOWED_SINGLE_PARTITION:
             flags.append(
                 f"- **{key}**: Exchange SinglePartition in a plan with "
                 "Window/Sort, outside the reduced-input allowlist — "
