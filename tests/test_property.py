@@ -919,6 +919,75 @@ def test_match_recognize_relaxed_within_matches_reference(
     assert got == want, (rows, pat, w, got, want)
 
 
+# --- trailing notFollowedBy + within vs the forbid-aware reference ---
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_gaps=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 40),
+        ),
+        min_size=1, max_size=30,
+    ),
+    pat=st.sampled_from([
+        [("view", "1")],
+        [("view", "1"), ("click", "+")],
+        [("view", "1"), (("click", "purchase"), "?"), ("click", "1")],
+    ]),
+    fb=st.sampled_from(["purchase", "error", ("purchase", "error")]),
+    w=st.sampled_from([15, 60, 240]),
+)
+def test_not_followed_by_end_matches_reference(spark, typed_gaps, pat, fb, w):
+    """Trailing notFollowedBy + within (round 12): positive matches
+    come from the independently-verified relaxed-within reference;
+    a match survives iff NO forbidden-type row occurs after its last
+    consumed row (index order == (ts,id) order here) and inside the
+    closed window ts <= first_ts + w; match_no renumbers over the
+    survivors. The engine's anti-join composition must agree row for
+    row, measures included."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_not_followed_by_end,
+    )
+
+    fbt = (fb,) if isinstance(fb, str) else fb
+    t0 = dt.datetime(2024, 1, 1)
+    acc, rows = 0, []
+    for t, gap in typed_gaps:
+        acc += gap
+        rows.append((t, acc))
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    want = []
+    for s, e, cs in _py_relaxed_within(rows, pattern, w):
+        last = e - 1
+        killed = any(
+            rows[f][0] in fbt and rows[f][1] <= rows[s][1] + w
+            for f in range(last + 1, len(rows))
+        )
+        if not killed:
+            want.append((s, last, sum(cs), (last + 1 - s) - sum(cs),
+                         tuple(cs)))
+    want = [(i + 1, *m) for i, m in enumerate(sorted(want))]
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (
+            r.match_no, r.first_event_id, r.last_event_id, r.n_rows,
+            r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(len(pattern))),
+        )
+        for r in match_recognize_not_followed_by_end(
+            ev, pattern, fbt, w).collect()
+    )
+    assert got == want, (rows, pat, fbt, w, got, want)
+
+
 # --- match_recognize_define_within vs a time-bounded define reference ---
 
 def _py_define_within_spans(rows, pattern, w_minutes):
