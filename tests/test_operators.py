@@ -1398,3 +1398,48 @@ def test_cep_recursive_loop_stack_guard(spark, sf_dir):
     # flat relaxed pieces carry NO recursive construct
     chars = _char_map(pat)
     assert not _RECURSIVE_LOOP.search(_relaxed_regex(pat, chars))
+
+
+def test_all_rows_running_measures_invariants(spark, sf_dir):
+    """RUNNING/FINAL measure semantics (round 12): RUNNING COUNT(*)
+    must equal row_in_match; the match's LAST row's running_sum must
+    equal final_sum (RUNNING at the final row IS FINAL — SQL:2016);
+    final_* must be constant within a match; subset running counts
+    must be monotone and partition the total when subsets cover all
+    variables disjointly."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_all_rows_running,
+    )
+    import pytest
+
+    pat = [("S", "signup", "?"), ("V", "view", "1"), ("C", "click", "+"),
+           ("E", "error", "*"), ("P", "purchase", "1")]
+    sub = {"act": ("C", "P"), "pre": ("S", "V"), "err": ("E",)}
+    ev = load(spark, sf_dir, "events")
+    out = match_recognize_all_rows_running(ev, pat, subsets=sub).collect()
+    assert out
+    by_match: dict = {}
+    for r in out:
+        by_match.setdefault((r.user_id, r.match_no), []).append(r)
+    for rows in by_match.values():
+        rows.sort(key=lambda r: r.row_in_match)
+        last = rows[-1]
+        assert last.running_cnt == last.final_cnt == len(rows)
+        assert last.running_sum == last.final_sum
+        prev_counts = (0, 0, 0)
+        for i, r in enumerate(rows):
+            assert r.running_cnt == r.row_in_match == i + 1
+            assert r.final_cnt == len(rows)
+            assert r.final_sum == last.final_sum
+            assert abs(r.running_avg - r.running_sum / r.running_cnt) < 1e-12
+            cur = (r.n_act_running, r.n_pre_running, r.n_err_running)
+            assert all(c >= p for c, p in zip(cur, prev_counts))
+            # disjoint covering subsets partition the running count
+            assert sum(cur) == r.running_cnt
+            prev_counts = cur
+
+    # validation: unknown member / name collision / empty are eager
+    with pytest.raises(ValueError, match="unknown variables"):
+        match_recognize_all_rows_running(ev, pat, subsets={"u": ("X",)})
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize_all_rows_running(ev, pat, subsets={"C": ("C",)})
