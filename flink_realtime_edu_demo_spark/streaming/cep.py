@@ -48,6 +48,7 @@ from ..operators.cep import (
     match_recognize_relaxed_groups_sessionized,
     match_recognize_define_sessionized,
     match_recognize_followed_by_any_sessionized,
+    match_recognize_followed_by_iterative_sessionized,
     match_recognize_iterative_sessionized,
     match_recognize_relaxed_sessionized,
     match_recognize_runagg_sessionized,
@@ -85,7 +86,11 @@ class SessionCepSink:
     engine (round 10), and ``matcher='iterative'`` the
     anchor-referencing IterativeCondition engine (round 11 —
     ``pattern`` is the (anchor_def, loop_def) pair; the session bound
-    is what bounds the per-anchor scan in the stream). All
+    is what bounds the per-anchor scan in the stream), and
+    ``matcher='followed_by_iterative'`` the RELAXED-linking
+    IterativeCondition engine (round 12 — same (anchor_def, loop_def)
+    pair; the session bound caps both the per-anchor scan and the
+    greedy loop extent; ``within_minutes`` forwarded). All
     are safe under incremental recompute: a closed
     session can never gain rows, so PREV/NEXT navigation, prefix sums
     and skip-policy selection are final at publication time."""
@@ -99,18 +104,18 @@ class SessionCepSink:
                  observe: bool = True):
         if matcher not in ("types", "define", "runagg", "relaxed", "fba",
                            "until", "consecutive", "relaxed_groups",
-                           "iterative"):
+                           "iterative", "followed_by_iterative"):
             raise ValueError("matcher must be 'types', 'define', "
                              "'runagg', 'relaxed', 'fba', 'until', "
-                             "'consecutive', 'relaxed_groups' or "
-                             "'iterative'")
-        if matcher == "iterative" and not (
+                             "'consecutive', 'relaxed_groups', "
+                             "'iterative' or 'followed_by_iterative'")
+        if matcher in ("iterative", "followed_by_iterative") and not (
             isinstance(pattern, (tuple, list)) and len(pattern) == 2
             and all(isinstance(d, dict) for d in pattern)
         ):
             # eager, like the other constructor checks: the iterative
             # engine takes (anchor_def, loop_def), not a variable list
-            raise ValueError("matcher='iterative' needs pattern="
+            raise ValueError(f"matcher={matcher!r} needs pattern="
                              "(anchor_def, loop_def)")
         if matcher == "consecutive" and not consecutive:
             # eager, like the matcher-name check above: without the
@@ -241,6 +246,18 @@ class SessionCepSink:
                 hist, self.pattern[0], self.pattern[1], self.gap_minutes,
                 key=self.key, ts=self.ts, id_col=self.id_col,
                 skip=self.skip,
+            )
+        elif self.matcher == "followed_by_iterative":
+            # round 12: IterativeCondition under RELAXED linking on
+            # session close — the session bound caps the per-anchor
+            # scan AND the greedy loop extent (without it the greedy
+            # end would keep moving while a session stays open; on a
+            # CLOSED session it is final, which is what makes the
+            # published rows immutable)
+            matched = match_recognize_followed_by_iterative_sessionized(
+                hist, self.pattern[0], self.pattern[1], self.gap_minutes,
+                key=self.key, ts=self.ts, id_col=self.id_col,
+                skip=self.skip, within_minutes=self.within_minutes,
             )
         elif self.matcher == "fba":
             # round 9: followedByAny (combination enumeration) on

@@ -1200,6 +1200,64 @@ def test_streaming_cep_iterative_stream_equals_batch(spark, sf_dir,
     assert got == want and want, (len(got), len(want))
 
 
+def test_streaming_cep_followed_by_iterative_stream_equals_batch(
+        spark, sf_dir, stream_dir, tmp_path):
+    """Streaming relaxed-linking IterativeCondition (round 12): the
+    followedBy + oneOrMore + anchor-referencing matcher under the
+    session-close emission contract converges to the batch sessionized
+    answer — valid incrementally because a CLOSED session never gains
+    rows, so each anchor's greedy loop end (the LAST qualifying row,
+    which would keep moving while the session stays open) is final at
+    publication."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_followed_by_iterative_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        SessionCepSink,
+        start_session_cep,
+    )
+
+    anchor = {"types": "view"}
+    loop = {"cmp": "<", "factor": 1.1}
+    gap = 720
+    ev_stream = stream_table(spark, stream_dir, "events")
+    sink = SessionCepSink((anchor, loop), gap_minutes=gap,
+                          matcher="followed_by_iterative")
+    q = start_session_cep(ev_stream, str(tmp_path / "cep_fbi_ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES")
+                <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no):
+            (r.first_event_id, r.last_event_id, r.n_loop, r.n_skipped,
+             r.last_loop_value)
+        for r in match_recognize_followed_by_iterative_sessionized(
+            ev, anchor, loop, gap)
+        .join(closed, ["user_id", "session_id"])
+        .collect()
+    }
+    got = {
+        k: (v["first_event_id"], v["last_event_id"], v["n_loop"],
+            v["n_skipped"], v["last_loop_value"])
+        for k, v in sink.emitted.items()
+    }
+    assert got == want and want, (len(got), len(want))
+
+
 def test_streaming_cep_iterative_needs_pair():
     """matcher='iterative' without an (anchor_def, loop_def) pair is a
     CONSTRUCTOR-time error, like the other eager matcher checks."""

@@ -45,7 +45,9 @@ _spec.loader.exec_module(ref)
 
 from flink_realtime_edu_demo_spark.operators.cep import (  # noqa: E402
     match_recognize_consecutive,
+    match_recognize_followed_by_iterative,
     match_recognize_iterative,
+    match_recognize_not_followed_by_end,
     match_recognize_relaxed_groups,
     match_recognize_runagg,
     match_recognize_until,
@@ -356,6 +358,99 @@ def fuzz_until_define(spark, rng):
     assert got == sorted(want), ("until_define", rows, pattern, got, want)
 
 
+def _ts_ev(spark, rows):
+    """rows = [(type, value, ts_minutes)] -> events frame with real
+    timestamps (the within-bound families need time arithmetic)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t, float(v))
+         for i, (t, v, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+
+
+def fuzz_followed_by_iterative(spark, rng):
+    """Round 12: IterativeCondition under RELAXED linking vs the
+    context-carrying relaxed reference NFA — comparators, negative
+    factors, own-row loop types, min_loop 1-3, the .within() bound,
+    both skip modes, n_loop/n_skipped/last_loop_value measures."""
+    acc, rows = 0, []
+    for _ in range(rng.randint(30, 80)):
+        acc += rng.randint(0, 40)
+        rows.append((rng.choice(["view", "click", "purchase", "error"]),
+                     rng.randint(-3, 6), acc))
+    anchor = rng.choice([
+        {}, {"types": ("view",)}, {"types": ("view", "click")},
+        {"dir": "up"},
+    ])
+    loop = dict(rng.choice([{}, {"types": ("click", "error")}]))
+    loop["cmp"] = rng.choice(["<", "<=", ">", ">="])
+    loop["factor"] = rng.choice([0.5, 1.0, 1.1, 2.0, -1.5])
+    min_loop = rng.randint(1, 3)
+    w = rng.choice([None, 15, 60, 240])
+    skip = rng.choice(["past_last_row", "to_next_row"])
+    want = sorted(
+        (j, e, nl, nsk, float(rows[e][1]))
+        for j, e, nl, nsk in ref._py_followed_by_iterative_spans(
+            rows, anchor, loop, min_loop, skip, within=w)
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id, r.n_loop, r.n_skipped,
+         r.last_loop_value)
+        for r in match_recognize_followed_by_iterative(
+            _ts_ev(spark, rows), anchor, loop, min_loop=min_loop,
+            skip=skip, within_minutes=w,
+        ).collect()
+    )
+    assert got == want, ("followed_by_iterative", rows, anchor, loop,
+                         min_loop, w, skip, got, want)
+
+
+def fuzz_not_followed_by_end(spark, rng):
+    """Round 12: trailing notFollowedBy + within vs the forbid filter
+    composed over the independent relaxed-within reference."""
+    acc, rows = 0, []
+    for _ in range(rng.randint(25, 70)):
+        acc += rng.randint(0, 40)
+        rows.append((rng.choice(["view", "click", "purchase", "error"]),
+                     acc))
+    pat = rng.choice([
+        [("view", "1")],
+        [("view", "1"), ("click", "+")],
+        [("view", "1"), (("click", "purchase"), "?"), ("click", "1")],
+    ])
+    fbt = rng.choice([("purchase",), ("error",), ("purchase", "error")])
+    w = rng.choice([15, 60, 240])
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    want = []
+    for s, e, cs in ref._py_relaxed_within(rows, pattern, w):
+        last = e - 1
+        killed = any(
+            rows[f][0] in fbt and rows[f][1] <= rows[s][1] + w
+            for f in range(last + 1, len(rows))
+        )
+        if not killed:
+            want.append((s, last))
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_not_followed_by_end(
+            ev, pattern, fbt, w).collect()
+    )
+    assert got == sorted(want), ("not_followed_by_end", rows, pat, fbt,
+                                 w, got, want)
+
+
 FAMILIES = [
     ("runagg_chain", fuzz_runagg_chain),
     ("iterative", fuzz_iterative),
@@ -363,6 +458,9 @@ FAMILIES = [
     ("consecutive", fuzz_consecutive),
     ("relaxed_groups", fuzz_relaxed_groups),
     ("until_define", fuzz_until_define),
+    # round 12 engines:
+    ("followed_by_iterative", fuzz_followed_by_iterative),
+    ("not_followed_by_end", fuzz_not_followed_by_end),
 ]
 
 
