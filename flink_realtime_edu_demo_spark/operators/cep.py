@@ -6108,6 +6108,7 @@ def match_recognize_followed_by_iterative(
     skip: str = "past_last_row",
     within_minutes: int | None = None,
     max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
+    emit: str = "greedy",
 ) -> DataFrame:
     """Flink ``begin(start).followedBy(mid).oneOrMore().where(
     mid.value <cmp> start.value * factor)`` — an IterativeCondition
@@ -6126,6 +6127,16 @@ def match_recognize_followed_by_iterative(
     ``timesOrMore(m)`` = m). AFTER MATCH: ``past_last_row`` consumes
     through the last loop row (left-to-right non-overlapping fold);
     ``to_next_row`` emits every valid anchor.
+
+    ``emit='all_prefixes'`` is Flink's DEFAULT (non-``greedy()``)
+    oneOrMore emission: one match per loop PREFIX — the k-th match
+    (k = min_loop..n_loop) ends at the anchor's k-th qualifying row,
+    the overlapping-match set Flink's NO_SKIP NFA produces. Requires
+    ``skip='to_next_row'`` (prefix matches overlap by construction, so
+    the consuming past_last_row fold contradicts the mode); output
+    rows per anchor = its qualifying count, bounded by the within
+    window / session in the deployment shapes. match_no orders by
+    (anchor, k).
 
     Lowering (one shuffle, zero Python): per key, one ordered window
     computes the anchor/loop own-row flags; rows collect into one
@@ -6163,6 +6174,13 @@ def match_recognize_followed_by_iterative(
         isinstance(within_minutes, int) and within_minutes > 0
     ):
         raise ValueError("within_minutes must be a positive int")
+    if emit not in ("greedy", "all_prefixes"):
+        raise ValueError("emit must be 'greedy' or 'all_prefixes'")
+    if emit == "all_prefixes" and skip != "to_next_row":
+        raise ValueError(
+            "emit='all_prefixes' (Flink's non-greedy oneOrMore) emits "
+            "OVERLAPPING prefix matches — use skip='to_next_row' "
+            "(NO_SKIP); the consuming past_last_row fold contradicts it")
     keys = [key] if isinstance(key, str) else list(key)
     cmp = loop_def["cmp"]
     factor = float(loop_def["factor"])
@@ -6218,7 +6236,9 @@ def match_recognize_followed_by_iterative(
             return val > thr
         return val >= thr
 
-    def cand(j):
+    def qualifying(j):
+        """The anchor's ordered qualifying-position array (offsets
+        relative to j), within-truncated."""
         thr = at(j)["v"] * F.lit(factor)
         tail = F.when(
             n >= j + 1,
@@ -6242,9 +6262,12 @@ def match_recognize_followed_by_iterative(
             ).otherwise(F.array().cast("array<int>"))
         else:
             rng = tail
-        q = F.filter(
+        return F.filter(
             rng, lambda t: at(j + t)["okb"] & _cmp(at(j + t)["v"], thr)
         )
+
+    def cand(j):
+        q = qualifying(j)
         lastsel = F.array_max(q)
         nq = F.size(q)
         return F.struct(
@@ -6256,10 +6279,36 @@ def match_recognize_followed_by_iterative(
             (nq >= min_loop).alias("valid"),
         )
 
+    def cand_all(j):
+        # Flink's DEFAULT (non-greedy) oneOrMore emission: one match
+        # per loop PREFIX — the k-th match ends at the k-th qualifying
+        # row; skipped inside that span = t_k - k (the first k
+        # qualifying rows are exactly the qualifying rows <= t_k,
+        # since q is ordered)
+        q = qualifying(j)
+        ks = F.when(
+            F.size(q) >= min_loop,
+            F.sequence(F.lit(min_loop).cast("int"), F.size(q).cast("int")),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            ks,
+            lambda k: F.struct(
+                j.cast("long").alias("off"),
+                (j + F.element_at(q, k)).cast("long").alias("end"),
+                k.cast("long").alias("n_loop"),
+                (F.element_at(q, k) - k).cast("long").alias("n_skipped"),
+                at(j + F.element_at(q, k))["v"].alias("lastv"),
+                F.lit(True).alias("valid"),
+            ),
+        )
+
     seq = F.filter(
         F.sequence(F.lit(1), n), lambda j: F.element_at(arr, j)["oka"]
     )
-    cands = F.filter(F.transform(seq, cand), lambda c: c["valid"])
+    if emit == "all_prefixes":
+        cands = F.flatten(F.transform(seq, cand_all))
+    else:
+        cands = F.filter(F.transform(seq, cand), lambda c: c["valid"])
     if skip == "past_last_row":
         init = F.expr(
             "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
@@ -6310,6 +6359,7 @@ def match_recognize_followed_by_iterative_oracle_sql(
     keys: list[str] | None = None,
     source_sql: str | None = None,
     within_minutes: int | None = None,
+    emit: str = "greedy",
 ) -> str:
     """DuckDB SQL replaying
     :func:`match_recognize_followed_by_iterative`: the greedy relaxed
@@ -6317,12 +6367,19 @@ def match_recognize_followed_by_iterative_oracle_sql(
     types AND the anchor-relative comparison AND the within bound),
     the loop count as the matching correlated COUNT (both engines:
     IEEE double products from identical operands), and the same
-    left-to-right non-overlapping selection for past_last_row."""
+    left-to-right non-overlapping selection for past_last_row.
+    ``emit='all_prefixes'`` replays the non-greedy emission as an
+    anchor × qualifying-row JOIN ranked per anchor (the k-th rank IS
+    the k-th prefix match)."""
     _validate_relaxed_iterative(anchor_def, loop_def)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
     if not (isinstance(min_loop, int) and min_loop >= 1):
         raise ValueError("min_loop must be an int >= 1")
+    if emit not in ("greedy", "all_prefixes"):
+        raise ValueError("emit must be 'greedy' or 'all_prefixes'")
+    if emit == "all_prefixes" and skip != "to_next_row":
+        raise ValueError("emit='all_prefixes' needs skip='to_next_row'")
     cmp = loop_def["cmp"]
     factor = float(loop_def["factor"])
     klist = keys or [key]
@@ -6356,6 +6413,46 @@ def match_recognize_followed_by_iterative_oracle_sql(
              if within_minutes is not None else "")
     qual = f"(r2.okb AND (r2.v {cmp} c.aval * {factor}){w_sql})"
     order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    if emit == "all_prefixes":
+        # non-greedy emission: anchors JOIN their qualifying rows,
+        # ranked per anchor — rank k IS the k-th prefix match
+        return f"""
+    WITH base_src AS (
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               lag({value_col}) OVER ({order}) AS prev_v
+        FROM ({inner})
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col},
+               row_number() OVER w AS rn,
+               CAST({value_col} AS DOUBLE) AS v,
+               {a_sql} AS oka,
+               {b_sql} AS okb
+        FROM base_src
+        WINDOW w AS ({order})
+    ),
+    qrows AS (
+        SELECT {c_key}, c.off, c.first_id, r2.rn AS trn,
+               r2.{id_col} AS tid, r2.v AS tv,
+               CAST(row_number() OVER (
+                   PARTITION BY {c_key}, c.off ORDER BY r2.rn
+               ) AS BIGINT) AS k
+        FROM (SELECT {key}, rn AS off, v AS aval, {ts} AS ats,
+                     {id_col} AS first_id
+              FROM r WHERE oka) c
+        JOIN r r2 ON {eq_r2c} AND r2.rn > c.off AND {qual}
+    )
+    SELECT {key},
+           CAST(row_number() OVER (PARTITION BY {key} ORDER BY off, k)
+                AS BIGINT) AS match_no,
+           CAST(first_id AS BIGINT) AS first_event_id,
+           CAST(tid AS BIGINT) AS last_event_id,
+           k AS n_loop,
+           CAST(trn - off - k AS BIGINT) AS n_skipped,
+           tv AS last_loop_value
+    FROM qrows
+    WHERE k >= {min_loop}
+    """
     if skip == "to_next_row":
         numbering = f"""
     SELECT {key}, CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)

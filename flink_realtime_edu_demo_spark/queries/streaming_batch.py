@@ -1520,6 +1520,26 @@ def q_cep_followed_by_iterative_within(
         ev, CEP_ITER_ANCHOR, CEP_ITER_LOOP, within_minutes=1440)
 
 
+@query("q_cep_followed_by_iterative_all",
+       oracle=match_recognize_followed_by_iterative_oracle_sql(
+           CEP_ITER_ANCHOR, CEP_ITER_LOOP, emit="all_prefixes",
+           skip="to_next_row", within_minutes=720))
+def q_cep_followed_by_iterative_all(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's DEFAULT (non-greedy) oneOrMore emission for the relaxed
+    iterative loop (round 12): without .greedy(), Flink's NO_SKIP NFA
+    emits one match per loop PREFIX — the k-th match ends at the
+    anchor's k-th qualifying row. emit='all_prefixes' +
+    skip='to_next_row' reproduce that overlapping-match set; the 12-h
+    within bound caps per-anchor output (prefix count = qualifying
+    rows in the window). Oracle replays it as the anchor × qualifying
+    JOIN ranked per anchor."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_followed_by_iterative(
+        ev, CEP_ITER_ANCHOR, CEP_ITER_LOOP, emit="all_prefixes",
+        skip="to_next_row", within_minutes=720)
+
+
 @query("q_cep_followed_by_iterative_sessionized",
        oracle=match_recognize_followed_by_iterative_sessionized_oracle_sql(
            CEP_ITER_ANCHOR, CEP_ITER_LOOP, gap_minutes=720))

@@ -2294,7 +2294,7 @@ def test_match_recognize_iterative_suffix_within_matches_reference(
 
 
 def _py_followed_by_iterative_spans(rows, anchor_def, loop_def, min_loop,
-                                    skip, within=None):
+                                    skip, within=None, emit="greedy"):
     """Independent reference for iterative conditions under RELAXED
     linking (round 12): a context-carrying scan where rows failing the
     loop predicate are SKIPPED (consumed), not match-ending — at each
@@ -2321,19 +2321,35 @@ def _py_followed_by_iterative_spans(rows, anchor_def, loop_def, min_loop,
             ok = ok and i > 0 and rows[i][1] < rows[i - 1][1]
         return ok
 
-    def attempt(j):
-        if not a_sat(j):
-            return None
+    def qual_list(j):
         thr = rows[j][1] * factor
-        qual = [
+        return [
             i for i in range(j + 1, len(rows))
             if (within is None or rows[i][2] <= rows[j][2] + within)
             and (not loop_def.get("types") or rows[i][0] in loop_def["types"])
             and cmpf(rows[i][1], thr)
         ]
+
+    def attempt(j):
+        if not a_sat(j):
+            return None
+        qual = qual_list(j)
         if len(qual) < min_loop:
             return None
         return (j, qual[-1], len(qual), qual[-1] - j - len(qual))
+
+    if emit == "all_prefixes":
+        # Flink's non-greedy oneOrMore under NO_SKIP: one match per
+        # loop prefix, every anchor (skip must be to_next_row)
+        assert skip == "to_next_row"
+        out = []
+        for j in range(len(rows)):
+            if not a_sat(j):
+                continue
+            qual = qual_list(j)
+            for k in range(min_loop, len(qual) + 1):
+                out.append((j, qual[k - 1], k, qual[k - 1] - j - k))
+        return out
 
     spans, i = [], 0
     if skip == "past_last_row":

@@ -391,22 +391,24 @@ def fuzz_followed_by_iterative(spark, rng):
     loop["factor"] = rng.choice([0.5, 1.0, 1.1, 2.0, -1.5])
     min_loop = rng.randint(1, 3)
     w = rng.choice([None, 15, 60, 240])
-    skip = rng.choice(["past_last_row", "to_next_row"])
+    emit = rng.choice(["greedy", "greedy", "all_prefixes"])
+    skip = ("to_next_row" if emit == "all_prefixes"
+            else rng.choice(["past_last_row", "to_next_row"]))
     want = sorted(
         (j, e, nl, nsk, float(rows[e][1]))
         for j, e, nl, nsk in ref._py_followed_by_iterative_spans(
-            rows, anchor, loop, min_loop, skip, within=w)
+            rows, anchor, loop, min_loop, skip, within=w, emit=emit)
     )
     got = sorted(
         (r.first_event_id, r.last_event_id, r.n_loop, r.n_skipped,
          r.last_loop_value)
         for r in match_recognize_followed_by_iterative(
             _ts_ev(spark, rows), anchor, loop, min_loop=min_loop,
-            skip=skip, within_minutes=w,
+            skip=skip, within_minutes=w, emit=emit,
         ).collect()
     )
     assert got == want, ("followed_by_iterative", rows, anchor, loop,
-                         min_loop, w, skip, got, want)
+                         min_loop, w, skip, emit, got, want)
 
 
 def fuzz_not_followed_by_end(spark, rng):
