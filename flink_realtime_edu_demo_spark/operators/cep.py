@@ -6071,20 +6071,22 @@ def match_recognize_iterative_sessionized_oracle_sql(
 def _validate_relaxed_iterative(anchor_def: dict, loop_def: dict) -> None:
     """anchor_def: simple keys ``types``/``dir`` (the start variable —
     dir navigates the PHYSICAL previous partition row, as everywhere).
-    loop_def: ``cmp`` + ``factor`` (the anchor-relative predicate
-    mid.value cmp start.value * factor) plus optional own-row
-    ``types``. ``dir`` is NOT allowed on the loop: under relaxed
-    linking "previous" is ambiguous (physical row vs previously
-    MATCHED loop row), and Flink's IterativeCondition resolves it via
-    ctx.getEventsForPattern — the matched-so-far navigation this
-    engine exposes through the anchor-relative comparison and the
-    ``last_loop_value`` output (middle.last.value) instead."""
+    loop_def: ``cmp`` + ``factor`` (the iterative predicate
+    mid.value cmp <reference>.value * factor) plus optional own-row
+    ``types`` and ``ref``: ``'anchor'`` (default — the start event,
+    Flink's ``start.price`` navigation) or ``'prev'`` (the PREVIOUSLY
+    ACCEPTED loop event — Flink's
+    ``ctx.getEventsForPattern("mid").last()``, e.g. a rising chain;
+    the first loop row compares against the anchor). ``dir`` is NOT
+    allowed on the loop: under relaxed linking "previous" is ambiguous
+    (physical row vs previously matched loop row) — ``ref='prev'`` IS
+    the matched-row navigation, made explicit."""
     bad = set(anchor_def) - {"types", "dir"}
     if bad:
         raise ValueError(f"anchor define: unknown keys {sorted(bad)}")
     if anchor_def.get("dir") not in (None, "up", "down"):
         raise ValueError("dir must be 'up' or 'down'")
-    bad = set(loop_def) - {"types", "cmp", "factor"}
+    bad = set(loop_def) - {"types", "cmp", "factor", "ref"}
     if bad:
         raise ValueError(
             f"loop define: unknown keys {sorted(bad)} (dir is not "
@@ -6093,6 +6095,8 @@ def _validate_relaxed_iterative(anchor_def: dict, loop_def: dict) -> None:
         raise ValueError(f"cmp must be one of {sorted(_ITER_CMP)}")
     if not isinstance(loop_def.get("factor"), (int, float)):
         raise ValueError("factor must be a number")
+    if loop_def.get("ref") not in (None, "anchor", "prev"):
+        raise ValueError("ref must be 'anchor' or 'prev'")
 
 
 def match_recognize_followed_by_iterative(
@@ -6184,6 +6188,7 @@ def match_recognize_followed_by_iterative(
     keys = [key] if isinstance(key, str) else list(key)
     cmp = loop_def["cmp"]
     factor = float(loop_def["factor"])
+    ref = loop_def.get("ref") or "anchor"
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
     prev_v = F.lag(value_col).over(w)
@@ -6238,8 +6243,12 @@ def match_recognize_followed_by_iterative(
 
     def qualifying(j):
         """The anchor's ordered qualifying-position array (offsets
-        relative to j), within-truncated."""
-        thr = at(j)["v"] * F.lit(factor)
+        relative to j), within-truncated. ref='anchor': every position
+        compared against the anchor's value (one filter pass).
+        ref='prev': a greedy CHAIN — each position compared against
+        the LAST ACCEPTED event's value (one aggregate fold; under
+        skip-till-next the first admitting row is always consumed, so
+        the greedy chain IS the relaxed-linking semantics)."""
         tail = F.when(
             n >= j + 1,
             F.sequence(F.lit(1).cast("int"), (n - j).cast("int")),
@@ -6262,6 +6271,24 @@ def match_recognize_followed_by_iterative(
             ).otherwise(F.array().cast("array<int>"))
         else:
             rng = tail
+        if ref == "prev":
+            init = F.struct(
+                at(j)["v"].alias("lastv"),
+                F.array().cast("array<int>").alias("sel"),
+            )
+            return F.aggregate(
+                rng,
+                init,
+                lambda acc, t: F.when(
+                    at(j + t)["okb"]
+                    & _cmp(at(j + t)["v"], acc["lastv"] * F.lit(factor)),
+                    F.struct(
+                        at(j + t)["v"].alias("lastv"),
+                        F.concat(acc["sel"], F.array(t)).alias("sel"),
+                    ),
+                ).otherwise(acc),
+            )["sel"]
+        thr = at(j)["v"] * F.lit(factor)
         return F.filter(
             rng, lambda t: at(j + t)["okb"] & _cmp(at(j + t)["v"], thr)
         )
@@ -6382,9 +6409,13 @@ def match_recognize_followed_by_iterative_oracle_sql(
         raise ValueError("emit='all_prefixes' needs skip='to_next_row'")
     cmp = loop_def["cmp"]
     factor = float(loop_def["factor"])
+    ref = loop_def.get("ref") or "anchor"
     klist = keys or [key]
     key = ", ".join(klist)
     eq_r2c = " AND ".join(f"r2.{k} = c.{k}" for k in klist)
+    eq_r2ch = " AND ".join(f"r2.{k} = ch.{k}" for k in klist)
+    eq_nxch = " AND ".join(f"nx.{k} = ch.{k}" for k in klist)
+    ch_key = ", ".join(f"ch.{k}" for k in klist)
     eq_rfm = " AND ".join(f"rf.{k} = m1.{k}" for k in klist)
     eq_rlm = " AND ".join(f"rl.{k} = m1.{k}" for k in klist)
     eq_c2c = " AND ".join(f"c2.{k} = c.{k}" for k in klist)
@@ -6413,6 +6444,57 @@ def match_recognize_followed_by_iterative_oracle_sql(
              if within_minutes is not None else "")
     qual = f"(r2.okb AND (r2.v {cmp} c.aval * {factor}){w_sql})"
     order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    w_sql_ch = (f" AND r2.{ts} <= ch.ats + INTERVAL "
+                f"{int(within_minutes)} MINUTE"
+                if within_minutes is not None else "")
+    # ref='prev': the greedy chain replayed as a correlated RECURSIVE
+    # walk — each step consumes the FIRST later row admitting against
+    # the last accepted value (skip-till-next), exactly the engine's
+    # per-anchor fold; chain step rows ARE the prefixes, so the same
+    # CTE feeds both emit modes
+    chain_sql = f"""
+    chain AS (
+        SELECT {key}, rn AS off, rn AS currn, v AS curv, {ts} AS ats,
+               CAST(0 AS BIGINT) AS nq
+        FROM r WHERE oka
+      UNION ALL
+        SELECT {ch_key}, ch.off, nx.rn, nx.v, ch.ats, ch.nq + 1
+        FROM chain ch JOIN r nx
+             ON {eq_nxch} AND nx.rn = (
+                SELECT min(r2.rn) FROM r r2
+                WHERE {eq_r2ch} AND r2.rn > ch.currn AND r2.okb
+                  AND (r2.v {cmp} ch.curv * {factor}){w_sql_ch}
+             )
+    )"""
+    if ref == "prev" and emit == "all_prefixes":
+        return f"""
+    WITH RECURSIVE base_src AS (
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               lag({value_col}) OVER ({order}) AS prev_v
+        FROM ({inner})
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col},
+               row_number() OVER w AS rn,
+               CAST({value_col} AS DOUBLE) AS v,
+               {a_sql} AS oka,
+               {b_sql} AS okb
+        FROM base_src
+        WINDOW w AS ({order})
+    ),{chain_sql}
+    SELECT {m1_key},
+           CAST(row_number() OVER (PARTITION BY {m1_key}
+                                   ORDER BY m1.off, m1.nq)
+                AS BIGINT) AS match_no,
+           CAST(rf.{id_col} AS BIGINT) AS first_event_id,
+           CAST(rl.{id_col} AS BIGINT) AS last_event_id,
+           m1.nq AS n_loop,
+           CAST(m1.currn - m1.off - m1.nq AS BIGINT) AS n_skipped,
+           rl.v AS last_loop_value
+    FROM (SELECT * FROM chain WHERE nq >= {min_loop}) m1
+    JOIN r rf ON {eq_rfm} AND rf.rn = m1.off
+    JOIN r rl ON {eq_rlm} AND rl.rn = m1.currn
+    """
     if emit == "all_prefixes":
         # non-greedy emission: anchors JOIN their qualifying rows,
         # ranked per anchor — rank k IS the k-th prefix match
@@ -6487,6 +6569,35 @@ def match_recognize_followed_by_iterative_oracle_sql(
            last_loop_value
     FROM pick"""
         numbering = "," + numbering
+    if ref == "prev":
+        # greedy = the chain's deepest step per anchor (the recursion
+        # is a single path per anchor, so max nq IS the chain end)
+        cand_sql = f"""{chain_sql},
+    m1 AS (
+        SELECT {key}, off, currn AS endrn, nq AS n_loop,
+               currn - off - nq AS n_skipped
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY {key}, off ORDER BY nq DESC) AS rr
+              FROM chain) t
+        WHERE rr = 1 AND nq >= {min_loop}
+    )"""
+    else:
+        cand_sql = f"""
+    cand AS (
+        SELECT {c_key}, c.off, c.aval, c.ats,
+               (SELECT max(r2.rn) FROM r r2
+                WHERE {eq_r2c} AND r2.rn > c.off AND {qual}) AS lastrn,
+               (SELECT count(*) FROM r r2
+                WHERE {eq_r2c} AND r2.rn > c.off AND {qual}) AS nq
+        FROM (SELECT {key}, rn AS off, v AS aval, {ts} AS ats
+              FROM r WHERE oka) c
+    ),
+    m1 AS (
+        SELECT {key}, off, lastrn AS endrn, nq AS n_loop,
+               lastrn - off - nq AS n_skipped
+        FROM cand
+        WHERE lastrn IS NOT NULL AND nq >= {min_loop}
+    )"""
     return f"""
     WITH RECURSIVE base_src AS (
         SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
@@ -6502,21 +6613,7 @@ def match_recognize_followed_by_iterative_oracle_sql(
         FROM base_src
         WINDOW w AS ({order})
     ),
-    cand AS (
-        SELECT {c_key}, c.off, c.aval, c.ats,
-               (SELECT max(r2.rn) FROM r r2
-                WHERE {eq_r2c} AND r2.rn > c.off AND {qual}) AS lastrn,
-               (SELECT count(*) FROM r r2
-                WHERE {eq_r2c} AND r2.rn > c.off AND {qual}) AS nq
-        FROM (SELECT {key}, rn AS off, v AS aval, {ts} AS ats
-              FROM r WHERE oka) c
-    ),
-    m1 AS (
-        SELECT {key}, off, lastrn AS endrn, nq AS n_loop,
-               lastrn - off - nq AS n_skipped
-        FROM cand
-        WHERE lastrn IS NOT NULL AND nq >= {min_loop}
-    ),
+    {cand_sql},
     m2 AS (
         SELECT {m1_key}, m1.off, m1.endrn, m1.n_loop, m1.n_skipped,
                rf.{id_col} AS first_event_id,

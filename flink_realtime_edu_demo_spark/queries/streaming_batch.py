@@ -1540,6 +1540,29 @@ def q_cep_followed_by_iterative_all(
         skip="to_next_row", within_minutes=720)
 
 
+@query("q_cep_followed_by_iterative_prev",
+       oracle=match_recognize_followed_by_iterative_oracle_sql(
+           CEP_ITER_ANCHOR, {"cmp": ">", "factor": 1.0, "ref": "prev"},
+           within_minutes=360))
+def q_cep_followed_by_iterative_prev(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IterativeCondition referencing the PREVIOUSLY ACCEPTED loop
+    event (round 12b): Flink's ctx.getEventsForPattern("mid").last()
+    navigation — here a RISING CHAIN (each accepted event strictly
+    above the last accepted, seeded by the anchor), the canonical
+    'increasing subsequence' pattern, under relaxed linking within
+    6 h. Under skip-till-next the first admitting row is always
+    consumed, so the greedy chain IS the relaxed-linking semantics:
+    one aggregate FOLD per anchor (O(tail), no rescan). The oracle
+    replays the chain as a correlated RECURSIVE walk consuming the
+    first admitting row per step. Hypothesis + fuzz vs the
+    chain-walking reference."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_followed_by_iterative(
+        ev, CEP_ITER_ANCHOR, {"cmp": ">", "factor": 1.0, "ref": "prev"},
+        within_minutes=360)
+
+
 @query("q_cep_followed_by_iterative_sessionized",
        oracle=match_recognize_followed_by_iterative_sessionized_oracle_sql(
            CEP_ITER_ANCHOR, CEP_ITER_LOOP, gap_minutes=720))

@@ -2322,6 +2322,18 @@ def _py_followed_by_iterative_spans(rows, anchor_def, loop_def, min_loop,
         return ok
 
     def qual_list(j):
+        if loop_def.get("ref") == "prev":
+            # greedy chain: each accepted row re-bases the threshold
+            # (Flink's getEventsForPattern("mid").last() navigation)
+            last, out = rows[j][1], []
+            for i in range(j + 1, len(rows)):
+                if (within is None or rows[i][2] <= rows[j][2] + within) \
+                        and (not loop_def.get("types")
+                             or rows[i][0] in loop_def["types"]) \
+                        and cmpf(rows[i][1], last * factor):
+                    out.append(i)
+                    last = rows[i][1]
+            return out
         thr = rows[j][1] * factor
         return [
             i for i in range(j + 1, len(rows))
@@ -2384,10 +2396,12 @@ def _py_followed_by_iterative_spans(rows, anchor_def, loop_def, min_loop,
         {"dir": "up"},
     ]),
     loop=st.builds(
-        lambda extra, cmp, factor: {**extra, "cmp": cmp, "factor": factor},
+        lambda extra, cmp, factor, ref: {
+            **extra, **ref, "cmp": cmp, "factor": factor},
         st.sampled_from([{}, {"types": ("click", "error")}]),
         st.sampled_from(["<", "<=", ">", ">="]),
         st.sampled_from([0.5, 1.0, 1.1, 2.0, -1.5]),
+        st.sampled_from([{}, {"ref": "prev"}]),
     ),
     min_loop=st.integers(1, 3),
     w=st.sampled_from([None, 15, 60, 240]),

@@ -389,6 +389,8 @@ def fuzz_followed_by_iterative(spark, rng):
     loop = dict(rng.choice([{}, {"types": ("click", "error")}]))
     loop["cmp"] = rng.choice(["<", "<=", ">", ">="])
     loop["factor"] = rng.choice([0.5, 1.0, 1.1, 2.0, -1.5])
+    if rng.random() < 0.4:  # r12b: previously-accepted-event reference
+        loop["ref"] = "prev"
     min_loop = rng.randint(1, 3)
     w = rng.choice([None, 15, 60, 240])
     emit = rng.choice(["greedy", "greedy", "all_prefixes"])
