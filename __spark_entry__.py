@@ -44,7 +44,8 @@ _VERIFIED_GREEN = (
     # documented limitation), and the 24 stalest greens. The two
     # rows-only keys (q_agg_approx_uv, q_agg_approx_quantile) stay
     # here — their no_oracle verdict can never change.
-    "q_llm_fingerprint", "q_llm_kmeans", "q_llm_kmeans_assign", "q_llm_knn",
+    "q_llm_dup_groups", "q_llm_fingerprint", "q_llm_kmeans",
+    "q_llm_kmeans_assign", "q_llm_knn",
     "q_llm_knn_ivf_scaled",
     "q_llm_lang_id", "q_llm_quality", "q_llm_tokens", "q_llm_winnow",
     "q_mm_features", "q_mm_frames", "q_mm_meta_filter", "q_pivot",
@@ -115,7 +116,7 @@ _REVERIFY_FRONT = (
     "q_cep_followed_by_iterative_sessionized",
     "q_cep_followed_by_iterative_all", "q_cep_followed_by_iterative_prev",
     "q_cep_not_followed_by_end",
-    "q_cep_all_rows_running", "q_cep_iterative", "q_cep_iterative_anchor",
+    "q_cep_all_rows_running", "q_cep_measures_subset", "q_cep_iterative", "q_cep_iterative_anchor",
     "q_cep_iterative_within", "q_cep_iterative_sessionized", "q_cep_runagg",
     "q_cep_runagg_interior", "q_cep_runagg_tail", "q_cep_runagg_multi_tail",
     "q_cep_runagg_sessionized", "q_cep_runagg_chain",
@@ -127,7 +128,7 @@ _REVERIFY_FRONT = (
     "q_agg_null_group", "q_dedup_exact", "q_fn_array", "q_fn_cast",
     "q_fn_datetime2", "q_fn_editdist", "q_fn_trig", "q_funnel",
     "q_join_range_bin", "q_llm_ann_ivf", "q_llm_centroids",
-    "q_llm_dedup_simhash", "q_llm_dup_groups",
+    "q_llm_dedup_simhash",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1106,6 +1106,68 @@ def q_cep_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cep_measures_subset",
+    oracle=f"""
+    WITH ar AS ({match_recognize_all_rows_oracle_sql(CEP_PATTERN)}),
+    j AS (
+        SELECT ar.user_id, ar.match_no, ar.row_in_match, ar.classifier,
+               ar.event_id, e.value
+        FROM ar JOIN events e
+             ON e.user_id = ar.user_id AND e.event_id = ar.event_id
+    )
+    SELECT user_id, match_no,
+           arg_min(event_id, row_in_match) AS first_event_id,
+           arg_max(event_id, row_in_match) AS last_event_id,
+           CAST(COUNT(*) FILTER (WHERE classifier IN ('C', 'P'))
+                AS BIGINT) AS n_act,
+           CAST(SUM(CASE WHEN classifier IN ('C', 'P')
+                         THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS act_sum,
+           CAST(min(CASE WHEN classifier IN ('C', 'P') THEN value END)
+                AS DOUBLE) AS act_min,
+           CAST(max(CASE WHEN classifier IN ('C', 'P') THEN value END)
+                AS DOUBLE) AS act_max,
+           CAST(COUNT(*) FILTER (WHERE classifier IN ('S', 'V'))
+                AS BIGINT) AS n_pre,
+           CAST(SUM(CASE WHEN classifier IN ('S', 'V')
+                         THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS pre_sum
+    FROM j GROUP BY user_id, match_no
+    """,
+)
+def q_cep_measures_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSET union variables in ONE ROW PER MATCH measures (round 12
+    — the output mode q_cep_all_rows_running's SUBSET support did not
+    yet cover): over PATTERN (S? V C+ E* P) with SUBSET act = (C, P),
+    pre = (S, V), each match emits COUNT / exact-DECIMAL SUM / MIN /
+    MAX over act's rows and COUNT / SUM over pre's — SQL:2016 allows
+    any aggregate over a union variable, and classifier membership IS
+    the union. Same composition as q_cep_measures: the ALL ROWS table
+    joins values back on the already-hashed (user_id, event_id) key,
+    then one aggregation per match — matches are a tiny fraction of
+    events, so both extra stages move reduced data."""
+    ev = load(spark, sf_dir, "events")
+    rows = match_recognize_all_rows(ev, CEP_PATTERN)
+    j = rows.join(
+        ev.select("user_id", "event_id", "value"), ["user_id", "event_id"]
+    )
+    act = F.col("classifier").isin("C", "P")
+    pre = F.col("classifier").isin("S", "V")
+    return j.groupBy("user_id", "match_no").agg(
+        F.min_by("event_id", "row_in_match").alias("first_event_id"),
+        F.max_by("event_id", "row_in_match").alias("last_event_id"),
+        F.count(F.when(act, F.lit(1))).alias("n_act"),
+        F.sum(F.when(act, F.col("value")).cast("decimal(18,2)"))
+        .cast("double").alias("act_sum"),
+        F.min(F.when(act, F.col("value"))).cast("double").alias("act_min"),
+        F.max(F.when(act, F.col("value"))).cast("double").alias("act_max"),
+        F.count(F.when(pre, F.lit(1))).alias("n_pre"),
+        F.sum(F.when(pre, F.col("value")).cast("decimal(18,2)"))
+        .cast("double").alias("pre_sum"),
+    )
+
+
 # The bounded interior form: the aggregate variable is followed by one
 # single-row suffix anchor — PATTERN (A B+ C) DEFINE A AS type='view',
 # B AS SUM(B.value) < 150, C AS type='purchase'. Greedy B backtracks
