@@ -6885,6 +6885,7 @@ def match_recognize_all_rows_running(
     type_col: str = "event_type",
     id_col: str = "event_id",
     value_col: str = "value",
+    engine: str = "types",
 ) -> DataFrame:
     """ALL ROWS PER MATCH with SQL:2016 RUNNING and FINAL measures and
     SUBSET union variables (round 12): per output row,
@@ -6907,15 +6908,31 @@ def match_recognize_all_rows_running(
     produce a float mismatch vs the oracle; running_avg divides the
     two deterministic prefix aggregates. Match partitions are
     match-sized, so no single-partition hazard at any scale.
+
+    ``engine='define'`` (round 12b) runs the same measure composition
+    over the PREV/NEXT DEFINE engine's ALL ROWS decode
+    (:func:`match_recognize_define_all_rows` — identical output
+    contract), so RUNNING/FINAL + SUBSET cover both ALL-ROWS engines.
     """
     from pyspark.sql.window import Window
 
-    _validate(pattern)
-    subsets = _validate_subsets(pattern, subsets)
+    if engine not in ("types", "define"):
+        raise ValueError("engine must be 'types' or 'define'")
+    if engine == "define":
+        _validate_defines(pattern)
+        subsets = _validate_subsets(pattern, subsets)
+        rows = match_recognize_define_all_rows(
+            events, pattern, key=key, ts=ts, type_col=type_col,
+            id_col=id_col, value_col=value_col,
+        )
+    else:
+        _validate(pattern)
+        subsets = _validate_subsets(pattern, subsets)
+        rows = match_recognize_all_rows(
+            events, pattern, key=key, ts=ts, type_col=type_col,
+            id_col=id_col,
+        )
     keys = [key] if isinstance(key, str) else list(key)
-    rows = match_recognize_all_rows(
-        events, pattern, key=key, ts=ts, type_col=type_col, id_col=id_col
-    )
     vals = events.select(
         *[F.col(k) for k in keys],
         F.col(id_col).alias("event_id"),
@@ -6966,17 +6983,39 @@ def match_recognize_all_rows_running_oracle_sql(
     type_col: str = "event_type",
     id_col: str = "event_id",
     value_col: str = "value",
+    engine: str = "types",
 ) -> str:
     """DuckDB SQL replaying :func:`match_recognize_all_rows_running`:
-    the ALL ROWS oracle as a derived table, the same value join, and
-    the same RUNNING (ROWS UNBOUNDED PRECEDING) / FINAL (whole
-    partition) windows with DECIMAL(18,2) exact sums."""
+    the ALL ROWS oracle (type or DEFINE engine, matching ``engine``)
+    as a derived table, the same value join, and the same RUNNING
+    (ROWS UNBOUNDED PRECEDING) / FINAL (whole partition) windows with
+    DECIMAL(18,2) exact sums."""
+    if engine not in ("types", "define"):
+        raise ValueError("engine must be 'types' or 'define'")
+    if engine == "define":
+        _validate_defines(pattern)
+        subsets = _validate_subsets(pattern, subsets)
+        inner = match_recognize_define_all_rows_oracle_sql(
+            pattern, table=table, key=key, ts=ts, type_col=type_col,
+            id_col=id_col, value_col=value_col,
+        )
+        return _all_rows_running_tail(inner, subsets, table, key, ts,
+                                      id_col, value_col)
     _validate(pattern)
     subsets = _validate_subsets(pattern, subsets)
     inner = match_recognize_all_rows_oracle_sql(
         pattern, table=table, key=key, ts=ts, type_col=type_col,
         id_col=id_col,
     )
+    return _all_rows_running_tail(inner, subsets, table, key, ts,
+                                  id_col, value_col)
+
+
+def _all_rows_running_tail(inner: str, subsets: dict, table: str,
+                           key: str, ts: str, id_col: str,
+                           value_col: str) -> str:
+    """Shared value-join + RUNNING/FINAL window tail over any ALL ROWS
+    oracle (type or DEFINE engine — identical output contract)."""
     run = (f"PARTITION BY {key}, match_no ORDER BY row_in_match "
            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
     fin = f"PARTITION BY {key}, match_no"

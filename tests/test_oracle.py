@@ -43,6 +43,28 @@ def test_query(key, spark, sf_dir, con):
         assert rows is not None
 
 
+def test_all_rows_running_over_define_engine(spark, sf_dir, con):
+    """RUNNING/FINAL measures + SUBSET compose over the PREV/NEXT
+    DEFINE engine's ALL ROWS output too (round 12b — engine='define'):
+    full differential parity on the V-shape pattern with a union
+    variable over both legs."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_all_rows_running,
+        match_recognize_all_rows_running_oracle_sql,
+    )
+    from flink_realtime_edu_demo_spark.tables import load
+
+    pat = [("STRT", {}, "1"), ("DOWN", {"dir": "down"}, "+"),
+           ("UP", {"dir": "up"}, "+")]
+    sub = {"legs": ("DOWN", "UP")}
+    ev = load(spark, sf_dir, "events")
+    df = match_recognize_all_rows_running(ev, pat, subsets=sub,
+                                          engine="define")
+    sql = match_recognize_all_rows_running_oracle_sql(pat, subsets=sub,
+                                                      engine="define")
+    compare(df, con, sql, "all_rows_running(define)")
+
+
 def test_iterative_sessionized_composes_suffix_and_within(spark, sf_dir, con):
     """The sessionized iterative wrapper threads suffix_def /
     within_minutes to the flat engine (ADVICE r11: the documented
