@@ -330,6 +330,76 @@ def _guard_anchor_scan(arr_col, max_key_rows):
     return F.when(chk.isNull(), arr_col)
 
 
+_WINDOW_SCAN_MSG = (
+    f"per-anchor within-window rows exceed the {_ANCHOR_SCAN_ROWS}-row "
+    "anchored-scan gate: the within bound truncates each per-anchor "
+    "scan at the window edge (a precomputed per-row extent — no "
+    "per-anchor time pass), but a key whose rows all land inside ONE "
+    "within window still runs O(window_rows) work per anchor "
+    "(ADVICE r12) — shrink within_minutes, deploy the _sessionized "
+    "form, or pass max_key_rows=None / a higher bound to accept the "
+    "cost knowingly"
+)
+
+
+def _guard_window_scan(arr_col, max_key_rows):
+    """The within-form counterpart of :func:`_guard_anchor_scan`
+    (round 13, ADVICE r12 medium): with ``within_minutes`` set the
+    per-anchor scan length is the anchor's precomputed in-window
+    extent ``we``, so the honest hot-key bound is ``max(we)`` over the
+    key — one O(n) transform per key, not per anchor. A key whose
+    widest within window holds more rows than ``max_key_rows`` fails
+    with a message naming the alternatives. ``None`` disables."""
+    if max_key_rows is None:
+        return arr_col
+    chk = F.assert_true(
+        F.coalesce(
+            F.array_max(F.transform(arr_col, lambda x: x["we"])),
+            F.lit(0).cast("long"),
+        ) <= F.lit(int(max_key_rows)),
+        F.lit(_WINDOW_SCAN_MSG),
+    )
+    return F.when(chk.isNull(), arr_col)
+
+
+def _window_extent_col(events, keys, ts, id_col, within_minutes: int):
+    """Per-row in-window extent ``we`` = number of LATER rows (in the
+    per-key (ts, id) sort the collected array uses) whose timestamp is
+    <= this row's ts + within — i.e. exactly the per-anchor scan
+    length the within bound allows. Computed ONCE for all rows with a
+    RANGE window frame over microsecond epochs (one partition sort,
+    no shuffle beyond the engine's own, no per-anchor time pass):
+    ``count over (range unbounded preceding .. +W us)`` is the 1-based
+    position of the last in-window row, minus the row's own
+    row_number. Exact vs the engines' previous
+    ``ts <= anchor_ts + INTERVAL W MINUTE`` filter: both compare
+    microsecond instants."""
+    from pyspark.sql.window import Window
+
+    us = int(within_minutes) * 60_000_000
+    # microsecond epoch WITHOUT session-timezone sensitivity (the
+    # driver runs a vanilla session in the HOST timezone, where an
+    # NTZ->TIMESTAMP cast is non-monotone across a DST boundary):
+    # NTZ diffs against the NTZ epoch via timestampdiff (pure wall
+    # arithmetic); instants use unix_micros directly
+    dt = dict(events.dtypes).get(ts, "")
+    if dt == "timestamp_ntz":
+        micros = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts}`)")
+    else:
+        micros = F.unix_micros(F.col(ts).cast("timestamp"))
+    wn = (
+        Window.partitionBy(*keys)
+        .orderBy(micros)
+        .rangeBetween(Window.unboundedPreceding, us)
+    )
+    rn = Window.partitionBy(*keys).orderBy(ts, id_col)
+    return (
+        F.count(F.lit(1)).over(wn) - F.row_number().over(rn)
+    ).cast("long").alias("we")
+
+
 def _guard_tokens_array(arr_col, out_col, regex: str):
     """Pass ``out_col`` through unchanged, but if ``regex`` contains a
     recursive (unbounded group) loop, assert the per-key token COUNT
@@ -5618,10 +5688,15 @@ def match_recognize_iterative(
     (PATTERN (A B+ C)): greedy B backtracks to the longest run whose
     NEXT row satisfies it — the runagg-interior backtracking.
     ``within_minutes`` is Flink's ``.within()``: every match row must
-    fall inside [anchor_ts, anchor_ts + W]; because the collected
-    array is time-sorted the bound TRUNCATES the per-anchor scan, so
-    it is also the hot-key-safe flat deployment form (the
-    q_cep_followed_by_within precedent).
+    fall inside [anchor_ts, anchor_ts + W]. Round 13 (ADVICE r12
+    medium): the truncation is REAL — each row's in-window extent is
+    precomputed once with a RANGE window frame, so the per-anchor scan
+    touches exactly the in-window rows (Spark higher-order ``filter``
+    does not short-circuit, so the previous in-predicate time bound
+    still paid a full-tail pass per anchor). The hot-key gate stays
+    ACTIVE under within, on the widest window instead of the key size
+    (:func:`_guard_window_scan`) — a key whose rows all share one
+    window is still O(window_rows) per anchor.
 
     Lowering (one shuffle, zero Python): per key, one ordered window
     computes row numbers + the anchor/loop OWN-ROW boolean flags; rows
@@ -5693,17 +5768,23 @@ def match_recognize_iterative(
             simple_ok(loop_def).alias("okb"),
             (simple_ok(suffix_def) if suffix_def is not None
              else F.lit(False)).alias("oks"),
+            (_window_extent_col(events, keys, ts, id_col, within_minutes)
+             if within_minutes is not None
+             else F.lit(0).cast("long").alias("we")),
         ).alias("t"),
     )
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
     ).withColumn(
-        # hot-key gate on the FLAT form only — within truncates each
-        # per-anchor scan at the window edge, the scale-safe shape
+        # hot-key gate (r13, ADVICE r12 medium): the FLAT form gates on
+        # key rows (per-anchor scan = full tail); the within form's
+        # scan is REALLY truncated at the precomputed extent now, so it
+        # gates on the widest window instead — within no longer
+        # disables the gate
         "arr",
-        _guard_anchor_scan(
-            F.col("arr"),
-            None if within_minutes is not None else max_key_rows),
+        _guard_window_scan(F.col("arr"), max_key_rows)
+        if within_minutes is not None
+        else _guard_anchor_scan(F.col("arr"), max_key_rows),
     )
     arr = F.col("arr")
     n = F.size(arr)
@@ -5724,31 +5805,28 @@ def match_recognize_iterative(
         thr = at(j)["v"] * F.lit(factor)
         if within_minutes is not None:
             # Flink's .within(): every match row's event time must fall
-            # inside [anchor_ts, anchor_ts + W]. The collected array is
-            # time-sorted, so the first out-of-window row fails the
-            # accept condition and TRUNCATES the scan — the within
-            # bound is also what bounds per-anchor work on a hot key
-            # (the flat deployment form, like q_cep_followed_by_within)
-            bound = at(j)["ts"] + F.expr(
-                f"INTERVAL {int(within_minutes)} MINUTE")
-
-            def in_w(pos):
-                return at(pos)["ts"] <= bound
+            # inside [anchor_ts, anchor_ts + W]. The scan range is the
+            # anchor's PRECOMPUTED in-window extent (r13, ADVICE r12
+            # medium): no per-anchor time pass — the predicate runs
+            # over exactly the in-window rows, so per-anchor cost IS
+            # the window width (gated by _guard_window_scan above)
+            scan_hi = at(j)["we"].cast("int")
         else:
-            def in_w(pos):
-                return F.lit(True)
+            scan_hi = (n - j).cast("int")
 
         fail = F.array_min(
             F.filter(
                 F.when(
-                    n >= j + 1,
-                    F.sequence(F.lit(1).cast("int"), (n - j).cast("int")),
+                    scan_hi >= 1,
+                    F.sequence(F.lit(1).cast("int"), scan_hi),
                 ).otherwise(F.array().cast("array<int>")),
-                lambda t: ~(at(j + t)["okb"] & _cmp(at(j + t)["v"], thr)
-                            & in_w(j + t)),
+                lambda t: ~(at(j + t)["okb"] & _cmp(at(j + t)["v"], thr)),
             )
         )
-        b_max = F.coalesce(fail, (n - j + 1).cast("int")) - 1
+        # no failure inside the scan range: the run ends at the range
+        # edge (for within, the first out-of-window row is a failure by
+        # definition — same b_max the explicit time filter produced)
+        b_max = F.coalesce(fail, scan_hi + 1) - 1
         if suffix_def is None:
             return F.struct(
                 j.cast("long").alias("off"),
@@ -5768,12 +5846,13 @@ def match_recognize_iterative(
                                b_max.cast("int")),
                 ).otherwise(F.array().cast("array<int>")),
                 # try_element_at: NULL struct past the array end folds
-                # to False (suffix row must exist)
+                # to False (suffix row must exist); under within the
+                # suffix row must sit inside the anchor's extent too —
+                # an integer compare against the precomputed edge
                 lambda t: F.coalesce(
                     F.try_element_at(arr, (j + t + 1).cast("int"))["oks"]
                     & (
-                        F.try_element_at(
-                            arr, (j + t + 1).cast("int"))["ts"] <= bound
+                        (t + 1 <= scan_hi)
                         if within_minutes is not None else F.lit(True)
                     ),
                     F.lit(False),
@@ -6151,9 +6230,11 @@ def match_recognize_followed_by_iterative(
     form is the documented anchored O(rows²) hot-key class (HOTKEY.json
     quantifies it; same as the strict iterative family) — deploy
     :func:`match_recognize_followed_by_iterative_sessionized` or the
-    within-bounded form, which truncates each scan at the window edge
-    (cheap ts-only pass finds the edge; the full predicate runs only
-    inside the window).
+    within-bounded form. Round 13 (ADVICE r12 medium): the within
+    truncation is REAL — each row's in-window extent is precomputed
+    once with a RANGE window frame, so the per-anchor scan touches
+    exactly the in-window rows, and the hot-key gate stays ACTIVE
+    under within, on the widest window (:func:`_guard_window_scan`).
 
     The float product ``start.value * factor`` and the comparison run
     in IEEE double in BOTH engines from byte-identical parquet
@@ -6214,17 +6295,22 @@ def match_recognize_followed_by_iterative(
             F.col(value_col).cast("double").alias("v"),
             F.coalesce(a_ok, F.lit(False)).alias("oka"),
             F.coalesce(b_own, F.lit(False)).alias("okb"),
+            (_window_extent_col(events, keys, ts, id_col, within_minutes)
+             if within_minutes is not None
+             else F.lit(0).cast("long").alias("we")),
         ).alias("t"),
     )
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
     ).withColumn(
-        # hot-key gate on the FLAT form only — within truncates each
-        # per-anchor scan at the window edge, the scale-safe shape
+        # hot-key gate (r13, ADVICE r12 medium): flat form gates on key
+        # rows; the within form's scan range is the precomputed extent,
+        # so it gates on the widest window — within no longer disables
+        # the gate
         "arr",
-        _guard_anchor_scan(
-            F.col("arr"),
-            None if within_minutes is not None else max_key_rows),
+        _guard_window_scan(F.col("arr"), max_key_rows)
+        if within_minutes is not None
+        else _guard_anchor_scan(F.col("arr"), max_key_rows),
     )
     arr = F.col("arr")
     n = F.size(arr)
@@ -6249,28 +6335,19 @@ def match_recognize_followed_by_iterative(
         the LAST ACCEPTED event's value (one aggregate fold; under
         skip-till-next the first admitting row is always consumed, so
         the greedy chain IS the relaxed-linking semantics)."""
-        tail = F.when(
-            n >= j + 1,
-            F.sequence(F.lit(1).cast("int"), (n - j).cast("int")),
-        ).otherwise(F.array().cast("array<int>"))
         if within_minutes is not None:
-            # within truncation: a cheap ts-only pass finds the window
-            # edge (the array is time-sorted, so the FIRST out-of-window
-            # position ends the scan); the full predicate then runs only
-            # over the in-window prefix
-            bound = at(j)["ts"] + F.expr(
-                f"INTERVAL {int(within_minutes)} MINUTE")
-            wlen = F.coalesce(
-                F.array_min(F.filter(tail, lambda t: at(j + t)["ts"] > bound))
-                - 1,
-                (n - j).cast("int"),
-            )
-            rng = F.when(
-                wlen >= 1,
-                F.sequence(F.lit(1).cast("int"), wlen.cast("int")),
-            ).otherwise(F.array().cast("array<int>"))
+            # within truncation (r13, ADVICE r12 medium): the window
+            # edge is the anchor's PRECOMPUTED extent — no per-anchor
+            # time pass (higher-order filter doesn't short-circuit, so
+            # the previous ts-only pass was still O(tail) per anchor);
+            # the predicate runs over exactly the in-window rows
+            wlen = at(j)["we"].cast("int")
         else:
-            rng = tail
+            wlen = (n - j).cast("int")
+        rng = F.when(
+            wlen >= 1,
+            F.sequence(F.lit(1).cast("int"), wlen),
+        ).otherwise(F.array().cast("array<int>"))
         if ref == "prev":
             init = F.struct(
                 at(j)["v"].alias("lastv"),
