@@ -6192,12 +6192,42 @@ def match_recognize_followed_by_iterative(
     within_minutes: int | None = None,
     max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
     emit: str = "greedy",
+    consume: str = "skip",
 ) -> DataFrame:
     """Flink ``begin(start).followedBy(mid).oneOrMore().where(
     mid.value <cmp> start.value * factor)`` — an IterativeCondition
     loop under RELAXED linking (round 12; closes the cep.py
     relaxed_define descope "iterative conditions over matched-so-far
-    events ... stay out of scope"). Semantics, mirroring this
+    events ... stay out of scope").
+
+    ``consume='readmit'`` (round 13, VERDICT r12 next #1) is the
+    Flink-NFA-EXACT ``AfterMatchSkipStrategy.skipPastLastEvent()``
+    emission, removing this family's one documented deviation for the
+    keys that opt in. Model: every anchor starts an independent
+    partial match; a partial COMPLETES at its ``min_loop``-th
+    qualifying row (a pattern-trailing ``oneOrMore`` emits on first
+    completion — Flink's ``greedy()`` is documented to have no effect
+    on a trailing loop, and SKIP_PAST_LAST_EVENT then discards the
+    same-start longer branches); completed matches emit in COMPLETION
+    order, and each emitted match ``(s, e]`` discards every live
+    partial whose anchor lies in ``(s, e]`` — anchors BEFORE ``s``
+    survive and may complete later, so emitted matches can OVERLAP
+    and rows skipped inside one match are re-admitted to those
+    surviving earlier attempts. Differences vs the consuming default
+    (``consume='skip'`` + ``skip='past_last_row'``), exactly:
+    (a) match end is the ``min_loop``-th qualifying row (``n_loop ==
+    min_loop``), not the greedy last; (b) an anchor preceding an
+    emitted match's span is NOT consumed by it — it emits its own,
+    possibly overlapping, match; (c) ``match_no`` orders by
+    completion ``(end, start)``, not by start. Lowering: same per-key
+    candidate scan, then one ``aggregate`` fold over the
+    ``(end, off)``-sorted candidates carrying the emitted-interval
+    list (exact NFA pruning; list length = matches per key).
+    Requires ``emit='greedy'`` and ``skip='past_last_row'`` (readmit
+    IS the past-last-event strategy; the other modes have their own
+    engines). Composes with ``within_minutes`` and the sessionized
+    wrapper. Hypothesis-tested vs an independent re-admitting
+    reference NFA (tests/test_property.py). Semantics, mirroring this
     codebase's relaxed engines (documented deviation: skipped rows
     are CONSUMED by the match, vs Flink NFA re-admission): after the
     anchor, rows failing the loop's full condition (own-row ``types``
@@ -6266,6 +6296,13 @@ def match_recognize_followed_by_iterative(
             "emit='all_prefixes' (Flink's non-greedy oneOrMore) emits "
             "OVERLAPPING prefix matches — use skip='to_next_row' "
             "(NO_SKIP); the consuming past_last_row fold contradicts it")
+    if consume not in ("skip", "readmit"):
+        raise ValueError("consume must be 'skip' or 'readmit'")
+    if consume == "readmit" and (emit != "greedy" or skip != "past_last_row"):
+        raise ValueError(
+            "consume='readmit' IS Flink's SKIP_PAST_LAST_EVENT NFA "
+            "emission — it fixes emit='greedy', skip='past_last_row'; "
+            "the other modes have their own engines")
     keys = [key] if isinstance(key, str) else list(key)
     cmp = loop_def["cmp"]
     factor = float(loop_def["factor"])
@@ -6409,29 +6446,79 @@ def match_recognize_followed_by_iterative(
     seq = F.filter(
         F.sequence(F.lit(1), n), lambda j: F.element_at(arr, j)["oka"]
     )
-    if emit == "all_prefixes":
-        cands = F.flatten(F.transform(seq, cand_all))
-    else:
-        cands = F.filter(F.transform(seq, cand), lambda c: c["valid"])
-    if skip == "past_last_row":
+    if consume == "readmit":
+        # Flink-NFA-exact SKIP_PAST_LAST_EVENT: each anchor's partial
+        # completes at its min_loop-th qualifying row; candidates fold
+        # in COMPLETION order (end, off) carrying the emitted-interval
+        # list — a candidate is pruned iff its anchor lies inside an
+        # earlier-emitted (off, end] span (surviving earlier anchors
+        # overlap; skipped rows are re-admitted to them)
+        def cand_rd(j):
+            q = qualifying(j)
+            tk = F.try_element_at(q, F.lit(int(min_loop)))
+            return F.struct(
+                (j + tk).cast("long").alias("end"),
+                j.cast("long").alias("off"),
+                F.lit(int(min_loop)).cast("long").alias("n_loop"),
+                (tk - min_loop).cast("long").alias("n_skipped"),
+                at(j + tk)["v"].alias("lastv"),
+                tk.isNotNull().alias("valid"),
+            )
+
+        cands = F.array_sort(
+            F.filter(F.transform(seq, cand_rd), lambda c: c["valid"])
+        )
         init = F.expr(
-            "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
-            "array<struct<off:bigint,end:bigint,n_loop:bigint,"
-            "n_skipped:bigint,lastv:double,valid:boolean>>))"
+            "named_struct("
+            "'em', CAST(array() AS array<struct<o:bigint,e:bigint>>), "
+            "'sel', CAST(array() AS array<struct<end:bigint,off:bigint,"
+            "n_loop:bigint,n_skipped:bigint,lastv:double,"
+            "valid:boolean>>))"
         )
         sel = F.aggregate(
             cands,
             init,
             lambda acc, c: F.when(
-                c["off"] >= acc["p"],
+                ~F.exists(
+                    acc["em"],
+                    lambda x: (x["o"] < c["off"]) & (c["off"] <= x["e"]),
+                ),
                 F.struct(
-                    (c["end"] + 1).alias("p"),
+                    F.concat(
+                        acc["em"],
+                        F.array(F.struct(c["off"].alias("o"),
+                                         c["end"].alias("e"))),
+                    ).alias("em"),
                     F.concat(acc["sel"], F.array(c)).alias("sel"),
                 ),
             ).otherwise(acc),
         )["sel"]
-    else:
+    elif emit == "all_prefixes":
+        cands = F.flatten(F.transform(seq, cand_all))
         sel = cands
+    else:
+        cands = F.filter(F.transform(seq, cand), lambda c: c["valid"])
+        sel = None
+    if sel is None:
+        if skip == "past_last_row":
+            init = F.expr(
+                "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() "
+                "AS array<struct<off:bigint,end:bigint,n_loop:bigint,"
+                "n_skipped:bigint,lastv:double,valid:boolean>>))"
+            )
+            sel = F.aggregate(
+                cands,
+                init,
+                lambda acc, c: F.when(
+                    c["off"] >= acc["p"],
+                    F.struct(
+                        (c["end"] + 1).alias("p"),
+                        F.concat(acc["sel"], F.array(c)).alias("sel"),
+                    ),
+                ).otherwise(acc),
+            )["sel"]
+        else:
+            sel = cands
     out = grouped.select(
         *[F.col(k) for k in keys],
         arr,
@@ -6464,6 +6551,7 @@ def match_recognize_followed_by_iterative_oracle_sql(
     source_sql: str | None = None,
     within_minutes: int | None = None,
     emit: str = "greedy",
+    consume: str = "skip",
 ) -> str:
     """DuckDB SQL replaying
     :func:`match_recognize_followed_by_iterative`: the greedy relaxed
@@ -6474,7 +6562,13 @@ def match_recognize_followed_by_iterative_oracle_sql(
     left-to-right non-overlapping selection for past_last_row.
     ``emit='all_prefixes'`` replays the non-greedy emission as an
     anchor × qualifying-row JOIN ranked per anchor (the k-th rank IS
-    the k-th prefix match)."""
+    the k-th prefix match). ``consume='readmit'`` replays the
+    Flink-NFA-exact SKIP_PAST_LAST_EVENT emission: each anchor's
+    completion is its ``min_loop``-th qualifying row (LIMIT/OFFSET
+    correlated pick, or the chain's ``nq = min_loop`` step for
+    ``ref='prev'``), then a recursive CTE walks the candidates in
+    completion order carrying the emitted-interval LIST — the same
+    pruning fold the Spark ``aggregate`` runs."""
     _validate_relaxed_iterative(anchor_def, loop_def)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
@@ -6543,6 +6637,91 @@ def match_recognize_followed_by_iterative_oracle_sql(
                   AND (r2.v {cmp} ch.curv * {factor}){w_sql_ch}
              )
     )"""
+    if consume not in ("skip", "readmit"):
+        raise ValueError("consume must be 'skip' or 'readmit'")
+    if consume == "readmit":
+        if emit != "greedy" or skip != "past_last_row":
+            raise ValueError(
+                "consume='readmit' fixes emit='greedy', "
+                "skip='past_last_row'")
+        eq_cw = " AND ".join(f"c.{k} = w.{k}" for k in klist)
+        w_key = ", ".join(f"w.{k}" for k in klist)
+        if ref == "prev":
+            cand_sql = f"""{chain_sql},
+    m1 AS (
+        SELECT {key}, off, currn AS endrn
+        FROM chain WHERE nq = {min_loop}
+    )"""
+        else:
+            cand_sql = f"""
+    cand AS (
+        SELECT {c_key}, c.off,
+               (SELECT r2.rn FROM r r2
+                WHERE {eq_r2c} AND r2.rn > c.off AND {qual}
+                ORDER BY r2.rn LIMIT 1 OFFSET {min_loop - 1}) AS endrn
+        FROM (SELECT {key}, rn AS off, v AS aval, {ts} AS ats
+              FROM r WHERE oka) c
+    ),
+    m1 AS (
+        SELECT {key}, off, endrn FROM cand WHERE endrn IS NOT NULL
+    )"""
+        return f"""
+    WITH RECURSIVE base_src AS (
+        SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
+               lag({value_col}) OVER ({order}) AS prev_v
+        FROM ({inner})
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col},
+               row_number() OVER w AS rn,
+               CAST({value_col} AS DOUBLE) AS v,
+               {a_sql} AS oka,
+               {b_sql} AS okb
+        FROM base_src
+        WINDOW w AS ({order})
+    ),
+    {cand_sql},
+    m2 AS (
+        SELECT {m1_key}, m1.off, m1.endrn,
+               CAST({min_loop} AS BIGINT) AS n_loop,
+               m1.endrn - m1.off - {min_loop} AS n_skipped,
+               rf.{id_col} AS first_event_id,
+               rl.{id_col} AS last_event_id,
+               rl.v AS last_loop_value,
+               CAST(row_number() OVER (PARTITION BY {m1_key}
+                    ORDER BY m1.endrn, m1.off) AS BIGINT) AS crank
+        FROM m1
+        JOIN r rf ON {eq_rfm} AND rf.rn = m1.off
+        JOIN r rl ON {eq_rlm} AND rl.rn = m1.endrn
+    ),
+    walk AS (
+        SELECT {key}, CAST(0 AS BIGINT) AS i,
+               CAST([] AS STRUCT(o BIGINT, e BIGINT)[]) AS em,
+               FALSE AS took
+        FROM (SELECT DISTINCT {key} FROM m2)
+      UNION ALL
+        SELECT {w_key}, w.i + 1,
+               CASE WHEN len(list_filter(w.em,
+                        x -> x.o < c.off AND c.off <= x.e)) > 0
+                    THEN w.em
+                    ELSE list_append(w.em,
+                                     {{'o': c.off, 'e': c.endrn}})
+               END,
+               len(list_filter(w.em,
+                   x -> x.o < c.off AND c.off <= x.e)) = 0
+        FROM walk w JOIN m2 c ON {eq_cw} AND c.crank = w.i + 1
+    )
+    SELECT {w_key},
+           CAST(row_number() OVER (PARTITION BY {w_key} ORDER BY w.i)
+                AS BIGINT) AS match_no,
+           CAST(c.first_event_id AS BIGINT) AS first_event_id,
+           CAST(c.last_event_id AS BIGINT) AS last_event_id,
+           c.n_loop,
+           CAST(c.n_skipped AS BIGINT) AS n_skipped,
+           c.last_loop_value
+    FROM walk w JOIN m2 c ON {eq_cw} AND c.crank = w.i
+    WHERE w.took
+    """
     if ref == "prev" and emit == "all_prefixes":
         return f"""
     WITH RECURSIVE base_src AS (
@@ -6717,19 +6896,22 @@ def match_recognize_followed_by_iterative_sessionized(
     skip: str = "past_last_row",
     within_minutes: int | None = None,
     max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
+    consume: str = "skip",
 ) -> DataFrame:
     """Sessionized deployment shape for relaxed-linking iterative
     conditions: the per-anchor scan (and the greedy loop extent) is
     bounded by SESSION length instead of key history — the same
     envelope closure as every other sessionized CEP shape. Output
     adds ``session_id``. ``within_minutes`` composes (both bounds
-    apply; the tighter one wins per anchor)."""
+    apply; the tighter one wins per anchor); ``consume='readmit'``
+    composes too (the NFA fold runs per (key, session) partition —
+    Flink jobs bound SKIP_PAST_LAST_EVENT state the same way)."""
     s = sessionize(events, gap_minutes, key, ts, id_col)
     return match_recognize_followed_by_iterative(
         s, anchor_def, loop_def, key=[key, "session_id"], ts=ts,
         type_col=type_col, id_col=id_col, value_col=value_col,
         min_loop=min_loop, skip=skip, within_minutes=within_minutes,
-        max_key_rows=max_key_rows,
+        max_key_rows=max_key_rows, consume=consume,
     )
 
 
@@ -6746,6 +6928,7 @@ def match_recognize_followed_by_iterative_sessionized_oracle_sql(
     min_loop: int = 1,
     skip: str = "past_last_row",
     within_minutes: int | None = None,
+    consume: str = "skip",
 ) -> str:
     """DuckDB replay of
     :func:`match_recognize_followed_by_iterative_sessionized` (the
@@ -6766,7 +6949,7 @@ def match_recognize_followed_by_iterative_sessionized_oracle_sql(
         anchor_def, loop_def, ts=ts, type_col=type_col, id_col=id_col,
         value_col=value_col, min_loop=min_loop, skip=skip,
         keys=[key, "session_id"], source_sql=source,
-        within_minutes=within_minutes,
+        within_minutes=within_minutes, consume=consume,
     )
 
 

