@@ -3412,6 +3412,7 @@ def match_recognize_relaxed(
     ts: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    skip: str = "past_last_row",
 ) -> DataFrame:
     """Relaxed-contiguity row-pattern matching — Flink CEP's
     ``followedBy`` / skip-till-next-match, the DEFAULT linking mode of
@@ -3446,18 +3447,153 @@ def match_recognize_relaxed(
     form and are hot-key-safe only sessionized (SCALE.md). Still
     exactly one shuffle and zero Python rows.
 
+    Round 13 adds Flink's variable-targeted AFTER MATCH strategies
+    under relaxed linking (VERDICT r12 next #2): ``skip='to_next_row'``
+    (SKIP_TO_NEXT — every anchored attempt emits, overlapping),
+    ``skip='to_first:<VAR>'`` / ``skip='to_last:<VAR>'``
+    (``AfterMatchSkipStrategy.skipToFirst/Last(VAR)`` — the scan
+    resumes AT the first/last row the target variable CONSUMED,
+    inclusive, so matches may overlap and share the target's rows).
+    Lowering for the non-default modes: the strict DEFINE engine's
+    capture-group-resume precedent (:func:`match_recognize_define`)
+    composed with the relaxed consuming-gap pieces — the relaxed regex
+    already capture-groups each variable's consumed span, so the
+    resume offset is the piece start plus the leading-gap length
+    (to_first) / minus the final admitted token (to_last). Anchored
+    attempt at every token offset: per-key work is rows × regex,
+    bounded by session length in the sessionized deployment shape
+    (the strict engine's documented cost class). Variable-targeted
+    skips need a POSITIVE target class (complement variables keep the
+    recursive token-group piece, where the admitted-token split is
+    not a char-class scan) and reject non-advancing patterns at plan
+    time via :func:`_parse_skip`, like the strict engine.
+
     Returns ``key..., match_no, first_event_id, last_event_id, n_rows
     (rows variables consumed), n_skipped (rows skipped inside the match
     span), n_<variable.lower()>...`` — per-VARIABLE counts (captured
     pieces), not the strict engine's per-type counts.
     """
+    from pyspark.sql.window import Window
+
     _validate_relaxed(pattern)
+    mode, target = _parse_skip(skip, pattern)
+    if target is not None and _var_negated(pattern[target][1]):
+        raise ValueError(
+            "skip to_first/to_last target must be a POSITIVE variable "
+            "class under relaxed linking (complement pieces are not "
+            "char-class scans)")
     keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
     regex = _relaxed_regex(pattern, chars)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
                        guard_regex=regex)
     k = len(pattern)
+    if mode != "past_last_row":
+        # anchored attempt at every token offset (strict engine's
+        # to_next_row / capture-group-resume machinery over the
+        # relaxed pieces)
+        anchored = f"^(?:{regex})"
+        toks = F.filter(F.split(F.col("s"), "(?<=;)"),
+                        lambda t: t != F.lit(""))
+        offsets = F.aggregate(
+            toks,
+            F.array(F.lit(1)),
+            lambda acc, t: F.concat(
+                acc, F.array(F.element_at(acc, -1) + F.length(t))
+            ),
+        )
+        sub = F.col("s").substr(F.col("off"), F.length("s"))
+        gcols = [F.regexp_extract(sub, anchored, i + 1).alias(f"g{i}")
+                 for i in range(k)]
+        hits = (
+            seq.select(
+                *[F.col(c) for c in keys],
+                F.col("s"),
+                F.explode(F.slice(offsets, 1, F.size(toks))).alias("off"),
+            )
+            .select(
+                *[F.col(c) for c in keys],
+                F.col("off"),
+                F.regexp_extract(sub, anchored, 0).alias("m"),
+                *gcols,
+            )
+            .filter(F.col("m") != "")
+        )
+        n_vars = [
+            _relaxed_var_count(F.col(f"g{i}"), var, etype, chars)
+            for i, (var, etype, _) in enumerate(pattern)
+        ]
+        n_rows = n_vars[0]
+        for c in n_vars[1:]:
+            n_rows = n_rows + c
+        n_tok_m = (F.length("m")
+                   - F.length(F.translate("m", ";", ""))).cast("long")
+        measures = [
+            F.regexp_extract("m", "^[a-z]([0-9]+);", 1).cast("long")
+            .alias("first_event_id"),
+            F.regexp_extract("m", "([0-9]+);$", 1).cast("long")
+            .alias("last_event_id"),
+            n_rows.cast("long").alias("n_rows"),
+            (n_tok_m - n_rows).cast("long").alias("n_skipped"),
+            *n_vars,
+        ]
+        if mode == "to_next_row":
+            w_no = Window.partitionBy(*keys).orderBy("off")
+            return hits.select(
+                *[F.col(c) for c in keys],
+                F.row_number().over(w_no).cast("long").alias("match_no"),
+                *measures,
+            )
+        # to_first / to_last: resume at the target variable's
+        # first/last ADMITTED token (pieces are contiguous, so the
+        # piece start is the offset plus the earlier pieces' lengths)
+        piece_start = F.col("off")
+        for i in range(target):
+            piece_start = piece_start + F.length(f"g{target - 1 - i}")
+        cls = _var_class(pattern[target][1], chars)
+        if mode == "to_first":
+            lead = F.regexp_extract(
+                F.col(f"g{target}"), f"^((?:[^{cls}][0-9]+;)*)", 1)
+            resume = piece_start + F.length(lead)
+        else:
+            last_tok = F.regexp_extract(
+                F.col(f"g{target}"), "([a-z][0-9]+;)$", 1)
+            resume = (piece_start + F.length(f"g{target}")
+                      - F.length(last_tok))
+        mcols = ["first_event_id", "last_event_id", "n_rows", "n_skipped",
+                 *[f"n_{var.lower()}" for var, _, _ in pattern]]
+        per_key = hits.select(
+            *[F.col(c) for c in keys],
+            F.struct(
+                F.col("off").cast("long").alias("off"),
+                resume.cast("long").alias("resume"),
+                *measures,
+            ).alias("h"),
+        ).groupBy(*keys).agg(F.array_sort(F.collect_list("h")).alias("l"))
+        mtypes = ", ".join(f"{c}:bigint" for c in ["off", "resume", *mcols])
+        init = F.expr(
+            "named_struct('p', CAST(1 AS BIGINT), "
+            f"'sel', CAST(array() AS array<struct<{mtypes}>>))"
+        )
+        fold = F.aggregate(
+            "l",
+            init,
+            lambda acc, x: F.when(
+                x["off"] >= acc["p"],
+                F.struct(
+                    x["resume"].alias("p"),
+                    F.concat(acc["sel"], F.array(x)).alias("sel"),
+                ),
+            ).otherwise(acc),
+        )["sel"]
+        return per_key.select(
+            *[F.col(c) for c in keys],
+            F.posexplode(fold),
+        ).select(
+            *[F.col(c) for c in keys],
+            (F.col("pos") + 1).cast("long").alias("match_no"),
+            *[F.col("col")[c].alias(c) for c in mcols],
+        )
     groups = seq.select(
         *[F.col(c) for c in keys],
         F.regexp_extract_all("s", F.lit(regex), F.lit(0)).alias("w"),
@@ -3585,10 +3721,158 @@ def match_recognize_relaxed_oracle_sql(
     ts: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    skip: str = "past_last_row",
 ) -> str:
-    """DuckDB SQL replaying :func:`match_recognize_relaxed`."""
-    return _relaxed_oracle_core(pattern, [key], f"SELECT * FROM {table}",
+    """DuckDB SQL replaying :func:`match_recognize_relaxed` — for the
+    round-13 variable-targeted skip modes, the anchored-attempt scan
+    replayed at every token offset (running-length window sum) with
+    the resume fold as a recursive CTE (the strict engine's oracle
+    precedent composed with the relaxed pieces)."""
+    mode, target = _parse_skip(skip, pattern)
+    if mode == "past_last_row":
+        return _relaxed_oracle_core(pattern, [key],
+                                    f"SELECT * FROM {table}",
+                                    ts, type_col, id_col)
+    return _relaxed_skip_oracle(pattern, mode, target, [key],
+                                f"SELECT * FROM {table}",
                                 ts, type_col, id_col)
+
+
+def _relaxed_skip_oracle(
+    pattern,
+    mode: str,
+    target: int | None,
+    keys: list[str],
+    source_sql: str,
+    ts: str,
+    type_col: str,
+    id_col: str,
+) -> str:
+    """DuckDB replay of the relaxed engine's non-default AFTER MATCH
+    modes: anchored regexp attempt at every token offset, then either
+    per-key offset numbering (to_next_row) or the capture-group-resume
+    recursive walk (to_first/to_last) — min-offset >= running resume
+    per step, exactly the Spark fold."""
+    _validate_relaxed(pattern)
+    if target is not None and _var_negated(pattern[target][1]):
+        raise ValueError("skip target must be a positive variable class")
+    chars = _char_map(pattern)
+    regex = _relaxed_regex(pattern, chars)
+    anchored = f"^(?:{regex})"
+    case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
+    ks = ", ".join(keys)
+    k = len(pattern)
+    eq_sh = " AND ".join(f"s.{c} = o.{c}" for c in keys)
+    eq_h2 = " AND ".join(f"h2.{c} = h.{c}" for c in keys)
+    eq_nxpk = " AND ".join(f"nx.{c} = pk.{c}" for c in keys)
+    eq_n2pk = " AND ".join(f"n2.{c} = pk.{c}" for c in keys)
+    h_key = ", ".join(f"h.{c}" for c in keys)
+    nx_key = ", ".join(f"nx.{c}" for c in keys)
+    o_key = ", ".join(f"o.{c}" for c in keys)
+
+    def strip_class(expr: str, cls: str) -> str:
+        for c in cls:
+            expr = f"replace({expr}, '{c}', '')"
+        return expr
+
+    def count_sql(i, etype) -> str:
+        cls = _var_class(etype, chars)
+        cls_cnt = f"length(g{i}) - length({strip_class(f'g{i}', cls)})"
+        if _var_negated(etype):
+            return (f"(length(g{i}) - length(replace(g{i}, ';', '')))"
+                    f" - ({cls_cnt})")
+        return cls_cnt
+
+    n_exprs = [count_sql(i, etype) for i, (_, etype, _) in enumerate(pattern)]
+    n_rows = " + ".join(f"({e})" for e in n_exprs)
+    var_counts = ",\n           ".join(
+        f"CAST({e} AS BIGINT) AS n_{var.lower()}"
+        for e, (var, _, _) in zip(n_exprs, pattern)
+    )
+    var_cols = ", ".join(f"n_{var.lower()}" for var, _, _ in pattern)
+    gsel = ",\n               ".join(
+        f"regexp_extract(sub, '{anchored}', {i + 1}) AS g{i}"
+        for i in range(k)
+    )
+    common = f"""
+    src AS ({source_sql}),
+    toks AS (
+        SELECT {ks},
+               CASE {type_col} {case} ELSE 'z' END || {id_col} || ';' AS tok,
+               {ts}, {id_col}
+        FROM src
+    ),
+    seq AS (SELECT {ks}, string_agg(tok, '' ORDER BY {ts}, {id_col}) AS s
+            FROM toks GROUP BY {ks}),
+    offs AS (
+        SELECT {ks},
+               1 + COALESCE(SUM(length(tok)) OVER (
+                   PARTITION BY {ks} ORDER BY {ts}, {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS off
+        FROM toks
+    ),
+    subs AS (
+        SELECT {o_key}, o.off, substr(s.s, CAST(o.off AS BIGINT)) AS sub
+        FROM offs o JOIN seq s ON {eq_sh}
+    ),
+    hits0 AS (
+        SELECT {ks}, off,
+               regexp_extract(sub, '{anchored}', 0) AS m,
+               {gsel}
+        FROM subs
+    ),
+    hits AS (
+        SELECT {ks}, off, m,
+               CAST(regexp_extract(m, '^[a-z]([0-9]+);', 1) AS BIGINT)
+                   AS first_event_id,
+               CAST(regexp_extract(m, '([0-9]+);$', 1) AS BIGINT)
+                   AS last_event_id,
+               CAST({n_rows} AS BIGINT) AS n_rows,
+               CAST((length(m) - length(replace(m, ';', '')))
+                    - ({n_rows}) AS BIGINT) AS n_skipped,
+               {var_counts},
+               {{RESUME}} AS resume
+        FROM hits0 WHERE m <> ''
+    )"""
+    if mode == "to_next_row":
+        resume = "CAST(0 AS BIGINT)"
+        body = f"""
+    SELECT {ks},
+           CAST(row_number() OVER (PARTITION BY {ks} ORDER BY off)
+                AS BIGINT) AS match_no,
+           first_event_id, last_event_id, n_rows, n_skipped, {var_cols}
+    FROM hits"""
+        return ("WITH " + common.replace("{RESUME}", resume) + body)
+    piece_start = "off" + "".join(f" + length(g{i})" for i in range(target))
+    cls = _var_class(pattern[target][1], chars)
+    if mode == "to_first":
+        resume = (f"CAST({piece_start} + length(regexp_extract(g{target}, "
+                  f"'^((?:[^{cls}][0-9]+;)*)', 1)) AS BIGINT)")
+    else:
+        resume = (f"CAST({piece_start} + length(g{target}) - "
+                  f"length(regexp_extract(g{target}, "
+                  f"'([a-z][0-9]+;)$', 1)) AS BIGINT)")
+    body = f""",
+    pick AS (
+        SELECT {ks}, off, resume, first_event_id, last_event_id,
+               n_rows, n_skipped, {var_cols}, 1 AS match_no
+        FROM hits h
+        WHERE off = (SELECT min(off) FROM hits h2 WHERE {eq_h2})
+      UNION ALL
+        SELECT {nx_key}, nx.off, nx.resume, nx.first_event_id,
+               nx.last_event_id, nx.n_rows, nx.n_skipped,
+               {', '.join(f'nx.n_{var.lower()}' for var, _, _ in pattern)},
+               pk.match_no + 1
+        FROM pick pk JOIN hits nx
+             ON {eq_nxpk} AND nx.off >= pk.resume
+        WHERE nx.off = (SELECT min(n2.off) FROM hits n2
+                        WHERE {eq_n2pk} AND n2.off >= pk.resume)
+    )
+    SELECT {ks}, CAST(match_no AS BIGINT) AS match_no,
+           first_event_id, last_event_id, n_rows, n_skipped, {var_cols}
+    FROM pick"""
+    return ("WITH RECURSIVE " + common.replace("{RESUME}", resume) + body)
 
 
 def match_recognize_relaxed_sessionized(
@@ -3599,16 +3883,20 @@ def match_recognize_relaxed_sessionized(
     ts: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    skip: str = "past_last_row",
 ) -> DataFrame:
     """Sessionized deployment shape for relaxed matching — Flink jobs
     run followedBy patterns inside session/time windows for exactly the
     state-bound reason SCALE.md gives: skip-till-next otherwise holds a
     partial match open across a key's entire history. Matches cannot
-    span a session gap; adds ``session_id`` to the match columns."""
+    span a session gap; adds ``session_id`` to the match columns.
+    ``skip`` composes (r13): the variable-targeted modes' anchored
+    attempts run per (key, session), which is also what bounds the
+    every-offset scan on a hot key."""
     s = sessionize(events, gap_minutes, key, ts, id_col)
     return match_recognize_relaxed(
         s, pattern, key=[key, "session_id"],
-        ts=ts, type_col=type_col, id_col=id_col,
+        ts=ts, type_col=type_col, id_col=id_col, skip=skip,
     )
 
 
@@ -3620,6 +3908,7 @@ def match_recognize_relaxed_sessionized_oracle_sql(
     ts: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    skip: str = "past_last_row",
 ) -> str:
     """DuckDB SQL replaying :func:`match_recognize_relaxed_sessionized`."""
     source = f"""
@@ -3633,6 +3922,11 @@ def match_recognize_relaxed_sessionized_oracle_sql(
                      lag({ts}) OVER (PARTITION BY {key}
                                      ORDER BY {ts}, {id_col}) AS prev_ts
               FROM {table})"""
+    mode, target = _parse_skip(skip, pattern)
+    if mode != "past_last_row":
+        return _relaxed_skip_oracle(pattern, mode, target,
+                                    [key, "session_id"], source,
+                                    ts, type_col, id_col)
     return _relaxed_oracle_core(pattern, [key, "session_id"], source,
                                 ts, type_col, id_col)
 

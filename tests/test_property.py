@@ -3292,3 +3292,110 @@ def test_followed_by_iterative_readmit_matches_reference(
         ).collect()
     )
     assert got == want, (rows, anchor, loop, min_loop, w, got, want)
+
+
+# --- relaxed linking + variable-targeted AFTER MATCH skips (round 13) ---
+
+
+def _py_relaxed_skip_matches(types, pattern, mode, target):
+    """Reference for the relaxed engine's round-13 skip modes, built on
+    the SAME consuming attempt (:func:`_py_relaxed_attempt`) but an
+    independent fold: anchored attempt at every index; to_next_row
+    emits every hit; to_first/to_last select hits whose start clears a
+    running resume point, then advance it to the target variable's
+    first/last ADMITTED row (inclusive). Returns
+    [(start, end_exclusive, counts_per_variable)]."""
+    hits = []
+    for s in range(len(types)):
+        r = _py_relaxed_attempt(types, pattern, s)
+        if r is not None and r[0] > s:
+            hits.append((s, r[0], r[1], r[2]))
+    if mode == "to_next_row":
+        return [(s, e, cs) for s, e, cs, _ in hits]
+    pred = _pred(pattern[target][1])
+    out, p = [], 0
+    for s, e, cs, pe in hits:
+        if s < p:
+            continue
+        out.append((s, e, cs))
+        piece_start = pe[target - 1] if target > 0 else s
+        if mode == "to_first":
+            if cs[target] == 0:
+                # optional target matched zero rows: the engine's
+                # empty capture group sits at the piece start, so the
+                # resume is the position after the previous piece
+                # (strict-engine precedent; still advancing because
+                # _parse_skip guarantees >= 1 mandatory row before)
+                p = piece_start
+            else:
+                i = piece_start
+                while not pred(types[i]):
+                    i += 1
+                p = i
+        else:
+            p = pe[target] - 1
+    return out
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=0, max_size=40,
+    ),
+    pat=relaxed_pattern_strategy,
+    mode_sel=st.integers(0, 2),
+    tgt_sel=st.integers(0, 3),
+)
+def test_match_recognize_relaxed_skip_matches_reference(
+    spark, types, pat, mode_sel, tgt_sel
+):
+    """The round-13 relaxed skip modes (SKIP TO NEXT ROW / SKIP TO
+    FIRST|LAST <VAR> under followedBy) must reproduce the reference
+    fold exactly — overlapping emissions, inclusive resume at the
+    target's first/last admitted row, and the plan-time
+    non-advancing-skip rejection mirrored by skipping such cases."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        _parse_skip, _var_negated, match_recognize_relaxed,
+    )
+
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    mode = ["to_next_row", "to_first", "to_last"][mode_sel]
+    if mode == "to_next_row":
+        skip = "to_next_row"
+        target = None
+    else:
+        cands = [
+            i for i, (_, t, _) in enumerate(pattern)
+            if not _var_negated(t)
+        ]
+        if not cands:
+            return
+        j = cands[tgt_sel % len(cands)]
+        skip = f"{mode}:V{j}"
+        try:
+            _, target = _parse_skip(skip, pattern)
+        except ValueError:
+            return  # statically-rejected non-advancing skip: no run
+    want = sorted(
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in _py_relaxed_skip_matches(types, pattern,
+                                                 mode, target)
+    )
+    if not types:
+        return
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string"
+    )
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(len(pattern))),
+        )
+        for r in match_recognize_relaxed(
+            ev, pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (types, pat, skip, got, want)
