@@ -7718,3 +7718,307 @@ def _all_rows_running_tail(inner: str, subsets: dict, table: str,
         JOIN {table} e ON e.{key} = m.{key} AND e.{id_col} = m.event_id
     ) jm
     """
+
+
+# --- per-edge WITHIN: Flink 1.18 WithinType.PREVIOUS_AND_CURRENT ----------
+
+def _validate_within_step(pattern) -> None:
+    """Scope rules for the per-edge within engine: at least two
+    variables, every quantifier '1' (single occurrence — the form
+    where Flink's per-edge bound is exactly one inter-event gap per
+    edge; quantified loops would need a bound INSIDE the loop, a
+    different lowering), unique names. Types may be positive or
+    complement classes IN ANY POSITION — including a complement FIRST
+    variable, which the token-scan engines must reject (their
+    unanchored scan needs a positive first atom) but the pointer
+    lowering anchors at a concrete row, so no such restriction
+    applies."""
+    if not pattern:
+        raise ValueError("pattern needs at least one variable")
+    seen = set()
+    for var, etype, _ in pattern:
+        if var in seen:
+            raise ValueError(f"duplicate pattern variable {var!r}")
+        if not _types_of(etype):
+            raise ValueError(
+                f"variable {var!r} needs at least one event type")
+        seen.add(var)
+    if len(pattern) < 2:
+        raise ValueError(
+            "per-edge within needs at least two variables (the bound "
+            "constrains an EDGE — with one variable there is none)")
+    for var, _, quant in pattern:
+        if quant != "1":
+            raise ValueError(
+                f"variable {var!r}: per-edge within supports "
+                "single-occurrence variables only (quantifier '1'); "
+                "a bound inside a quantified loop is a different "
+                "lowering (whole-pattern within covers it)")
+
+
+def _step_pred(etype, type_col: str):
+    """Boolean admit predicate for one within-step variable."""
+    from pyspark.sql import functions as F
+
+    types = _types_of(etype)
+    col = F.col(type_col).isin(*types)
+    return ~col if _var_negated(etype) else col
+
+
+def _step_pred_sql(etype, type_col: str) -> str:
+    alts = ", ".join(f"'{t}'" for t in _types_of(etype))
+    if _var_negated(etype):
+        return f"({type_col} NOT IN ({alts}))"
+    return f"({type_col} IN ({alts}))"
+
+
+def match_recognize_within_step(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    within_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    skip: str = "past_last_row",
+) -> DataFrame:
+    """Per-edge WITHIN under relaxed linking — Flink 1.18's
+    ``pattern.within(Time.minutes(w), WithinType.PREVIOUS_AND_CURRENT)``
+    (round 13 — VERDICT r12 next #3): the time bound applies between
+    CONSECUTIVE matched events, not the whole pattern. Each variable
+    (quantifier '1', positive or complement class) is linked to its
+    predecessor by followedBy; under skip-till-next the step's matched
+    row is the FIRST admitting row after the previous matched row, and
+    the partial match DIES when that row lies beyond
+    ``prev_ts + within`` (timestamps are monotone along the scan, so a
+    later admitting row can never resurrect it — exactly Flink's
+    timer-pruned NFA). ONE ROW PER MATCH; AFTER MATCH SKIP PAST LAST
+    ROW (default) or 'to_next_row' (every anchored attempt emits).
+
+    Lowering — the fully LINEAR flat form (no per-anchor scan at all,
+    hence no hot-key gate): for each non-first variable a
+    NEXT-OCCURRENCE POINTER (min admitting row number strictly after
+    the row — spelled as a GROWING ``(unboundedPreceding, -1)`` frame
+    over the REVERSED order, which WindowExec processes incrementally;
+    the literal ``(1 FOLLOWING, UNBOUNDED FOLLOWING)`` frame rescans
+    the tail per row, O(rows²) per key — measured 204s vs 2s at 100k
+    rows one key) rides the single per-key shuffle; a match attempt at
+    an anchor is then a fixed k-1-step pointer chase with one
+    closed-boundary timestamp comparison per edge — O(1) per anchor,
+    O(n log n) per key overall.
+    This is the hot-key-safe deployment shape the whole-pattern
+    ``within`` engines cannot reach (their eligible run is a regex
+    scan); the per-edge bound also caps each skip gap by construction.
+    The DuckDB oracle replays the identical pointer chain as k-1
+    self-equi-joins plus the shared recursive non-overlap fold.
+
+    Precondition: (ts, id) unique per key (array_sort positional
+    alignment, as in :func:`match_recognize_runagg`).
+
+    Returns ``key..., match_no, first_event_id, last_event_id,
+    n_rows (rows consumed = len(pattern)), n_skipped (rows inside the
+    span the match skipped over)``.
+
+    Semantics source: Flink 1.18 release notes / CEP docs,
+    ``WithinType.PREVIOUS_AND_CURRENT`` (public docs, per SURVEY §0).
+    The boundary is CLOSED (a row at exactly prev_ts + within is
+    eligible), matching the whole-pattern engines' convention.
+    """
+    from pyspark.sql.window import Window
+
+    _validate_within_step(pattern)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    keys = [key] if isinstance(key, str) else list(key)
+    k = len(pattern)
+    win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    w_desc = Window.partitionBy(*keys).orderBy(
+        F.col(ts).desc(), F.col(id_col).desc()
+    )
+    rn = F.row_number().over(w)
+    # next-occurrence pointer = min admitting rn STRICTLY AFTER the
+    # row. Spark evaluates a (1, unboundedFollowing) frame by
+    # RESCANNING the tail per row — O(rows²) per key (measured: 7s at
+    # 20k -> 204s at 100k on one hot key before this form) — so the
+    # suffix-min is spelled as a GROWING frame over the REVERSED
+    # order ((unboundedPreceding, -1) on ts DESC ≡ strictly-after on
+    # ts ASC), which WindowExec processes incrementally: O(n log n)
+    # per key, the linear curve HOTKEY.json records. Same single
+    # shuffle — both windows hash-partition on the key; the second
+    # ORDER BY adds one partition-local sort.
+    nxt_cols = [
+        F.min(F.when(_step_pred(etype, type_col), rn)).over(
+            w_desc.rowsBetween(Window.unboundedPreceding, -1)
+        ).cast("long")
+        for _, etype, _ in pattern[1:]
+    ]
+    rows = events.select(
+        *[F.col(c) for c in keys],
+        F.struct(
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("id"),
+            _step_pred(pattern[0][1], type_col).alias("p0"),
+            F.array(*nxt_cols).alias("nxt"),
+        ).alias("t"),
+    )
+    grouped = rows.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("t")).alias("arr")
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+
+    def cand(j):
+        prev = j.cast("long")
+        ok = F.lit(True)
+        for i in range(1, k):
+            cur = F.try_element_at(arr, prev.cast("int"))
+            nxt = F.element_at(cur["nxt"], i)
+            nrow = F.try_element_at(arr, nxt.cast("int"))
+            ok = ok & nxt.isNotNull() & (nrow["ts"] <= cur["ts"] + win)
+            prev = nxt
+        return F.struct(
+            j.cast("long").alias("off"),
+            prev.alias("end"),
+            F.coalesce(ok, F.lit(False)).alias("valid"),
+        )
+
+    anchors = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda j: F.element_at(arr, j.cast("int"))["p0"],
+    )
+    cands = F.filter(F.transform(anchors, cand), lambda c: c["valid"])
+    if skip == "past_last_row":
+        init = F.expr(
+            "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
+            "array<struct<off:bigint,end:bigint,valid:boolean>>))"
+        )
+        sel = F.aggregate(
+            cands,
+            init,
+            lambda acc, c: F.when(
+                c["off"] >= acc["p"],
+                F.struct(
+                    (c["end"] + 1).alias("p"),
+                    F.concat(acc["sel"], F.array(c)).alias("sel"),
+                ),
+            ).otherwise(acc),
+        )["sel"]
+    else:
+        sel = cands
+    out = grouped.select(
+        *[F.col(c) for c in keys],
+        arr,
+        F.posexplode(sel),
+    )
+    c = F.col("col")
+    return out.select(
+        *[F.col(col) for col in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.element_at(arr, c["off"].cast("int"))["id"].alias("first_event_id"),
+        F.element_at(arr, c["end"].cast("int"))["id"].alias("last_event_id"),
+        F.lit(k).cast("long").alias("n_rows"),
+        (c["end"] - c["off"] + 1 - k).cast("long").alias("n_skipped"),
+    )
+
+
+def match_recognize_within_step_oracle_sql(
+    pattern: list[tuple[str, object, str]],
+    within_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    skip: str = "past_last_row",
+    keys: list[str] | None = None,
+    source_sql: str | None = None,
+) -> str:
+    """DuckDB replay of :func:`match_recognize_within_step`: the same
+    next-occurrence suffix-min pointers (``min(CASE WHEN pred THEN rn
+    END) OVER (... ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED
+    FOLLOWING)`` — fine HERE: DuckDB evaluates window aggregates with
+    segment trees, so the literal frame is O(n log n), unlike Spark's
+    per-row rescan that forced the engine's reversed-frame form), the
+    pointer chain as k-1 self-equi-joins with one
+    closed-boundary interval comparison per edge, then either per-key
+    offset numbering (to_next_row) or the shared recursive
+    non-overlap fold (past_last_row)."""
+    _validate_within_step(pattern)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    klist = keys or [key]
+    key = ", ".join(klist)
+    k = len(pattern)
+    inner = source_sql or f"SELECT * FROM {table}"
+    order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    nxt_sql = ",\n               ".join(
+        f"CAST(min(CASE WHEN {_step_pred_sql(etype, type_col)} THEN rn END)"
+        f" OVER ({order} "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT)"
+        f" AS nxt{i + 1}"
+        for i, (_, etype, _) in enumerate(pattern[1:])
+    )
+    joins = []
+    for i in range(1, k):
+        eq_k = " AND ".join(f"r{i}.{c} = r{i - 1}.{c}" for c in klist)
+        joins.append(
+            f"JOIN r r{i} ON {eq_k} AND r{i}.rn = r{i - 1}.nxt{i}\n"
+            f"             AND r{i}.{ts} <= r{i - 1}.{ts} + "
+            f"INTERVAL {int(within_minutes)} MINUTE"
+        )
+    join_sql = "\n        ".join(joins)
+    r0_key = ", ".join(f"r0.{c}" for c in klist)
+    eq_c2c = " AND ".join(f"c2.{c} = c.{c}" for c in klist)
+    eq_nxpk = " AND ".join(f"nx.{c} = pk.{c}" for c in klist)
+    eq_n2pk = " AND ".join(f"n2.{c} = pk.{c}" for c in klist)
+    nx_key = ", ".join(f"nx.{c}" for c in klist)
+    if skip == "to_next_row":
+        numbering = f"""
+    SELECT {key},
+           CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
+                AS BIGINT) AS match_no,
+           first_event_id, last_event_id, n_rows, n_skipped
+    FROM cand"""
+    else:
+        numbering = f""",
+    pick AS (
+        SELECT {key}, off, endrn, first_event_id, last_event_id,
+               n_rows, n_skipped, 1 AS match_no
+        FROM cand c
+        WHERE off = (SELECT min(off) FROM cand c2 WHERE {eq_c2c})
+      UNION ALL
+        SELECT {nx_key}, nx.off, nx.endrn, nx.first_event_id,
+               nx.last_event_id, nx.n_rows, nx.n_skipped, pk.match_no + 1
+        FROM pick pk JOIN cand nx
+             ON {eq_nxpk} AND nx.off > pk.endrn
+        WHERE nx.off = (SELECT min(n2.off) FROM cand n2
+                        WHERE {eq_n2pk} AND n2.off > pk.endrn)
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           first_event_id, last_event_id, n_rows, n_skipped
+    FROM pick"""
+    return f"""
+    WITH RECURSIVE rbase AS (
+        SELECT {key}, {ts}, {id_col}, {type_col},
+               CAST(row_number() OVER ({order}) AS BIGINT) AS rn
+        FROM ({inner})
+    ),
+    r AS (
+        SELECT {key}, {ts}, {id_col}, rn,
+               {_step_pred_sql(pattern[0][1], type_col)} AS p0,
+               {nxt_sql}
+        FROM rbase
+    ),
+    cand AS (
+        SELECT {r0_key}, r0.rn AS off, r{k - 1}.rn AS endrn,
+               CAST(r0.{id_col} AS BIGINT) AS first_event_id,
+               CAST(r{k - 1}.{id_col} AS BIGINT) AS last_event_id,
+               CAST({k} AS BIGINT) AS n_rows,
+               CAST(r{k - 1}.rn - r0.rn + 1 - {k} AS BIGINT) AS n_skipped
+        FROM r r0
+        {join_sql}
+        WHERE r0.p0
+    ){numbering}
+    """

@@ -80,6 +80,8 @@ from ..operators.cep import (
     match_recognize_sessionized_oracle_sql,
     match_recognize_within,
     match_recognize_within_oracle_sql,
+    match_recognize_within_step,
+    match_recognize_within_step_oracle_sql,
 )
 from ..operators.cumulate import cumulate_window
 from ..operators.funnel import funnel
@@ -1099,6 +1101,43 @@ def q_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     within / MATCH_RECOGNIZE WITHIN (public docs, per SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_within(ev, CEP_ALT_PATTERN, within_minutes=720)
+
+
+# Per-edge within (round 13 — VERDICT r12 next #3): Flink 1.18's
+# WithinType.PREVIOUS_AND_CURRENT bounds the gap between CONSECUTIVE
+# matched events instead of the whole pattern.
+CEP_STEP_PATTERN = [
+    ("V", "view", "1"),
+    ("C", "click", "1"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_within_step",
+       oracle=match_recognize_within_step_oracle_sql(CEP_STEP_PATTERN,
+                                                     within_minutes=360))
+def q_cep_within_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge WITHIN — Flink 1.18 ``WithinType.PREVIOUS_AND_CURRENT``
+    (round 13 — VERDICT r12 next #3): view followedBy click followedBy
+    purchase, where EACH consecutive matched pair must lie within 6 h
+    of the previous matched event (vs q_cep_within's whole-pattern
+    [first_ts, first_ts+W] bound). Under skip-till-next each step's
+    row is the FIRST admitting row after the previous one; timestamps
+    are monotone along the scan, so a first-admitting row beyond the
+    edge bound kills the partial match exactly like Flink's
+    timer-pruned NFA. Lowering is the fully LINEAR flat form — a
+    next-occurrence pointer per non-first variable (suffix-min window
+    riding the single per-key shuffle) and an O(1) k-step pointer
+    chase per anchor: NO per-anchor scan, hence no hot-key gate — the
+    one CEP shape that stays flat-deployable on a multi-million-row
+    hot key (HOTKEY.json measures the linear curve). DuckDB oracle:
+    identical pointers via suffix-min windows, the chain as
+    self-equi-joins, the shared recursive non-overlap fold.
+    Reference-matched in tests/test_property.py and fuzzed
+    (within_step family)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_within_step(ev, CEP_STEP_PATTERN,
+                                       within_minutes=360)
 
 
 @query("q_cep_within_define",

@@ -727,6 +727,101 @@ def test_match_recognize_within_matches_reference(spark, typed_gaps, pat, w):
     assert got == [(s, e) for s, e in want], (rows, pat, w, got, want)
 
 
+# --- match_recognize_within_step vs a pointer-chasing reference ---
+
+def _py_within_step_spans(rows, pattern, w_minutes, skip="past_last_row"):
+    """Reference for the round-13 per-edge within (Flink 1.18
+    WithinType.PREVIOUS_AND_CURRENT): rows = [(type, ts_minutes)]
+    sorted by ts; each step takes the FIRST admitting row after the
+    previous matched row and the partial match dies when that row's
+    ts exceeds prev_ts + w (closed boundary; monotone ts means no
+    later row can resurrect it). Returns inclusive (start, end)
+    index spans."""
+    preds = [_pred(t) for _, t, _ in pattern]
+    n = len(rows)
+
+    def attempt(j):
+        if not preds[0](rows[j][0]):
+            return None
+        prev = j
+        for p in preds[1:]:
+            nxt = next(
+                (x for x in range(prev + 1, n) if p(rows[x][0])), None)
+            if nxt is None or rows[nxt][1] > rows[prev][1] + w_minutes:
+                return None
+            prev = nxt
+        return (j, prev)
+
+    if skip == "to_next_row":
+        return [m for i in range(n) if (m := attempt(i)) is not None]
+    out, i = [], 0
+    while i < n:
+        m = attempt(i)
+        if m:
+            out.append(m)
+            i = m[1] + 1
+        else:
+            i += 1
+    return out
+
+
+within_step_var = st.sampled_from([
+    "view", "click", "purchase", ("view", "click"),
+    ("purchase", "error"), ("!", "error"), ("!", "view", "click"),
+])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_gaps=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 40),
+        ),
+        min_size=1, max_size=30,
+    ),
+    vars_=st.lists(within_step_var, min_size=2, max_size=4),
+    w=st.sampled_from([15, 60, 240]),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_within_step_matches_reference(
+    spark, typed_gaps, vars_, w, skip_sel
+):
+    """Round 13 (VERDICT r12 next #3): the next-occurrence-pointer
+    lowering of the per-edge within bound must reproduce the
+    pointer-chasing reference's spans in both AFTER MATCH modes,
+    across positive/alternation/complement classes, including
+    boundary rows at exactly prev_ts + within (closed bound)."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_within_step,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    acc = 0
+    rows = []
+    for t, gap in typed_gaps:
+        acc += gap
+        rows.append((t, acc))
+    pattern = [(f"V{i}", t, "1") for i, t in enumerate(vars_)]
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_within_step_spans(rows, pattern, w, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_within_step(
+            ev, pattern, w, skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (rows, vars_, w, skip, got, want)
+
+
 # --- match_recognize_relaxed_all_rows vs the same reference, per-row ---
 
 @settings(max_examples=25, deadline=None,

