@@ -94,6 +94,40 @@ _TREE_LINE = re.compile(
 )
 
 
+def _tree_sections(plan: str):
+    """Yield every tree-rendered section of a formatted explain string
+    as [(indent, node_name, node_id)] — the MAIN plan tree and each
+    subquery tree under '===== Subqueries =====' (ADVICE r12: the old
+    first-section-only parse never checked subquery-hosted
+    windows/sorts). Blank-line-delimited chunks with no tree lines
+    (detail blocks — their '(n) Name' headers start with '(' and never
+    match _TREE_LINE) yield nothing."""
+    for chunk in plan.split("\n\n"):
+        tl = []
+        for line in chunk.splitlines():
+            m = _TREE_LINE.match(line)
+            if m:
+                tl.append(
+                    (len(m.group("prefix")), m.group("name"),
+                     m.group("id")))
+        if tl:
+            yield tl
+
+
+def _single_partition_ids(plan: str) -> set:
+    """Node ids of Exchange detail blocks whose Arguments line is
+    SinglePartition. The intermediate-line pattern accepts ANY line
+    that does not start a new '(n) ' detail header (ADVICE r12: the
+    old [^\\n(]+ pattern broke on Input lines carrying parenthesized
+    attribute names like `sum(x)#12`, silently skipping the block)."""
+    return {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\b[^\n]*\n(?:(?!\(\d+\) )[^\n]*\n)*?"
+            r"Arguments: SinglePartition\b", plan)
+    }
+
+
 def _single_partition_feeds_winsort(plan: str) -> bool:
     """True iff a Window or Sort node consumes an Exchange
     SinglePartition's output — the unpartitioned-window/global-sort
@@ -101,38 +135,29 @@ def _single_partition_feeds_winsort(plan: str) -> bool:
 
     Ancestry, not co-occurrence (ADVICE r11): partition-local Sorts
     from sort-merge joins / sort-based aggregation live on OTHER
-    branches of the tree, so they no longer trip the flag. Walk the
-    tree section: for each SinglePartition exchange (ids taken from
-    the detail section's `Arguments: SinglePartition` blocks), collect
-    ancestors — lines above with strictly shallower indentation —
-    until the next Exchange re-partitions the data; flag if any such
-    ancestor is Window/Sort/WindowGroupLimit."""
-    single_ids = {
-        m.group(1)
-        for m in re.finditer(
-            r"\((\d+)\) Exchange\b[^\n]*\n(?:[^\n(]+\n)*?"
-            r"Arguments: SinglePartition\b", plan)
-    }
+    branches of the tree, so they no longer trip the flag. Walk EVERY
+    tree section — the main plan and each subquery tree (ADVICE r12):
+    for each SinglePartition exchange (ids taken from the detail
+    blocks' `Arguments: SinglePartition` lines), collect ancestors —
+    lines above with strictly shallower indentation — until the next
+    Exchange re-partitions the data; flag if any such ancestor is
+    Window/Sort/WindowGroupLimit."""
+    single_ids = _single_partition_ids(plan)
     if not single_ids:
         return False
-    tree_lines = []
-    for line in plan.split("\n\n", 1)[0].splitlines():
-        m = _TREE_LINE.match(line)
-        if m:
-            tree_lines.append(
-                (len(m.group("prefix")), m.group("name"), m.group("id")))
-    for i, (indent, name, node_id) in enumerate(tree_lines):
-        if name != "Exchange" or node_id not in single_ids:
-            continue
-        min_indent = indent
-        for a_indent, a_name, _ in reversed(tree_lines[:i]):
-            if a_indent >= min_indent:
+    for tree_lines in _tree_sections(plan):
+        for i, (indent, name, node_id) in enumerate(tree_lines):
+            if name != "Exchange" or node_id not in single_ids:
                 continue
-            min_indent = a_indent
-            if a_name in ("Window", "Sort", "WindowGroupLimit"):
-                return True
-            if a_name == "Exchange":  # re-partitioned — hazard over
-                break
+            min_indent = indent
+            for a_indent, a_name, _ in reversed(tree_lines[:i]):
+                if a_indent >= min_indent:
+                    continue
+                min_indent = a_indent
+                if a_name in ("Window", "Sort", "WindowGroupLimit"):
+                    return True
+                if a_name == "Exchange":  # re-partitioned — hazard over
+                    break
     return False
 
 
