@@ -6604,12 +6604,32 @@ def match_recognize_followed_by_iterative(
     max_key_rows: int | None = _ANCHOR_SCAN_ROWS,
     emit: str = "greedy",
     consume: str = "skip",
+    within_step_minutes: int | None = None,
 ) -> DataFrame:
     """Flink ``begin(start).followedBy(mid).oneOrMore().where(
     mid.value <cmp> start.value * factor)`` — an IterativeCondition
     loop under RELAXED linking (round 12; closes the cep.py
     relaxed_define descope "iterative conditions over matched-so-far
     events ... stay out of scope").
+
+    ``within_step_minutes`` (round 13 — the per-edge
+    ``WithinType.PREVIOUS_AND_CURRENT`` bound composed with the LOOP,
+    extending :func:`match_recognize_within_step` beyond fixed
+    chains): every accepted event must lie within the bound of the
+    PREVIOUSLY ACCEPTED event (the anchor for the first loop row).
+    Timestamps are monotone along the scan, so once any row lies
+    beyond ``last_accepted_ts + bound`` the loop is closed — no later
+    row can be accepted, exactly Flink's timer-pruned NFA — which
+    means acceptance is SEQUENTIAL even under ``ref='anchor'``: both
+    references lower to the per-anchor aggregate FOLD carrying
+    (last value, last ts), and the closed loop is simply "no further
+    acceptance possible" (no dead flag needed — the bound can never
+    re-open). Composes with ``within_minutes`` (the whole-pattern
+    bound truncates the scan range first), all emit/skip modes and
+    ``consume='readmit'`` (the qualifying chain is the only place the
+    semantics live). The per-edge bound also caps each skip gap by
+    construction — the second hot-key-mitigating composition after
+    the whole-pattern within.
 
     ``consume='readmit'`` (round 13, VERDICT r12 next #1) is the
     Flink-NFA-EXACT ``AfterMatchSkipStrategy.skipPastLastEvent()``
@@ -6700,6 +6720,10 @@ def match_recognize_followed_by_iterative(
         isinstance(within_minutes, int) and within_minutes > 0
     ):
         raise ValueError("within_minutes must be a positive int")
+    if within_step_minutes is not None and not (
+        isinstance(within_step_minutes, int) and within_step_minutes > 0
+    ):
+        raise ValueError("within_step_minutes must be a positive int")
     if emit not in ("greedy", "all_prefixes"):
         raise ValueError("emit must be 'greedy' or 'all_prefixes'")
     if emit == "all_prefixes" and skip != "to_next_row":
@@ -6796,6 +6820,35 @@ def match_recognize_followed_by_iterative(
             wlen >= 1,
             F.sequence(F.lit(1).cast("int"), wlen),
         ).otherwise(F.array().cast("array<int>"))
+        if within_step_minutes is not None:
+            # per-edge bound (round 13): acceptance is sequential for
+            # BOTH references — the fold carries the last accepted
+            # (value, ts); a row beyond lastts + bound can never be
+            # accepted nor can any later row (monotone ts), so the
+            # plain accept conjunct IS the loop-closing rule
+            stepw = F.expr(
+                f"INTERVAL {int(within_step_minutes)} MINUTES")
+            init = F.struct(
+                at(j)["v"].alias("lastv"),
+                at(j)["ts"].alias("lastts"),
+                F.array().cast("array<int>").alias("sel"),
+            )
+
+            def _step(acc, t):
+                thr = (acc["lastv"] if ref == "prev"
+                       else at(j)["v"]) * F.lit(factor)
+                return F.when(
+                    at(j + t)["okb"]
+                    & _cmp(at(j + t)["v"], thr)
+                    & (at(j + t)["ts"] <= acc["lastts"] + stepw),
+                    F.struct(
+                        at(j + t)["v"].alias("lastv"),
+                        at(j + t)["ts"].alias("lastts"),
+                        F.concat(acc["sel"], F.array(t)).alias("sel"),
+                    ),
+                ).otherwise(acc)
+
+            return F.aggregate(rng, init, _step)["sel"]
         if ref == "prev":
             init = F.struct(
                 at(j)["v"].alias("lastv"),
@@ -6963,6 +7016,7 @@ def match_recognize_followed_by_iterative_oracle_sql(
     within_minutes: int | None = None,
     emit: str = "greedy",
     consume: str = "skip",
+    within_step_minutes: int | None = None,
 ) -> str:
     """DuckDB SQL replaying
     :func:`match_recognize_followed_by_iterative`: the greedy relaxed
@@ -7029,25 +7083,38 @@ def match_recognize_followed_by_iterative_oracle_sql(
     w_sql_ch = (f" AND r2.{ts} <= ch.ats + INTERVAL "
                 f"{int(within_minutes)} MINUTE"
                 if within_minutes is not None else "")
-    # ref='prev': the greedy chain replayed as a correlated RECURSIVE
-    # walk — each step consumes the FIRST later row admitting against
-    # the last accepted value (skip-till-next), exactly the engine's
+    # per-edge bound (round 13): the next accepted row must also lie
+    # within the bound of the LAST ACCEPTED row's ts (curts) — and
+    # with the bound set, acceptance is sequential under BOTH
+    # references, so the chain walk replays ref='anchor' too (the
+    # threshold term is the carried anchor value instead of curv)
+    ws_sql_ch = (f" AND r2.{ts} <= ch.curts + INTERVAL "
+                 f"{int(within_step_minutes)} MINUTE"
+                 if within_step_minutes is not None else "")
+    thr_ch = "ch.curv" if ref == "prev" else "ch.aval"
+    # the greedy chain replayed as a correlated RECURSIVE walk — each
+    # step consumes the FIRST later row admitting against the
+    # reference value (skip-till-next), exactly the engine's
     # per-anchor fold; chain step rows ARE the prefixes, so the same
     # CTE feeds both emit modes
     chain_sql = f"""
     chain AS (
-        SELECT {key}, rn AS off, rn AS currn, v AS curv, {ts} AS ats,
+        SELECT {key}, rn AS off, rn AS currn, v AS curv, v AS aval,
+               {ts} AS ats, {ts} AS curts,
                CAST(0 AS BIGINT) AS nq
         FROM r WHERE oka
       UNION ALL
-        SELECT {ch_key}, ch.off, nx.rn, nx.v, ch.ats, ch.nq + 1
+        SELECT {ch_key}, ch.off, nx.rn, nx.v, ch.aval, ch.ats,
+               nx.{ts}, ch.nq + 1
         FROM chain ch JOIN r nx
              ON {eq_nxch} AND nx.rn = (
                 SELECT min(r2.rn) FROM r r2
                 WHERE {eq_r2ch} AND r2.rn > ch.currn AND r2.okb
-                  AND (r2.v {cmp} ch.curv * {factor}){w_sql_ch}
+                  AND (r2.v {cmp} {thr_ch} * {factor}){w_sql_ch}{ws_sql_ch}
              )
     )"""
+    # with the per-edge bound set, every mode routes through the chain
+    chain_mode = ref == "prev" or within_step_minutes is not None
     if consume not in ("skip", "readmit"):
         raise ValueError("consume must be 'skip' or 'readmit'")
     if consume == "readmit":
@@ -7057,7 +7124,7 @@ def match_recognize_followed_by_iterative_oracle_sql(
                 "skip='past_last_row'")
         eq_cw = " AND ".join(f"c.{k} = w.{k}" for k in klist)
         w_key = ", ".join(f"w.{k}" for k in klist)
-        if ref == "prev":
+        if chain_mode:
             cand_sql = f"""{chain_sql},
     m1 AS (
         SELECT {key}, off, currn AS endrn
@@ -7133,7 +7200,7 @@ def match_recognize_followed_by_iterative_oracle_sql(
     FROM walk w JOIN m2 c ON {eq_cw} AND c.crank = w.i
     WHERE w.took
     """
-    if ref == "prev" and emit == "all_prefixes":
+    if chain_mode and emit == "all_prefixes":
         return f"""
     WITH RECURSIVE base_src AS (
         SELECT {key}, {ts}, {id_col}, {type_col}, {value_col},
@@ -7236,7 +7303,7 @@ def match_recognize_followed_by_iterative_oracle_sql(
            last_loop_value
     FROM pick"""
         numbering = "," + numbering
-    if ref == "prev":
+    if chain_mode:
         # greedy = the chain's deepest step per anchor (the recursion
         # is a single path per anchor, so max nq IS the chain end)
         cand_sql = f"""{chain_sql},

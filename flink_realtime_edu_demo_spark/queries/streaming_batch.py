@@ -1781,6 +1781,37 @@ def q_cep_followed_by_iterative_prev(
         within_minutes=360)
 
 
+@query("q_cep_iter_within_step",
+       oracle=match_recognize_followed_by_iterative_oracle_sql(
+           CEP_ITER_ANCHOR,
+           {"types": ("click", "purchase"), "cmp": "<", "factor": 1.2},
+           min_loop=2, within_step_minutes=240))
+def q_cep_iter_within_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge WITHIN composed with the ITERATIVE LOOP (round 13 —
+    extending VERDICT r12 next #3 beyond fixed chains): view anchor,
+    then clicks/purchases under 1.2× the anchor value where EVERY
+    accepted event lies within 4 h of the PREVIOUSLY ACCEPTED one
+    (Flink 1.18 ``within(Time.hours(4), PREVIOUS_AND_CURRENT)`` on
+    the oneOrMore edge), timesOrMore(2). The per-edge bound makes
+    acceptance SEQUENTIAL even under the anchor-fixed threshold —
+    the engine's per-anchor fold carries (last value, last ts) and
+    the loop CLOSES at the first over-bound row (monotone ts: no
+    later acceptance possible, Flink's timer-pruned NFA exactly) —
+    and it caps each skip gap by construction, the second hot-key
+    mitigation after the whole-pattern within. The DuckDB oracle
+    replays the identical sequential walk as a correlated RECURSIVE
+    chain (the ref='prev' precedent generalized to a carried anchor
+    threshold). Hypothesis-tested vs the sequential-acceptance
+    reference across both references, both skips, and the composed
+    whole-pattern bound; fuzz draws within_step into the
+    followed_by_iterative family."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_followed_by_iterative(
+        ev, CEP_ITER_ANCHOR,
+        {"types": ("click", "purchase"), "cmp": "<", "factor": 1.2},
+        min_loop=2, within_step_minutes=240)
+
+
 @query("q_cep_followed_by_readmit",
        oracle=match_recognize_followed_by_iterative_oracle_sql(
            CEP_ITER_ANCHOR, CEP_ITER_LOOP, consume="readmit",

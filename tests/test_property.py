@@ -2456,7 +2456,8 @@ def test_match_recognize_iterative_suffix_within_matches_reference(
 
 
 def _py_followed_by_iterative_spans(rows, anchor_def, loop_def, min_loop,
-                                    skip, within=None, emit="greedy"):
+                                    skip, within=None, emit="greedy",
+                                    within_step=None):
     """Independent reference for iterative conditions under RELAXED
     linking (round 12): a context-carrying scan where rows failing the
     loop predicate are SKIPPED (consumed), not match-ending — at each
@@ -2484,6 +2485,25 @@ def _py_followed_by_iterative_spans(rows, anchor_def, loop_def, min_loop,
         return ok
 
     def qual_list(j):
+        if within_step is not None:
+            # round 13 per-edge bound: acceptance is sequential for
+            # BOTH references — walk carrying (last value, last ts);
+            # a row beyond last_ts + within_step can never be
+            # accepted, nor any later row (monotone ts)
+            lastv, lastts, out = rows[j][1], rows[j][2], []
+            for i in range(j + 1, len(rows)):
+                if within is not None and rows[i][2] > rows[j][2] + within:
+                    continue
+                if loop_def.get("types") and rows[i][0] not in loop_def["types"]:
+                    continue
+                base = lastv if loop_def.get("ref") == "prev" else rows[j][1]
+                if not cmpf(rows[i][1], base * factor):
+                    continue
+                if rows[i][2] > lastts + within_step:
+                    continue
+                out.append(i)
+                lastv, lastts = rows[i][1], rows[i][2]
+            return out
         if loop_def.get("ref") == "prev":
             # greedy chain: each accepted row re-bases the threshold
             # (Flink's getEventsForPattern("mid").last() navigation)
@@ -2611,6 +2631,78 @@ def test_followed_by_iterative_matches_reference(
         ).collect()
     )
     assert got == want, (rows, anchor, loop, min_loop, w, skip, got, want)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(-3, 6),
+            st.integers(0, 40),
+        ),
+        min_size=1, max_size=28,
+    ),
+    anchor=st.sampled_from([
+        {}, {"types": ("view",)}, {"dir": "up"},
+    ]),
+    loop=st.builds(
+        lambda extra, cmp, factor, ref: {
+            **extra, **ref, "cmp": cmp, "factor": factor},
+        st.sampled_from([{}, {"types": ("click", "error")}]),
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.sampled_from([0.5, 1.0, 1.1, -1.5]),
+        st.sampled_from([{}, {"ref": "prev"}]),
+    ),
+    min_loop=st.integers(1, 2),
+    w=st.sampled_from([None, 60, 240]),
+    ws=st.sampled_from([15, 45, 120]),
+    skip_sel=st.integers(0, 1),
+)
+def test_followed_by_iterative_within_step_matches_reference(
+    spark, typed, anchor, loop, min_loop, w, ws, skip_sel
+):
+    """Round 13: the per-edge PREVIOUS_AND_CURRENT bound composed with
+    the relaxed iterative loop — both references (anchor-fixed and
+    prev-rebased thresholds) must reproduce the sequential-acceptance
+    reference walk, composed with the whole-pattern within and both
+    skip modes; the loop must CLOSE at the first over-bound gap (no
+    later row accepted)."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_followed_by_iterative,
+    )
+
+    acc, rows = 0, []
+    for t, v, gap in typed:
+        acc += gap
+        rows.append((t, v, acc))
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = sorted(
+        (j, e, nl, nsk, float(rows[e][1]))
+        for j, e, nl, nsk in _py_followed_by_iterative_spans(
+            rows, anchor, loop, min_loop, skip, within=w,
+            within_step=ws)
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t, float(v))
+         for i, (t, v, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id, r.n_loop, r.n_skipped,
+         r.last_loop_value)
+        for r in match_recognize_followed_by_iterative(
+            ev, anchor, loop, min_loop=min_loop, skip=skip,
+            within_minutes=w, within_step_minutes=ws,
+        ).collect()
+    )
+    assert got == want, (rows, anchor, loop, min_loop, w, ws, skip,
+                         got, want)
 
 
 # --- followedByAny (skip-till-any-match) vs brute-force enumeration ---

@@ -408,13 +408,17 @@ def fuzz_followed_by_iterative(spark, rng):
         loop["ref"] = "prev"
     min_loop = rng.randint(1, 3)
     w = rng.choice([None, 15, 60, 240])
+    # round 13: the per-edge PREVIOUS_AND_CURRENT bound joins the draw
+    # (crossed with refs, emit modes, and the whole-pattern within)
+    ws = rng.choice([None, None, 15, 45, 120])
     emit = rng.choice(["greedy", "greedy", "all_prefixes"])
     skip = ("to_next_row" if emit == "all_prefixes"
             else rng.choice(["past_last_row", "to_next_row"]))
     want = sorted(
         (j, e, nl, nsk, float(rows[e][1]))
         for j, e, nl, nsk in ref._py_followed_by_iterative_spans(
-            rows, anchor, loop, min_loop, skip, within=w, emit=emit)
+            rows, anchor, loop, min_loop, skip, within=w, emit=emit,
+            within_step=ws)
     )
     got = sorted(
         (r.first_event_id, r.last_event_id, r.n_loop, r.n_skipped,
@@ -422,10 +426,11 @@ def fuzz_followed_by_iterative(spark, rng):
         for r in match_recognize_followed_by_iterative(
             _ts_ev(spark, rows), anchor, loop, min_loop=min_loop,
             skip=skip, within_minutes=w, emit=emit,
+            within_step_minutes=ws,
         ).collect()
     )
     assert got == want, ("followed_by_iterative", rows, anchor, loop,
-                         min_loop, w, skip, emit, got, want)
+                         min_loop, w, ws, skip, emit, got, want)
 
 
 def fuzz_not_followed_by_end(spark, rng):
