@@ -87,10 +87,12 @@ def test_bench_gate_passes_on_committed_artifacts():
     put four code-untouched keys at 2.4-4x), so gating BENCH_last.json
     made the suite fail on driver noise the builder cannot control.
     BENCH_committed.json is builder-owned: bench.py never writes it and
-    the driver does not know the name. Round-close sequence: 3 idle
-    sweeps -> per-key median -> BENCH_local.json, last sweep ->
-    BENCH_last.json AND BENCH_committed.json (identical copies at
-    commit time), then this test."""
+    the driver does not know the name. Round-close sequence (one tool,
+    ADVICE r12): 3 idle sweeps -> `python tools/bench_median.py s1 s2
+    s3 --commit`, which writes BENCH_local.json (median) AND
+    BENCH_committed.json/BENCH_last.json (the last sweep) from the
+    same sweep dicts, cross-tied by content hash — provenance checked
+    by test_bench_committed_provenance below."""
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "bench_gate.py"),
          os.path.join(REPO, "BENCH_committed.json")],
@@ -101,3 +103,39 @@ def test_bench_gate_passes_on_committed_artifacts():
         f"the median-of-3 idle methodology:\n{p.stdout}"
     )
     assert "gate: PASS" in p.stdout
+
+
+def test_bench_committed_provenance():
+    """ADVICE r12: the committed gate artifact must be mechanically
+    tied to a measured sweep, not a trusted copy step. Two invariants,
+    both written by `tools/bench_median.py --commit` from the same
+    sweep dicts:
+      1. BENCH_committed.json's sweep_sha256 equals the canonical
+         content hash of its OWN queries dict (it went through the
+         tool unmodified — any hand edit to a timing breaks it);
+      2. that hash is a MEMBER of BENCH_local.json's sweep_hashes —
+         the committed sweep is one of the exact sweeps that produced
+         the median baseline it is gated against, so curating the
+         committed artifact would require faking its own baseline."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_median
+
+    with open(os.path.join(REPO, "BENCH_committed.json")) as f:
+        committed = json.load(f)
+    with open(os.path.join(REPO, "BENCH_local.json")) as f:
+        local = json.load(f)
+    assert "sweep_sha256" in committed, (
+        "BENCH_committed.json lacks provenance — regenerate with "
+        "`python tools/bench_median.py s1 s2 s3 --commit`")
+    want = bench_median.sweep_hash(committed)
+    assert committed["sweep_sha256"] == want, (
+        "committed queries dict does not hash to its own sweep_sha256 "
+        "— the artifact was edited after the tool wrote it")
+    assert committed["sweep_sha256"] in local.get("sweep_hashes", []), (
+        "committed sweep is not one of the sweeps that produced the "
+        "median baseline — re-run the round-close sequence")
+    # hash really covers the timings: a one-key perturbation changes it
+    perturbed = {"queries": dict(committed["queries"])}
+    k0 = next(iter(perturbed["queries"]))
+    perturbed["queries"][k0] += 1.0
+    assert bench_median.sweep_hash(perturbed) != want
