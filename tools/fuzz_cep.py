@@ -484,10 +484,15 @@ def fuzz_mixed_links(spark, rng):
     k = rng.randint(2, 4)
     pattern = []
     for i in range(k):
-        etype = rng.choice([
-            "view", "click", ("view", "click"), ("purchase", "error"),
-            ("!", "error"), ("!", "view", "signup"),
-        ])
+        # the first variable must be POSITIVE and mandatory (relaxed
+        # plan rules: the anchor atom can't be a complement class and
+        # min rows >= 1) — later variables draw the full space
+        etype = rng.choice(
+            ["view", "click", ("view", "click"), ("purchase", "error")]
+            if i == 0 else [
+                "view", "click", ("view", "click"), ("purchase", "error"),
+                ("!", "error"), ("!", "view", "signup"),
+            ])
         quant = rng.choice(["1", "1", "+", "?", "{1,2}", "{2,3}", "+?"])
         if i == 0 and quant in ("?",):
             quant = "1"
@@ -602,10 +607,13 @@ def fuzz_relaxed_skip(spark, rng):
     k = rng.randint(2, 4)
     pattern = []
     for i in range(k):
-        etype = rng.choice([
-            "view", "click", ("view", "click"), ("purchase", "error"),
-            ("!", "error"),
-        ])
+        # positive, mandatory first variable (relaxed plan rules)
+        etype = rng.choice(
+            ["view", "click", ("view", "click"), ("purchase", "error")]
+            if i == 0 else [
+                "view", "click", ("view", "click"), ("purchase", "error"),
+                ("!", "error"),
+            ])
         quant = rng.choice(["1", "1", "+", "?", "{1,2}", "{2,3}"])
         if i == 0 and quant == "?":
             quant = "1"
