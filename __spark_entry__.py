@@ -48,6 +48,8 @@ _VERIFIED_GREEN = (
     # (the r6/r7-era llm/mm keys, VERDICT r12 #7). The two rows-only
     # keys (q_agg_approx_uv, q_agg_approx_quantile) stay here — their
     # no_oracle verdict can never change.
+    "q_mm_frames",
+    "q_mm_meta_filter",
     "q_pivot",
     "q_set_except_all", "q_set_intersect_all", "q_sort_nulls",
     "q_stream_cumulate", "q_tpch_q3", "q_tpch_q5", "q_udaf_groupagg",
@@ -117,7 +119,8 @@ _VERIFIED_GREEN = (
 # and the remaining slots re-check the 14 stalest greens (r6/r7-era
 # llm/mm keys per VERDICT r12 #7).
 _REVERIFY_FRONT = (
-    "q_cep_iter_within_step",
+    "q_cep_iter_within_step", "q_cep_mixed_links_sessionized",
+    "q_cep_not_next_end",
     "q_cep_followed_by_readmit", "q_cep_followed_by_skip_last",
     "q_cep_followed_by_skip_first", "q_cep_runagg_minmax",
     "q_cep_mixed_links", "q_cep_within_step", "q_cep_followed_by",
@@ -138,7 +141,7 @@ _REVERIFY_FRONT = (
     "q_llm_dup_groups", "q_llm_fingerprint", "q_llm_kmeans",
     "q_llm_kmeans_assign", "q_llm_knn", "q_llm_knn_ivf_scaled",
     "q_llm_lang_id", "q_llm_quality", "q_llm_tokens", "q_llm_winnow",
-    "q_mm_features", "q_mm_frames", "q_mm_meta_filter",
+    "q_mm_features",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2456,16 +2456,23 @@ def match_recognize_runagg(
         return F.coalesce(out, F.lit(False))
 
     # nb: the row number of the NEXT row (this one included) whose okb
-    # flag is false — a suffix-min over the same ordered window, so it
-    # rides the single per-key shuffle. Because the collected array is
-    # sorted by the identical (ts, id) order, nb is directly comparable
-    # to 1-based array positions; it turns "first okb-failure at or
-    # after position s" from an O(n) scan into an O(1) lookup on the
-    # monotone fast path below.
+    # flag is false — a suffix-min over the same keys, riding the
+    # single per-key shuffle. Because the collected array is sorted by
+    # the identical (ts, id) order, nb is directly comparable to
+    # 1-based array positions; it turns "first okb-failure at or after
+    # position s" from an O(n) scan into an O(1) lookup on the
+    # monotone fast path below. Round 13: the suffix-min is spelled as
+    # a GROWING frame over the REVERSED order — Spark evaluates the
+    # literal (0, unboundedFollowing) frame by per-row tail rescan,
+    # O(rows²) per key (SCALE.md round-13 finding), which silently
+    # defeated the fast path's O(n log n) claim on hot keys; the
+    # reversed (unboundedPreceding, 0) frame is incremental and
+    # byte-identical (one extra partition-local sort, same shuffle).
+    w_desc = Window.partitionBy(*keys).orderBy(
+        F.col(ts).desc(), F.col(id_col).desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
     okb_col = simple_ok(adef)
-    nb = F.min(F.when(~okb_col, rn)).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
-    )
+    nb = F.min(F.when(~okb_col, rn)).over(w_desc)
     oksufs_col = (
         F.array(*[simple_ok(d) for _, d, _ in suffixes])
         if suffixes else F.array().cast("array<boolean>")
@@ -2477,9 +2484,7 @@ def match_recognize_runagg(
     # lookup.
     tail = bool(suffixes) and suffixes[-1][2] == "+" and not general
     ns = (
-        F.min(F.when(~simple_ok(suffixes[-1][1]), rn)).over(
-            w.rowsBetween(0, Window.unboundedFollowing)
-        )
+        F.min(F.when(~simple_ok(suffixes[-1][1]), rn)).over(w_desc)
         if tail else F.lit(None).cast("long")
     )
     # nsufs (general chain only): per chain variable, the row number of
@@ -2490,9 +2495,7 @@ def match_recognize_runagg(
     # variables.
     nsufs_col = (
         F.array(*[
-            F.min(F.when(~simple_ok(d), rn)).over(
-                w.rowsBetween(0, Window.unboundedFollowing)
-            )
+            F.min(F.when(~simple_ok(d), rn)).over(w_desc)
             for _, d, _ in suffixes
         ])
         if general else F.array().cast("array<bigint>")
@@ -4001,6 +4004,7 @@ def match_recognize_relaxed_sessionized(
     type_col: str = "event_type",
     id_col: str = "event_id",
     skip: str = "past_last_row",
+    links: set | frozenset | None = None,
 ) -> DataFrame:
     """Sessionized deployment shape for relaxed matching — Flink jobs
     run followedBy patterns inside session/time windows for exactly the
@@ -4009,11 +4013,14 @@ def match_recognize_relaxed_sessionized(
     span a session gap; adds ``session_id`` to the match columns.
     ``skip`` composes (r13): the variable-targeted modes' anchored
     attempts run per (key, session), which is also what bounds the
-    every-offset scan on a hot key."""
+    every-offset scan on a hot key. ``links`` composes too (r13 mixed
+    strict/relaxed edges — the adjacency constraint applies within the
+    session's row order, which is the per-key order restricted to the
+    session)."""
     s = sessionize(events, gap_minutes, key, ts, id_col)
     return match_recognize_relaxed(
         s, pattern, key=[key, "session_id"],
-        ts=ts, type_col=type_col, id_col=id_col, skip=skip,
+        ts=ts, type_col=type_col, id_col=id_col, skip=skip, links=links,
     )
 
 
@@ -4026,8 +4033,10 @@ def match_recognize_relaxed_sessionized_oracle_sql(
     type_col: str = "event_type",
     id_col: str = "event_id",
     skip: str = "past_last_row",
+    links: set | frozenset | None = None,
 ) -> str:
-    """DuckDB SQL replaying :func:`match_recognize_relaxed_sessionized`."""
+    """DuckDB SQL replaying :func:`match_recognize_relaxed_sessionized`
+    (``links`` = the r13 mixed strict/relaxed edges, regex-shared)."""
     source = f"""
         SELECT {key}, {ts}, {id_col}, {type_col},
                CAST(SUM(CASE WHEN prev_ts IS NULL
@@ -4043,9 +4052,9 @@ def match_recognize_relaxed_sessionized_oracle_sql(
     if mode != "past_last_row":
         return _relaxed_skip_oracle(pattern, mode, target,
                                     [key, "session_id"], source,
-                                    ts, type_col, id_col)
+                                    ts, type_col, id_col, links)
     return _relaxed_oracle_core(pattern, [key, "session_id"], source,
-                                ts, type_col, id_col)
+                                ts, type_col, id_col, links)
 
 
 def match_recognize_relaxed_within(
@@ -8087,5 +8096,217 @@ def match_recognize_within_step_oracle_sql(
         FROM r r0
         {join_sql}
         WHERE r0.p0
+    ){numbering}
+    """
+
+
+# --- trailing notNext: Flink's non-consuming strict absence at END ------
+
+def match_recognize_not_next_end(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    forbid,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    skip: str = "past_last_row",
+) -> DataFrame:
+    """Flink's trailing ``notNext(X)`` — a NON-CONSUMING strict
+    absence at pattern END (round 13): ``begin(V).next(C).next(P)
+    .notNext(X)`` matches V C P on ADJACENT rows iff the row
+    IMMEDIATELY following P is not of a forbidden type; the witness
+    row is NOT part of the match (it may anchor the next one) —
+    the semantic contrast to this engine family's complement classes,
+    which implement the CONSUMING form (the negative row joins the
+    match span). An absent successor (end of the key partition)
+    confirms the absence, exactly as batch end-of-input closes
+    Flink's pending negative state.
+
+    Scope: every variable single-occurrence (quantifier '1', positive
+    or complement classes in any position — adjacency fixes the match
+    shape, so there is no giveback ambiguity and the absence check is
+    EXACT per anchor; quantified trailing variables would make the
+    greedy end interact with the lookahead, a different engine).
+
+    Lowering — fully LINEAR, no per-key collect of raw rows: per row,
+    ``lead``-shifted admit flags conjoin into one anchor predicate
+    (match at row r = rows r..r+k-1 admit positionally) and the
+    absence check is ``lead(type, k)`` ∉ forbid (NULL = end of
+    partition = absent = confirmed). AFTER MATCH: fixed-length
+    matches still overlap as candidates, so 'past_last_row' runs the
+    family's non-overlap fold over the per-key candidate OFFSETS
+    (match-count-sized state, not row-sized); 'to_next_row' emits
+    every anchor. One shuffle, zero Python.
+
+    Returns ``key..., match_no, first_event_id, last_event_id,
+    n_rows`` (= len(pattern)).
+    Semantics source: Flink CEP Pattern API ``notNext`` (public docs,
+    per SURVEY §0).
+    """
+    from pyspark.sql.window import Window
+
+    if not pattern:
+        raise ValueError("pattern needs at least one variable")
+    seen = set()
+    for var, etype, quant in pattern:
+        if var in seen:
+            raise ValueError(f"duplicate pattern variable {var!r}")
+        if not _types_of(etype):
+            raise ValueError(
+                f"variable {var!r} needs at least one event type")
+        if quant != "1":
+            raise ValueError(
+                f"variable {var!r}: trailing notNext supports "
+                "single-occurrence variables only (quantifier '1') — "
+                "a quantified trailing variable makes the greedy end "
+                "interact with the absence check")
+        seen.add(var)
+    ftypes = _types_of(forbid)
+    if not ftypes:
+        raise ValueError("forbid must name at least one event type")
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    keys = [key] if isinstance(key, str) else list(key)
+    k = len(pattern)
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    ok = _step_pred(pattern[0][1], type_col)
+    for i, (_, etype, _) in enumerate(pattern[1:], start=1):
+        ok = ok & F.coalesce(
+            F.lead(_step_pred(etype, type_col), i).over(w), F.lit(False)
+        )
+    nxt_t = F.lead(type_col, k).over(w)
+    absent = nxt_t.isNull() | ~nxt_t.isin(*ftypes)
+    rn = F.row_number().over(w)
+    last_id = F.lead(id_col, k - 1).over(w)
+    cands = events.select(
+        *[F.col(c) for c in keys],
+        F.struct(
+            rn.cast("long").alias("off"),
+            F.col(id_col).alias("first_event_id"),
+            last_id.alias("last_event_id"),
+        ).alias("c"),
+        (F.coalesce(ok, F.lit(False)) & absent).alias("valid"),
+    ).filter(F.col("valid"))
+    if skip == "to_next_row":
+        w_no = Window.partitionBy(*keys).orderBy(F.col("c")["off"])
+        return cands.select(
+            *[F.col(c) for c in keys],
+            F.row_number().over(w_no).cast("long").alias("match_no"),
+            F.col("c")["first_event_id"].alias("first_event_id"),
+            F.col("c")["last_event_id"].alias("last_event_id"),
+            F.lit(k).cast("long").alias("n_rows"),
+        )
+    grouped = cands.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("c")).alias("l")
+    )
+    init = F.expr(
+        "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
+        "array<struct<off:bigint,first_event_id:bigint,"
+        "last_event_id:bigint>>))"
+    )
+    sel = F.aggregate(
+        F.col("l"),
+        init,
+        lambda acc, c: F.when(
+            c["off"] >= acc["p"],
+            F.struct(
+                (c["off"] + F.lit(k)).alias("p"),
+                F.concat(acc["sel"], F.array(c)).alias("sel"),
+            ),
+        ).otherwise(acc),
+    )["sel"]
+    return grouped.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(sel),
+    ).select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.col("col")["first_event_id"].alias("first_event_id"),
+        F.col("col")["last_event_id"].alias("last_event_id"),
+        F.lit(k).cast("long").alias("n_rows"),
+    )
+
+
+def match_recognize_not_next_end_oracle_sql(
+    pattern: list[tuple[str, object, str]],
+    forbid,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    skip: str = "past_last_row",
+) -> str:
+    """DuckDB replay of :func:`match_recognize_not_next_end`: the same
+    lead-shifted positional flag conjunction, the same
+    NULL-or-not-forbidden successor check, and the shared recursive
+    non-overlap fold for past_last_row."""
+    if not pattern:
+        raise ValueError("pattern needs at least one variable")
+    for var, etype, quant in pattern:
+        if quant != "1" or not _types_of(etype):
+            raise ValueError(
+                f"variable {var!r}: single-occurrence positive/"
+                "complement classes only (the engine's scope)")
+    ftypes = _types_of(forbid)
+    if not ftypes:
+        raise ValueError("forbid must name at least one event type")
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    k = len(pattern)
+    alts = ", ".join(f"'{t}'" for t in ftypes)
+    order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    flags = " AND ".join(
+        f"COALESCE(lead({_step_pred_sql(etype, type_col)}, {i}) "
+        f"OVER ({order}), FALSE)"
+        if i else _step_pred_sql(etype, type_col)
+        for i, (_, etype, _) in enumerate(pattern)
+    )
+    if skip == "to_next_row":
+        numbering = f"""
+    SELECT {key},
+           CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
+                AS BIGINT) AS match_no,
+           first_event_id, last_event_id,
+           CAST({k} AS BIGINT) AS n_rows
+    FROM cand"""
+    else:
+        numbering = f""",
+    pick AS (
+        SELECT {key}, off, first_event_id, last_event_id, 1 AS match_no
+        FROM cand c
+        WHERE off = (SELECT min(off) FROM cand c2
+                     WHERE c2.{key} = c.{key})
+      UNION ALL
+        SELECT nx.{key}, nx.off, nx.first_event_id, nx.last_event_id,
+               pk.match_no + 1
+        FROM pick pk JOIN cand nx
+             ON nx.{key} = pk.{key} AND nx.off >= pk.off + {k}
+        WHERE nx.off = (SELECT min(n2.off) FROM cand n2
+                        WHERE n2.{key} = pk.{key}
+                          AND n2.off >= pk.off + {k})
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           first_event_id, last_event_id,
+           CAST({k} AS BIGINT) AS n_rows
+    FROM pick"""
+        numbering = numbering
+    return f"""
+    WITH RECURSIVE r AS (
+        SELECT {key},
+               CAST(row_number() OVER ({order}) AS BIGINT) AS off,
+               CAST({id_col} AS BIGINT) AS first_event_id,
+               CAST(lead({id_col}, {k - 1}) OVER ({order}) AS BIGINT)
+                   AS last_event_id,
+               ({flags}) AS ok,
+               lead({type_col}, {k}) OVER ({order}) AS nxt_t
+        FROM {table}
+    ),
+    cand AS (
+        SELECT {key}, off, first_event_id, last_event_id
+        FROM r
+        WHERE ok AND (nxt_t IS NULL OR nxt_t NOT IN ({alts}))
     ){numbering}
     """

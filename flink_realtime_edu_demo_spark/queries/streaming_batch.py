@@ -44,6 +44,8 @@ from ..operators.cep import (
     match_recognize_relaxed_not_oracle_sql,
     match_recognize_not_followed_by_end,
     match_recognize_not_followed_by_end_oracle_sql,
+    match_recognize_not_next_end,
+    match_recognize_not_next_end_oracle_sql,
     match_recognize_relaxed_within,
     match_recognize_followed_by_any,
     match_recognize_followed_by_any_oracle_sql,
@@ -468,6 +470,24 @@ def q_cep_mixed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return match_recognize_relaxed(ev, CEP_MIXED_PATTERN,
                                    links=CEP_MIXED_LINKS)
+
+
+@query("q_cep_mixed_links_sessionized",
+       oracle=match_recognize_relaxed_sessionized_oracle_sql(
+           CEP_MIXED_PATTERN, gap_minutes=720, links=CEP_MIXED_LINKS))
+def q_cep_mixed_links_sessionized(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Mixed strict/relaxed edges in the SESSIONIZED deployment shape
+    (round 13): q_cep_mixed_links' begin.next(C+).followedBy(P)
+    pattern per (user, 12 h session) — the adjacency constraint
+    applies within the session's row order (the per-key order
+    restricted to the session), matches cannot span a gap, and the
+    session bounds the token string on hot keys (the relaxed family's
+    standing deployment rule). Same regex on both sides; the oracle
+    sessionizes with the shared running-gap islands CTE."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_sessionized(
+        ev, CEP_MIXED_PATTERN, gap_minutes=720, links=CEP_MIXED_LINKS)
 
 
 CEP_FB_SKIP_PATTERN = [
@@ -1030,6 +1050,44 @@ def q_cep_runagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     `SUM(B.price) < 100` example (public docs, per SURVEY §0)."""
     ev = load(spark, sf_dir, "events")
     return match_recognize_runagg(ev, CEP_RUNAGG_PATTERN)
+
+
+# Flink's TRAILING notNext — the NON-consuming strict absence at
+# pattern end (round 13): the witness row is checked but never joins
+# the match (it may anchor the next one), vs the consuming complement
+# class below.
+CEP_NOTNEXT_PATTERN = [
+    ("C", "click", "1"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_not_next_end",
+       oracle=match_recognize_not_next_end_oracle_sql(
+           CEP_NOTNEXT_PATTERN, "error"))
+def q_cep_not_next_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ``notNext(X)`` — NON-consuming strict absence at
+    pattern END (round 13): ``begin(C).next(P).notNext(error)`` — a
+    purchase on the row right after a click, where the row
+    IMMEDIATELY after the purchase is not an error (309 vs 374
+    unconstrained matches at sf0.01 — the absence is plainly
+    observable); an absent successor (end of the key partition)
+    confirms, exactly as batch end-of-input closes Flink's pending
+    negative state. The witness row is NOT consumed — it may anchor
+    the next match — the semantic contrast to q_cep_negation's
+    complement class (the CONSUMING form). Lowering is fully LINEAR:
+    lead-shifted positional flags conjoin into one anchor predicate,
+    the absence is one more lead, and only match-count-sized
+    candidate structs reach the non-overlap fold (no raw-row
+    collect). Scope: single-occurrence variables (adjacency fixes the
+    match shape, so the absence check is exact per anchor — no
+    giveback/lookahead interaction). Oracle replays the identical
+    lead conjunction + recursive fold; reference-tested in
+    tests/test_property.py and fuzzed (not_next_end family).
+    Semantics source: Flink CEP Pattern API notNext (public docs, per
+    SURVEY §0)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_not_next_end(ev, CEP_NOTNEXT_PATTERN, "error")
 
 
 # Complement predicate: a view, clicks, then a row that is NOT a

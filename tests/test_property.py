@@ -3653,3 +3653,75 @@ def test_match_recognize_relaxed_skip_matches_reference(
         ).collect()
     )
     assert got == sorted(want), (types, pat, skip, got, want)
+
+
+# --- trailing notNext (non-consuming strict absence) vs reference ---
+
+def _py_not_next_end_spans(types, pattern, forbid, skip):
+    """Reference for the round-13 trailing notNext: match at index j =
+    rows j..j+k-1 admit positionally (strict adjacency) AND the row at
+    j+k is absent or not of a forbidden type (the witness is NOT
+    consumed). past_last_row folds non-overlapping left to right;
+    to_next_row emits every anchor. Returns inclusive (start, end)
+    index spans."""
+    preds = [_pred(t) for _, t, _ in pattern]
+    fb = set(forbid) if not isinstance(forbid, str) else {forbid}
+    k = len(pattern)
+    n = len(types)
+
+    def ok(j):
+        if j + k > n:
+            return False
+        if not all(preds[i](types[j + i]) for i in range(k)):
+            return False
+        return j + k >= n or types[j + k] not in fb
+
+    if skip == "to_next_row":
+        return [(j, j + k - 1) for j in range(n) if ok(j)]
+    out, i = [], 0
+    while i < n:
+        if ok(i):
+            out.append((i, i + k - 1))
+            i += k
+        else:
+            i += 1
+    return out
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=1, max_size=40,
+    ),
+    vars_=st.lists(within_step_var, min_size=1, max_size=3),
+    fb_sel=st.integers(0, 2),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_not_next_end_matches_reference(
+    spark, types, vars_, fb_sel, skip_sel
+):
+    """Round 13: the lead-flag lowering of the non-consuming trailing
+    notNext must reproduce the reference spans in both AFTER MATCH
+    modes — including end-of-partition confirmation (no successor =
+    absent) and witness rows anchoring the NEXT match."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_not_next_end,
+    )
+
+    pattern = [(f"V{i}", t, "1") for i, t in enumerate(vars_)]
+    forbid = [("error",), ("error", "signup"), ("purchase",)][fb_sel]
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    want = _py_not_next_end_spans(types, pattern, forbid, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(types)],
+        "user_id long, event_id long, event_type string",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_not_next_end(
+            ev, pattern, forbid, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (types, vars_, forbid, skip, got, want)

@@ -60,6 +60,7 @@ from flink_realtime_edu_demo_spark.operators.cep import (  # noqa: E402
     match_recognize_followed_by_iterative,
     match_recognize_iterative,
     match_recognize_not_followed_by_end,
+    match_recognize_not_next_end,
     match_recognize_relaxed_groups,
     match_recognize_runagg,
     match_recognize_until,
@@ -720,6 +721,30 @@ def fuzz_all_rows_running(spark, rng):
                          got, want)
 
 
+def fuzz_not_next_end(spark, rng):
+    """Round 13: trailing notNext (non-consuming strict absence) vs
+    the positional reference — both skips, end-of-partition
+    confirmation, witness rows re-anchoring."""
+    types = [rng.choice(TYPES5) for _ in range(rng.randint(40, 120))]
+    k = rng.randint(1, 3)
+    vars_ = [rng.choice([
+        "view", "click", "purchase", ("view", "click"),
+        ("purchase", "error"), ("!", "error"), ("!", "view", "click"),
+    ]) for _ in range(k)]
+    pattern = [(f"V{i}", t, "1") for i, t in enumerate(vars_)]
+    forbid = rng.choice([("error",), ("error", "signup"), ("purchase",)])
+    skip = rng.choice(["past_last_row", "to_next_row"])
+    want = ref._py_not_next_end_spans(types, pattern, forbid, skip)
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_not_next_end(
+            _ev(spark, types, False), pattern, forbid,
+            ts="event_id", skip=skip).collect()
+    )
+    assert got == sorted(want), ("not_next_end", types, vars_, forbid,
+                                 skip, got, want)
+
+
 FAMILIES = [
     ("runagg_chain", fuzz_runagg_chain),
     ("iterative", fuzz_iterative),
@@ -737,6 +762,7 @@ FAMILIES = [
     ("relaxed_skip", fuzz_relaxed_skip),
     # round 13: the r12 measure-composition layer as its own family
     ("all_rows_running", fuzz_all_rows_running),
+    ("not_next_end", fuzz_not_next_end),
 ]
 
 
