@@ -48,6 +48,7 @@ _VERIFIED_GREEN = (
     # (the r6/r7-era llm/mm keys, VERDICT r12 #7). The two rows-only
     # keys (q_agg_approx_uv, q_agg_approx_quantile) stay here — their
     # no_oracle verdict can never change.
+    "q_mm_features",
     "q_mm_frames",
     "q_mm_meta_filter",
     "q_pivot",
@@ -120,7 +121,7 @@ _VERIFIED_GREEN = (
 # llm/mm keys per VERDICT r12 #7).
 _REVERIFY_FRONT = (
     "q_cep_iter_within_step", "q_cep_mixed_links_sessionized",
-    "q_cep_not_next_end",
+    "q_cep_not_next_end", "q_cep_mixed_links_within",
     "q_cep_followed_by_readmit", "q_cep_followed_by_skip_last",
     "q_cep_followed_by_skip_first", "q_cep_runagg_minmax",
     "q_cep_mixed_links", "q_cep_within_step", "q_cep_followed_by",
@@ -141,7 +142,6 @@ _REVERIFY_FRONT = (
     "q_llm_dup_groups", "q_llm_fingerprint", "q_llm_kmeans",
     "q_llm_kmeans_assign", "q_llm_knn", "q_llm_knn_ivf_scaled",
     "q_llm_lang_id", "q_llm_quality", "q_llm_tokens", "q_llm_winnow",
-    "q_mm_features",
 )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -4065,6 +4065,7 @@ def match_recognize_relaxed_within(
     ts: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    links: set | frozenset | None = None,
 ) -> DataFrame:
     """Flink CEP's most common real-world composition:
     ``begin(...).followedBy(...).within(Time)`` — relaxed-contiguity
@@ -4090,11 +4091,14 @@ def match_recognize_relaxed_within(
     Returns ``key..., match_no, first_event_id, last_event_id,
     n_rows (variable-consumed), n_skipped, n_<var>...`` (the relaxed
     measure set). Window boundary CLOSED, as the within engine.
+    ``links`` (r13) composes — the mixed strict edges only narrow the
+    captured pieces the anchored scan already explores.
     """
     _validate_relaxed(pattern)
+    links = _validate_links(pattern, links)
     keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
-    regex = _relaxed_regex(pattern, chars)
+    regex = _relaxed_regex(pattern, chars, links)
     anchored = f"^(?:{regex})"
     lead = _leading_classes(pattern, chars)
     win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
@@ -4147,14 +4151,17 @@ def match_recognize_relaxed_within_oracle_sql(
     ts: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    links: set | frozenset | None = None,
 ) -> str:
     """DuckDB SQL replaying :func:`match_recognize_relaxed_within`:
     the within engine's per-anchor truncated substring + recursive-CTE
     selection, with the relaxed captured regex and per-group measure
-    re-extraction from the matched substring."""
+    re-extraction from the matched substring (``links`` = the r13
+    mixed strict edges, regex-shared)."""
     _validate_relaxed(pattern)
+    links = _validate_links(pattern, links)
     chars = _char_map(pattern)
-    regex = _relaxed_regex(pattern, chars)
+    regex = _relaxed_regex(pattern, chars, links)
     case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
     lead = _leading_classes(pattern, chars)
     prune = (
@@ -4447,6 +4454,7 @@ def match_recognize_relaxed_all_rows(
     ts: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    links: set | frozenset | None = None,
 ) -> DataFrame:
     """ALL ROWS output for relaxed (followedBy) matching — the shape
     Flink CEP's ``select()``/``flatSelect()`` hands the user: every row
@@ -4463,12 +4471,14 @@ def match_recognize_relaxed_all_rows(
     passes per key string (k = pattern arity).
 
     Returns ``key..., match_no, row_in_match (1-based over consumed
-    rows), classifier (nullable), event_id``.
+    rows), classifier (nullable), event_id``. ``links`` (r13) composes
+    — mixed strict edges share the captured-piece regex.
     """
     _validate_relaxed(pattern)
+    links = _validate_links(pattern, links)
     keys = [key] if isinstance(key, str) else list(key)
     chars = _char_map(pattern)
-    regex = _relaxed_regex(pattern, chars)
+    regex = _relaxed_regex(pattern, chars, links)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
                        guard_regex=regex)
     k = len(pattern)
@@ -4521,13 +4531,16 @@ def match_recognize_relaxed_all_rows_oracle_sql(
     ts: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    links: set | frozenset | None = None,
 ) -> str:
     """DuckDB SQL replaying :func:`match_recognize_relaxed_all_rows`:
     the same captured relaxed scan, per-variable group arrays unnested
-    token-wise with the admit-class CASE classifier."""
+    token-wise with the admit-class CASE classifier (``links`` = the
+    r13 mixed strict edges, regex-shared)."""
     _validate_relaxed(pattern)
+    links = _validate_links(pattern, links)
     chars = _char_map(pattern)
-    regex = _relaxed_regex(pattern, chars)
+    regex = _relaxed_regex(pattern, chars, links)
     case = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c in chars.items())
     k = len(pattern)
     gcols = ",\n               ".join(

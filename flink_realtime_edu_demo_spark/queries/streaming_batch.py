@@ -472,6 +472,27 @@ def q_cep_mixed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    links=CEP_MIXED_LINKS)
 
 
+@query("q_cep_mixed_links_within",
+       oracle=match_recognize_relaxed_within_oracle_sql(
+           CEP_MIXED_PATTERN, within_minutes=720,
+           links=CEP_MIXED_LINKS))
+def q_cep_mixed_links_within(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Mixed strict/relaxed edges composed with the whole-pattern
+    WITHIN bound (round 13): begin(V).next(C+).followedBy(P)
+    .within(12h) — the Flink-idiomatic composition where the strict
+    adjacency edge, the relaxed tail, and the per-match time bound
+    all apply at once. The anchored time-truncated scan explores the
+    no-leading-gap pieces over exactly the in-window rows (the within
+    bound also closes the skip-till-next state, the hot-key-safe flat
+    deployment of mixed patterns). Same regex both sides; hypothesis
+    vs the link-aware within reference
+    (tests/test_property.py::test_match_recognize_mixed_links_within_*)."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_relaxed_within(
+        ev, CEP_MIXED_PATTERN, within_minutes=720, links=CEP_MIXED_LINKS)
+
+
 @query("q_cep_mixed_links_sessionized",
        oracle=match_recognize_relaxed_sessionized_oracle_sql(
            CEP_MIXED_PATTERN, gap_minutes=720, links=CEP_MIXED_LINKS))

@@ -995,19 +995,21 @@ def test_match_recognize_relaxed_not_matches_reference(spark, types, pi):
 
 # --- match_recognize_relaxed_within vs a time-bounded skip-gap matcher ---
 
-def _py_relaxed_within(rows, pattern, w_minutes):
+def _py_relaxed_within(rows, pattern, w_minutes, links=frozenset()):
     """Reference for relaxed (followedBy) + WITHIN: per anchor the row
     universe is truncated to the contiguous run with
     ts <= ts_anchor + w (closed bound), the skip-gap backtracking
     attempt must start AT the anchor, and matches are selected left to
     right with SKIP PAST LAST ROW. rows = [(type, ts_minutes)].
+    ``links`` (r13): strict next() edges inside the pattern.
     Returns [(start, end_exclusive, counts_per_variable)]."""
     out, i = [], 0
     while i < len(rows):
         lim = i
         while lim + 1 < len(rows) and rows[lim + 1][1] <= rows[i][1] + w_minutes:
             lim += 1
-        r = _py_relaxed_attempt([t for t, _ in rows[i:lim + 1]], pattern, 0)
+        r = _py_relaxed_attempt([t for t, _ in rows[i:lim + 1]], pattern,
+                                0, links)
         if r is not None and r[0] > 0:
             out.append((i, i + r[0], r[1]))
             i = i + r[0]
@@ -3725,3 +3727,59 @@ def test_match_recognize_not_next_end_matches_reference(
         ).collect()
     )
     assert got == sorted(want), (types, vars_, forbid, skip, got, want)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_gaps=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 40),
+        ),
+        min_size=1, max_size=30,
+    ),
+    pat=relaxed_pattern_strategy.filter(lambda p: len(p) >= 2),
+    mask=st.integers(0, 255),
+    w=st.sampled_from([15, 60, 240]),
+)
+def test_match_recognize_mixed_links_within_matches_reference(
+    spark, typed_gaps, pat, mask, w
+):
+    """Round 13: mixed strict/relaxed edges composed with the
+    whole-pattern WITHIN bound — the no-leading-gap pieces inside the
+    anchored time-truncated scan must reproduce the link-aware
+    reference over the truncated row universe, including matches the
+    unbounded engine would extend past the window."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed_within,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    acc = 0
+    rows = []
+    for t, gap in typed_gaps:
+        acc += gap
+        rows.append((t, acc))
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    eligible = [v for i, (v, _, q) in enumerate(pattern)
+                if i > 0 and _parse_quant(q)[0] >= 1]
+    links = frozenset(v for b, v in enumerate(eligible) if mask & (1 << b))
+    want = sorted(
+        (s, e, sum(cs), (e - s) - sum(cs))
+        for s, e, cs in _py_relaxed_within(rows, pattern, w, links)
+    )
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id + 1, r.n_rows, r.n_skipped)
+        for r in match_recognize_relaxed_within(
+            ev, pattern, w, links=links
+        ).collect()
+    )
+    assert got == want, (rows, pat, links, w, got, want)
