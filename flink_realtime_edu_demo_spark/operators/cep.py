@@ -7845,6 +7845,26 @@ def _validate_within_step(pattern) -> None:
                 "lowering (whole-pattern within covers it)")
 
 
+def _validate_within_step_links(pattern, links) -> frozenset:
+    """links= for the per-edge within engine (round 14): strict
+    next() edges named by their TARGET variable — must be non-first
+    pattern variables. Returns the 1-based pattern indexes whose
+    incoming edge is strict."""
+    if not links:
+        return frozenset()
+    names = [v for v, _, _ in pattern]
+    out = set()
+    for var in links:
+        if var not in names:
+            raise ValueError(f"links names unknown variable {var!r}")
+        if names.index(var) == 0:
+            raise ValueError(
+                f"links target {var!r} is the FIRST variable — it has "
+                "no incoming edge to make strict")
+        out.add(names.index(var))
+    return frozenset(out)
+
+
 def _step_pred(etype, type_col: str):
     """Boolean admit predicate for one within-step variable."""
     from pyspark.sql import functions as F
@@ -7870,6 +7890,8 @@ def match_recognize_within_step(
     type_col: str = "event_type",
     id_col: str = "event_id",
     skip: str = "past_last_row",
+    max_key_rows: int | None = None,
+    links: set | frozenset | None = None,
 ) -> DataFrame:
     """Per-edge WITHIN under relaxed linking — Flink 1.18's
     ``pattern.within(Time.minutes(w), WithinType.PREVIOUS_AND_CURRENT)``
@@ -7898,8 +7920,24 @@ def match_recognize_within_step(
     This is the hot-key-safe deployment shape the whole-pattern
     ``within`` engines cannot reach (their eligible run is a regex
     scan); the per-edge bound also caps each skip gap by construction.
+    COMPUTE is linear, but like every flat form the key's rows are
+    collected into one array row, so per-key EXECUTOR MEMORY is
+    O(rows) — measured flat through 1M rows on one key
+    (HOTKEY.json ``within_step_flat``); beyond the measured range
+    pass ``max_key_rows`` to fail fast instead (default None =
+    ungated), or deploy the sessionized composition
+    (:func:`match_recognize_iter_within_step` sessionized callers).
     The DuckDB oracle replays the identical pointer chain as k-1
     self-equi-joins plus the shared recursive non-overlap fold.
+
+    ``links`` (round 14 — the mixed-linking composition VERDICT r13
+    next #9 asked the fuzz matrix to cover): a set of non-first
+    variable names whose edge from the previous variable is Flink's
+    strict ``next()`` — the step's pointer is then "row prev+1 IF it
+    admits" (one ``lead`` of the admit flag) instead of the
+    next-occurrence suffix-min, with the SAME per-edge time bound
+    (Flink 1.18 applies PREVIOUS_AND_CURRENT to every edge kind).
+    Composes with both skip modes; still fully linear.
 
     Precondition: (ts, id) unique per key (array_sort positional
     alignment, as in :func:`match_recognize_runagg`).
@@ -7918,6 +7956,7 @@ def match_recognize_within_step(
     _validate_within_step(pattern)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    strict = _validate_within_step_links(pattern, links)
     keys = [key] if isinstance(key, str) else list(key)
     k = len(pattern)
     win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
@@ -7937,11 +7976,17 @@ def match_recognize_within_step(
     # per key, the linear curve HOTKEY.json records. Same single
     # shuffle — both windows hash-partition on the key; the second
     # ORDER BY adds one partition-local sort.
+    # strict (links=) edges replace the suffix-min with "row rn+1 IF
+    # it admits" — one lead of the admit flag, same single shuffle.
     nxt_cols = [
-        F.min(F.when(_step_pred(etype, type_col), rn)).over(
+        F.when(
+            F.lead(_step_pred(etype, type_col), 1).over(w), rn + 1
+        ).cast("long")
+        if i in strict
+        else F.min(F.when(_step_pred(etype, type_col), rn)).over(
             w_desc.rowsBetween(Window.unboundedPreceding, -1)
         ).cast("long")
-        for _, etype, _ in pattern[1:]
+        for i, (_, etype, _) in enumerate(pattern[1:], start=1)
     ]
     rows = events.select(
         *[F.col(c) for c in keys],
@@ -7955,6 +8000,23 @@ def match_recognize_within_step(
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
     )
+    if max_key_rows is not None:
+        # memory gate, not a compute gate (ADVICE r13): the pointer
+        # chase is linear, but the collected array is O(rows) per-key
+        # executor memory; fail fast past the caller's bound.
+        chk = F.assert_true(
+            F.size(F.col("arr")) <= F.lit(int(max_key_rows)),
+            F.lit(
+                "per-key rows exceed max_key_rows for the flat "
+                "within_step form: compute is linear but the key's "
+                "rows live in ONE collected array (O(rows) executor "
+                "memory; measured flat to 1M rows, HOTKEY.json) — "
+                "deploy a sessionized composition or raise the bound"
+            ),
+        )
+        grouped = grouped.withColumn(
+            "arr", F.when(chk.isNull(), F.col("arr"))
+        )
     arr = F.col("arr")
     n = F.size(arr)
 
@@ -8023,6 +8085,7 @@ def match_recognize_within_step_oracle_sql(
     skip: str = "past_last_row",
     keys: list[str] | None = None,
     source_sql: str | None = None,
+    links: set | frozenset | None = None,
 ) -> str:
     """DuckDB replay of :func:`match_recognize_within_step`: the same
     next-occurrence suffix-min pointers (``min(CASE WHEN pred THEN rn
@@ -8037,16 +8100,24 @@ def match_recognize_within_step_oracle_sql(
     _validate_within_step(pattern)
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    strict = _validate_within_step_links(pattern, links)
     klist = keys or [key]
     key = ", ".join(klist)
     k = len(pattern)
     inner = source_sql or f"SELECT * FROM {table}"
     order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
     nxt_sql = ",\n               ".join(
-        f"CAST(min(CASE WHEN {_step_pred_sql(etype, type_col)} THEN rn END)"
-        f" OVER ({order} "
-        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT)"
-        f" AS nxt{i + 1}"
+        (
+            f"CAST(CASE WHEN lead({_step_pred_sql(etype, type_col)}, 1)"
+            f" OVER ({order}) THEN rn + 1 END AS BIGINT) AS nxt{i + 1}"
+        )
+        if i + 1 in strict
+        else (
+            f"CAST(min(CASE WHEN {_step_pred_sql(etype, type_col)} THEN rn END)"
+            f" OVER ({order} "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT)"
+            f" AS nxt{i + 1}"
+        )
         for i, (_, etype, _) in enumerate(pattern[1:])
     )
     joins = []
@@ -8305,7 +8376,6 @@ def match_recognize_not_next_end_oracle_sql(
            first_event_id, last_event_id,
            CAST({k} AS BIGINT) AS n_rows
     FROM pick"""
-        numbering = numbering
     return f"""
     WITH RECURSIVE r AS (
         SELECT {key},
@@ -8321,5 +8391,232 @@ def match_recognize_not_next_end_oracle_sql(
         SELECT {key}, off, first_event_id, last_event_id
         FROM r
         WHERE ok AND (nxt_t IS NULL OR nxt_t NOT IN ({alts}))
+    ){numbering}
+    """
+
+
+def _validate_not_next(pattern, not_next):
+    """Shared plan-time validation for the generalized non-consuming
+    notNext engine (round 14): single-occurrence variables, forbid
+    classes keyed by variable NAME, each naming >=1 event type."""
+    if not pattern:
+        raise ValueError("pattern needs at least one variable")
+    seen = set()
+    for var, etype, quant in pattern:
+        if var in seen:
+            raise ValueError(f"duplicate pattern variable {var!r}")
+        if not _types_of(etype):
+            raise ValueError(
+                f"variable {var!r} needs at least one event type")
+        if quant != "1":
+            raise ValueError(
+                f"variable {var!r}: notNext composition supports "
+                "single-occurrence variables only (quantifier '1') — "
+                "a quantified variable makes the greedy end interact "
+                "with the positional absence check")
+        seen.add(var)
+    if not not_next:
+        raise ValueError("not_next must name at least one edge")
+    names = [v for v, _, _ in pattern]
+    checks = {}
+    for var, forbid in not_next.items():
+        if var not in names:
+            raise ValueError(f"not_next names unknown variable {var!r}")
+        ftypes = _types_of(forbid)
+        if not ftypes:
+            raise ValueError(
+                f"not_next[{var!r}] must name at least one event type")
+        checks[names.index(var)] = ftypes
+    return checks
+
+
+def match_recognize_not_next(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    not_next: dict,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    skip: str = "past_last_row",
+) -> DataFrame:
+    """Flink's ``notNext(X)`` at ANY pattern position — the
+    generalized NON-CONSUMING strict absence (round 14, VERDICT r13
+    missing #4): ``not_next`` maps a pattern variable name to a
+    forbidden type class checked on the row IMMEDIATELY AFTER that
+    variable's matched row. For an INTERIOR variable that row is
+    exactly the row the NEXT variable consumes, so the edge becomes a
+    lead-flag CONJUNCTION: the successor row must satisfy the next
+    variable's class AND fall outside the forbid class. This is
+    observably different from the CONSUMING complement form
+    (q_cep_negation) precisely when forbid ∩ next-class ≠ ∅ —
+    ``begin(V).notNext(error).next(B∈{click,error})`` admits only
+    click successors, while the consuming form would spend a whole
+    row on the non-error check. A trailing entry (last variable)
+    degenerates to :func:`match_recognize_not_next_end`: the witness
+    row is not consumed and an absent successor (end of partition)
+    CONFIRMS the absence, exactly as batch end-of-input closes
+    Flink's pending negative state.
+
+    Lowering — fully LINEAR, no per-key collect of raw rows (the
+    :func:`match_recognize_not_next_end` shape): positional
+    ``lead``-shifted admit flags conjoin into one anchor predicate;
+    each notNext edge at variable index i adds ONE more conjunct
+    ``coalesce(NOT lead(type ∈ forbid, i+1), TRUE)`` (NULL = end of
+    partition = absent = confirmed; for interior edges the successor
+    row's existence is already forced by the next variable's flag).
+    Only match-count-sized candidate structs reach the non-overlap
+    fold. One shuffle, zero Python.
+
+    Returns ``key..., match_no, first_event_id, last_event_id,
+    n_rows`` (= len(pattern); notNext edges consume nothing).
+    Semantics source: Flink CEP Pattern API ``notNext`` (public docs,
+    per SURVEY §0). Reference: /root/reference/README.md:1.
+    """
+    from pyspark.sql.window import Window
+
+    checks = _validate_not_next(pattern, not_next)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    keys = [key] if isinstance(key, str) else list(key)
+    k = len(pattern)
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    ok = _step_pred(pattern[0][1], type_col)
+    for i, (_, etype, _) in enumerate(pattern[1:], start=1):
+        ok = ok & F.coalesce(
+            F.lead(_step_pred(etype, type_col), i).over(w), F.lit(False)
+        )
+    for i, ftypes in sorted(checks.items()):
+        fpred = F.col(type_col).isin(*ftypes)
+        ok = ok & F.coalesce(~F.lead(fpred, i + 1).over(w), F.lit(True))
+    rn = F.row_number().over(w)
+    last_id = F.lead(id_col, k - 1).over(w) if k > 1 else F.col(id_col)
+    cands = events.select(
+        *[F.col(c) for c in keys],
+        F.struct(
+            rn.cast("long").alias("off"),
+            F.col(id_col).alias("first_event_id"),
+            last_id.alias("last_event_id"),
+        ).alias("c"),
+        F.coalesce(ok, F.lit(False)).alias("valid"),
+    ).filter(F.col("valid"))
+    if skip == "to_next_row":
+        w_no = Window.partitionBy(*keys).orderBy(F.col("c")["off"])
+        return cands.select(
+            *[F.col(c) for c in keys],
+            F.row_number().over(w_no).cast("long").alias("match_no"),
+            F.col("c")["first_event_id"].alias("first_event_id"),
+            F.col("c")["last_event_id"].alias("last_event_id"),
+            F.lit(k).cast("long").alias("n_rows"),
+        )
+    grouped = cands.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("c")).alias("l")
+    )
+    init = F.expr(
+        "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
+        "array<struct<off:bigint,first_event_id:bigint,"
+        "last_event_id:bigint>>))"
+    )
+    sel = F.aggregate(
+        F.col("l"),
+        init,
+        lambda acc, c: F.when(
+            c["off"] >= acc["p"],
+            F.struct(
+                (c["off"] + F.lit(k)).alias("p"),
+                F.concat(acc["sel"], F.array(c)).alias("sel"),
+            ),
+        ).otherwise(acc),
+    )["sel"]
+    return grouped.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(sel),
+    ).select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.col("col")["first_event_id"].alias("first_event_id"),
+        F.col("col")["last_event_id"].alias("last_event_id"),
+        F.lit(k).cast("long").alias("n_rows"),
+    )
+
+
+def match_recognize_not_next_oracle_sql(
+    pattern: list[tuple[str, object, str]],
+    not_next: dict,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    skip: str = "past_last_row",
+) -> str:
+    """DuckDB replay of :func:`match_recognize_not_next`: the same
+    lead-shifted positional flag conjunction with one
+    COALESCE(NOT lead(type IN forbid, i+1), TRUE) conjunct per
+    notNext edge, and the shared recursive non-overlap fold for
+    past_last_row."""
+    checks = _validate_not_next(pattern, not_next)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
+    k = len(pattern)
+    order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    conj = [
+        f"COALESCE(lead({_step_pred_sql(etype, type_col)}, {i}) "
+        f"OVER ({order}), FALSE)"
+        if i else _step_pred_sql(etype, type_col)
+        for i, (_, etype, _) in enumerate(pattern)
+    ]
+    for i, ftypes in sorted(checks.items()):
+        alts = ", ".join(f"'{t}'" for t in ftypes)
+        conj.append(
+            f"COALESCE(NOT (lead({type_col}, {i + 1}) OVER ({order}) "
+            f"IN ({alts})), TRUE)"
+        )
+    flags = " AND ".join(conj)
+    last_id = (
+        f"CAST(lead({id_col}, {k - 1}) OVER ({order}) AS BIGINT)"
+        if k > 1 else f"CAST({id_col} AS BIGINT)"
+    )
+    if skip == "to_next_row":
+        numbering = f"""
+    SELECT {key},
+           CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
+                AS BIGINT) AS match_no,
+           first_event_id, last_event_id,
+           CAST({k} AS BIGINT) AS n_rows
+    FROM cand"""
+    else:
+        numbering = f""",
+    pick AS (
+        SELECT {key}, off, first_event_id, last_event_id, 1 AS match_no
+        FROM cand c
+        WHERE off = (SELECT min(off) FROM cand c2
+                     WHERE c2.{key} = c.{key})
+      UNION ALL
+        SELECT nx.{key}, nx.off, nx.first_event_id, nx.last_event_id,
+               pk.match_no + 1
+        FROM pick pk JOIN cand nx
+             ON nx.{key} = pk.{key} AND nx.off >= pk.off + {k}
+        WHERE nx.off = (SELECT min(n2.off) FROM cand n2
+                        WHERE n2.{key} = pk.{key}
+                          AND n2.off >= pk.off + {k})
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           first_event_id, last_event_id,
+           CAST({k} AS BIGINT) AS n_rows
+    FROM pick"""
+    return f"""
+    WITH RECURSIVE r AS (
+        SELECT {key},
+               CAST(row_number() OVER ({order}) AS BIGINT) AS off,
+               CAST({id_col} AS BIGINT) AS first_event_id,
+               {last_id} AS last_event_id,
+               ({flags}) AS ok
+        FROM {table}
+    ),
+    cand AS (
+        SELECT {key}, off, first_event_id, last_event_id
+        FROM r WHERE ok
     ){numbering}
     """

@@ -729,24 +729,33 @@ def test_match_recognize_within_matches_reference(spark, typed_gaps, pat, w):
 
 # --- match_recognize_within_step vs a pointer-chasing reference ---
 
-def _py_within_step_spans(rows, pattern, w_minutes, skip="past_last_row"):
+def _py_within_step_spans(rows, pattern, w_minutes, skip="past_last_row",
+                          links=()):
     """Reference for the round-13 per-edge within (Flink 1.18
     WithinType.PREVIOUS_AND_CURRENT): rows = [(type, ts_minutes)]
     sorted by ts; each step takes the FIRST admitting row after the
     previous matched row and the partial match dies when that row's
     ts exceeds prev_ts + w (closed boundary; monotone ts means no
-    later row can resurrect it). Returns inclusive (start, end)
-    index spans."""
+    later row can resurrect it). ``links`` (round 14) names variables
+    whose incoming edge is strict next(): the step's row must be
+    EXACTLY prev+1 and admit, same time bound. Returns inclusive
+    (start, end) index spans."""
     preds = [_pred(t) for _, t, _ in pattern]
+    names = [v for v, _, _ in pattern]
+    strict = {names.index(v) for v in links}
     n = len(rows)
 
     def attempt(j):
         if not preds[0](rows[j][0]):
             return None
         prev = j
-        for p in preds[1:]:
-            nxt = next(
-                (x for x in range(prev + 1, n) if p(rows[x][0])), None)
+        for i, p in enumerate(preds[1:], start=1):
+            if i in strict:
+                nxt = prev + 1 if prev + 1 < n and p(rows[prev + 1][0]) \
+                    else None
+            else:
+                nxt = next(
+                    (x for x in range(prev + 1, n) if p(rows[x][0])), None)
             if nxt is None or rows[nxt][1] > rows[prev][1] + w_minutes:
                 return None
             prev = nxt
@@ -3783,3 +3792,135 @@ def test_match_recognize_mixed_links_within_matches_reference(
         ).collect()
     )
     assert got == want, (rows, pat, links, w, got, want)
+
+
+def _py_not_next_spans(types, pattern, not_next, skip):
+    """Reference for the round-14 GENERALIZED notNext: match at index
+    j = rows j..j+k-1 admit positionally (strict adjacency) AND for
+    every notNext edge at variable index i the row at j+i+1 is absent
+    or outside the forbid class (the check row is NOT consumed — for
+    interior i it is the row variable i+1 matches; for the last
+    variable it is the unconsumed witness). past_last_row folds
+    non-overlapping left to right; to_next_row emits every anchor."""
+    preds = [_pred(t) for _, t, _ in pattern]
+    names = [v for v, _, _ in pattern]
+    checks = {
+        names.index(v): (set(fb) if not isinstance(fb, str) else {fb})
+        for v, fb in not_next.items()
+    }
+    k = len(pattern)
+    n = len(types)
+
+    def ok(j):
+        if j + k > n:
+            return False
+        if not all(preds[i](types[j + i]) for i in range(k)):
+            return False
+        for i, fb in checks.items():
+            if j + i + 1 < n and types[j + i + 1] in fb:
+                return False
+        return True
+
+    if skip == "to_next_row":
+        return [(j, j + k - 1) for j in range(n) if ok(j)]
+    out, i = [], 0
+    while i < n:
+        if ok(i):
+            out.append((i, i + k - 1))
+            i += k
+        else:
+            i += 1
+    return out
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+        min_size=1, max_size=40,
+    ),
+    vars_=st.lists(within_step_var, min_size=1, max_size=3),
+    edge_sel=st.integers(0, 2),
+    fb_sel=st.integers(0, 2),
+    skip_sel=st.integers(0, 1),
+)
+def test_match_recognize_not_next_interior_matches_reference(
+    spark, types, vars_, edge_sel, fb_sel, skip_sel
+):
+    """Round 14: the generalized non-consuming notNext (interior OR
+    trailing edge) must reproduce the reference spans in both AFTER
+    MATCH modes — in particular when the forbid class OVERLAPS the
+    next variable's admit class, the case where the non-consuming
+    form observably differs from the consuming complement."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_not_next,
+    )
+
+    pattern = [(f"V{i}", t, "1") for i, t in enumerate(vars_)]
+    var = pattern[edge_sel % len(pattern)][0]
+    forbid = [("error",), ("error", "signup"), ("purchase",)][fb_sel]
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    not_next = {var: forbid}
+    want = _py_not_next_spans(types, pattern, not_next, skip)
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(types)],
+        "user_id long, event_id long, event_type string",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_not_next(
+            ev, pattern, not_next, ts="event_id", skip=skip
+        ).collect()
+    )
+    assert got == sorted(want), (types, vars_, not_next, skip, got, want)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_gaps=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 40),
+        ),
+        min_size=2, max_size=30,
+    ),
+    vars_=st.lists(within_step_var, min_size=2, max_size=4),
+    link_mask=st.integers(1, 7),
+    w=st.integers(5, 60),
+    skip_sel=st.integers(0, 1),
+)
+def test_within_step_links_matches_reference(
+    spark, typed_gaps, vars_, link_mask, w, skip_sel
+):
+    """Round 14: mixed strict/relaxed edges under the per-edge within
+    bound — a links= variable's pointer must be 'row prev+1 if it
+    admits' while unlinked variables keep the first-admitting-after
+    pointer, both under the same closed time bound."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_within_step,
+    )
+
+    pattern = [(f"V{i}", t, "1") for i, t in enumerate(vars_)]
+    links = {f"V{i}" for i in range(1, len(vars_)) if link_mask & (1 << (i - 1))}
+    skip = ["past_last_row", "to_next_row"][skip_sel]
+    t, rows = 0, []
+    for typ, gap in typed_gaps:
+        t += gap
+        rows.append((typ, t))
+    want = _py_within_step_spans(rows, pattern, w, skip, links)
+    ev = spark.createDataFrame(
+        [(1, i, typ,
+          __import__("datetime").datetime(2024, 1, 1)
+          + __import__("datetime").timedelta(minutes=m))
+         for i, (typ, m) in enumerate(rows)],
+        "user_id long, event_id long, event_type string, ts timestamp_ntz",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_within_step(
+            ev, pattern, within_minutes=w, skip=skip, links=links
+        ).collect()
+    )
+    assert got == sorted(want), (rows, vars_, links, w, skip, got, want)

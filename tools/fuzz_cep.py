@@ -61,11 +61,17 @@ from flink_realtime_edu_demo_spark.operators.cep import (  # noqa: E402
     match_recognize_iterative,
     match_recognize_not_followed_by_end,
     match_recognize_not_next_end,
+    match_recognize_not_next,
     match_recognize_relaxed_groups,
     match_recognize_runagg,
     match_recognize_until,
     match_recognize_until_define,
     match_recognize_within_step,
+)
+
+from flink_realtime_edu_demo_spark.queries.streaming_batch import (  # noqa: E402
+    count_window_slide,
+    count_window_tumble,
 )
 
 TYPES5 = ["view", "click", "purchase", "error", "signup"]
@@ -745,6 +751,154 @@ def fuzz_not_next_end(spark, rng):
                                  skip, got, want)
 
 
+def fuzz_not_next_interior(spark, rng):
+    """Round 14 (VERDICT r13 missing #4): generalized non-consuming
+    notNext — interior AND trailing edges, with the forbid class
+    FORCED to overlap the next variable's admit class on at least one
+    interior edge (the case where the non-consuming form observably
+    differs from the consuming complement), vs the positional
+    reference."""
+    types = [rng.choice(TYPES5) for _ in range(rng.randint(40, 120))]
+    k = rng.randint(2, 3)
+    vars_ = [rng.choice([
+        "view", "click", "purchase", ("view", "click"),
+        ("purchase", "error"), ("!", "error"), ("!", "view", "click"),
+    ]) for _ in range(k)]
+    pattern = [(f"V{i}", t, "1") for i, t in enumerate(vars_)]
+    # one guaranteed-overlapping interior edge: forbid a type the NEXT
+    # variable admits (complement classes admit everything else, so
+    # pick any type outside the complement set)
+    i = rng.randint(0, k - 2)
+    nxt = vars_[i + 1]
+    if isinstance(nxt, tuple) and nxt[0] == "!":
+        admit = [t for t in TYPES5 if t not in nxt[1:]]
+    elif isinstance(nxt, tuple):
+        admit = list(nxt)
+    else:
+        admit = [nxt]
+    not_next = {f"V{i}": (rng.choice(admit),)}
+    # optionally a second, independent edge (may be trailing)
+    if rng.random() < 0.5:
+        j = rng.randint(0, k - 1)
+        not_next.setdefault(
+            f"V{j}", tuple(rng.sample(TYPES5, rng.randint(1, 2))))
+    skip = rng.choice(["past_last_row", "to_next_row"])
+    want = ref._py_not_next_spans(types, pattern, not_next, skip)
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_not_next(
+            _ev(spark, types, False), pattern, not_next,
+            ts="event_id", skip=skip).collect()
+    )
+    assert got == sorted(want), ("not_next_interior", types, vars_,
+                                 not_next, skip, got, want)
+
+
+def fuzz_within_step_links(spark, rng):
+    """Round 14 (VERDICT r13 next #9, mixed_links x within_step):
+    random strict-edge subsets under the per-edge within bound vs the
+    link-aware pointer-chasing reference — strict pointers must be
+    'row prev+1 if it admits', relaxed ones first-admitting-after,
+    both under the same closed time bound."""
+    import datetime as dt
+
+    n = rng.randint(40, 120)
+    acc = 0
+    rows = []
+    for _ in range(n):
+        acc += rng.randint(0, 30)
+        rows.append((rng.choice(["view", "click", "purchase", "error"]),
+                     acc))
+    k = rng.randint(2, 4)
+    vars_ = [rng.choice([
+        "view", "click", "purchase", ("view", "click"),
+        ("purchase", "error"), ("!", "error"), ("!", "view", "click"),
+    ]) for _ in range(k)]
+    pattern = [(f"V{i}", t, "1") for i, t in enumerate(vars_)]
+    links = {f"V{i}" for i in range(1, k) if rng.random() < 0.5}
+    if not links:
+        links = {f"V{rng.randint(1, k - 1)}"}
+    w = rng.choice([15, 30, 60, 240])
+    skip = rng.choice(["past_last_row", "to_next_row"])
+    want = ref._py_within_step_spans(rows, pattern, w, skip, links)
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_within_step(
+            ev, pattern, w, skip=skip, links=links).collect()
+    )
+    assert got == sorted(want), ("within_step_links", rows, vars_,
+                                 links, w, skip, got, want)
+
+
+def _py_count_windows(rows_by_key, size, slide=None):
+    """Reference for keyed count windows: rows_by_key maps key ->
+    [(event_id, cents)] in arrival order. Tumbling (slide None):
+    complete size-chunks -> (key, wid, n, first, last, cents).
+    Sliding: fire at every slide-th element with the last
+    min(size, seen) elements."""
+    out = []
+    for k, rows in rows_by_key.items():
+        if slide is None:
+            for wid in range(len(rows) // size):
+                chunk = rows[wid * size:(wid + 1) * size]
+                out.append((k, wid, size, chunk[0][0], chunk[-1][0],
+                            sum(c for _, c in chunk)))
+        else:
+            for pos in range(slide, len(rows) + 1, slide):
+                chunk = rows[max(0, pos - size):pos]
+                out.append((k, pos // slide, len(chunk), chunk[0][0],
+                            chunk[-1][0], sum(c for _, c in chunk)))
+    return sorted(out)
+
+
+def fuzz_count_windows(spark, rng):
+    """Round 14 (VERDICT r13 next #2): keyed count windows at random
+    (size, slide) vs the Python chunking/ring-buffer reference —
+    complete-window-only firing (tumble), ramp-up firings (slide),
+    and the exact-decimal totals (integer-cents reference)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import datetime as dt
+
+    n = rng.randint(40, 150)
+    n_keys = rng.randint(1, 4)
+    t0 = dt.datetime(2024, 1, 1)
+    data = []
+    rows_by_key = {}
+    for i in range(n):
+        k = rng.randint(1, n_keys)
+        v = round(rng.uniform(-20, 100), rng.randint(0, 4))
+        data.append((k, i, t0 + dt.timedelta(minutes=i), float(v)))
+        cents = int(Decimal(repr(float(v))).quantize(
+            Decimal("0.01"), ROUND_HALF_UP) * 100)
+        rows_by_key.setdefault(k, []).append((i, cents))
+    ev = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp_ntz, value double")
+    size = rng.randint(2, 6)
+    want = _py_count_windows(rows_by_key, size)
+    got = sorted(
+        (r.user_id, r.wid, r.n, r.first_event_id, r.last_event_id,
+         int(round(r.total_value * 100)))
+        for r in count_window_tumble(ev, size).collect()
+    )
+    assert got == want, ("count_tumble", data, size, got, want)
+    slide = rng.randint(1, 4)
+    want_s = _py_count_windows(rows_by_key, size, slide)
+    got_s = sorted(
+        (r.user_id, r.fire_no, r.n, r.first_event_id, r.last_event_id,
+         int(round(r.total_value * 100)))
+        for r in count_window_slide(ev, size, slide).collect()
+    )
+    assert got_s == want_s, ("count_slide", data, size, slide,
+                             got_s, want_s)
+
+
 FAMILIES = [
     ("runagg_chain", fuzz_runagg_chain),
     ("iterative", fuzz_iterative),
@@ -763,6 +917,10 @@ FAMILIES = [
     # round 13: the r12 measure-composition layer as its own family
     ("all_rows_running", fuzz_all_rows_running),
     ("not_next_end", fuzz_not_next_end),
+    # round 14 engines / compositions:
+    ("not_next_interior", fuzz_not_next_interior),
+    ("within_step_links", fuzz_within_step_links),
+    ("count_windows", fuzz_count_windows),
 ]
 
 
