@@ -7922,11 +7922,13 @@ def match_recognize_within_step(
     scan); the per-edge bound also caps each skip gap by construction.
     COMPUTE is linear, but like every flat form the key's rows are
     collected into one array row, so per-key EXECUTOR MEMORY is
-    O(rows) — measured flat through 1M rows on one key
-    (HOTKEY.json ``within_step_flat``); beyond the measured range
-    pass ``max_key_rows`` to fail fast instead (default None =
-    ungated), or deploy the sessionized composition
-    (:func:`match_recognize_iter_within_step` sessionized callers).
+    O(rows). Measured (HOTKEY.json ``within_step_flat``): near-linear
+    through 200k rows one key (0.6→3.7s), COMPLETES at 1M (86s,
+    match counts exactly linear — no dropped work) but the per-row
+    cost inflates ~5× there: the single collected struct array's
+    allocation/GC dominates, the memory term ADVICE r13 flagged.
+    Past ~200k rows/key pass ``max_key_rows`` to fail fast (default
+    None = ungated) or deploy a sessionized composition.
     The DuckDB oracle replays the identical pointer chain as k-1
     self-equi-joins plus the shared recursive non-overlap fold.
 
@@ -8010,8 +8012,9 @@ def match_recognize_within_step(
                 "per-key rows exceed max_key_rows for the flat "
                 "within_step form: compute is linear but the key's "
                 "rows live in ONE collected array (O(rows) executor "
-                "memory; measured flat to 1M rows, HOTKEY.json) — "
-                "deploy a sessionized composition or raise the bound"
+                "memory; HOTKEY.json: near-linear to 200k, ~5x "
+                "per-row GC inflation at 1M) — deploy a sessionized "
+                "composition or raise the bound"
             ),
         )
         grouped = grouped.withColumn(

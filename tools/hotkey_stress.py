@@ -302,8 +302,12 @@ def main() -> None:
 
     STEP_PATTERN = [("V", "view", "1"), ("C", "click", "1"),
                     ("P", "purchase", "1")]
+    # round 14 (ADVICE r13): the 1M point probes the remaining
+    # O(rows)-per-key MEMORY term of the flat form (the collected
+    # struct array), not compute — the docstring's "measured flat to
+    # 1M rows" claim and the max_key_rows default live on this row.
     out["within_step_flat"] = {}
-    for n in (20_000, 100_000, 200_000):
+    for n in (20_000, 100_000, 200_000, 1_000_000):
         ev = hot_events_fb(spark, n).localCheckpoint()
         t0 = time.perf_counter()
         m = match_recognize_within_step(
