@@ -15,6 +15,7 @@ Physical strategy notes (the part that matters at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..operators.asof import asof_join
 from ..registry import dsum, query, sql_dsum
@@ -152,8 +153,9 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta (non-equi) self join: for each supplier, how many have a
     strictly larger balance. Physical plan: BroadcastNestedLoopJoin —
     bounded because supplier is a dim (≤1k rows at sf0.1). At 100 TB
-    this shape becomes a sort + rank, not a join; kept here for §2.3
-    operator parity."""
+    this shape becomes a sort + rank, not a join — which is now the
+    DECLARED q_join_theta_scaled (identical output, no nested loop);
+    this key stays for §2.3 theta-join operator parity."""
     s = load(spark, sf_dir, "supplier")
     s1 = s.select(F.col("s_suppkey"), F.col("s_acctbal").alias("bal1"))
     s2 = s.select(F.col("s_suppkey").alias("k2"), F.col("s_acctbal").alias("bal2"))
@@ -162,6 +164,54 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey")
         .agg(F.count("k2").alias("n_richer"))
     )
+
+
+@query(
+    "q_join_theta_scaled",
+    oracle="""
+    WITH per_bal AS (
+        SELECT s_acctbal, COUNT(*) AS c FROM supplier GROUP BY 1
+    ),
+    ranked AS (
+        SELECT s_acctbal,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY s_acctbal DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_richer
+        FROM per_bal
+    )
+    SELECT s.s_suppkey, r.n_richer
+    FROM supplier s JOIN ranked r USING (s_acctbal)
+    """,
+)
+def q_join_theta_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB deployment form of q_join_theta (round 14 — cashing
+    that docstring's "sort + rank, not a join" promissory note as a
+    DECLARED, oracle-verified key, the q_llm_knn_ivf_scaled
+    precedent): identical output, NO nested-loop join at any scale.
+    The strictly-richer count depends only on the VALUE, so the
+    corpus reduces first — one hash aggregate to per-distinct-balance
+    counts, a suffix-sum window over that REDUCED table (bounded
+    domain: acctbal is a 2-decimal currency in [-999.99, 9999.99], ≤
+    ~1.1M distinct values whatever the row count — the
+    plan_audit-allowlisted reduced-input class), then a BROADCAST
+    join back on the value: the fact side shuffles ONCE (the
+    aggregate); the window sorts ≤domain rows, never the corpus.
+    Ties share a count (strictly-greater excludes equals), matching
+    the BNLJ form row-for-row — the differential test pins the two
+    keys equal. Suffix frame spelled growing-over-reversed-order per
+    the SCALE.md r13 rule. Semantics source: standard SQL rank
+    arithmetic (public). Reference: /root/reference/README.md:1."""
+    s = load(spark, sf_dir, "supplier")
+    per_bal = s.groupBy("s_acctbal").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("s_acctbal").desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = per_bal.select(
+        "s_acctbal",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+         .alias("n_richer"),
+    )
+    return s.join(F.broadcast(ranked), "s_acctbal").select(
+        "s_suppkey", "n_richer")
 
 
 @query(

@@ -2440,6 +2440,36 @@ _DEBEZIUM_SQL_ENV = """
 """
 
 
+
+# Shared Debezium feed CTEs (synthesis + decode) — used by both the
+# latest-state key and the SCD2 composition key.
+_DEBEZIUM_SQL_FEED = f"""
+    feed AS (
+        SELECT user_id, event_id, event_type,
+               CASE WHEN event_id % 10 = 0 THEN 'd'
+                    WHEN event_id % 3 = 0 THEN 'u'
+                    ELSE 'c' END AS op,
+               CAST(floor(value * 100) AS BIGINT) AS score,
+               epoch_us(ts) // 1000 AS ts_ms
+        FROM events
+    ),
+    env AS (
+        SELECT {_DEBEZIUM_SQL_ENV} AS envelope
+        FROM feed
+    ),
+    decoded AS (
+        SELECT json_extract_string(envelope, '$.op') AS op,
+               CAST(json_extract(envelope, '$.before.uid') AS BIGINT) AS b_uid,
+               CAST(json_extract(envelope, '$.after.uid') AS BIGINT) AS a_uid,
+               json_extract_string(envelope, '$.after.etype') AS a_etype,
+               CAST(json_extract(envelope, '$.after.score') AS BIGINT) AS a_score,
+               CAST(json_extract(envelope, '$.source.lsn') AS BIGINT) AS lsn,
+               CAST(json_extract(envelope, '$.ts_ms') AS BIGINT) AS ts_ms
+        FROM env
+    )
+"""
+
+
 @query(
     "q_cdc_debezium_latest",
     oracle=f"""
@@ -2656,3 +2686,80 @@ def q_cep_within_step_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return match_recognize_within_step(ev, CEP_STEP_PATTERN,
                                        within_minutes=360, links={"C"})
+
+
+@query(
+    "q_cdc_debezium_scd2",
+    oracle=f"""
+    WITH {_DEBEZIUM_SQL_FEED.strip()},
+    ordered AS (
+        SELECT COALESCE(a_uid, b_uid) AS uid, op, a_etype, a_score,
+               ts_ms, lsn,
+               lead(ts_ms) OVER (PARTITION BY COALESCE(a_uid, b_uid)
+                                 ORDER BY ts_ms, lsn) AS valid_to_ms
+        FROM decoded
+    )
+    SELECT uid,
+           CAST(row_number() OVER (PARTITION BY uid ORDER BY ts_ms, lsn)
+                AS BIGINT) AS version_no,
+           a_etype AS etype, a_score AS score,
+           ts_ms AS valid_from_ms, valid_to_ms
+    FROM ordered
+    WHERE op <> 'd'
+    """,
+)
+def q_cdc_debezium_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium feed → SCD TYPE-2 VERSIONED DIMENSION (round 14 — the
+    full flink-cdc dim-sync story SURVEY §3.3 describes, composing the
+    round's envelope decode with the q_scd2_build interval machinery):
+    every c/u envelope OPENS a version valid [ts_ms, next-change ts);
+    a d envelope CLOSES the current version at its timestamp and opens
+    nothing (the key has no live version until re-created); the last
+    version per live key stays open (valid_to NULL) — exactly the
+    versioned-table shape Flink's temporal join (`FOR SYSTEM_TIME AS
+    OF`, q_scd2_asof_enrich) consumes. Lowering: decode (shared with
+    q_cdc_debezium_latest), ONE uid shuffle carrying both windows —
+    valid_to = lead(ts_ms) over ALL ops (a delete terminates the
+    predecessor), version_no = row_number over the surviving c/u rows.
+    At 100 TB this is the q_scd2_build cost class: one window sort per
+    key partition. Semantics source: Debezium envelope format + the
+    SCD2 build convention (public docs, per SURVEY §0).
+    Reference: /root/reference/README.md:1."""
+    from ..streaming.changelog import DEBEZIUM_SCHEMA, debezium_envelope_col
+
+    ev = load(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id", "event_id", "event_type",
+        F.when(F.col("event_id") % 10 == 0, "d")
+         .when(F.col("event_id") % 3 == 0, "u")
+         .otherwise("c").alias("op"),
+        F.floor(F.col("value") * 100).cast("long").alias("score"),
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 1000")
+         .alias("ts_ms"),
+    )
+    env = feed.select(debezium_envelope_col().alias("envelope"))
+    dec = env.select(F.from_json("envelope", DEBEZIUM_SCHEMA).alias("e"))
+    uid = F.coalesce(F.col("e.after.uid"), F.col("e.before.uid"))
+    w = Window.partitionBy(uid).orderBy(
+        F.col("e.ts_ms"), F.col("e.source.lsn"))
+    ordered = dec.select(
+        uid.alias("uid"),
+        F.col("e.op").alias("op"),
+        F.col("e.after.etype").alias("etype"),
+        F.col("e.after.score").alias("score"),
+        F.col("e.ts_ms").alias("valid_from_ms"),
+        F.col("e.source.lsn").alias("lsn"),
+        F.lead(F.col("e.ts_ms")).over(w).alias("valid_to_ms"),
+    )
+    # (ts_ms, lsn) ordering — ts_ms alone ties when two ops land in
+    # the same millisecond; lsn is Debezium's total order within a key
+    wv = Window.partitionBy("uid").orderBy("valid_from_ms", "lsn")
+    return (
+        ordered.filter(F.col("op") != "d")
+        .select(
+            "uid",
+            F.row_number().over(wv).cast("long").alias("version_no"),
+            "etype", "score", "valid_from_ms", "valid_to_ms",
+        )
+    )

@@ -1499,3 +1499,55 @@ def test_anchored_scan_hot_key_gate(spark):
     assert match_recognize_followed_by_iterative(
         over, anchor, loop, within_minutes=30, max_key_rows=100
     ).count() >= 0
+
+
+def test_theta_scaled_equals_bnlj_form(spark, sf_dir):
+    """Round 14: the rank-based deployment form of the theta join
+    (suffix-sum over per-distinct-balance counts + broadcast
+    value-join back) must equal the BroadcastNestedLoopJoin parity
+    form ROW FOR ROW — including tied balances (same strictly-greater
+    count) and the richest supplier (n_richer = 0, the COALESCE
+    edge). Also pins the flat within_step memory gate added the same
+    round: a bound below the key size fails loudly, None opts out."""
+    from flink_realtime_edu_demo_spark.queries.joins import (
+        q_join_theta,
+        q_join_theta_scaled,
+    )
+
+    bnlj = {(r.s_suppkey, r.n_richer)
+            for r in q_join_theta(spark, sf_dir).collect()}
+    scaled = {(r.s_suppkey, r.n_richer)
+              for r in q_join_theta_scaled(spark, sf_dir).collect()}
+    assert bnlj == scaled and bnlj
+    assert min(n for _, n in bnlj) == 0  # a richest supplier exists
+
+
+def test_within_step_memory_gate(spark):
+    """max_key_rows on the flat within_step form (ADVICE r13): a key
+    larger than the bound fails in-plan naming the alternatives; the
+    default (None) stays ungated; a generous bound is a no-op."""
+    import pytest as _pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_within_step,
+    )
+
+    import datetime as dt
+
+    pat = [("V", "view", "1"), ("C", "click", "1")]
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=i), ["view", "click"][i % 2])
+         for i in range(300)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    with _pytest.raises(Exception, match="max_key_rows"):
+        match_recognize_within_step(
+            ev, pat, within_minutes=60, max_key_rows=100
+        ).collect()
+    n_default = match_recognize_within_step(
+        ev, pat, within_minutes=60).count()
+    n_loose = match_recognize_within_step(
+        ev, pat, within_minutes=60, max_key_rows=1000
+    ).count()
+    assert n_default == n_loose > 0

@@ -85,6 +85,10 @@ ALLOWED_SINGLE_PARTITION = {
                                 # histogram — the reduced form itself
     "q_llm_dsir",             # 64-bucket corpus stat fold
     "q_llm_keyword_topk",     # rank window over the k-row keyword table
+    "q_join_theta_scaled",    # suffix-sum window over per-distinct-
+                              # balance counts — bounded currency
+                              # domain (<=~1.1M values at ANY corpus
+                              # size), never the supplier rows (r14)
 }
 
 
