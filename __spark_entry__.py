@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_verified_green.py against the recorded source hashes
 # (regenerate with tools/gen_green_hashes.py after a driver round).
 _VERIFIED_GREEN = (
-    "q_tpch_q10", "q_tpch_q14",
-    "q_tpch_q4", "q_tpch_q7", "q_win_ntile", "q_agg_approx_uv_kmv",
+    "q_subquery_corr", "q_subquery_scalar", "q_tpch_q7", "q_tpch_q10", "q_tpch_q14",
+    "q_tpch_q4", "q_win_ntile", "q_agg_approx_uv_kmv",
     "q_agg_collect", "q_agg_cube", "q_agg_filtered", "q_agg_having",
     "q_agg_percentile", "q_agg_rollup", "q_agg_stats", "q_case_when",
     "q_cep_all_rows", "q_cep_all_rows_define", "q_cep_alternation",
@@ -107,7 +107,8 @@ _VERIFIED_GREEN = (
 # and the remaining 39 slots re-check the stalest greens (rotated
 # from the top of _VERIFIED_GREEN).
 _REVERIFY_FRONT = (
-    "q_join_theta_scaled", "q_cdc_debezium_scd2", "q_cep_not_next_interior", "q_cep_within_step_links",
+    "q_join_theta_scaled", "q_cdc_debezium_scd2",
+    "q_agg_json_objectagg", "q_stream_tumble_offset", "q_cep_not_next_interior", "q_cep_within_step_links",
     "q_stream_count_tumble", "q_stream_count_slide", "q_cdc_debezium_latest",
     "q_cogroup", "q_llm_url_dedup", "q_llm_line_dedup", "q_cep_within_step",
     "q_cep_iter_within_step", "q_mm_features", "q_mm_frames",
@@ -120,7 +121,7 @@ _REVERIFY_FRONT = (
     "q_llm_embed_quant", "q_llm_entropy", "q_llm_keyword_topk",
     "q_llm_mix_weights", "q_llm_quality_clf", "q_llm_repetition",
     "q_llm_sample_exact_k", "q_llm_split", "q_llm_stratified_sample",
-    "q_llm_tfidf", "q_subquery_corr", "q_subquery_scalar",
+    "q_llm_tfidf",
    
 )
 

@@ -660,3 +660,91 @@ def q_agg_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return salted_agg_count(ev, key="event_type", salt=8)
+
+
+@query(
+    "q_agg_json_objectagg",
+    oracle="""
+    WITH per_type AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    obj AS (
+        SELECT user_id,
+               '{' || string_agg('"' || event_type || '":'
+                                     || CAST(n AS VARCHAR),
+                                 ',' ORDER BY event_type)
+                   || '}' AS type_counts_json
+        FROM per_type GROUP BY user_id
+    ),
+    ids AS (
+        SELECT user_id,
+               '[' || string_agg(CAST(event_id AS VARCHAR), ','
+                                 ORDER BY event_id)
+                   || ']' AS first_ids_json
+        FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS rk
+            FROM events
+        ) WHERE rk <= 5
+        GROUP BY user_id
+    )
+    SELECT o.user_id, o.type_counts_json, i.first_ids_json
+    FROM obj o JOIN ids i USING (user_id)
+    """,
+)
+def q_agg_json_objectagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL 1.15+ ``JSON_OBJECTAGG(KEY k VALUE v)`` /
+    ``JSON_ARRAYAGG(v)`` (round 14): per user, a JSON object mapping
+    event_type → count and a JSON array of the user's first 5 event
+    ids. The SQL standard leaves member order implementation-defined;
+    for cross-engine determinism both engines pin it — object members
+    sorted by key, array elements by event_id — and both BUILD the
+    text with the same concat rule (keys are alphanumeric fixture
+    strings, values integers, so no JSON escaping is exercised — the
+    aggregation semantics are what's under test, not an escaper).
+    One shuffle on user_id shared by the count aggregate and the
+    rank window; the JSON text assembles from SORTED collected
+    entries via JVM higher-order functions — no Python, no second
+    shuffle. Semantics source: SQL:2016 JSON aggregates / Flink SQL
+    docs (public, per SURVEY §0).
+    Reference: /root/reference/README.md:1."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    obj = per_type.groupBy("user_id").agg(
+        F.concat(
+            F.lit("{"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_type", "n"))),
+                    lambda x: F.concat(
+                        F.lit('"'), x["event_type"], F.lit('":'),
+                        x["n"].cast("string")),
+                ),
+                ","),
+            F.lit("}"),
+        ).alias("type_counts_json")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    arr = (
+        ev.select("user_id", "event_id",
+                  F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("event_id")),
+                        lambda x: x.cast("string")),
+                    ","),
+                F.lit("]"),
+            ).alias("first_ids_json")
+        )
+    )
+    return obj.join(arr, "user_id").select(
+        "user_id", "type_counts_json", "first_ids_json")

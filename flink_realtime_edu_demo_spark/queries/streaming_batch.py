@@ -2763,3 +2763,48 @@ def q_cdc_debezium_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "etype", "score", "valid_from_ms", "valid_to_ms",
         )
     )
+
+
+@query(
+    "q_stream_tumble_offset",
+    oracle=f"""
+    SELECT CAST(to_timestamp(floor((epoch(ts) - 1800) / 3600) * 3600 + 1800)
+                AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(floor((epoch(ts) - 1800) / 3600) * 3600 + 5400)
+                AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumble_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE with a window OFFSET — Flink's window-TVF third argument
+    ``TUMBLE(ts, INTERVAL '1' HOUR, INTERVAL '30' MINUTE)`` (round 14):
+    hour windows aligned to :30 instead of :00 — the parameter every
+    non-UTC-aligned reporting pipeline reaches for (Flink docs' own
+    example is day windows in a non-UTC timezone). Spark ships it
+    verbatim as ``window(ts, "1 hour", startTime="30 minutes")``; same
+    single-shuffle aggregate as q_stream_tumble, same streaming
+    deployment behind a watermark. The oracle replays the shifted
+    bucket arithmetic on epoch seconds (floor((t-offset)/size)*size +
+    offset — exact for the μs-aligned fixture). Distinct from the
+    unshifted form wherever an event lands in the first/second half
+    hour (verified: the two keys' window_start sets differ at
+    sf0.01). Semantics source: Flink window TVF offset / Spark window
+    startTime (public docs, per SURVEY §0).
+    Reference: /root/reference/README.md:1."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", startTime="30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
