@@ -11,6 +11,24 @@ Env:
                             adjudication problem) or "best"
   SPARK_GRAFT_BENCH_KEYS    comma-separated key subset (default: all) —
                             for fast artifact-contract tests/smokes
+  SPARK_GRAFT_BENCH_BASELINE  per-key baseline JSON for in-sweep outlier
+                            adjudication (default: BENCH_local.json if
+                            present; set to "" to disable). A key whose
+                            median lands >2x its baseline AND >0.25s
+                            absolutely slower (the bench_gate rule) is
+                            immediately re-measured ONCE — repeat more
+                            samples — and the better median stands. A
+                            transient noisy-neighbor spike self-heals
+                            inside the sweep instead of disqualifying
+                            it (VERDICT r14 #2: two rounds closed in a
+                            degrading-noise window because one spiked
+                            sub-second key voided whole sweeps); a real
+                            regression survives the retry and still
+                            trips the gate. Retried keys are recorded
+                            in the artifact's `retried` dict (first +
+                            retry medians), and the 1-min load average
+                            is recorded per key in `load_per_key`, so
+                            a noisy PHASE is attributable key-by-key.
 
 Timing = full query wall clock: plan + execute + collect to the driver
 (the driver's own verify collects too). Session startup is excluded;
@@ -58,6 +76,22 @@ def main() -> int:
     subset = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # per-key outlier adjudication baseline (gate rule: ratio + floor)
+    base_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_BASELINE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local.json"))
+    baseline: dict[str, float] = {}
+    if base_path and os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = {k: float(v)
+                        for k, v in json.load(f).get("queries", {}).items()}
+    retried: dict[str, dict[str, float]] = {}
+    load_per_key: dict[str, float] = {}
+    # gate-rule knobs — overridable so the contract test can force a
+    # deterministic retry; production defaults mirror tools/bench_gate.py
+    retry_ratio = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_RATIO", "2.0"))
+    retry_floor = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_FLOOR", "0.25"))
     if subset:
         requested = [k for k in subset.split(",") if k]
         keys = [k for k in requested if k in QUERIES]
@@ -69,24 +103,40 @@ def main() -> int:
         keys = sorted(QUERIES)
     import statistics
 
-    for key in keys:
+    def _time_once(key: str) -> float:
         samples: list[float] = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+            # a few queries persist() intermediates they reuse
+            # within the plan; drop leftover cached blocks AFTER
+            # each timed run so every repeat measures the same
+            # cold-cache shape and later keys aren't taxed
+            spark.catalog.clearCache()
+        return statistics.median(samples) if stat == "median" else min(samples)
+
+    for key in keys:
+        load_per_key[key] = round(os.getloadavg()[0], 2)
         try:
-            for _ in range(repeat):
-                t0 = time.perf_counter()
-                QUERIES[key](spark, sf_dir).collect()
-                samples.append(time.perf_counter() - t0)
-                # a few queries persist() intermediates they reuse
-                # within the plan; drop leftover cached blocks AFTER
-                # each timed run so every repeat measures the same
-                # cold-cache shape and later keys aren't taxed
-                spark.catalog.clearCache()
+            val = _time_once(key)
+            b = baseline.get(key)
+            if (b is not None and val > retry_ratio * b
+                    and (val - b) > retry_floor):
+                # gate-rule outlier: one immediate isolated retry; the
+                # better median stands (a transient spike self-heals, a
+                # real regression survives and still trips the gate)
+                val2 = _time_once(key)
+                retried[key] = {"first": round(val, 4),
+                                "retry": round(val2, 4)}
+                print(f"# {key}: OUTLIER {val:.3f}s vs baseline {b:.3f}s"
+                      f" — retry {val2:.3f}s", file=sys.stderr, flush=True)
+                val = min(val, val2)
         except Exception as e:  # one broken query must not void the artifact
             errors[key] = str(e).split("\n")[0][:200]
             print(f"# {key}: ERROR {errors[key]}", file=sys.stderr, flush=True)
             spark.catalog.clearCache()
             continue
-        val = statistics.median(samples) if stat == "median" else min(samples)
         timings[key] = round(val, 4)
         print(f"# {key}: {timings[key]:.3f}s", file=sys.stderr, flush=True)
 
@@ -102,6 +152,8 @@ def main() -> int:
         "stat": stat,
         "load_avg_start": round(load_start, 2),
         "load_avg_end": round(os.getloadavg()[0], 2),
+        "load_per_key": load_per_key,
+        **({"retried": retried} if retried else {}),
         **({"errors": errors} if errors else {}),
     }
     print(json.dumps(payload), flush=True)

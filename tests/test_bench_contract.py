@@ -45,6 +45,41 @@ def test_bench_emits_one_parseable_json_line():
     assert "errors" not in d
 
 
+def test_bench_outlier_retry_and_per_key_load(tmp_path):
+    """VERDICT r14 #2 (noisy-host round closes): a key whose in-sweep
+    median trips the gate rule vs its own baseline gets ONE immediate
+    isolated re-measure — the better median stands and the event is
+    recorded in `retried` — and the 1-min load average is recorded per
+    key in `load_per_key`. Forced deterministically: a near-zero
+    baseline for one key + floor 0 makes it an outlier; the absent key
+    gets no baseline row, so it must NOT be retried."""
+    base = tmp_path / "baseline.json"
+    base.write_text(json.dumps({"queries": {"q_agg_basic": 0.0001}}))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_KEYS="q_agg_basic,q_fn_hash",
+        SPARK_GRAFT_BENCH_BASELINE=str(base),
+        SPARK_GRAFT_BENCH_RETRY_FLOOR="0.0",
+    )
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    d = json.loads([ln for ln in p.stdout.splitlines() if ln.strip()][0])
+    assert set(d["load_per_key"]) == {"q_agg_basic", "q_fn_hash"}
+    assert all(v >= 0 for v in d["load_per_key"].values())
+    assert set(d.get("retried", {})) == {"q_agg_basic"}, (
+        "exactly the forced-outlier key must be retried")
+    r = d["retried"]["q_agg_basic"]
+    assert r["first"] > 0 and r["retry"] > 0
+    # the better of the two medians stands
+    assert d["queries"]["q_agg_basic"] <= r["first"] + 1e-9
+    assert d["queries"]["q_agg_basic"] <= r["retry"] + 1e-9
+
+
 def test_bench_gate_ratio_and_floor(tmp_path):
     """tools/bench_gate.py fails only on keys that are BOTH >2x and
     >0.25s absolutely slower — one GC pause on a 0.1s key passes, a
