@@ -129,6 +129,48 @@ def test_idempotent_sink_replay_safe(spark, stream_dir, tmp_path):
     assert replayed.count() == n_first > 0
 
 
+def test_statement_set_multi_sink_one_pass(spark, sf_dir, stream_dir, tmp_path):
+    """Flink STATEMENT SET (VERDICT r14 missing #3): one stream fanned
+    into 3 sinks in a single foreachBatch pass — each sink's final
+    read-back equals the same transform run standalone over the full
+    batch table (== the single-sink run), and a replayed batch leaves
+    each sink unchanged (the idempotence contract holds through the
+    fan-out)."""
+    from flink_realtime_edu_demo_spark.streaming.sinks import (
+        multi_sink_statement_set,
+    )
+
+    base = str(tmp_path / "fanout")
+    transforms = {
+        "clicks": lambda d: d.filter(F.col("event_type") == "click"),
+        "slim": lambda d: d.select("user_id", "ts", "value"),
+        "raw": lambda d: d,
+    }
+    sinks = {
+        name: (tf, partition_overwrite_writer(f"{base}/{name}"))
+        for name, tf in transforms.items()
+    }
+    sdf = stream_table(spark, stream_dir, "events")
+    q = multi_sink_statement_set(
+        sdf, checkpoint=str(tmp_path / "ckpt"), sinks=sinks, mode="append"
+    )
+    q.awaitTermination(60)
+    q.stop()
+    ev_b = load(spark, sf_dir, "events").select(*sdf.columns)
+    for name, tf in transforms.items():
+        got = spark.read.parquet(f"{base}/{name}").drop("batch_id")
+        want = tf(ev_b).select(*got.columns)
+        assert canon_rows(got) == canon_rows(want), f"sink {name} diverged"
+    # replay batch 0 through the same sink specs: counts must not change
+    b0 = spark.read.parquet(f"{base}/raw/batch_id=0")
+    snapshot = spark.createDataFrame(b0.collect(), b0.schema)
+    before = {n: spark.read.parquet(f"{base}/{n}").count() for n in sinks}
+    for name, (tf, write) in sinks.items():
+        write(tf(snapshot), 0)
+    after = {n: spark.read.parquet(f"{base}/{n}").count() for n in sinks}
+    assert after == before
+
+
 def test_stateful_accumulator_timers_fire(spark, stream_dir, tmp_path):
     """applyInPandasWithState with ProcessingTimeTimeout: after the
     source drains and the idle timeout elapses, every user's state must
