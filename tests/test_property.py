@@ -1027,6 +1027,45 @@ def _py_relaxed_within(rows, pattern, w_minutes, links=frozenset()):
     return out
 
 
+def _py_nfb_interior(rows, pattern, not_between, w_minutes):
+    """Reference for the INTERIOR non-consuming notFollowedBy + within
+    (round 15): the relaxed-within positives with per-variable piece
+    boundaries, killed post-hoc when any forbidden-type row sits
+    STRICTLY BETWEEN the edge's boundary rows (lo = the named
+    variable's last admitted row, hi = its successor's first admitted
+    row; row order = (ts, id) = list order). A killed match still
+    consumes its rows (the whole relaxed family's documented
+    deviation). ``not_between`` maps variable INDEX -> forbidden type
+    tuple. Returns surviving [(start, end_exclusive, counts)] in
+    original match order."""
+    out, i = [], 0
+    n = len(rows)
+    while i < n:
+        lim = i
+        while lim + 1 < n and rows[lim + 1][1] <= rows[i][1] + w_minutes:
+            lim += 1
+        sub = [t for t, _ in rows[i:lim + 1]]
+        r = _py_relaxed_attempt(sub, pattern, 0)
+        if r is not None and r[0] > 0:
+            end, counts, piece_ends = r
+            killed = False
+            for j, ftypes in not_between.items():
+                lo = piece_ends[j] - 1  # pieces end with their admit row
+                pred = _pred(pattern[j + 1][1])
+                h = piece_ends[j]
+                while not pred(sub[h]):  # an admit exists inside the piece
+                    h += 1
+                if any(sub[x] in ftypes for x in range(lo + 1, h)):
+                    killed = True
+                    break
+            if not killed:
+                out.append((i, i + end, counts))
+            i = i + end
+        else:
+            i += 1
+    return out
+
+
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
@@ -1147,6 +1186,142 @@ def test_not_followed_by_end_matches_reference(spark, typed_gaps, pat, fb, w):
             ev, pattern, fbt, w).collect()
     )
     assert got == want, (rows, pat, fbt, w, got, want)
+
+
+# --- interior notFollowedBy + within vs the gap-checking reference ---
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_gaps=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 40),
+        ),
+        min_size=1, max_size=30,
+    ),
+    pat=st.sampled_from([
+        [("view", "1"), ("purchase", "1")],
+        [("view", "1"), ("click", "+"), ("purchase", "1")],
+        [("view", "1"), (("click", "purchase"), "{1,2}"), ("click", "1")],
+    ]),
+    edge=st.sampled_from([0, -1]),  # -1 = last interior edge
+    fb=st.sampled_from(["error", ("error", "purchase"), "click"]),
+    w=st.sampled_from([15, 60, 240]),
+)
+def test_not_followed_by_interior_matches_reference(
+    spark, typed_gaps, pat, edge, fb, w
+):
+    """Interior non-consuming notFollowedBy + within (round 15): the
+    engine's capture-group boundary extraction + anti-join composition
+    must agree with the gap-checking reference row for row — spans,
+    measures, AND renumbered match_no — including forbid classes that
+    overlap the successor's skip class (the observability case) and
+    even the successor's own class (strictly-between excludes the
+    boundary rows themselves)."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_not_followed_by_interior,
+    )
+
+    pattern = [(f"V{i}", t, q) for i, (t, q) in enumerate(pat)]
+    j = 0 if edge == 0 else len(pattern) - 2
+    fbt = (fb,) if isinstance(fb, str) else fb
+    not_between = {f"V{j}": fbt}
+    t0 = dt.datetime(2024, 1, 1)
+    acc, rows = 0, []
+    for t, gap in typed_gaps:
+        acc += gap
+        rows.append((t, acc))
+    want = [
+        (i + 1, s, e - 1, sum(cs), (e - s) - sum(cs), tuple(cs))
+        for i, (s, e, cs) in enumerate(
+            _py_nfb_interior(rows, pattern, {j: fbt}, w))
+    ]
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (
+            r.match_no, r.first_event_id, r.last_event_id, r.n_rows,
+            r.n_skipped,
+            tuple(r[f"n_v{i}"] for i in range(len(pattern))),
+        )
+        for r in match_recognize_not_followed_by_interior(
+            ev, pattern, not_between, w).collect()
+    )
+    assert got == want, (rows, pat, not_between, w, got, want)
+
+
+# --- Flink Pattern-API greedy() desugar (round 15) ---
+
+def test_greedy_pattern_desugar_rules():
+    """greedy_pattern: marked loops keep the greedy spelling; unmarked
+    choice-bearing loops lower to reluctant EXACTLY when their class
+    overlaps the successor's; plan-time rules reject non-loop,
+    reluctant-spelled, and last-variable targets."""
+    import pytest
+
+    from flink_realtime_edu_demo_spark.operators.cep import greedy_pattern
+
+    pat = [("V", "view", "1"),
+           ("L", ("click", "error"), "+"),
+           ("E", "error", "1")]
+    # marked: greedy spelling kept
+    assert greedy_pattern(pat, {"L"}) == pat
+    # unmarked + overlap: reluctant
+    assert greedy_pattern(pat)[1] == ("L", ("click", "error"), "+?")
+    # no overlap: spelling kept either way
+    pat2 = [("V", "view", "1"), ("L", "click", "+"), ("E", "error", "1")]
+    assert greedy_pattern(pat2) == pat2
+    assert greedy_pattern(pat2, {"L"}) == pat2
+    # complement successor overlaps everything outside its set
+    pat3 = [("V", "view", "1"), ("L", "click", "{1,3}"),
+            ("E", ("!", "view"), "1")]
+    assert greedy_pattern(pat3)[1] == ("L", "click", "{1,3}?")
+    # positive loop fully inside the complement's excluded set: no overlap
+    pat4 = [("V", "view", "1"), ("L", "click", "+"),
+            ("E", ("!", "click", "view"), "1")]
+    assert greedy_pattern(pat4) == pat4
+    with pytest.raises(ValueError, match="unknown pattern variables"):
+        greedy_pattern(pat, {"Z"})
+    with pytest.raises(ValueError, match="no quantifier choice"):
+        greedy_pattern(pat, {"V"})
+    with pytest.raises(ValueError, match="reluctant-spelled"):
+        greedy_pattern([("V", "view", "1"), ("L", "click", "+?"),
+                        ("E", "click", "1")], {"L"})
+    with pytest.raises(ValueError, match="last pattern"):
+        greedy_pattern([("V", "view", "1"), ("L", "click", "+")], {"L"})
+
+
+def test_greedy_vs_default_flink_doc_example(spark):
+    """The Flink docs' canonical greedy() contrast on one partition:
+    V L+ E with L admitting {click,error}, E {error}, over
+    view click error error — greedy: L takes (click, error1), E takes
+    error2; default: L takes click, E takes error1."""
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        greedy_pattern,
+        match_recognize_relaxed,
+    )
+
+    types = ["view", "click", "error", "error"]
+    pat = [("V", "view", "1"), ("L", ("click", "error"), "+"),
+           ("E", "error", "1")]
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(types)],
+        "user_id long, event_id long, event_type string",
+    )
+    g = match_recognize_relaxed(
+        ev, greedy_pattern(pat, {"L"}), ts="event_id").collect()
+    d = match_recognize_relaxed(
+        ev, greedy_pattern(pat), ts="event_id").collect()
+    assert [(r.first_event_id, r.last_event_id, r.n_l) for r in g] == \
+        [(0, 3, 2)]
+    assert [(r.first_event_id, r.last_event_id, r.n_l) for r in d] == \
+        [(0, 2, 1)]
 
 
 # --- match_recognize_define_within vs a time-bounded define reference ---

@@ -59,7 +59,9 @@ from flink_realtime_edu_demo_spark.operators.cep import (  # noqa: E402
     match_recognize_relaxed,
     match_recognize_followed_by_iterative,
     match_recognize_iterative,
+    greedy_pattern,
     match_recognize_not_followed_by_end,
+    match_recognize_not_followed_by_interior,
     match_recognize_not_next_end,
     match_recognize_not_next,
     match_recognize_relaxed_groups,
@@ -836,6 +838,114 @@ def fuzz_within_step_links(spark, rng):
                                  links, w, skip, got, want)
 
 
+def fuzz_nfb_interior(spark, rng):
+    """Round 15 (VERDICT r14 missing #5): interior non-consuming
+    notFollowedBy + within vs the gap-checking reference — random
+    mandatory-endpoint patterns, 1-2 edges, forbid classes drawn to
+    include the observability case (forbid in the successor's skip
+    class) and the boundary-exclusion case (forbid == the successor's
+    own type)."""
+    import datetime as dt
+
+    acc, rows = 0, []
+    for _ in range(rng.randint(30, 90)):
+        acc += rng.randint(0, 40)
+        rows.append((rng.choice(["view", "click", "purchase", "error"]),
+                     acc))
+    k = rng.randint(2, 3)
+    pool = ["view", "click", "purchase", ("view", "click"),
+            ("purchase", "error")]
+    pattern = [(f"V{i}", rng.choice(pool),
+                rng.choice(["1", "1", "+", "{1,2}"]))
+               for i in range(k)]
+    edges = {}
+    n_edges = rng.randint(1, min(2, k - 1))
+    for j in rng.sample(range(k - 1), n_edges):
+        edges[f"V{j}"] = tuple(
+            rng.sample(["view", "click", "purchase", "error"],
+                       rng.randint(1, 2)))
+    w = rng.choice([15, 60, 240])
+    want = [
+        (i + 1, s, e - 1, sum(cs))
+        for i, (s, e, cs) in enumerate(ref._py_nfb_interior(
+            rows, pattern,
+            {int(v[1:]): t for v, t in edges.items()}, w))
+    ]
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.match_no, r.first_event_id, r.last_event_id, r.n_rows)
+        for r in match_recognize_not_followed_by_interior(
+            ev, pattern, edges, w).collect()
+    )
+    assert got == want, ("nfb_interior", rows, pattern, edges, w,
+                         got, want)
+
+
+def fuzz_greedy(spark, rng):
+    """Round 15 (VERDICT r14 missing #4): the Pattern-API greedy()
+    desugar — random Flink-vocabulary patterns with at least one
+    choice-bearing loop whose class overlaps its successor's, random
+    greedy marks; the desugared pattern must (a) satisfy the rewrite
+    law (marked kept greedy, unmarked-overlap lowered to reluctant)
+    and (b) run through the relaxed engine to exactly the reference
+    matcher's spans + counts."""
+    types = [rng.choice(TYPES5) for _ in range(rng.randint(30, 100))]
+    k = rng.randint(2, 3)
+    pattern = []
+    for i in range(k):
+        if i == k - 2:
+            # force one overlapping loop somewhere observable
+            etype = rng.choice([("click", "error"), ("view", "error"),
+                                ("click", "purchase", "error")])
+            quant = rng.choice(["+", "*", "{1,2}", "{2,3}"])
+            if i == 0 and quant == "*":
+                quant = "+"
+        elif i == k - 1:
+            etype = rng.choice(["error", ("error", "click")])
+            quant = "1"
+        else:
+            etype = rng.choice(["view", "click", ("view", "click")])
+            quant = rng.choice(["1", "1", "+"])
+        pattern.append((f"V{i}", etype, quant))
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        _classes_overlap, _quant_parse,
+    )
+    eligible = []
+    for i, (v, t, q) in enumerate(pattern[:-1]):
+        lo, hi, lazy = _quant_parse(q)
+        if (hi is None or hi > lo) and not lazy:
+            eligible.append(v)
+    marks = {v for v in eligible if rng.random() < 0.5}
+    des = greedy_pattern(pattern, marks)
+    for (v, t, q), (v2, t2, q2) in zip(pattern, des):
+        assert (v, t) == (v2, t2)
+        i = [x[0] for x in pattern].index(v)
+        lo, hi, lazy = _quant_parse(q)
+        should_flip = (v not in marks and (hi is None or hi > lo)
+                       and not lazy and i < k - 1
+                       and _classes_overlap(t, pattern[i + 1][1]))
+        assert q2 == (q + "?" if should_flip else q), (pattern, marks, des)
+    want = [
+        (s, e, sum(cs), tuple(cs))
+        for s, e, cs in ref._py_relaxed_matches(types, des)
+    ]
+    got = sorted(
+        (
+            r.first_event_id, r.last_event_id + 1, r.n_rows,
+            tuple(r[f"n_v{i}"] for i in range(k)),
+        )
+        for r in match_recognize_relaxed(
+            _ev(spark, types, False), des, ts="event_id").collect()
+    )
+    assert got == sorted(want), ("greedy", types, pattern, marks, des,
+                                 got, want)
+
+
 def _py_count_windows(rows_by_key, size, slide=None):
     """Reference for keyed count windows: rows_by_key maps key ->
     [(event_id, cents)] in arrival order. Tumbling (slide None):
@@ -921,6 +1031,9 @@ FAMILIES = [
     ("not_next_interior", fuzz_not_next_interior),
     ("within_step_links", fuzz_within_step_links),
     ("count_windows", fuzz_count_windows),
+    # round 15 engines / compositions:
+    ("nfb_interior", fuzz_nfb_interior),
+    ("greedy", fuzz_greedy),
 ]
 
 
