@@ -8261,13 +8261,16 @@ def match_recognize_within_step(
     scan); the per-edge bound also caps each skip gap by construction.
     COMPUTE is linear, but like every flat form the key's rows are
     collected into one array row, so per-key EXECUTOR MEMORY is
-    O(rows). Measured (HOTKEY.json ``within_step_flat``): near-linear
-    through 200k rows one key (0.6→3.7s), COMPLETES at 1M (86s,
-    match counts exactly linear — no dropped work) but the per-row
-    cost inflates ~5× there: the single collected struct array's
-    allocation/GC dominates, the memory term ADVICE r13 flagged.
-    Past ~200k rows/key pass ``max_key_rows`` to fail fast (default
-    None = ungated) or deploy a sessionized composition.
+    O(rows). Measured (HOTKEY.json ``within_step_flat``, r15 re-run
+    after flattening the per-row pointer array into scalar struct
+    fields — one fewer heap object per collected row): near-linear
+    through 200k rows one key (0.6→3.4s), COMPLETES at 1M (69s, down
+    from 86s pre-shave; match counts exactly linear — no dropped
+    work) but the per-row cost still inflates ~4× there: the single
+    collected struct array's allocation/GC remains the memory term
+    ADVICE r13 flagged — it is the array ROW itself, not the field
+    layout. Past ~200k rows/key pass ``max_key_rows`` to fail fast
+    (default None = ungated) or deploy a sessionized composition.
     The DuckDB oracle replays the identical pointer chain as k-1
     self-equi-joins plus the shared recursive non-overlap fold.
 
