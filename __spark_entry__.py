@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_verified_green.py against the recorded source hashes
 # (regenerate with tools/gen_green_hashes.py after a driver round).
 _VERIFIED_GREEN = (
+    "q_project_arith",
     "q_tpch_q18", "q_tpch_q19", "q_tpch_q6", "q_upsert_latest",
     "q_join_interval", "q_join_full", "q_join_cross_topk", "q_join_inner",
     "q_join_anti", "q_agg_approx_quantile", "q_agg_approx_uv", "q_cep_until",
@@ -105,14 +106,17 @@ _VERIFIED_GREEN = (
     "q_llm_tfidf",
 )
 
-# Round-15 window (49 + warmup): the 3 new round-15 keys (Pattern-API
+# Round-15 window (49 + warmup): the 4 new round-15 keys (Pattern-API
 # greedy() vs default on an overlapping loop, interior non-consuming
-# notFollowedBy + within), then the 46 stalest greens rotated from the
-# top of _VERIFIED_GREEN (subquery/tpch tails, the agg block, the
-# strict-engine CEP block incl. the six keys adjudicated as
-# warmup/host-noise this round, and the r3-era scalar/json keys).
+# notFollowedBy + within, times(m,n).allowCombinations()), then the 45
+# stalest greens rotated from the top of _VERIFIED_GREEN
+# (subquery/tpch tails, the agg block, the strict-engine CEP block
+# incl. the six keys adjudicated as warmup/host-noise this round, and
+# the r3-era scalar/json keys; q_project_arith returned to the green
+# top when the 4th new key took its slot).
 _REVERIFY_FRONT = (
     "q_cep_greedy", "q_cep_greedy_default", "q_cep_not_followed_by_interior",
+    "q_cep_times_combinations",
     "q_subquery_corr", "q_subquery_scalar", "q_tpch_q7", "q_tpch_q10",
     "q_tpch_q14", "q_tpch_q4", "q_win_ntile", "q_agg_approx_uv_kmv",
     "q_agg_collect", "q_agg_cube", "q_agg_filtered", "q_agg_having",
@@ -125,7 +129,7 @@ _REVERIFY_FRONT = (
     "q_distinct", "q_dq_profile", "q_explode_array", "q_explode_outer",
     "q_filter_pred", "q_fn_monthmath", "q_fn_struct", "q_fn_url",
     "q_join_asof", "q_json_extract", "q_llm_decontam_bloom",
-    "q_llm_semantic_dedup", "q_mm_resize", "q_project_arith",
+    "q_llm_semantic_dedup", "q_mm_resize",
 )
 
 

@@ -4988,6 +4988,272 @@ def match_recognize_followed_by_any_sessionized_oracle_sql(
                             source, ts, type_col, id_col)
 
 
+# --- times(m,n).allowCombinations(): non-deterministic LOOP contiguity ----
+#
+# The third and last LOOP-internal contiguity mode of Flink's Pattern
+# API (round 15): .consecutive() = strict (match_recognize_consecutive),
+# default = relaxed skip-till-next (match_recognize_relaxed), and
+# .allowCombinations() = non-deterministic — an event admitted by the
+# loop may ALSO be skipped so a later branch picks a different subset:
+# every strictly-increasing k-combination (m <= k <= n) of admitting
+# rows is its own branch/match. The FBA engine above covers the ANY
+# linking between single-occurrence variables and deliberately rejects
+# quantified loops (the unbounded form explodes exactly like Flink's
+# NFA state); the BOUNDED times(m,n) form is safe to enumerate and is
+# what Flink users actually deploy (the docs tell them to bound it).
+
+
+def _validate_combinations(pattern) -> tuple[int, int]:
+    """Scope rules for the combinations engine: exactly the canonical
+    ``begin(A).followedBy(L).times(m,n).allowCombinations()
+    .followedBy(B)`` shape — three variables, single-occurrence ends,
+    ONE bounded {m,n} loop with 1 <= m <= n <= 4 (the enumeration is
+    C(rows-in-window, k) per anchor; n is the user-declared blowup
+    exponent, exactly as in Flink, where an unbounded
+    oneOrMore().allowCombinations() is a documented memory hazard)."""
+    if len(pattern) != 3:
+        raise ValueError(
+            "times-combinations covers the canonical 3-variable shape "
+            "A L{m,n} B (anchor, combination loop, close); compose "
+            "longer single-occurrence chains with the followedByAny "
+            "engine instead")
+    seen = set()
+    for var, etype, _ in pattern:
+        if not _types_of(etype):
+            raise ValueError(
+                f"variable {var!r} needs at least one event type")
+        if var in seen:
+            raise ValueError(f"duplicate pattern variable {var!r}")
+        seen.add(var)
+    for i in (0, 2):
+        if pattern[i][2] != "1":
+            raise ValueError(
+                f"variable {pattern[i][0]!r}: anchor and close are "
+                "single-occurrence ('1') in the canonical "
+                "allowCombinations shape")
+    quant = pattern[1][2]
+    lo, hi, lazy = _quant_parse(quant)
+    if lazy or hi is None or lo < 1 or hi > 4 or lo > hi:
+        raise ValueError(
+            f"loop quantifier {quant!r}: allowCombinations needs a "
+            "bounded greedy {m,n} with 1 <= m <= n <= 4 — the branch "
+            "count is C(rows, k) per anchor (Flink's own unbounded "
+            "form is a documented memory hazard; bound it with "
+            "times(m,n))")
+    return lo, hi
+
+
+def match_recognize_times_combinations(
+    events: DataFrame,
+    pattern: list[tuple[str, object, str]],
+    within_minutes: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flink CEP ``times(m,n).allowCombinations()`` — the
+    non-deterministic loop contiguity (round 15, the last unimplemented
+    loop mode): PATTERN A L{m,n} B where every strictly-increasing
+    k-combination (m <= k <= n) of L-admitting rows after the anchor is
+    its own branch, and B (linked by plain ``followedBy``) consumes the
+    FIRST admitting row after the branch's last loop element. The
+    whole match obeys ``.within(W)``: every row in
+    ``[a_ts, a_ts + W]``, closed bound (mandatory — it is what bounds
+    the per-anchor combination space, in Flink and here alike). No
+    after-match skip: Flink pairs allowCombinations with NO_SKIP —
+    every branch IS a match, overlapping freely.
+
+    Lowering — pure ordered joins, no NFA, no collect, no Python:
+    one row_number + ONE incremental reversed-order window computes
+    each row's next-B pointer (the within_step suffix-min form — the
+    forward (1, unboundedFollowing) frame rescans the tail per row);
+    per k in [m, n] the k-combinations are a chain of per-key
+    equi-joins with (ts, id) order + within predicates (the FBA
+    engine's join shape), and B attaches by pointer equi-join — O(1)
+    per branch, never a scan. All joins hash-partition on the SAME key
+    columns, so the accumulated left side keeps its partitioning and
+    each step shuffles only the filtered admitted stream. At 100 TB
+    the cost is the output size itself — C(loop rows in window, k) per
+    anchor, the user-declared exponent — not the machinery.
+
+    Returns ``key..., match_no, first_event_id, loop_first_id,
+    loop_last_id, n_loop, last_event_id`` (n <= 4 and loop rows are
+    strictly increasing, so (first, loop_first, loop_last, n_loop,
+    last) identifies a branch only for n <= 2 — for n in (3, 4) equal
+    rows are real distinct branches sharing endpoints; match_no makes
+    every branch row unique). match_no numbers branches per key in
+    (a_ts, a_id, loop_last, n_loop, loop_first) order.
+
+    Reference: /root/reference/README.md:1 (no reference code exists;
+    semantics from the public Flink CEP Pattern-API docs — quantifier
+    "Contiguity within looping patterns" / allowCombinations).
+    """
+    from pyspark.sql.window import Window
+
+    lo, hi = _validate_combinations(pattern)
+    keys = [key] if isinstance(key, str) else list(key)
+    win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+    pred_a = _fba_pred_col(pattern[0][1], type_col)
+    pred_l = _fba_pred_col(pattern[1][1], type_col)
+    pred_b = _fba_pred_col(pattern[2][1], type_col)
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    w_desc = Window.partitionBy(*keys).orderBy(
+        F.col(ts).desc(), F.col(id_col).desc())
+    rn = F.row_number().over(w)
+    aug = events.select(
+        *[F.col(c) for c in keys],
+        F.col(ts).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        pred_a.alias("_pa"),
+        pred_l.alias("_pl"),
+        rn.alias("_rn"),
+        F.min(F.when(pred_b, rn)).over(
+            w_desc.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("_nb"),
+    )
+    a = aug.filter("_pa").select(
+        *[F.col(c) for c in keys],
+        F.col("_ts").alias("a_ts"), F.col("_id").alias("a_id"),
+    )
+    l_rows = aug.filter("_pl").select(
+        *[F.col(c) for c in keys],
+        F.col("_ts").alias("l_ts"), F.col("_id").alias("l_id"),
+        F.col("_nb").alias("l_nb"),
+    )
+    b_rows = aug.select(
+        *[F.col(c) for c in keys],
+        F.col("_rn").alias("b_rn"),
+        F.col("_ts").alias("b_ts"), F.col("_id").alias("b_id"),
+    )
+
+    def after(p_ts, p_id, n_ts, n_id):
+        return (F.col(n_ts) > F.col(p_ts)) | (
+            (F.col(n_ts) == F.col(p_ts)) & (F.col(n_id) > F.col(p_id)))
+
+    branches = []
+    for k in range(lo, hi + 1):
+        cur = a
+        for j in range(1, k + 1):
+            lj = l_rows.select(
+                *[F.col(c) for c in keys],
+                F.col("l_ts").alias(f"l{j}_ts"),
+                F.col("l_id").alias(f"l{j}_id"),
+                F.col("l_nb").alias(f"l{j}_nb"),
+            )
+            p_ts, p_id = (("a_ts", "a_id") if j == 1
+                          else (f"l{j - 1}_ts", f"l{j - 1}_id"))
+            cur = cur.join(lj, keys, "inner").filter(
+                after(p_ts, p_id, f"l{j}_ts", f"l{j}_id")
+                & (F.col(f"l{j}_ts") <= F.col("a_ts") + win))
+        branches.append(cur.select(
+            *[F.col(c) for c in keys],
+            "a_ts", "a_id",
+            F.col("l1_id").alias("loop_first_id"),
+            F.col(f"l{k}_id").alias("loop_last_id"),
+            F.col(f"l{k}_ts").alias("_ll_ts"),
+            F.lit(k).cast("long").alias("n_loop"),
+            F.col(f"l{k}_nb").alias("_nb"),
+        ))
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    # pointer attach: (keys, rn) is an equi-join key — Spark hash-joins
+    # on it; the within bound is the only residual predicate
+    cond = u[keys[0]] == b_rows[keys[0]]
+    for c in keys[1:]:
+        cond = cond & (u[c] == b_rows[c])
+    cond = cond & (F.col("b_rn") == F.col("_nb"))
+    m = (
+        u.join(b_rows, cond, "inner")
+        .filter(F.col("b_ts") <= F.col("a_ts") + win)
+        .drop(*[b_rows[c] for c in keys])
+    )
+    w_no = Window.partitionBy(*keys).orderBy(
+        "a_ts", "a_id", "_ll_ts", "loop_last_id", "n_loop",
+        "loop_first_id")
+    return m.select(
+        *[F.col(c) for c in keys],
+        F.row_number().over(w_no).cast("long").alias("match_no"),
+        F.col("a_id").alias("first_event_id"),
+        "loop_first_id", "loop_last_id", "n_loop",
+        F.col("b_id").alias("last_event_id"),
+    )
+
+
+def match_recognize_times_combinations_oracle_sql(
+    pattern,
+    within_minutes: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB SQL replaying
+    :func:`match_recognize_times_combinations`: the same row_number +
+    next-B window (forward frame — fine at oracle scale), the same
+    per-k ordered join chains UNION ALL'd, the same pointer join for B
+    and (a_ts, a_id, loop_last, n_loop, loop_first) renumbering."""
+    lo, hi = _validate_combinations(pattern)
+    pa = _fba_pred_sql(pattern[0][1], type_col)
+    pl = _fba_pred_sql(pattern[1][1], type_col)
+    pb = _fba_pred_sql(pattern[2][1], type_col)
+    w = int(within_minutes)
+    ks = []
+    for k in range(lo, hi + 1):
+        joins = []
+        for j in range(1, k + 1):
+            p = "a" if j == 1 else f"l{j - 1}"
+            joins.append(
+                f"""JOIN lrows l{j} ON l{j}.{key} = a.{key}
+                AND (l{j}.{ts} > {p}.{ts} OR (l{j}.{ts} = {p}.{ts}
+                     AND l{j}.{id_col} > {p}.{id_col}))
+                AND l{j}.{ts} <= a.{ts} + INTERVAL {w} MINUTE""")
+        ks.append(f"""
+        SELECT a.{key}, a.{ts} AS a_ts, a.{id_col} AS a_id,
+               l1.{id_col} AS loop_first_id,
+               l{k}.{id_col} AS loop_last_id,
+               l{k}.{ts} AS ll_ts,
+               CAST({k} AS BIGINT) AS n_loop,
+               l{k}.nb AS nb
+        FROM arows a
+        {' '.join(joins)}""")
+    union = "\n        UNION ALL\n".join(ks)
+    return f"""
+    WITH aug0 AS (
+        SELECT {key}, {ts}, {id_col}, {type_col},
+               row_number() OVER (PARTITION BY {key}
+                                  ORDER BY {ts}, {id_col}) AS rn
+        FROM {table}
+    ),
+    aug AS (
+        SELECT *,
+               min(CASE WHEN {pb} THEN rn END)
+                   OVER (PARTITION BY {key} ORDER BY {ts}, {id_col}
+                         ROWS BETWEEN 1 FOLLOWING
+                         AND UNBOUNDED FOLLOWING) AS nb
+        FROM aug0
+    ),
+    arows AS (SELECT * FROM aug WHERE {pa}),
+    lrows AS (SELECT * FROM aug WHERE {pl}),
+    u AS ({union}),
+    m AS (
+        SELECT u.*, b.{id_col} AS b_id
+        FROM u JOIN aug b ON b.{key} = u.{key} AND b.rn = u.nb
+        WHERE b.{ts} <= u.a_ts + INTERVAL {w} MINUTE
+    )
+    SELECT {key},
+           CAST(row_number() OVER (PARTITION BY {key}
+                ORDER BY a_ts, a_id, ll_ts, loop_last_id, n_loop,
+                         loop_first_id) AS BIGINT) AS match_no,
+           a_id AS first_event_id, loop_first_id, loop_last_id,
+           n_loop, b_id AS last_event_id
+    FROM m
+    """
+
+
 # --- relaxed contiguity over DEFINE conditions -----------------------------
 #
 # Flink CEP composes followedBy with SimpleConditions on VALUES, not

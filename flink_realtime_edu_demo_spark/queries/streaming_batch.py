@@ -46,6 +46,8 @@ from ..operators.cep import (
     match_recognize_not_followed_by_end_oracle_sql,
     match_recognize_not_followed_by_interior,
     match_recognize_not_followed_by_interior_oracle_sql,
+    match_recognize_times_combinations,
+    match_recognize_times_combinations_oracle_sql,
     greedy_pattern,
     match_recognize_not_next_end,
     match_recognize_not_next_end_oracle_sql,
@@ -2904,3 +2906,37 @@ def q_cep_not_followed_by_interior(spark: SparkSession,
     return match_recognize_not_followed_by_interior(
         ev, CEP_NFB_INTERIOR_PATTERN, CEP_NFB_INTERIOR_EDGES,
         within_minutes=1440)
+
+
+# times(m,n).allowCombinations() (round 15): the third and last
+# LOOP-internal contiguity mode of Flink's Pattern API — every
+# strictly-increasing {1,2}-combination of loop rows is its own
+# branch (NO_SKIP, overlapping); bounded n and the mandatory within
+# are what keep the branch space finite, in Flink and here alike.
+CEP_COMBINATIONS_PATTERN = [
+    ("V", "view", "1"),
+    ("L", ("click", "signup"), "{1,2}"),
+    ("P", "purchase", "1"),
+]
+
+
+@query("q_cep_times_combinations",
+       oracle=match_recognize_times_combinations_oracle_sql(
+           CEP_COMBINATIONS_PATTERN, within_minutes=1440))
+def q_cep_times_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP ``times(1,2).allowCombinations()`` — non-deterministic
+    loop contiguity: PATTERN V L{1,2} P where L admits {click, signup}
+    and every strictly-increasing 1- or 2-combination of admitting
+    rows after the view is its OWN branch; P (plain followedBy)
+    consumes the first purchase after the branch's last loop row; the
+    whole match sits inside 24h of the anchor (closed bound). 413
+    branches at sf0.01 (320 singles + 93 pairs) — vs the relaxed
+    engine's one-parse-per-anchor emission, the semantic contrast of
+    the mode. Lowering: ordered per-key join chains UNION'd across k
+    plus ONE incremental reversed-order next-purchase pointer — no
+    NFA, no collect, no Python; the 100 TB cost is the output itself
+    (the user-declared C(rows-in-window, k) exponent).
+    Reference: /root/reference/README.md:1."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_times_combinations(
+        ev, CEP_COMBINATIONS_PATTERN, within_minutes=1440)

@@ -1256,6 +1256,89 @@ def test_not_followed_by_interior_matches_reference(
     assert got == want, (rows, pat, not_between, w, got, want)
 
 
+# --- times(m,n).allowCombinations() vs a direct enumerator (round 15) ---
+
+def _py_times_combinations(rows, pattern, w_minutes):
+    """Reference for the non-deterministic loop contiguity: per
+    A-admitting anchor, every strictly-increasing k-combination
+    (m <= k <= n) of L-admitting rows inside [a_ts, a_ts + w] (closed),
+    closed by the FIRST B-admitting row after the combination's last
+    element, also inside the window. No skip — every branch emits.
+    rows = [(type, ts_minutes)]. Returns (a, loop_first, loop_last,
+    k, b) index tuples (a multiset for n >= 3)."""
+    import itertools
+
+    pa, pl, pb = (_pred(e[1]) for e in pattern)
+    lo, hi, _ = _parse_quant(pattern[1][2])
+    out = []
+    n = len(rows)
+    for a in range(n):
+        if not pa(rows[a][0]):
+            continue
+        limit = rows[a][1] + w_minutes
+        ls = [i for i in range(a + 1, n)
+              if pl(rows[i][0]) and rows[i][1] <= limit]
+        for k in range(lo, hi + 1):
+            for combo in itertools.combinations(ls, k):
+                last = combo[-1]
+                b = next((j for j in range(last + 1, n)
+                          if pb(rows[j][0])), None)
+                if b is not None and rows[b][1] <= limit:
+                    out.append((a, combo[0], combo[-1], k, b))
+    return out
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_gaps=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 40),
+        ),
+        min_size=1, max_size=25,
+    ),
+    ltypes=st.sampled_from(["click", ("click", "error"),
+                            ("click", "purchase")]),
+    quant=st.sampled_from(["{1,1}", "{1,2}", "{2,3}", "{1,3}"]),
+    w=st.sampled_from([15, 60, 240]),
+)
+def test_times_combinations_matches_reference(
+    spark, typed_gaps, ltypes, quant, w
+):
+    """allowCombinations: the join-chain enumeration must reproduce
+    the direct itertools enumerator's branch MULTISET — including loop
+    classes overlapping the close's class (a purchase row may serve a
+    branch as loop element while a later one closes it) and k ranges
+    where endpoint tuples collide (n=3: multiset comparison)."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_times_combinations,
+    )
+
+    pattern = [("V", "view", "1"), ("L", ltypes, quant),
+               ("P", "purchase", "1")]
+    t0 = dt.datetime(2024, 1, 1)
+    acc, rows = 0, []
+    for t, gap in typed_gaps:
+        acc += gap
+        rows.append((t, acc))
+    want = sorted(_py_times_combinations(rows, pattern, w))
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.first_event_id, r.loop_first_id, r.loop_last_id, r.n_loop,
+         r.last_event_id)
+        for r in match_recognize_times_combinations(
+            ev, pattern, w).collect()
+    )
+    assert got == want, (rows, pattern, w, got, want)
+
+
 # --- Flink Pattern-API greedy() desugar (round 15) ---
 
 def test_greedy_pattern_desugar_rules():

@@ -63,6 +63,7 @@ from flink_realtime_edu_demo_spark.operators.cep import (  # noqa: E402
     match_recognize_not_followed_by_end,
     match_recognize_not_followed_by_interior,
     match_recognize_not_next_end,
+    match_recognize_times_combinations,
     match_recognize_not_next,
     match_recognize_relaxed_groups,
     match_recognize_runagg,
@@ -946,6 +947,42 @@ def fuzz_greedy(spark, rng):
                                  got, want)
 
 
+def fuzz_times_combinations(spark, rng):
+    """Round 15: times(m,n).allowCombinations() vs the direct
+    itertools enumerator — random anchor/loop/close classes (loop
+    overlapping the close half the time), k ranges incl. n=3 where
+    endpoint tuples collide (multiset comparison, match_no excluded
+    there by design — the docstring's documented caveat)."""
+    import datetime as dt
+
+    acc, rows = 0, []
+    for _ in range(rng.randint(25, 70)):
+        acc += rng.randint(0, 40)
+        rows.append((rng.choice(["view", "click", "purchase", "error"]),
+                     acc))
+    lt = rng.choice(["click", ("click", "error"), ("click", "purchase")])
+    lo = rng.randint(1, 2)
+    hi = rng.randint(lo, 3)
+    pattern = [("V", "view", "1"), ("L", lt, f"{{{lo},{hi}}}"),
+               ("P", "purchase", "1")]
+    w = rng.choice([15, 60, 240])
+    want = sorted(ref._py_times_combinations(rows, pattern, w))
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.first_event_id, r.loop_first_id, r.loop_last_id, r.n_loop,
+         r.last_event_id)
+        for r in match_recognize_times_combinations(
+            ev, pattern, w).collect()
+    )
+    assert got == want, ("times_combinations", rows, pattern, w,
+                         got, want)
+
+
 def _py_count_windows(rows_by_key, size, slide=None):
     """Reference for keyed count windows: rows_by_key maps key ->
     [(event_id, cents)] in arrival order. Tumbling (slide None):
@@ -1034,6 +1071,7 @@ FAMILIES = [
     # round 15 engines / compositions:
     ("nfb_interior", fuzz_nfb_interior),
     ("greedy", fuzz_greedy),
+    ("times_combinations", fuzz_times_combinations),
 ]
 
 
