@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_verified_green.py against the recorded source hashes
 # (regenerate with tools/gen_green_hashes.py after a driver round).
 _VERIFIED_GREEN = (
+    "q_llm_decontam_bloom", "q_llm_semantic_dedup", "q_mm_resize",
     "q_project_arith",
     "q_tpch_q18", "q_tpch_q19", "q_tpch_q6", "q_upsert_latest",
     "q_join_interval", "q_join_full", "q_join_cross_topk", "q_join_inner",
@@ -106,17 +107,19 @@ _VERIFIED_GREEN = (
     "q_llm_tfidf",
 )
 
-# Round-15 window (49 + warmup): the 4 new round-15 keys (Pattern-API
+# Round-15 window (49 + warmup): the 7 new round-15 keys (Pattern-API
 # greedy() vs default on an overlapping loop, interior non-consuming
-# notFollowedBy + within, times(m,n).allowCombinations()), then the 45
+# notFollowedBy + within, times(m,n).allowCombinations(), embedding
+# decontamination, window dedup, windowed grouping sets), then the 42
 # stalest greens rotated from the top of _VERIFIED_GREEN
 # (subquery/tpch tails, the agg block, the strict-engine CEP block
 # incl. the six keys adjudicated as warmup/host-noise this round, and
-# the r3-era scalar/json keys; q_project_arith returned to the green
-# top when the 4th new key took its slot).
+# the r3-era scalar/json keys; the 4 displaced stale slots returned
+# to the green top as new keys landed).
 _REVERIFY_FRONT = (
     "q_cep_greedy", "q_cep_greedy_default", "q_cep_not_followed_by_interior",
-    "q_cep_times_combinations",
+    "q_cep_times_combinations", "q_llm_decontam_embed",
+    "q_stream_window_dedup", "q_stream_tumble_grouping_sets",
     "q_subquery_corr", "q_subquery_scalar", "q_tpch_q7", "q_tpch_q10",
     "q_tpch_q14", "q_tpch_q4", "q_win_ntile", "q_agg_approx_uv_kmv",
     "q_agg_collect", "q_agg_cube", "q_agg_filtered", "q_agg_having",
@@ -128,8 +131,7 @@ _REVERIFY_FRONT = (
     "q_cep_skip_last", "q_cep_skip_next", "q_cep_unmatched_rows",
     "q_distinct", "q_dq_profile", "q_explode_array", "q_explode_outer",
     "q_filter_pred", "q_fn_monthmath", "q_fn_struct", "q_fn_url",
-    "q_join_asof", "q_json_extract", "q_llm_decontam_bloom",
-    "q_llm_semantic_dedup", "q_mm_resize",
+    "q_join_asof", "q_json_extract",
 )
 
 

@@ -2940,3 +2940,89 @@ def q_cep_times_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return match_recognize_times_combinations(
         ev, CEP_COMBINATIONS_PATTERN, within_minutes=1440)
+
+
+@query(
+    "q_stream_window_dedup",
+    oracle="""
+    SELECT window_start, user_id, event_id, event_type
+    FROM (
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600)
+                    AT TIME ZONE 'UTC' AS TIMESTAMP) AS window_start,
+               user_id, event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY floor(epoch(ts) / 3600), user_id
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL WINDOW DEDUPLICATION (its own docs page, round 15):
+    keep the FIRST row per (tumbling window, key) — ``ROW_NUMBER()
+    OVER (PARTITION BY window_start, user ORDER BY event_time) = 1``
+    over the window-TVF output; unlike plain streaming dedup the key
+    re-admits every window. Spark: the window assigner runs in a
+    plain projection (``F.window`` outside groupBy), then one
+    rank-filter on the (window, user) shuffle — state per key is one
+    row per OPEN window, dropped at watermark, the same O(windows ×
+    keys) bound Flink documents. One shuffle, zero Python.
+    Reference: /root/reference/README.md:1."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("w", "user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(F.window("ts", "1 hour").alias("w"),
+                  "user_id", "event_id", "event_type", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "user_id", "event_id", "event_type",
+        )
+    )
+
+
+@query(
+    "q_stream_tumble_grouping_sets",
+    oracle=f"""
+    SELECT CAST(to_timestamp(b) AT TIME ZONE 'UTC' AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           CAST(GROUPING(event_type) AS BIGINT) AS g,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM (SELECT floor(epoch(ts) / 3600) * 3600 AS b, event_type, value
+          FROM events)
+    GROUP BY GROUPING SETS ((b, event_type), (b))
+    """,
+)
+def q_stream_tumble_grouping_sets(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Windowed GROUPING SETS (round 15) — Flink's window-TVF
+    aggregation supports GROUPING SETS / ROLLUP / CUBE with the
+    window kept FIXED in every set (its docs' own example): per
+    tumbling hour, counts+sums both per event_type AND the window
+    subtotal, with GROUPING() disambiguating real NULLs from
+    subtotal rows. Spark: rollup(window, event_type) filtered to
+    grouping(window)=0 — rollup's grand-total row is the one set
+    Flink's windowed form excludes (the window column is never
+    rolled up). Single shuffle; the per-set expansion is map-side.
+    Reference: /root/reference/README.md:1."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(F.window("ts", "1 hour").alias("w"),
+                  "event_type", "value")
+    return (
+        b.rollup("w", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total_value"),
+            F.grouping("event_type").cast("long").alias("g"),
+            F.grouping("w").alias("_gw"),
+        )
+        .filter(F.col("_gw") == 0)
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "g", "n", "total_value",
+        )
+    )

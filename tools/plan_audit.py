@@ -31,6 +31,12 @@ ALLOWED_NESTED_LOOP = {
     # encode replays the same training chain before its (vocab-scale)
     # broadcast join back into the corpus word stream
     "q_llm_bpe_merges", "q_llm_bpe_encode",
+    # embedding decontamination (r15): the broadcast side is the
+    # SYNTHESIZED benchmark set — bounded by the benchmark's size by
+    # construction (20 rows here; benchmarks are small by definition),
+    # so the crossJoin is a map-side scan of the corpus against a
+    # broadcast table, the plan you'd want at 100 TB
+    "q_llm_decontam_embed",
 }
 
 # Iterative keys: a per-iteration aggregation over REDUCED data
