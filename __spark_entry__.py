@@ -56,7 +56,7 @@ _VERIFIED_GREEN = (
     "q_ts_ohlc", "q_unpivot", "q_fn_bitwise", "q_fn_datetime", "q_fn_hash",
     "q_fn_map", "q_fn_math", "q_fn_string", "q_fn_string2",
     "q_llm_lm_buckets_scaled", "q_stream_late_branch", "q_join_left",
-    "q_join_semi", "q_join_theta", "q_join_window", "q_llm_dedup_chargram",
+    "q_join_semi", "q_join_window", "q_llm_dedup_chargram",
     "q_llm_dedup_exact", "q_llm_dedup_fuzzy", "q_mm_dedup_payload",
     "q_scd2_asof_enrich", "q_scd2_build", "q_set_except", "q_set_intersect",
     "q_set_union", "q_set_union_all", "q_side_output", "q_sort_limit",

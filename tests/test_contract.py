@@ -17,7 +17,7 @@ SURVEY_CORE_KEYS = {
     "q_upsert_latest", "q_project_arith", "q_filter_pred", "q_explode_array",
     "q_distinct", "q_case_when", "q_json_extract", "q_join_inner",
     "q_join_left", "q_join_full", "q_join_semi", "q_join_anti",
-    "q_join_theta", "q_join_cross_topk", "q_join_interval", "q_join_asof",
+    "q_join_theta_scaled", "q_join_cross_topk", "q_join_interval", "q_join_asof",
     "q_join_window", "q_win_rank", "q_topn_per_key", "q_win_laglead",
     "q_win_running_sum", "q_win_moving_avg", "q_sort_limit", "q_set_union",
     "q_set_intersect", "q_set_except", "q_fn_string", "q_fn_datetime",

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -1501,23 +1502,27 @@ def test_anchored_scan_hot_key_gate(spark):
     ).count() >= 0
 
 
-def test_theta_scaled_equals_bnlj_form(spark, sf_dir):
-    """Round 14: the rank-based deployment form of the theta join
-    (suffix-sum over per-distinct-balance counts + broadcast
-    value-join back) must equal the BroadcastNestedLoopJoin parity
-    form ROW FOR ROW — including tied balances (same strictly-greater
-    count) and the richest supplier (n_richer = 0, the COALESCE
-    edge). Also pins the flat within_step memory gate added the same
-    round: a bound below the key size fails loudly, None opts out."""
+@pytest.mark.parametrize("theta_sf", ["/root/testdata/sf0.001",
+                                       "/root/testdata/sf0.01"])
+def test_theta_scaled_equals_bnlj_form(spark, theta_sf):
+    """Round 14 (demotion completed round 16 — VERDICT r15 next #2):
+    the rank-based deployment form of the theta join (suffix-sum over
+    per-distinct-balance counts + broadcast value-join back) must
+    equal the DEMOTED BroadcastNestedLoopJoin parity form ROW FOR ROW
+    at BOTH fixture scales — including tied balances (same
+    strictly-greater count) and the richest supplier (n_richer = 0,
+    the COALESCE edge). q_join_theta_scaled is the sole DECLARED theta
+    key; this differential carries the oracle to the BNLJ operator
+    transitively."""
     from flink_realtime_edu_demo_spark.queries.joins import (
         q_join_theta,
         q_join_theta_scaled,
     )
 
     bnlj = {(r.s_suppkey, r.n_richer)
-            for r in q_join_theta(spark, sf_dir).collect()}
+            for r in q_join_theta(spark, theta_sf).collect()}
     scaled = {(r.s_suppkey, r.n_richer)
-              for r in q_join_theta_scaled(spark, sf_dir).collect()}
+              for r in q_join_theta_scaled(spark, theta_sf).collect()}
     assert bnlj == scaled and bnlj
     assert min(n for _, n in bnlj) == 0  # a richest supplier exists
 

@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ALLOWED_NESTED_LOOP = {
-    "q_join_theta", "q_join_cross_topk", "q_llm_knn",
+    "q_join_cross_topk", "q_llm_knn",
     # 1-row-aggregate broadcast crossJoins (scalar-subquery lowering /
     # corpus-size stat): the nested-loop side is exactly one row.
     "q_subquery_scalar", "q_llm_tfidf", "q_llm_keyword_topk",

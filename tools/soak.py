@@ -76,7 +76,7 @@ SOAK_EXCLUDE = {
     # declared brute-force probe keys whose cost is O(N^2) BY CONTRACT
     # (SCALE.md documents the limit; the scale path is their bucketed /
     # binned siblings, which ARE soaked):
-    "q_join_theta", "q_join_cross_topk",
+    "q_join_cross_topk",
 }
 
 
