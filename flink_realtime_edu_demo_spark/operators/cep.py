@@ -3503,14 +3503,20 @@ def greedy_pattern(pattern, greedy=frozenset()):
 
     Semantics (public Flink CEP docs, "Quantifiers"/greedy): when a
     row at a loop's boundary is admitted by BOTH the loop variable and
-    the NEXT variable, Flink's DEFAULT branch preference hands it to
-    the next variable (the loop stops at the earliest point the rest
-    of the pattern can proceed); ``greedy()`` flips the preference —
-    the loop repeats as many times as possible while the pattern still
-    completes. The distinction is observable ONLY where the loop's
-    admit class overlaps the next variable's (Flink: "greedy has an
-    effect only when the following pattern can also accept the
-    event"); without overlap the boundary row is unambiguous.
+    the NEXT variable, Flink's default oneOrMore EMITS a match per
+    viable loop length (both branch lengths are results), while
+    ``greedy()`` keeps only the longest. This engine family emits ONE
+    match per anchor by design (the SQL:2016 MATCH_RECOGNIZE
+    discipline every other engine here follows), so the desugar
+    PROJECTS the preference onto that language: the default picks the
+    SHORTEST completion deterministically (the reluctant spelling —
+    the boundary row goes to the next variable), greedy() the longest
+    — a documented narrowing of Flink's emit-all-branch-lengths
+    default, not full fidelity to it (ADVICE r15). The distinction is
+    observable ONLY where the loop's admit class overlaps the next
+    variable's (Flink: "greedy has an effect only when the following
+    pattern can also accept the event"); without overlap the boundary
+    row is unambiguous.
 
     Deterministic projection onto the relaxed engine's one-match-per-
     anchor quantifier language: patterns are written in Flink
@@ -3518,8 +3524,8 @@ def greedy_pattern(pattern, greedy=frozenset()):
     ``greedy`` names the variables carrying the modifier. The desugar
     rewrites every UNMARKED choice-bearing quantifier whose class
     overlaps its successor's to the reluctant spelling (earliest
-    completion = the overlapping row goes to the next variable,
-    Flink's default), and leaves marked loops greedy (maximize).
+    completion — the deterministic one-match projection of Flink's
+    default, per above), and leaves marked loops greedy (maximize).
     Non-overlapping loops keep the greedy spelling either way — the
     SQL:2016 MATCH_RECOGNIZE default the rest of the engine family
     uses, and no Pattern-API preference exists to honor there.

@@ -68,7 +68,13 @@ def avro_available(spark: SparkSession) -> bool:
     """Live probe for the spark-avro module: constructing a from_avro
     expression reaches the JVM class, so jar absence surfaces here
     without running a job. Mirrors the Kafka broker probe — re-run per
-    environment, never cached in code."""
+    environment, never cached in code.
+
+    Only the ABSENT-MODULE failure reports False (ADVICE r15: a broken
+    schema string or an unrelated JVM error must surface as itself,
+    not masquerade as 'jar absent' behind the gate message): Spark
+    raises a specific guidance message / missing-class error for the
+    unshipped avro module, matched here; anything else propagates."""
     try:
         from pyspark.sql.avro.functions import from_avro
 
@@ -77,8 +83,21 @@ def avro_available(spark: SparkSession) -> bool:
         df = spark.range(1).select(F.lit(b"\x00").alias("v"))
         df.select(from_avro("v", schema).alias("r"))  # expression build only
         return True
-    except Exception:
-        return False
+    except Exception as e:
+        msg = str(e)
+        absent_markers = (
+            # Spark's dedicated guidance for the unshipped module
+            "Failed to find data source: avro",
+            "AVRO data source",
+            "spark-avro",
+            # raw JVM missing-class spellings
+            "ClassNotFoundException",
+            "NoClassDefFoundError",
+            "org.apache.spark.sql.avro",
+        )
+        if any(m in msg for m in absent_markers):
+            return False
+        raise
 
 
 def _require_avro(spark: SparkSession) -> None:
@@ -96,12 +115,18 @@ def strip_confluent_framing(value: Column) -> Column:
 
 
 def confluent_schema_id(value: Column) -> Column:
-    """The 4-byte big-endian schema id from a Confluent-framed value —
-    what a registry-aware decoder would dispatch on. Exposed so a
-    multi-schema topic can route rows to per-schema decode branches
-    (filter on id, then from_avro per branch)."""
+    """The 4-byte big-endian SIGNED int32 schema id from a
+    Confluent-framed value — what a registry-aware decoder would
+    dispatch on. Exposed so a multi-schema topic can route rows to
+    per-schema decode branches (filter on id, then from_avro per
+    branch). The wire format declares the id a signed int32 (ADVICE
+    r15): an unsigned decode >= 2^31 wraps to the negative value the
+    spec means, done branchlessly via the two's-complement identity
+    ((u + 2^31) mod 2^32) - 2^31."""
     b = lambda i: F.conv(F.hex(F.substring(value, i, 1)), 16, 10).cast("long")  # noqa: E731
-    return (b(2) * 16777216 + b(3) * 65536 + b(4) * 256 + b(5)).alias("schema_id")
+    unsigned = b(2) * 16777216 + b(3) * 65536 + b(4) * 256 + b(5)
+    signed = (unsigned + 2147483648) % 4294967296 - 2147483648
+    return signed.alias("schema_id")
 
 
 def decode_kafka_avro(

@@ -38,6 +38,22 @@ def test_confluent_framing_arithmetic(spark):
     assert row["schema_id"] == 258
 
 
+def test_confluent_schema_id_is_signed_int32(spark):
+    """The wire format's id is a SIGNED big-endian int32 (ADVICE r15):
+    0x80000000 decodes to -2^31, 0xFFFFFFFF to -1, 0x7FFFFFFF to the
+    int32 max — not the unsigned wraparounds."""
+    cases = [
+        (bytes([0, 0x80, 0, 0, 0]) + b"x", -2147483648),
+        (bytes([0, 0xFF, 0xFF, 0xFF, 0xFF]) + b"x", -1),
+        (bytes([0, 0x7F, 0xFF, 0xFF, 0xFF]) + b"x", 2147483647),
+        (bytes([0, 0, 0, 0, 0]) + b"x", 0),
+    ]
+    for wire, want in cases:
+        df = spark.range(1).select(F.lit(wire).alias("value"))
+        got = df.select(confluent_schema_id(F.col("value"))).collect()[0]
+        assert got["schema_id"] == want, (wire.hex(), want)
+
+
 def test_avro_decode_or_documented_gate(spark, sf_dir):
     """With the jar: events → to_avro (Confluent-framed) → decode →
     identical rows. Without it: the documented classpath gate fires on

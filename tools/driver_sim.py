@@ -113,34 +113,45 @@ def main() -> int:
 
 
 _LEDGER_MARKER = "<!-- driver_sim:last-full-run -->"
+_README_MARKER = "<!-- driver_sim:readme-inventory -->"
 
 
-def _update_coverage_ledger(ok: int, bad: int, rows_only: int, sf: str) -> None:
-    """Rewrite the machine-owned totals line in COVERAGE.md (VERDICT r13
-    wrong #1: the hand-maintained count went stale two rounds running —
-    the tool that produces the number now writes the ledger line). Only
-    a FULL-surface run updates it; a marker line must already exist."""
-    import os
-
-    path = os.path.join(REPO, "COVERAGE.md")
-    line = (
-        f"Last full driver_sim run: **{ok} hash-match, {bad} mismatch, "
-        f"{rows_only} rows-only** over {ok + bad + rows_only} declared "
-        f"keys at {os.path.basename(sf.rstrip('/'))} "
-        f"(machine-written by tools/driver_sim.py). {_LEDGER_MARKER}"
-    )
+def _rewrite_marker_line(path: str, marker: str, line: str) -> None:
     try:
         with open(path) as f:
             lines = f.read().splitlines()
     except OSError:
         return
     for i, l in enumerate(lines):
-        if _LEDGER_MARKER in l:
+        if marker in l:
             if lines[i] != line:
                 lines[i] = line
                 with open(path, "w") as f:
                     f.write("\n".join(lines) + "\n")
             return
+
+
+def _update_coverage_ledger(ok: int, bad: int, rows_only: int, sf: str) -> None:
+    """Rewrite the machine-owned totals lines in COVERAGE.md (VERDICT
+    r13 wrong #1) and README.md (VERDICT r15 wrong #3: README's
+    hand-maintained inventory drifted too — same lesson, same fix: the
+    tool that produces the number writes the line). Only a
+    FULL-surface run updates them; marker lines must already exist."""
+    import os
+
+    n = ok + bad + rows_only
+    sf_name = os.path.basename(sf.rstrip("/"))
+    _rewrite_marker_line(
+        os.path.join(REPO, "COVERAGE.md"), _LEDGER_MARKER,
+        f"Last full driver_sim run: **{ok} hash-match, {bad} mismatch, "
+        f"{rows_only} rows-only** over {n} declared "
+        f"keys at {sf_name} "
+        f"(machine-written by tools/driver_sim.py). {_LEDGER_MARKER}")
+    _rewrite_marker_line(
+        os.path.join(REPO, "README.md"), _README_MARKER,
+        f"Declared surface: **{n} keys — {ok} hash-match, {bad} "
+        f"mismatch, {rows_only} rows-only** at {sf_name} "
+        f"(machine-written by tools/driver_sim.py). {_README_MARKER}")
 
 
 if __name__ == "__main__":
