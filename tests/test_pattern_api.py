@@ -304,6 +304,24 @@ TWINS = [
             CEP_COMBINATIONS_PATTERN, within_minutes=1440),
     ),
     (
+        "combinations_chain",
+        lambda: Pattern.begin("V").where(types="view")
+                .followed_by("L").where(types=("click", "error"))
+                .times(1, 2).allow_combinations()
+                .followed_by("C").where(types="signup")
+                .followed_by("P").where(types="purchase")
+                .within(days=1),
+        "match_recognize_times_combinations",
+        lambda ev: cep.match_recognize_times_combinations(
+            ev, [("V", "view", "1"), ("L", ("click", "error"), "{1,2}"),
+                 ("C", "signup", "1"), ("P", "purchase", "1")],
+            within_minutes=1440),
+        lambda: cep.match_recognize_times_combinations_oracle_sql(
+            [("V", "view", "1"), ("L", ("click", "error"), "{1,2}"),
+             ("C", "signup", "1"), ("P", "purchase", "1")],
+            within_minutes=1440),
+    ),
+    (
         "not_followed_by_end",
         lambda: Pattern.begin("V").where(types="view")
                 .not_followed_by("F").where(types="purchase")

@@ -1339,6 +1339,130 @@ def test_times_combinations_matches_reference(
     assert got == want, (rows, pattern, w, got, want)
 
 
+# --- allowCombinations at interior loop sites of longer chains (r16) ---
+
+def _py_combinations_chain(rows, pattern, w_minutes):
+    """Generalized reference for the k-variable combinations chain:
+    per anchor, hop skip-till-next through the prefix (first admitting
+    row after the previous element, all inside [a_ts, a_ts + w]),
+    enumerate every strictly-increasing k-combination of loop rows
+    after the prefix end, then hop skip-till-next through the suffix
+    from each branch's last loop row. rows = [(type, ts_minutes)].
+    Returns (a, *prefix, loop_first, loop_last, k, *suffix) index
+    tuples (a multiset for n >= 3)."""
+    import itertools
+
+    loop = next(i for i, (_, _, q) in enumerate(pattern) if q != "1")
+    lo, hi, _ = _parse_quant(pattern[loop][2])
+    preds = [_pred(e) for _, e, _ in pattern]
+    n = len(rows)
+    out = []
+    for a in range(n):
+        if not preds[0](rows[a][0]):
+            continue
+        limit = rows[a][1] + w_minutes
+        chain = [a]
+        ok = True
+        for i in range(1, loop):
+            nxt = next((j for j in range(chain[-1] + 1, n)
+                        if preds[i](rows[j][0])), None)
+            if nxt is None or rows[nxt][1] > limit:
+                ok = False
+                break
+            chain.append(nxt)
+        if not ok:
+            continue
+        ls = [i for i in range(chain[-1] + 1, n)
+              if preds[loop](rows[i][0]) and rows[i][1] <= limit]
+        for k in range(lo, hi + 1):
+            for combo in itertools.combinations(ls, k):
+                cur, sids, ok2 = combo[-1], [], True
+                for i in range(loop + 1, len(pattern)):
+                    nxt = next((j for j in range(cur + 1, n)
+                                if preds[i](rows[j][0])), None)
+                    if nxt is None or rows[nxt][1] > limit:
+                        ok2 = False
+                        break
+                    sids.append(nxt)
+                    cur = nxt
+                if ok2:
+                    out.append(tuple(chain) + (combo[0], combo[-1], k)
+                               + tuple(sids))
+    return sorted(out)
+
+
+def _chain_tuples(res, pattern):
+    loop = next(i for i, (_, _, q) in enumerate(pattern) if q != "1")
+    pre = [f"{pattern[i][0].lower()}_event_id" for i in range(1, loop)]
+    suf = ([f"{pattern[i][0].lower()}_event_id"
+            for i in range(loop + 1, len(pattern) - 1)]
+           + ["last_event_id"])
+    return sorted(
+        (r.first_event_id,) + tuple(r[p] for p in pre)
+        + (r.loop_first_id, r.loop_last_id, r.n_loop)
+        + tuple(r[s] for s in suf)
+        for r in res
+    )
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    typed_gaps=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "signup", "purchase",
+                             "error"]),
+            st.integers(0, 40),
+        ),
+        min_size=1, max_size=22,
+    ),
+    shape=st.sampled_from(["suffix", "prefix", "both"]),
+    ltypes=st.sampled_from([("click", "error"), "click",
+                            ("signup", "error")]),
+    quant=st.sampled_from(["{1,1}", "{1,2}", "{2,3}"]),
+    w=st.sampled_from([30, 120, 400]),
+)
+def test_combinations_chain_matches_reference(
+    spark, typed_gaps, shape, ltypes, quant, w
+):
+    """Round 16: the generalized combinations engine (prefix/suffix
+    single-occurrence chains around one interior loop) must reproduce
+    the direct enumerator's branch multiset — including pointer hops
+    whose classes overlap the loop's, windows that kill individual
+    hops, and prefix failures that void the anchor entirely."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_times_combinations,
+    )
+
+    if shape == "suffix":
+        pattern = [("V", "view", "1"), ("L", ltypes, quant),
+                   ("C", "signup", "1"), ("P", "purchase", "1")]
+    elif shape == "prefix":
+        pattern = [("V", "view", "1"), ("X", "click", "1"),
+                   ("L", ltypes, quant), ("P", "purchase", "1")]
+    else:
+        pattern = [("V", "view", "1"), ("X", "signup", "1"),
+                   ("L", ltypes, quant), ("C", "click", "1"),
+                   ("P", "purchase", "1")]
+    t0 = dt.datetime(2024, 1, 1)
+    acc, rows = 0, []
+    for t, gap in typed_gaps:
+        acc += gap
+        rows.append((t, acc))
+    want = _py_combinations_chain(rows, pattern, w)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = _chain_tuples(
+        match_recognize_times_combinations(ev, pattern, w).collect(),
+        pattern)
+    assert got == want, (rows, pattern, w, got, want)
+
+
 # --- Flink Pattern-API greedy() desugar (round 15) ---
 
 def test_greedy_pattern_desugar_rules():

@@ -983,6 +983,47 @@ def fuzz_times_combinations(spark, rng):
                          got, want)
 
 
+def fuzz_combinations_chain(spark, rng):
+    """Round 16: the generalized combinations engine — random
+    single-occurrence prefix/suffix chains (lengths 0-2 each, total
+    pattern 3-5 variables) around one interior {m,n} loop, random
+    overlapping classes, vs the chain-aware enumerator."""
+    import datetime as dt
+
+    acc, rows = 0, []
+    for _ in range(rng.randint(25, 60)):
+        acc += rng.randint(0, 40)
+        rows.append((rng.choice(["view", "click", "signup",
+                                 "purchase", "error"]), acc))
+    classes = ["click", "signup", "purchase", "error",
+               ("click", "error"), ("signup", "purchase"),
+               ("click", "signup")]
+    lo = rng.randint(1, 2)
+    hi = rng.randint(lo, 3)
+    n_pre = rng.randint(0, 2)
+    n_suf = rng.randint(1, 2)  # the close is mandatory (loop never last)
+    names = iter("XYZWQ")
+    pattern = [("V", "view", "1")]
+    for _ in range(n_pre):
+        pattern.append((next(names), rng.choice(classes), "1"))
+    pattern.append(("L", rng.choice(classes), f"{{{lo},{hi}}}"))
+    for _ in range(n_suf):
+        pattern.append((next(names), rng.choice(classes), "1"))
+    w = rng.choice([30, 120, 400])
+    want = ref._py_combinations_chain(rows, pattern, w)
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=m), t)
+         for i, (t, m) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = ref._chain_tuples(
+        match_recognize_times_combinations(ev, pattern, w).collect(),
+        pattern)
+    assert got == want, ("combinations_chain", rows, pattern, w,
+                         got, want)
+
+
 def _py_count_windows(rows_by_key, size, slide=None):
     """Reference for keyed count windows: rows_by_key maps key ->
     [(event_id, cents)] in arrival order. Tumbling (slide None):
@@ -1072,6 +1113,7 @@ FAMILIES = [
     ("nfb_interior", fuzz_nfb_interior),
     ("greedy", fuzz_greedy),
     ("times_combinations", fuzz_times_combinations),
+    ("combinations_chain", fuzz_combinations_chain),
 ]
 
 
