@@ -8947,24 +8947,38 @@ def match_recognize_not_next_end(
     confirms the absence, exactly as batch end-of-input closes
     Flink's pending negative state.
 
-    Scope: every variable single-occurrence (quantifier '1', positive
-    or complement classes in any position — adjacency fixes the match
-    shape, so there is no giveback ambiguity and the absence check is
-    EXACT per anchor; quantified trailing variables would make the
-    greedy end interact with the lookahead, a different engine).
+    Scope: interior variables single-occurrence (quantifier '1',
+    positive or complement classes — adjacency fixes the match
+    shape); the LAST variable may carry a quantifier with min >= 1
+    ('+', '{m,}', '{m,n}') — GENERALIZED in round 16 (VERDICT r15
+    missing #4): the trailing run is the MAXIMAL adjacent run (the
+    runagg greedy-end tabulation — the strict engine's one-match-per-
+    anchor greedy discipline; under Flink's all-branch-lengths
+    oneOrMore emission this is the deterministic greedy projection,
+    the same narrowing greedy_pattern documents), truncated to n for
+    bounded {m,n}, and the absence check applies to the row
+    immediately after the TABULATED RUN END — no giveback: a
+    forbidden successor kills the anchor rather than shortening the
+    run (shortening would make the "next row" a run-class row and
+    the absence vacuous whenever forbid ∩ run-class = ∅).
 
     Lowering — fully LINEAR, no per-key collect of raw rows: per row,
-    ``lead``-shifted admit flags conjoin into one anchor predicate
-    (match at row r = rows r..r+k-1 admit positionally) and the
-    absence check is ``lead(type, k)`` ∉ forbid (NULL = end of
-    partition = absent = confirmed). AFTER MATCH: fixed-length
-    matches still overlap as candidates, so 'past_last_row' runs the
-    family's non-overlap fold over the per-key candidate OFFSETS
-    (match-count-sized state, not row-sized); 'to_next_row' emits
-    every anchor. One shuffle, zero Python.
+    ``lead``-shifted admit flags conjoin into one anchor predicate;
+    for the single-occurrence tail the absence check is
+    ``lead(type, k)`` ∉ forbid (NULL = end of partition = absent =
+    confirmed); for a quantified tail the maximal-run length is ONE
+    next-non-run-row pointer (the runagg tabulation: a reversed-frame
+    min over the complement class), and one match-count-sized
+    equi-join on (keys, run-end rn) fetches the run end's id and
+    successor type. AFTER MATCH: candidates overlap, so
+    'past_last_row' runs the family's non-overlap fold over per-key
+    candidate (offset, end) structs (match-count-sized state);
+    'to_next_row' emits every anchor. One shuffle plus the
+    candidate-sized join, zero Python.
 
     Returns ``key..., match_no, first_event_id, last_event_id,
-    n_rows`` (= len(pattern)).
+    n_rows`` (= len(pattern) for single-occurrence tails, prefix
+    length + tabulated run length otherwise).
     Semantics source: Flink CEP Pattern API ``notNext`` (public docs,
     per SURVEY §0).
     """
@@ -8973,19 +8987,29 @@ def match_recognize_not_next_end(
     if not pattern:
         raise ValueError("pattern needs at least one variable")
     seen = set()
-    for var, etype, quant in pattern:
+    for i, (var, etype, quant) in enumerate(pattern):
         if var in seen:
             raise ValueError(f"duplicate pattern variable {var!r}")
         if not _types_of(etype):
             raise ValueError(
                 f"variable {var!r} needs at least one event type")
-        if quant != "1":
+        if quant != "1" and i < len(pattern) - 1:
             raise ValueError(
                 f"variable {var!r}: trailing notNext supports "
-                "single-occurrence variables only (quantifier '1') — "
-                "a quantified trailing variable makes the greedy end "
-                "interact with the absence check")
+                "single-occurrence variables at interior positions "
+                "(quantifier '1') — only the LAST variable may carry "
+                "a quantifier (the tabulated-run form)")
         seen.add(var)
+    tail_quant = pattern[-1][2]
+    if tail_quant != "1":
+        t_lo, t_hi, t_lazy = _quant_parse(tail_quant)
+        if t_lazy or t_lo < 1:
+            raise ValueError(
+                f"variable {pattern[-1][0]!r}: a quantified trailing "
+                f"notNext target needs a greedy min>=1 quantifier "
+                f"('+', '{{m,}}', '{{m,n}}') — got {tail_quant!r}; a "
+                "zero-min run would move the absence check to the "
+                "anchor itself")
     ftypes = _types_of(forbid)
     if not ftypes:
         raise ValueError("forbid must name at least one event type")
@@ -8993,6 +9017,11 @@ def match_recognize_not_next_end(
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
     keys = [key] if isinstance(key, str) else list(key)
     k = len(pattern)
+
+    if tail_quant != "1":
+        return _not_next_end_quantified(
+            events, pattern, ftypes, t_lo, t_hi, keys, ts, type_col,
+            id_col, skip)
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
     ok = _step_pred(pattern[0][1], type_col)
@@ -9053,6 +9082,105 @@ def match_recognize_not_next_end(
     )
 
 
+def _not_next_end_quantified(
+    events, pattern, ftypes, t_lo, t_hi, keys, ts, type_col, id_col,
+    skip,
+):
+    """The quantified-tail lowering for
+    :func:`match_recognize_not_next_end` (round 16): prefix flags as
+    lead conjunctions, the maximal adjacent run via ONE
+    next-non-run-row pointer, the absence + run-end fetch as one
+    candidate-sized (keys, rn) equi-join, and the shared (off, end)
+    non-overlap fold."""
+    from pyspark.sql.window import Window
+
+    k1 = len(pattern) - 1  # single-occurrence prefix length
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    w_desc = Window.partitionBy(*keys).orderBy(
+        F.col(ts).desc(), F.col(id_col).desc())
+    pred_run = _step_pred(pattern[-1][1], type_col)
+    rn = F.row_number().over(w)
+    key_rows = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    # first non-run row at or after the current row (the runagg
+    # tabulation pointer); partition end -> sentinel max_rn + 1
+    nxt_nonrun = F.coalesce(
+        F.min(F.when(~pred_run, rn)).over(
+            w_desc.rowsBetween(Window.unboundedPreceding, 0)),
+        key_rows + 1,
+    )
+    ok = F.lit(True)
+    for i, (_, etype, _) in enumerate(pattern[:-1]):
+        p = _step_pred(etype, type_col)
+        ok = ok & (p if i == 0
+                   else F.coalesce(F.lead(p, i).over(w), F.lit(False)))
+    start_nonb = (nxt_nonrun if k1 == 0
+                  else F.lead(nxt_nonrun, k1).over(w))
+    run_len = start_nonb - (rn + k1)
+    taken = run_len if t_hi is None else F.least(run_len,
+                                                 F.lit(t_hi))
+    cand = events.select(
+        *[F.col(c) for c in keys],
+        rn.cast("long").alias("off"),
+        F.col(id_col).alias("first_event_id"),
+        (rn + k1 + taken - 1).cast("long").alias("endrn"),
+        (F.lit(k1) + taken).cast("long").alias("n_rows"),
+        (ok & (run_len >= t_lo)).alias("valid"),
+    ).filter("valid").drop("valid")
+    side = events.select(
+        *[F.col(c).alias(f"_s{j}") for j, c in enumerate(keys)],
+        rn.cast("long").alias("_ern"),
+        F.col(id_col).alias("last_event_id"),
+        F.lead(type_col, 1).over(w).alias("_nxt_t"),
+    )
+    cond = F.col("endrn") == F.col("_ern")
+    for j, c in enumerate(keys):
+        cond = cond & (F.col(f"_s{j}") == F.col(c))
+    m = (
+        cand.join(side, cond, "inner")
+        .filter(F.col("_nxt_t").isNull()
+                | ~F.col("_nxt_t").isin(*ftypes))
+        .drop(*[f"_s{j}" for j in range(len(keys))], "_ern", "_nxt_t")
+    )
+    if skip == "to_next_row":
+        w_no = Window.partitionBy(*keys).orderBy("off")
+        return m.select(
+            *[F.col(c) for c in keys],
+            F.row_number().over(w_no).cast("long").alias("match_no"),
+            "first_event_id", "last_event_id", "n_rows",
+        )
+    grouped = m.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct(
+            "off", "endrn", "first_event_id", "last_event_id",
+            "n_rows"))).alias("l")
+    )
+    init = F.expr(
+        "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
+        "array<struct<off:bigint,endrn:bigint,first_event_id:bigint,"
+        "last_event_id:bigint,n_rows:bigint>>))"
+    )
+    sel = F.aggregate(
+        F.col("l"),
+        init,
+        lambda acc, c: F.when(
+            c["off"] >= acc["p"],
+            F.struct(
+                (c["endrn"] + 1).alias("p"),
+                F.concat(acc["sel"], F.array(c)).alias("sel"),
+            ),
+        ).otherwise(acc),
+    )["sel"]
+    return grouped.select(
+        *[F.col(c) for c in keys],
+        F.posexplode(sel),
+    ).select(
+        *[F.col(c) for c in keys],
+        (F.col("pos") + 1).cast("long").alias("match_no"),
+        F.col("col")["first_event_id"].alias("first_event_id"),
+        F.col("col")["last_event_id"].alias("last_event_id"),
+        F.col("col")["n_rows"].alias("n_rows"),
+    )
+
+
 def match_recognize_not_next_end_oracle_sql(
     pattern: list[tuple[str, object, str]],
     forbid,
@@ -9066,20 +9194,34 @@ def match_recognize_not_next_end_oracle_sql(
     """DuckDB replay of :func:`match_recognize_not_next_end`: the same
     lead-shifted positional flag conjunction, the same
     NULL-or-not-forbidden successor check, and the shared recursive
-    non-overlap fold for past_last_row."""
+    non-overlap fold for past_last_row. Quantified trailing variables
+    (round 16) replay the next-non-run-row tabulation + run-end join."""
     if not pattern:
         raise ValueError("pattern needs at least one variable")
-    for var, etype, quant in pattern:
-        if quant != "1" or not _types_of(etype):
+    for i, (var, etype, quant) in enumerate(pattern):
+        if not _types_of(etype):
             raise ValueError(
-                f"variable {var!r}: single-occurrence positive/"
-                "complement classes only (the engine's scope)")
+                f"variable {var!r}: positive/complement classes with "
+                ">= 1 event type (the engine's scope)")
+        if quant != "1" and i < len(pattern) - 1:
+            raise ValueError(
+                f"variable {var!r}: only the LAST variable may carry "
+                "a quantifier (the tabulated-run form)")
     ftypes = _types_of(forbid)
     if not ftypes:
         raise ValueError("forbid must name at least one event type")
     if skip not in ("past_last_row", "to_next_row"):
         raise ValueError("skip must be 'past_last_row' or 'to_next_row'")
     k = len(pattern)
+    if pattern[-1][2] != "1":
+        t_lo, t_hi, t_lazy = _quant_parse(pattern[-1][2])
+        if t_lazy or t_lo < 1:
+            raise ValueError(
+                f"variable {pattern[-1][0]!r}: greedy min>=1 "
+                "quantifier required for the tabulated-run form")
+        return _not_next_end_quantified_oracle_sql(
+            pattern, ftypes, t_lo, t_hi, table, key, ts, type_col,
+            id_col, skip)
     alts = ", ".join(f"'{t}'" for t in ftypes)
     order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
     flags = " AND ".join(
@@ -9131,6 +9273,93 @@ def match_recognize_not_next_end_oracle_sql(
         SELECT {key}, off, first_event_id, last_event_id
         FROM r
         WHERE ok AND (nxt_t IS NULL OR nxt_t NOT IN ({alts}))
+    ){numbering}
+    """
+
+
+def _not_next_end_quantified_oracle_sql(
+    pattern, ftypes, t_lo, t_hi, table, key, ts, type_col, id_col,
+    skip,
+) -> str:
+    """DuckDB replay of the quantified-tail trailing-notNext lowering
+    (round 16): identical next-non-run-row tabulation, prefix flag
+    conjunction, run-end join and (off, endrn) non-overlap fold."""
+    k1 = len(pattern) - 1
+    alts = ", ".join(f"'{t}'" for t in ftypes)
+    order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    pred_run = _step_pred_sql(pattern[-1][1], type_col)
+    flags = " AND ".join(
+        f"COALESCE(lead({_step_pred_sql(etype, type_col)}, {i}) "
+        f"OVER ({order}), FALSE)"
+        if i else _step_pred_sql(etype, type_col)
+        for i, (_, etype, _) in enumerate(pattern[:-1])
+    ) or "TRUE"
+    start_nonb = ("nxt_nonrun" if k1 == 0
+                  else f"lead(nxt_nonrun, {k1}) OVER ({order})")
+    taken = "run_len" if t_hi is None else f"LEAST(run_len, {t_hi})"
+    if skip == "to_next_row":
+        numbering = f"""
+    SELECT {key},
+           CAST(row_number() OVER (PARTITION BY {key} ORDER BY off)
+                AS BIGINT) AS match_no,
+           first_event_id, last_event_id, n_rows
+    FROM m"""
+    else:
+        numbering = f""",
+    pick AS (
+        SELECT {key}, off, endrn, first_event_id, last_event_id,
+               n_rows, 1 AS match_no
+        FROM m c
+        WHERE off = (SELECT min(off) FROM m c2
+                     WHERE c2.{key} = c.{key})
+      UNION ALL
+        SELECT nx.{key}, nx.off, nx.endrn, nx.first_event_id,
+               nx.last_event_id, nx.n_rows, pk.match_no + 1
+        FROM pick pk JOIN m nx
+             ON nx.{key} = pk.{key} AND nx.off > pk.endrn
+        WHERE nx.off = (SELECT min(n2.off) FROM m n2
+                        WHERE n2.{key} = pk.{key}
+                          AND n2.off > pk.endrn)
+    )
+    SELECT {key}, CAST(match_no AS BIGINT) AS match_no,
+           first_event_id, last_event_id, n_rows
+    FROM pick"""
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT {key}, {ts}, {id_col}, {type_col},
+               CAST(row_number() OVER ({order}) AS BIGINT) AS rn,
+               NOT ({pred_run}) AS nonrun
+        FROM {table}
+    ),
+    r AS (
+        SELECT *,
+               COALESCE(min(CASE WHEN nonrun THEN rn END)
+                   OVER ({order} ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING),
+                   max(rn) OVER (PARTITION BY {key}) + 1) AS nxt_nonrun,
+               lead({type_col}, 1) OVER ({order}) AS nxt_t
+        FROM base
+    ),
+    c0 AS (
+        SELECT {key}, rn AS off,
+               CAST({id_col} AS BIGINT) AS first_event_id,
+               ({flags}) AS ok,
+               {start_nonb} AS start_nonb
+        FROM r
+    ),
+    cand AS (
+        SELECT {key}, off, first_event_id,
+               CAST(off + {k1} + {taken} - 1 AS BIGINT) AS endrn,
+               CAST({k1} + {taken} AS BIGINT) AS n_rows
+        FROM (SELECT *, start_nonb - (off + {k1}) AS run_len FROM c0)
+        WHERE ok AND run_len >= {t_lo}
+    ),
+    m AS (
+        SELECT c.{key}, c.off, c.endrn, c.first_event_id,
+               CAST(e.{id_col} AS BIGINT) AS last_event_id, c.n_rows
+        FROM cand c JOIN r e
+             ON e.{key} = c.{key} AND e.rn = c.endrn
+        WHERE e.nxt_t IS NULL OR e.nxt_t NOT IN ({alts})
     ){numbering}
     """
 

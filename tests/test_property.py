@@ -1463,6 +1463,107 @@ def test_combinations_chain_matches_reference(
     assert got == want, (rows, pattern, w, got, want)
 
 
+# --- quantified trailing notNext (round 16) ---
+
+def _py_not_next_quant(types, pattern, forbid, skip):
+    """Positional reference for trailing notNext with a quantified
+    last variable: adjacency-check the single-occurrence prefix,
+    tabulate the MAXIMAL adjacent run of the tail class (truncated to
+    n for bounded {m,n}), confirm the row after the tabulated end is
+    absent-or-not-forbidden (no giveback), then apply the
+    past_last_row non-overlap fold (or emit every anchor for
+    to_next_row). Returns (match_no, first_idx, last_idx, n_rows)."""
+    import re
+
+    k1 = len(pattern) - 1
+    preds = [_pred(e) for _, e, _ in pattern]
+    q = pattern[-1][2]
+    if q == "1":
+        lo, hi = 1, 1
+    elif q == "+":
+        lo, hi = 1, None
+    else:
+        m = re.match(r"\{(\d+),(\d*)\}", q)
+        lo = int(m.group(1))
+        hi = int(m.group(2)) if m.group(2) else None
+    fb = set((forbid,) if isinstance(forbid, str) else forbid)
+    n = len(types)
+    cands = []
+    for r in range(n):
+        if not all(r + i < n and preds[i](types[r + i])
+                   for i in range(k1)):
+            continue
+        start = r + k1
+        run = 0
+        while start + run < n and preds[-1](types[start + run]):
+            run += 1
+        if run < lo:
+            continue
+        taken = 1 if q == "1" else (min(run, hi) if hi else run)
+        end = start + taken - 1
+        if end + 1 < n and types[end + 1] in fb:
+            continue
+        cands.append((r, end, k1 + taken))
+    out, p, mno = [], 0, 0
+    for i, (r, e, nr) in enumerate(cands):
+        if skip == "to_next_row":
+            out.append((i + 1, r, e, nr))
+        elif r >= p:
+            mno += 1
+            out.append((mno, r, e, nr))
+            p = e + 1
+    return sorted(out)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error",
+                         "signup"]),
+        min_size=1, max_size=30,
+    ),
+    k1=st.integers(0, 2),
+    tail=st.sampled_from(["+", "{2,}", "{1,2}", "{2,3}"]),
+    tail_cls=st.sampled_from(["click", ("click", "error")]),
+    forbid=st.sampled_from(["error", ("error", "purchase"),
+                            "purchase"]),
+    skip=st.sampled_from(["past_last_row", "to_next_row"]),
+)
+def test_not_next_quantified_matches_reference(
+    spark, types, k1, tail, tail_cls, forbid, skip
+):
+    """Round 16: the quantified-tail trailing-notNext lowering
+    (next-non-run-row tabulation + run-end join) must reproduce the
+    positional reference — including forbid overlapping the run
+    class (the no-giveback rule), bounded runs whose successor is a
+    run-class row, end-of-partition confirmation, and both skips."""
+    import datetime as dt
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_not_next_end,
+    )
+
+    classes = ["view", "click", ("click", "error"),
+               ("!", "purchase", "signup")]
+    pattern = [(f"V{i}", classes[i % len(classes)], "1")
+               for i in range(k1)]
+    pattern.append(("B", tail_cls, tail))
+    want = _py_not_next_quant(types, pattern, forbid, skip)
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=i), t)
+         for i, t in enumerate(types)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.match_no, r.first_event_id, r.last_event_id, r.n_rows)
+        for r in match_recognize_not_next_end(
+            ev, pattern, forbid, skip=skip).collect()
+    )
+    assert got == want, (types, pattern, forbid, skip, got, want)
+
+
 # --- Flink Pattern-API greedy() desugar (round 15) ---
 
 def test_greedy_pattern_desugar_rules():

@@ -754,6 +754,41 @@ def fuzz_not_next_end(spark, rng):
                                  skip, got, want)
 
 
+def fuzz_not_next_quant(spark, rng):
+    """Round 16: trailing notNext after a QUANTIFIED tail variable vs
+    the positional reference — random prefix lengths 0-2, '+'/'{m,}'/
+    '{m,n}' tails, forbid classes overlapping the run class (the
+    no-giveback rule), both skips."""
+    import datetime as dt
+
+    types = [rng.choice(TYPES5) for _ in range(rng.randint(30, 90))]
+    k1 = rng.randint(0, 2)
+    classes = ["view", "click", ("view", "click"),
+               ("!", "error"), ("purchase", "error")]
+    pattern = [(f"V{i}", rng.choice(classes), "1") for i in range(k1)]
+    lo = rng.randint(1, 2)
+    tail = rng.choice(["+", f"{{{lo},}}", f"{{{lo},{lo + rng.randint(0, 2)}}}"])
+    pattern.append(("B", rng.choice(["click", ("click", "error")]),
+                    tail))
+    forbid = rng.choice(["error", ("error", "signup"), "purchase",
+                         ("click", "error")])
+    skip = rng.choice(["past_last_row", "to_next_row"])
+    want = ref._py_not_next_quant(types, pattern, forbid, skip)
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(minutes=i), t)
+         for i, t in enumerate(types)],
+        "user_id long, event_id long, ts timestamp_ntz, event_type string",
+    )
+    got = sorted(
+        (r.match_no, r.first_event_id, r.last_event_id, r.n_rows)
+        for r in match_recognize_not_next_end(
+            ev, pattern, forbid, skip=skip).collect()
+    )
+    assert got == want, ("not_next_quant", types, pattern, forbid,
+                         skip, got, want)
+
+
 def fuzz_not_next_interior(spark, rng):
     """Round 14 (VERDICT r13 missing #4): generalized non-consuming
     notNext — interior AND trailing edges, with the forbid class
@@ -1105,6 +1140,7 @@ FAMILIES = [
     # round 13: the r12 measure-composition layer as its own family
     ("all_rows_running", fuzz_all_rows_running),
     ("not_next_end", fuzz_not_next_end),
+    ("not_next_quant", fuzz_not_next_quant),
     # round 14 engines / compositions:
     ("not_next_interior", fuzz_not_next_interior),
     ("within_step_links", fuzz_within_step_links),
