@@ -117,7 +117,8 @@ _VERIFIED_GREEN = (
 # the r3-era scalar/json keys; the 4 displaced stale slots returned
 # to the green top as new keys landed).
 _REVERIFY_FRONT = (
-    "q_cep_combinations_chain", "q_cep_not_next_quantified",  # new r16
+    "q_cep_combinations_chain", "q_cep_not_next_quantified",
+    "q_mm_dedup_perceptual",  # new r16
     "q_cep_greedy", "q_cep_greedy_default", "q_cep_not_followed_by_interior",
     "q_cep_times_combinations", "q_llm_decontam_embed",
     "q_stream_window_dedup", "q_stream_tumble_grouping_sets",

@@ -31,9 +31,10 @@ _MODULES = (
 def load_all() -> None:
     for m in _MODULES:
         import_module(f"{__name__}.{m}")
-    from ..multimodal import register_queries
+    from ..multimodal import register_perceptual_query, register_queries
 
     register_queries()
+    register_perceptual_query()
 
 
 load_all()
