@@ -594,17 +594,38 @@ def _compile(p: Pattern) -> CompiledPattern:
             _bail("trailing + interior not_next", eng,
                   "and match_recognize_not_next respectively — one "
                   "absence shape per pattern")
-        if define_mode or has_consec or has_greedy or gap \
-                or within is not None:
+        if define_mode or has_greedy or gap or within is not None:
             _bail("not_next()", eng,
                   "the linear lead-flag strict family — DEFINE "
-                  "conditions, consecutive, greedy, within and "
-                  "sessionized are out of its scope")
+                  "conditions, greedy, within and sessionized are "
+                  "out of its scope")
         if not all_strict_edges:
             _bail("not_next()", eng,
                   "the strict-adjacency family: every positive edge "
                   "must be next() (relaxed followedBy absence is "
                   "not_followed_by())")
+        # A quantified LAST positive variable is the r16 tabulated-run
+        # form of the trailing engine; Flink spells its adjacent run
+        # with consecutive(), which IS this family's contiguity.
+        if [s for s in has_consec if s is not pos[-1]]:
+            _bail("consecutive() on a non-final variable with "
+                  "not_next()", eng,
+                  "whose interior variables are single-occurrence")
+        if any(s.quant != "1" for s in pos[:-1]):
+            _bail("a quantified interior variable with not_next()",
+                  eng, "which tabulates a run for the LAST variable "
+                  "only")
+        if pos[-1].quant != "1" and not trailing:
+            _bail("a quantified variable with interior not_next()",
+                  "match_recognize_not_next",
+                  "whose variables are single-occurrence — only the "
+                  "trailing engine tabulates a run")
+        if pos[-1].quant != "1" and not pos[-1].consecutive:
+            _bail("a quantified tail with relaxed loop interior "
+                  "under not_next()", eng,
+                  "which tabulates the ADJACENT maximal run — spell "
+                  "the Flink pattern with consecutive() (a relaxed-"
+                  "interior run has no engine here)")
         pat = [s.entry(False) for s in pos]
         if trailing:
             forbid = _norm(steps[-1].types)

@@ -359,6 +359,18 @@ TWINS = [
             CEP_NOTNEXT_PATTERN, "error"),
     ),
     (
+        "not_next_quantified_tail",
+        lambda: Pattern.begin("V").where(types="view")
+                .next("B").where(types="click").one_or_more()
+                .consecutive()
+                .not_next("X").where(types="error"),
+        "match_recognize_not_next_end",
+        lambda ev: cep.match_recognize_not_next_end(
+            ev, [("V", "view", "1"), ("B", "click", "+")], "error"),
+        lambda: cep.match_recognize_not_next_end_oracle_sql(
+            [("V", "view", "1"), ("B", "click", "+")], "error"),
+    ),
+    (
         "not_next_interior",
         lambda: Pattern.begin("V").where(types="view")
                 .not_next("X").where(types="error")
@@ -516,6 +528,13 @@ ERRORS = [
                 .followed_by("P").where(types="purchase")
                 .not_next("X").where(types="error"),
         "match_recognize_not_next_end",
+    ),
+    (
+        "nn_quantified_tail_needs_consecutive",
+        lambda: Pattern.begin("V").where(types="view")
+                .next("B").where(types="click").one_or_more()
+                .not_next("X").where(types="error"),
+        "consecutive",
     ),
     (
         "greedy_strict_engine",

@@ -64,6 +64,13 @@ ALLOWED_MULTI_GRAIN = {
     # summary (the two-level prefix scan) -> broadcast joins back ->
     # 2-row lateness agg; 6 exchanges, monotone shrinking grain
     "q_stream_late_branch",
+    # r16: the 4-variable combinations chain — one exchange per
+    # user-declared pattern element (per-k loop join legs + the two
+    # skip-till-next pointer hops), every one moving only the
+    # filtered admitted stream or the match-sized candidate set,
+    # never the corpus twice; all legs hash-partition on the same
+    # key, so the accumulated left side never re-shuffles
+    "q_cep_combinations_chain",
 }
 
 # Keys whose plan may carry an Exchange SinglePartition (global sort /
