@@ -46,6 +46,8 @@ trailing / interior ``not_next``          match_recognize_not_next_end /
                                           match_recognize_not_next
 value conditions (``cond=``)              match_recognize[_relaxed]_define
                                           [/ _within / _sessionized]
+running-aggregate conditions              match_recognize_runagg
+(``cond={"agg": ...}``)                   [/ _sessionized]
 strict edges + AFTER MATCH SKIP           match_recognize_define with
                                           types-only conditions
 ========================================  ==================================
@@ -639,6 +641,35 @@ def _compile(p: Pattern) -> CompiledPattern:
             not_next_map[prev.name] = tuple(prior) + s.types
         return done(eng, (pat, not_next_map),
                     {"skip": p._skip, **cols}, eng + "_oracle_sql")
+
+    # ---- running-aggregate DEFINE (Flink iterative condition) ------
+    if any("agg" in (s.cond or {}) for s in pos):
+        base = "match_recognize_runagg"
+        if has_any or has_comb or has_until or has_consec \
+                or has_greedy or nfb or nn or within is not None:
+            _bail('cond={"agg": ...} (a running-aggregate / '
+                  "iterative condition)", base,
+                  "the strict anchored-scan family — followedByAny, "
+                  "allowCombinations, until, consecutive, greedy, "
+                  "absence edges and within are out of its scope")
+        if not all_strict_edges:
+            _bail('cond={"agg": ...} under followedBy linking',
+                  "match_recognize_followed_by_iterative",
+                  "the relaxed iterative engine, which takes "
+                  "anchor/loop condition dicts directly — the "
+                  "builder covers the strict runagg chain "
+                  "(next() edges)")
+        pat = [s.entry(True) for s in pos]
+        if gap is not None:
+            if not default_skip:
+                _bail("sessionized() + skip strategy",
+                      base + "_sessionized",
+                      "which fixes the default AFTER MATCH SKIP")
+            eng = base + "_sessionized"
+            return done(eng, (pat,), {"gap_minutes": gap, **cols},
+                        eng + "_oracle_sql")
+        return done(base, (pat,), {"skip": p._skip, **cols},
+                    base + "_oracle_sql")
 
     # ---- DEFINE (value / iterative conditions) ---------------------
     if define_mode:

@@ -395,6 +395,35 @@ TWINS = [
             CEP_FB_DEFINE_PATTERN),
     ),
     (
+        "runagg_final",
+        lambda: Pattern.begin("A").where(types="view")
+                .next("B").where(cond={"agg": "sum", "cmp": "<",
+                                       "thr": 150.0}).one_or_more(),
+        "match_recognize_runagg",
+        lambda ev: cep.match_recognize_runagg(
+            ev, [("A", {"types": "view"}, "1"),
+                 ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+")]),
+        lambda: cep.match_recognize_runagg_oracle_sql(
+            [("A", {"types": "view"}, "1"),
+             ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+")]),
+    ),
+    (
+        "runagg_interior",
+        lambda: Pattern.begin("A").where(types="view")
+                .next("B").where(cond={"agg": "sum", "cmp": "<",
+                                       "thr": 150.0}).one_or_more()
+                .next("C").where(types="purchase"),
+        "match_recognize_runagg",
+        lambda ev: cep.match_recognize_runagg(
+            ev, [("A", {"types": "view"}, "1"),
+                 ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+"),
+                 ("C", {"types": "purchase"}, "1")]),
+        lambda: cep.match_recognize_runagg_oracle_sql(
+            [("A", {"types": "view"}, "1"),
+             ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+"),
+             ("C", {"types": "purchase"}, "1")]),
+    ),
+    (
         "camel_case_aliases",
         lambda: Pattern.begin("V").where(types="view")
                 .followedBy("C").where(types="click").oneOrMore()
@@ -528,6 +557,14 @@ ERRORS = [
                 .followed_by("P").where(types="purchase")
                 .not_next("X").where(types="error"),
         "match_recognize_not_next_end",
+    ),
+    (
+        "runagg_relaxed_edges",
+        lambda: Pattern.begin("A").where(types="view")
+                .followed_by("B").where(cond={"agg": "sum", "cmp": "<",
+                                              "thr": 150.0})
+                .one_or_more(),
+        "match_recognize_followed_by_iterative",
     ),
     (
         "nn_quantified_tail_needs_consecutive",
