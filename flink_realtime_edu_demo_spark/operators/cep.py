@@ -8168,7 +8168,11 @@ def _validate_not_between(pattern, not_between) -> dict:
                     f"not_between[{var!r}]: edge endpoint "
                     f"{pattern[j][0]!r} must be mandatory (min "
                     "occurrences >= 1) — an absent optional has no "
-                    "boundary row for the absence window")
+                    "boundary row for the absence window (Flink "
+                    "itself forbids a NOT pattern preceded by an "
+                    "optional; the successor-optional case would "
+                    "need per-match boundary re-targeting across "
+                    "absent variables, out of scope)")
         edges[i] = ftypes
     return edges
 

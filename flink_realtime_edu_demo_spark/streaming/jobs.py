@@ -219,3 +219,44 @@ def windowed_grouping_sets(events: DataFrame, size: str = "1 hour",
         )
     )
     return per_type.unionByName(subtotal)
+
+
+def window_topn_parts(events: DataFrame, size: str = "1 day",
+                      delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Window Top-N, streaming stage 1 (round 16 — cashing
+    q_stream_window_topn's docstring promise): the watermark-closed
+    per-(window, key) activity aggregate. Rank does not compose onto
+    a streaming aggregate in one query (two stateful ops / window
+    functions are batch-only), and Flink's own Window Top-N fires per
+    CLOSED window — so the rank half (:func:`rank_top_n`) applies per
+    emitted window in foreachBatch, exactly the two-stage split the
+    batch key's plan documents. State: one (n, decimal sum) pair per
+    open (window, key), dropped at the watermark."""
+    ev = with_event_time(events, delay)
+    return (
+        ev.groupBy(F.window("ts", size).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "user_id", "n", "total_value",
+        )
+    )
+
+
+def rank_top_n(per_key: DataFrame, n: int = 3) -> DataFrame:
+    """Window Top-N, stage 2: ROW_NUMBER over each window's closed
+    per-key rows (ties by user_id), kept to the top ``n`` — the
+    foreachBatch body in streaming, a plain window function in batch.
+    rank_top_n(window_topn_parts(batch_events)) IS the batch key's
+    plan (q_stream_window_topn), pinned by the stream==batch test."""
+    from pyspark.sql.window import Window as W
+
+    rw = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "user_id")
+    return (
+        per_key.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= n)
+        .select("window_start", "rnk", "user_id", "n", "total_value")
+    )

@@ -1683,3 +1683,31 @@ def test_windowed_grouping_sets_stream_matches_batch(spark, sf_dir,
     _assert_append_drain_matches_batch(spark, sf_dir, got, want)
     batch_form = windowed_grouping_sets(load(spark, sf_dir, "events"))
     assert canon_rows(batch_form) == canon_rows(want)
+
+
+def test_window_topn_stream_matches_batch(spark, sf_dir, stream_dir):
+    """Round 16: Window Top-N's streaming form — the watermark-closed
+    per-(window, user) aggregate drained in append mode, then the
+    rank stage applied per closed window (the foreachBatch body) —
+    must equal the batch key (q_stream_window_topn) on every window
+    the final watermark closed; the same two-stage composition on the
+    batch frame must equal the batch key EXACTLY."""
+    from flink_realtime_edu_demo_spark.queries.streaming_batch import (
+        q_stream_window_topn,
+    )
+    from flink_realtime_edu_demo_spark.streaming.jobs import (
+        rank_top_n,
+        window_topn_parts,
+    )
+
+    parts = run_to_completion(
+        window_topn_parts(stream_table(spark, stream_dir, "events")),
+        mode="append",
+    )
+    got = rank_top_n(parts, 3)
+    want = q_stream_window_topn(spark, sf_dir)
+    _assert_append_drain_matches_batch(spark, sf_dir, got, want,
+                                       window_minutes=1440)
+    batch_form = rank_top_n(
+        window_topn_parts(load(spark, sf_dir, "events")), 3)
+    assert canon_rows(batch_form) == canon_rows(want)
