@@ -50,6 +50,9 @@ running-aggregate conditions              match_recognize_runagg
 (``cond={"agg": ...}``)                   [/ _sessionized]
 strict edges + AFTER MATCH SKIP           match_recognize_define with
                                           types-only conditions
+group elements (``next_group`` /          match_recognize_groups /
+``followed_by_group``, list or nested     match_recognize_relaxed_groups
+``Pattern`` body)                         [/ _sessionized]
 ========================================  ==================================
 
 Flink's default (non-greedy) loop preference is honored exactly as
@@ -102,6 +105,7 @@ class _Step:
     allow_combinations: bool = False
     until_types: tuple | None = None
     until_cond: dict | None = None
+    group: list | None = None  # inner (var, types, quant) tuples
 
     @property
     def positive(self) -> bool:
@@ -128,6 +132,8 @@ class _Step:
 
     def entry(self, define_mode: bool):
         """The (var, condition, quant[, until]) tuple an engine takes."""
+        if self.group is not None:
+            return (self.name, list(self.group), self.quant)
         if define_mode:
             if self.negated:
                 raise ValueError(
@@ -242,11 +248,74 @@ class Pattern:
         """Non-consuming relaxed absence (Flink ``notFollowedBy``)."""
         return self._add(name, "not_followed_by")
 
+    def _add_group(self, name: str, inner, edge: str) -> "Pattern":
+        """GroupPattern element (Flink ``Pattern.begin(Pattern)`` /
+        SQL:2016 row-pattern group): ``inner`` is either a list of
+        ``(var, types[, quant])`` tuples or a Pattern instance whose
+        chain becomes the group body (its edges must match this
+        pattern's linking family; pattern-level state — within, skip,
+        sessionized — belongs to the OUTER pattern only). The
+        quantifier methods then apply to the whole group."""
+        self._add(name, edge)
+        s = self._steps[-1]
+        if isinstance(inner, Pattern):
+            if (inner._within_minutes is not None
+                    or inner._gap_minutes is not None
+                    or inner._skip != "past_last_row"):
+                raise ValueError(
+                    f"group {name!r}: within/sessionized/skip belong "
+                    "to the OUTER pattern, not a group body")
+            want_edge = "next" if edge == "next" else "followed_by"
+            body = []
+            for i, gs in enumerate(inner._steps):
+                if not gs.positive or gs.cond is not None \
+                        or gs.group is not None or gs.greedy \
+                        or gs.consecutive or gs.allow_combinations \
+                        or gs.until_types or gs.until_cond:
+                    raise ValueError(
+                        f"group {name!r}: the group engines "
+                        "(match_recognize[_relaxed]_groups) take one "
+                        "nesting level of plain type-conditioned "
+                        "variables — absence edges, cond=, nested "
+                        "groups and loop modifiers are out of their "
+                        "scope")
+                if i > 0 and gs.edge != want_edge:
+                    raise ValueError(
+                        f"group {name!r}: inner edges must match the "
+                        f"outer linking family ({want_edge!r}) — the "
+                        "group engines fix inner contiguity per "
+                        "family")
+                body.append(gs.entry(False))
+        else:
+            body = []
+            for el in inner:
+                var, types = el[0], el[1]
+                quant = el[2] if len(el) > 2 else "1"
+                body.append((var, _norm((types,))
+                             if isinstance(types, str)
+                             else _norm(tuple(types)), quant))
+        if not body:
+            raise ValueError(f"group {name!r} needs at least one "
+                             "inner variable")
+        s.group = body
+        return self
+
+    def next_group(self, name: str, inner) -> "Pattern":
+        """Strict-edge GroupPattern element."""
+        return self._add_group(name, inner, "next")
+
+    def followed_by_group(self, name: str, inner) -> "Pattern":
+        """Relaxed-edge GroupPattern element (Flink
+        ``followedBy(Pattern.begin(...)...)``)."""
+        return self._add_group(name, inner, "followed_by")
+
     # Flink camelCase aliases.
     followedBy = followed_by
     followedByAny = followed_by_any
     notNext = not_next
     notFollowedBy = not_followed_by
+    followedByGroup = followed_by_group
+    nextGroup = next_group
 
     # -- conditions --------------------------------------------------
     def where(self, types=None, cond: dict | None = None) -> "Pattern":
@@ -641,6 +710,55 @@ def _compile(p: Pattern) -> CompiledPattern:
             not_next_map[prev.name] = tuple(prior) + s.types
         return done(eng, (pat, not_next_map),
                     {"skip": p._skip, **cols}, eng + "_oracle_sql")
+
+    # ---- GroupPattern (grouped quantifiers) ------------------------
+    if any(s.group is not None for s in pos):
+        if define_mode or has_any or has_until or has_comb \
+                or has_greedy or nfb or nn or not default_skip \
+                or within is not None:
+            _bail("a group element",
+                  "match_recognize_groups / "
+                  "match_recognize_relaxed_groups",
+                  "which cover plain type-conditioned chains with "
+                  "the default skip — DEFINE conditions, "
+                  "followedByAny, until, allowCombinations, greedy, "
+                  "absence edges, skip strategies and within are "
+                  "out of their scope")
+        pat = [s.entry(False) for s in pos]
+        if all_strict_edges:
+            if not all(s.consecutive or not _is_loop(s.quant)
+                       for s in pos):
+                _bail("a next()-linked group loop without "
+                      "consecutive()", "match_recognize_groups",
+                      "the strict engine, whose loop interiors are "
+                      "strictly contiguous — mark the loop "
+                      "consecutive() to opt into that semantic "
+                      "(Flink's default relaxed interior is the "
+                      "followedBy family)")
+            if gap is not None:
+                _bail("sessionized() with a strict group chain",
+                      "match_recognize_groups",
+                      "which has no sessionized variant — the "
+                      "relaxed family carries the sessionized form")
+            eng = "match_recognize_groups"
+            return done(eng, (pat,), cols, eng + "_oracle_sql")
+        if not all_relaxed_edges:
+            _bail("a group with MIXED next/followedBy edges",
+                  "match_recognize_groups / "
+                  "match_recognize_relaxed_groups",
+                  "which are the all-strict and all-relaxed forms")
+        if has_consec:
+            _bail("consecutive() under followedBy group linking",
+                  "match_recognize_relaxed_groups",
+                  "whose contiguity is relaxed throughout — an "
+                  "all-next() chain with consecutive loops is the "
+                  "strict engine")
+        base = "match_recognize_relaxed_groups"
+        if gap is not None:
+            eng = base + "_sessionized"
+            return done(eng, (pat,), {"gap_minutes": gap, **cols},
+                        eng + "_oracle_sql")
+        return done(base, (pat,), cols, base + "_oracle_sql")
 
     # ---- running-aggregate DEFINE (Flink iterative condition) ------
     if any("agg" in (s.cond or {}) for s in pos):

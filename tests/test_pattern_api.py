@@ -424,6 +424,94 @@ TWINS = [
              ("C", {"types": "purchase"}, "1")]),
     ),
     (
+        "group_quantifier_strict",
+        lambda: Pattern.begin("V").where(types="view")
+                .next_group("G", [("CE", ("click", "error")),
+                                  ("P", "purchase")])
+                .one_or_more().consecutive(),
+        "match_recognize_groups",
+        lambda ev: cep.match_recognize_groups(
+            ev, [("V", "view", "1"),
+                 ("G", [("CE", ("click", "error"), "1"),
+                        ("P", "purchase", "1")], "+")]),
+        lambda: cep.match_recognize_groups_oracle_sql(
+            [("V", "view", "1"),
+             ("G", [("CE", ("click", "error"), "1"),
+                    ("P", "purchase", "1")], "+")]),
+    ),
+    (
+        "followed_by_group",
+        lambda: Pattern.begin("S").where(types="signup")
+                .followed_by_group("G", [("C", "click"),
+                                         ("P", "purchase")])
+                .one_or_more(),
+        "match_recognize_relaxed_groups",
+        lambda ev: cep.match_recognize_relaxed_groups(
+            ev, [("S", "signup", "1"),
+                 ("G", [("C", "click", "1"),
+                        ("P", "purchase", "1")], "+")]),
+        lambda: cep.match_recognize_relaxed_groups_oracle_sql(
+            [("S", "signup", "1"),
+             ("G", [("C", "click", "1"),
+                    ("P", "purchase", "1")], "+")]),
+    ),
+    (
+        "followed_by_group_nested_pattern",
+        lambda: Pattern.begin("S").where(types="signup")
+                .followed_by_group(
+                    "G",
+                    Pattern.begin("C").where(types="click")
+                    .followed_by("P").where(types="purchase"))
+                .one_or_more(),
+        "match_recognize_relaxed_groups",
+        lambda ev: cep.match_recognize_relaxed_groups(
+            ev, [("S", "signup", "1"),
+                 ("G", [("C", "click", "1"),
+                        ("P", "purchase", "1")], "+")]),
+        lambda: cep.match_recognize_relaxed_groups_oracle_sql(
+            [("S", "signup", "1"),
+             ("G", [("C", "click", "1"),
+                    ("P", "purchase", "1")], "+")]),
+    ),
+    (
+        "followed_by_group_bounded",
+        lambda: Pattern.begin("V").where(types="view")
+                .followed_by_group("G", [("C", "click"),
+                                         ("E", "error", "?")])
+                .times(2, 3)
+                .followed_by("P").where(types="purchase"),
+        "match_recognize_relaxed_groups",
+        lambda ev: cep.match_recognize_relaxed_groups(
+            ev, [("V", "view", "1"),
+                 ("G", [("C", "click", "1"), ("E", "error", "?")],
+                  "{2,3}"),
+                 ("P", "purchase", "1")]),
+        lambda: cep.match_recognize_relaxed_groups_oracle_sql(
+            [("V", "view", "1"),
+             ("G", [("C", "click", "1"), ("E", "error", "?")],
+              "{2,3}"),
+             ("P", "purchase", "1")]),
+    ),
+    (
+        "followed_by_group_sessionized",
+        lambda: Pattern.begin("S").where(types="signup")
+                .followed_by_group("G", [("C", "click"),
+                                         ("P", "purchase")])
+                .one_or_more()
+                .sessionized(gap_minutes=720),
+        "match_recognize_relaxed_groups_sessionized",
+        lambda ev: cep.match_recognize_relaxed_groups_sessionized(
+            ev, [("S", "signup", "1"),
+                 ("G", [("C", "click", "1"),
+                        ("P", "purchase", "1")], "+")],
+            gap_minutes=720),
+        lambda: cep.match_recognize_relaxed_groups_sessionized_oracle_sql(
+            [("S", "signup", "1"),
+             ("G", [("C", "click", "1"),
+                    ("P", "purchase", "1")], "+")],
+            gap_minutes=720),
+    ),
+    (
         "camel_case_aliases",
         lambda: Pattern.begin("V").where(types="view")
                 .followedBy("C").where(types="click").oneOrMore()
@@ -557,6 +645,30 @@ ERRORS = [
                 .followed_by("P").where(types="purchase")
                 .not_next("X").where(types="error"),
         "match_recognize_not_next_end",
+    ),
+    (
+        "group_plus_within",
+        lambda: Pattern.begin("V").where(types="view")
+                .followed_by_group("G", [("C", "click")])
+                .one_or_more().within(hours=1),
+        "match_recognize_groups",
+    ),
+    (
+        "strict_group_loop_needs_consecutive",
+        lambda: Pattern.begin("V").where(types="view")
+                .next_group("G", [("C", "click"), ("P", "purchase")])
+                .one_or_more(),
+        "consecutive",
+    ),
+    (
+        "group_inner_edge_family_mismatch",
+        lambda: Pattern.begin("S").where(types="signup")
+                .followed_by_group(
+                    "G",
+                    Pattern.begin("C").where(types="click")
+                    .next("P").where(types="purchase"))
+                .one_or_more(),
+        "linking family",
     ),
     (
         "runagg_relaxed_edges",
