@@ -461,6 +461,56 @@ class Pattern:
         self._gap_minutes = gap_minutes
         return self
 
+    # -- streaming deployment ----------------------------------------
+    def session_sink(self, gap_minutes: int | None = None, **sink_kw):
+        """Deploy the compiled pattern as a streaming
+        :class:`~..streaming.cep.SessionCepSink` (the engine family's
+        session-close emission path): compiles with the sessionized
+        dispatch, then maps the dispatched engine to the sink's
+        matcher. Pass ``gap_minutes`` here or call
+        ``sessionized(gap)`` first; ``sink_kw`` forwards to the sink
+        (store_dir, observe, within_minutes, column names...)."""
+        if gap_minutes is not None:
+            self.sessionized(gap_minutes)
+        if self._gap_minutes is None:
+            raise ValueError(
+                "session_sink needs a session gap — pass gap_minutes "
+                "or call sessionized(gap) first")
+        compiled = self.compile()
+        matcher_by_engine = {
+            "match_recognize_sessionized": "types",
+            "match_recognize_relaxed_sessionized": "relaxed",
+            "match_recognize_until_sessionized": "until",
+            "match_recognize_consecutive_sessionized": "consecutive",
+            "match_recognize_relaxed_groups_sessionized":
+                "relaxed_groups",
+            "match_recognize_define_sessionized": "define",
+            "match_recognize_runagg_sessionized": "runagg",
+        }
+        matcher = matcher_by_engine.get(compiled.engine)
+        if matcher is None:
+            raise ValueError(
+                f"engine {compiled.engine} has no SessionCepSink "
+                "matcher — the sink covers the types/relaxed/until/"
+                "consecutive/relaxed_groups/define/runagg sessionized "
+                "families")
+        if compiled._df_kwargs.get("links"):
+            raise ValueError(
+                "SessionCepSink's relaxed matcher has no strict-edge "
+                "links hook — spell the pattern all-followedBy, or "
+                "run the batch sessionized engine directly")
+        extra = dict(sink_kw)
+        if matcher == "consecutive":
+            extra["consecutive"] = compiled._df_args[1]
+        skip = compiled._df_kwargs.get("skip", "past_last_row")
+        if skip != "past_last_row":
+            extra["skip"] = skip
+        from ..streaming.cep import SessionCepSink
+
+        return SessionCepSink(
+            compiled._df_args[0], gap_minutes=self._gap_minutes,
+            matcher=matcher, **extra)
+
     # -- compilation -------------------------------------------------
     def compile(self) -> CompiledPattern:
         return _compile(self)

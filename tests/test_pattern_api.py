@@ -734,3 +734,117 @@ def test_or_where_extends_class():
     # (click|error) loop overlaps nothing downstream (purchase), so the
     # default-preference desugar leaves the greedy spelling.
     assert compiled._df_args[0][1] == ("CE", ("click", "error"), "+")
+
+
+def test_session_sink_mapping_matches_direct_construction(tmp_path):
+    """Pattern.session_sink maps every sessionized dispatch to the
+    SessionCepSink matcher a hand-written deployment would pick, with
+    the identical pattern payload."""
+    from flink_realtime_edu_demo_spark.streaming.cep import SessionCepSink
+
+    cases = [
+        (Pattern.begin("V").where(types="view")
+         .next("CE").where(types=("click", "error"))
+         .one_or_more().optional().consecutive()
+         .next("P").where(types="purchase"),
+         "types",
+         [("V", "view", "1"), ("CE", ("click", "error"), "*"),
+          ("P", "purchase", "1")]),
+        (Pattern.begin("V").where(types="view")
+         .followed_by("C").where(types="click").one_or_more()
+         .followed_by("P").where(types="purchase"),
+         "relaxed", CEP_FB_PATTERN),
+        (Pattern.begin("S").where(types="signup")
+         .followed_by("C").where(types="click").one_or_more()
+         .until(types="error")
+         .followed_by("P").where(types="purchase"),
+         "until", CEP_UNTIL_PATTERN),
+        (Pattern.begin("V").where(types="view")
+         .followed_by("C").where(types="click").one_or_more()
+         .consecutive()
+         .followed_by("P").where(types="purchase"),
+         "consecutive", CEP_CONSEC_RUN_PATTERN),
+        (Pattern.begin("S").where(types="signup")
+         .followed_by_group("G", [("C", "click"), ("P", "purchase")])
+         .one_or_more(),
+         "relaxed_groups",
+         [("S", "signup", "1"),
+          ("G", [("C", "click", "1"), ("P", "purchase", "1")], "+")]),
+        (Pattern.begin("A").where(types="view")
+         .next("B").where(cond={"agg": "sum", "cmp": "<",
+                                "thr": 150.0}).one_or_more(),
+         "runagg",
+         [("A", {"types": "view"}, "1"),
+          ("B", {"agg": "sum", "cmp": "<", "thr": 150.0}, "+")]),
+    ]
+    for i, (p, matcher, pat) in enumerate(cases):
+        sink = p.session_sink(gap_minutes=720,
+                              store_dir=str(tmp_path / f"s{i}"))
+        want = SessionCepSink(
+            pat, gap_minutes=720, matcher=matcher,
+            store_dir=str(tmp_path / f"w{i}"),
+            **({"consecutive": ("C",)} if matcher == "consecutive"
+               else {}))
+        assert sink.matcher == want.matcher == matcher
+        assert sink.pattern == want.pattern
+        assert sink.gap_minutes == want.gap_minutes == 720
+        if matcher == "consecutive":
+            assert sink.consecutive == ("C",)
+
+
+def test_session_sink_stream_matches_batch(spark, sf_dir, tmp_path):
+    """A builder-deployed SessionCepSink drains a real micro-batched
+    stream to the same closed-session match set as the batch
+    sessionized engine — the builder drives the streaming path end to
+    end."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_demo_spark.operators.cep import (
+        match_recognize_relaxed_sessionized,
+        sessionize,
+    )
+    from flink_realtime_edu_demo_spark.sources.readers import (
+        materialize_stream_input,
+        stream_table,
+    )
+    from flink_realtime_edu_demo_spark.streaming.cep import (
+        start_session_cep,
+    )
+
+    stream_dir = str(tmp_path / "stream_in")
+    materialize_stream_input(spark, sf_dir, "events", stream_dir,
+                             n_splits=3)
+    gap = 720
+    sink = (Pattern.begin("V").where(types="view")
+            .followed_by("C").where(types="click").one_or_more()
+            .followed_by("P").where(types="purchase")
+            .session_sink(gap_minutes=gap,
+                          store_dir=str(tmp_path / "sink")))
+    q = start_session_cep(stream_table(spark, stream_dir, "events"),
+                          str(tmp_path / "ckpt"), sink)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{stream_dir}/events_stream")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sess = sessionize(ev, gap)
+    closed = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") + F.expr(f"INTERVAL {gap} MINUTES")
+                <= F.lit(max_ts))
+        .select("user_id", "session_id")
+    )
+    want = {
+        (r.user_id, r.session_id, r.match_no):
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize_relaxed_sessionized(
+            ev, CEP_FB_PATTERN, gap)
+        .join(closed, ["user_id", "session_id"]).collect()
+    }
+    got = {k: (v["first_event_id"], v["last_event_id"])
+           for k, v in sink.emitted.items()}
+    assert got == want and want
