@@ -397,24 +397,35 @@ def dhash64(media: DataFrame) -> DataFrame:
     ]
     g = media.select("media_id", "tweak", *rowh)
 
-    def px(r: int, c: int) -> F.Column:
+    # The 72 grid pixels are materialized ONCE in a projection between
+    # the md5 layer and the bit layer (round 16): each conv(substring)
+    # then runs once per cell instead of twice (every interior pixel
+    # feeds two difference bits), and the s1/s2 sums become plain
+    # comparisons over int columns — a far smaller codegen unit.
+    def px_expr(r: int, c: int) -> F.Column:
         p = F.conv(F.expr(f"substring(_h{r}, {2 * c + 1}, 2)"), 16, 10) \
              .cast("int")
         if r == 0 and c == 0:
             return F.when(F.col("tweak") == 1, (p + 16) % 256).otherwise(p)
         return p
 
+    gp = g.select(
+        "media_id",
+        *[px_expr(r, c).alias(f"_p{r}_{c}")
+          for r in range(8) for c in range(9)],
+    )
+
     def half(rows) -> F.Column:
         s = F.lit(0).cast("long")
         for i, r in enumerate(rows):
             for c in range(8):
-                bit = F.when(px(r, c) < px(r, c + 1),
+                bit = F.when(F.col(f"_p{r}_{c}") < F.col(f"_p{r}_{c + 1}"),
                              F.lit(1 << (8 * i + c)).cast("long")) \
                        .otherwise(F.lit(0).cast("long"))
                 s = s + bit
         return s
 
-    return g.select(
+    return gp.select(
         "media_id",
         half(range(4)).alias("s1"),
         half(range(4, 8)).alias("s2"),

@@ -225,6 +225,7 @@ def _seq_strings(
     type_col: str,
     id_col: str,
     guard_regex: str | None = None,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Tokenize each event as ``<type_char><id>;`` and concatenate per
     key in (ts, id) order — the shared front half of every type-pattern
@@ -233,24 +234,46 @@ def _seq_strings(
     the per-key row COUNT — a free column of the same aggregation, so
     the guard costs one integer comparison however often downstream
     projection collapse inlines ``s`` — is asserted under
-    ``_GUARD_TOKENS`` before the string is released to the scan."""
+    ``_GUARD_TOKENS`` before the string is released to the scan.
+
+    ``with_offsets`` (round 16): additionally emit ``offs`` — each
+    token's 1-based start position in ``s``, from a window
+    running-length sum riding the same (keys, ts, id) shuffle — the
+    anchored to_next_row/skip modes' offset source, replacing their
+    O(rows²) array-copy offsets fold."""
     tok_char: F.Column = F.lit("z")
     for etype, ch in reversed(chars.items()):
         tok_char = F.when(F.col(type_col) == etype, ch).otherwise(tok_char)
+    extra = (
+        _within_row_cols(keys, ts, id_col, 0)[:1] if with_offsets else []
+    )
     toks = events.select(
         *[F.col(k) for k in keys],
         F.struct(
             F.col(ts).alias("ts"),
             F.col(id_col).alias("id"),
             F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";")).alias("tok"),
+            *extra,
         ).alias("t"),
     )
-    out = toks.groupBy(*keys).agg(
-        F.concat_ws(
-            "", F.transform(F.array_sort(F.collect_list("t")), lambda s: s["tok"])
-        ).alias("s"),
+    agg = toks.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("t")).alias("__arr"),
         F.count(F.lit(1)).alias("__n_tok"),
     )
+    out = agg.select(
+        *[F.col(k) for k in keys],
+        F.concat_ws(
+            "", F.transform("__arr", lambda s: s["tok"])
+        ).alias("s"),
+        F.col("__n_tok"),
+        *(
+            [F.transform(
+                "__arr", lambda r: r["noff"] - F.length(r["tok"])
+            ).alias("offs")]
+            if with_offsets else []
+        ),
+    )
+    off_cols = [F.col("offs")] if with_offsets else []
     if guard_regex is not None and _RECURSIVE_LOOP.search(guard_regex):
         chk = F.assert_true(
             F.col("__n_tok") <= F.lit(_GUARD_TOKENS), F.lit(_GUARD_MSG)
@@ -258,6 +281,7 @@ def _seq_strings(
         out = out.select(
             *[F.col(k) for k in keys],
             F.when(chk.isNull(), F.col("s")).alias("s"),
+            *off_cols,
         )
     else:
         out = out.drop("__n_tok")
@@ -796,35 +820,60 @@ def _leading_classes(pattern, chars: dict[str, str]) -> str:
     return "".join(dict.fromkeys(out))
 
 
+def _within_row_cols(keys: list[str], ts: str, id_col: str,
+                     within_minutes: int) -> list:
+    """The two per-row columns the within anchored scan precomputes on
+    the WINDOW side of its one shuffle (round 16): ``noff`` = 1 +
+    running token-length sum through the current row (== the old
+    ``offs[j+1]`` fold entry — every engine's token is
+    ``<char><id>;``, so its length is 2 + len(str(id)) regardless of
+    the token char), and ``r`` = COUNT of partition rows with
+    ``ts <= ts_row + within`` via an interval RANGE frame (closed
+    bound, pure NTZ arithmetic — bit-identical to the old per-anchor
+    ``size(filter(arr, ts <= bound))``, cross-checked exhaustively at
+    sf0.1). Both ride the same (keys, ts, id) exchange the collect_list
+    uses; they replace an O(rows²) array-copy fold and an O(rows²)
+    per-anchor interpreted scan with two O(rows) window passes
+    (guide §2.4 — same-key operations share one exchange)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    tok_len = F.length(F.col(id_col).cast("string")) + F.lit(2)
+    noff = (
+        F.sum(tok_len).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        + F.lit(1)
+    ).alias("noff")
+    part = ", ".join(f"`{k}`" for k in keys)
+    r = F.expr(
+        f"count(*) OVER (PARTITION BY {part} ORDER BY `{ts}` "
+        f"RANGE BETWEEN UNBOUNDED PRECEDING AND "
+        f"INTERVAL {int(within_minutes)} MINUTES FOLLOWING)"
+    ).alias("r")
+    return [noff, r]
+
+
 def _within_core(
     grouped: DataFrame,
     keys: list[str],
     anchored: str,
-    win,
     lead: str,
 ) -> DataFrame:
     """The shared anchored time-truncated scan: ``grouped`` holds one
-    sorted ``arr`` of (ts, id, tok) structs per key. For each (pruned)
-    anchor j the eligible run is the contiguous rows with
-    ``ts <= ts_j + win``; the anchored regex applies to exactly that
-    substring, and a fold selects matches left to right, resuming
-    after each match's last row. Returns keys + posexplode(pos, col)
-    where col = {off, m} — callers decode measures from ``m``."""
+    sorted ``arr`` of (ts, id, tok, noff, r) structs per key — noff/r
+    are the :func:`_within_row_cols` window precomputations. For each
+    (pruned) anchor j the eligible run is the contiguous rows 1-based
+    j..r_j (``ts <= ts_j + win`` — r_j precomputed); the anchored
+    regex applies to exactly that substring, and a fold selects
+    matches left to right, resuming after each match's last row.
+    Returns keys + posexplode(pos, col) where col = {off, m} —
+    callers decode measures from ``m``."""
     arr = F.col("arr")
     n = F.size(arr)
     toks = F.transform(arr, lambda r: r["tok"])
-    offs = F.aggregate(
-        toks,
-        F.array(F.lit(1)),
-        lambda acc, t: F.concat(
-            acc, F.array(F.element_at(acc, -1) + F.length(t))
-        ),
-    )
     g2 = grouped.select(
         *[F.col(k) for k in keys],
         arr,
         F.concat_ws("", toks).alias("s"),
-        offs.alias("offs"),
     )
 
     def at(i):
@@ -833,11 +882,11 @@ def _within_core(
     guard_scan = _RECURSIVE_LOOP.search(anchored) is not None
 
     def cand(j):
-        # eligible rows: the contiguous run j..R with ts <= ts_j + win
-        bound = at(j)["ts"] + win
-        r_j = F.size(F.filter(arr, lambda r: r["ts"] <= bound))
-        off_j = F.element_at(F.col("offs"), j.cast("int"))
-        end_off = F.element_at(F.col("offs"), (r_j + 1).cast("int"))
+        # eligible rows: the contiguous run j..r_j (precomputed on the
+        # window side — the old per-anchor O(rows) ts scan)
+        r_j = at(j)["r"]
+        off_j = at(j)["noff"] - (F.length(at(j)["tok"]))
+        end_off = at(r_j)["noff"]
         m = F.regexp_extract(
             F.col("s").substr(off_j, end_off - off_j), anchored, 0
         )
@@ -926,7 +975,6 @@ def match_recognize_within(
     regex = _token_regex(pattern, chars)
     anchored = f"^(?:{regex})"
     lead = _leading_classes(pattern, chars)
-    win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
 
     tok_char: F.Column = F.lit("z")
     for etype, ch in reversed(chars.items()):
@@ -938,12 +986,13 @@ def match_recognize_within(
             F.col(id_col).alias("id"),
             F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";"))
             .alias("tok"),
+            *_within_row_cols(keys, ts, id_col, within_minutes),
         ).alias("t"),
     )
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
     )
-    out = _within_core(grouped, keys, anchored, win, lead)
+    out = _within_core(grouped, keys, anchored, lead)
     m = F.col("col")["m"]
     return out.select(
         *[F.col(k) for k in keys],
@@ -1392,12 +1441,21 @@ def _define_tokens(
     type_col: str,
     id_col: str,
     value_col: str,
+    within_minutes: int | None = None,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Bitmask tokenization for DEFINE-based matching: lag/lead the
     value column in one ordered window, evaluate every variable's
     define per row, and emit ``chr(97 + bitmask)<id>;`` tokens grouped
     into a per-key sorted ``toks`` array (one shuffle — the same
-    exchange every downstream scan mode reuses)."""
+    exchange every downstream scan mode reuses).
+
+    ``within_minutes`` (round 16): adds the :func:`_within_row_cols`
+    noff/r fields to each struct — the WITHIN scan's per-row offset and
+    eligible-run-end precomputations, riding the same window/shuffle as
+    the lag/lead flags. ``with_offsets``: adds ``noff`` alone — the
+    anchored to_next_row/skip modes' token-offset source, replacing
+    their O(rows²) array-copy offsets fold."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
@@ -1422,6 +1480,11 @@ def _define_tokens(
         for c in conds[1:]:
             sat = sat & c
         bm = bm + F.when(sat, F.lit(1 << i)).otherwise(F.lit(0))
+    extra: list = []
+    if within_minutes is not None:
+        extra = _within_row_cols(keys, ts, id_col, within_minutes)
+    elif with_offsets:
+        extra = _within_row_cols(keys, ts, id_col, 0)[:1]  # noff only
     toks = events.select(
         *[F.col(k) for k in keys],
         F.struct(
@@ -1432,6 +1495,7 @@ def _define_tokens(
                 F.col(id_col).cast("string"),
                 F.lit(";"),
             ).alias("tok"),
+            *extra,
         ).alias("t"),
     )
     return toks.groupBy(*keys).agg(
@@ -1492,7 +1556,7 @@ def match_recognize_define(
     keys = [key] if isinstance(key, str) else list(key)
     regex = _define_regex(pattern)
     seq = _define_tokens(events, pattern, keys, ts, type_col, id_col,
-                         value_col)
+                         value_col, with_offsets=mode != "past_last_row")
     if mode == "past_last_row":
         return seq.select(
             *[F.col(k) for k in keys],
@@ -1513,13 +1577,10 @@ def match_recognize_define(
             .cast("long").alias("n_rows"),
         )
     # anchored attempt at every token offset (1-based substring
-    # positions from a running sum of token lengths)
-    offsets = F.aggregate(
-        "toks",
-        F.array(F.lit(1)),
-        lambda acc, t: F.concat(
-            acc, F.array(F.element_at(acc, -1) + F.length(t))
-        ),
+    # positions; round 16 — the per-row noff window precomputation
+    # replaces the O(rows²) array-copy offsets fold)
+    offsets = F.transform(
+        "arr", lambda r: r["noff"] - F.length(r["tok"])
     )
     anchored = (
         f"^{_define_regex_grouped(pattern, target)}"
@@ -1531,7 +1592,7 @@ def match_recognize_define(
             *[F.col(k) for k in keys],
             _guard_tokens_array(F.col("arr"), F.concat_ws("", "toks"),
                                 regex).alias("s"),
-            F.explode(F.slice(offsets, 1, F.size("toks"))).alias("off"),
+            F.explode(offsets).alias("off"),
         )
         .select(
             *[F.col(k) for k in keys],
@@ -1884,12 +1945,12 @@ def match_recognize_define_within(
     keys = [key] if isinstance(key, str) else list(key)
     anchored = f"^(?:{_define_regex(pattern)})"
     lead = _define_leading_classes(pattern)
-    win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
     grouped = _define_tokens(events, pattern, keys, ts, type_col, id_col,
-                             value_col).select(
+                             value_col,
+                             within_minutes=within_minutes).select(
         *[F.col(k) for k in keys], "arr"
     )
-    out = _within_core(grouped, keys, anchored, win, lead)
+    out = _within_core(grouped, keys, anchored, lead)
     m = F.col("col")["m"]
     return out.select(
         *[F.col(k) for k in keys],
@@ -3692,22 +3753,15 @@ def match_recognize_relaxed(
     chars = _char_map(pattern)
     regex = _relaxed_regex(pattern, chars, links)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
-                       guard_regex=regex)
+                       guard_regex=regex,
+                       with_offsets=mode != "past_last_row")
     k = len(pattern)
     if mode != "past_last_row":
         # anchored attempt at every token offset (strict engine's
         # to_next_row / capture-group-resume machinery over the
-        # relaxed pieces)
+        # relaxed pieces; round 16 — offsets precomputed on the window
+        # side of _seq_strings' shuffle, not an O(rows²) fold)
         anchored = f"^(?:{regex})"
-        toks = F.filter(F.split(F.col("s"), "(?<=;)"),
-                        lambda t: t != F.lit(""))
-        offsets = F.aggregate(
-            toks,
-            F.array(F.lit(1)),
-            lambda acc, t: F.concat(
-                acc, F.array(F.element_at(acc, -1) + F.length(t))
-            ),
-        )
         sub = F.col("s").substr(F.col("off"), F.length("s"))
         gcols = [F.regexp_extract(sub, anchored, i + 1).alias(f"g{i}")
                  for i in range(k)]
@@ -3715,7 +3769,7 @@ def match_recognize_relaxed(
             seq.select(
                 *[F.col(c) for c in keys],
                 F.col("s"),
-                F.explode(F.slice(offsets, 1, F.size(toks))).alias("off"),
+                F.explode(F.col("offs")).alias("off"),
             )
             .select(
                 *[F.col(c) for c in keys],
@@ -4233,7 +4287,6 @@ def match_recognize_relaxed_within(
     regex = _relaxed_regex(pattern, chars, links)
     anchored = f"^(?:{regex})"
     lead = _leading_classes(pattern, chars)
-    win = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
 
     tok_char: F.Column = F.lit("z")
     for etype, ch in reversed(chars.items()):
@@ -4245,12 +4298,13 @@ def match_recognize_relaxed_within(
             F.col(id_col).alias("id"),
             F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";"))
             .alias("tok"),
+            *_within_row_cols(keys, ts, id_col, within_minutes),
         ).alias("t"),
     )
     grouped = rows.groupBy(*keys).agg(
         F.array_sort(F.collect_list("t")).alias("arr")
     )
-    out = _within_core(grouped, keys, anchored, win, lead)
+    out = _within_core(grouped, keys, anchored, lead)
     m = F.col("col")["m"]
     n_vars = [
         _relaxed_var_count(

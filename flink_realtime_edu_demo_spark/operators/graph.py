@@ -62,8 +62,17 @@ def connected_components(
     gate = SMALL_GRAPH_EDGES if small_graph_threshold is None \
         else small_graph_threshold
     e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
-    if gate > 0 and e0.limit(gate).count() < gate:
-        return _union_find_driver(e0)
+    if gate > 0:
+        # One probe job instead of two (round 16): collect the gated
+        # limit directly — when the edge list is under the gate the
+        # collected rows ARE the union-find input, so the separate
+        # count job and the second full collect both disappear. At or
+        # over the gate the ≤gate collected rows (a few MB, the same
+        # bounded driver state as before) are discarded and the
+        # distributed path runs unchanged.
+        probe = e0.limit(gate).collect()
+        if len(probe) < gate:
+            return _union_find_driver(e0, probe)
     if method == "jump":
         return connected_components_jump(e0, "a", "b", max_iter)[0]
     if method == "star":
@@ -110,13 +119,14 @@ def connected_components(
 SMALL_GRAPH_EDGES = 100_000
 
 
-def _union_find_driver(e0: DataFrame) -> DataFrame:
+def _union_find_driver(e0: DataFrame, rows=None) -> DataFrame:
     """Union-find over a collected small edge list (gate checked by the
-    caller), labels re-parallelized: one collect + one createDataFrame
-    instead of log-many iterative Spark jobs whose cost at this size is
-    pure scheduling latency. Path-compressed, union-by-min so the
-    representative IS the component minimum — the same fixpoint as the
-    distributed methods (property-tested equal)."""
+    caller; ``rows`` = the caller's already-collected gate probe, so no
+    second collect runs), labels re-parallelized: one collect + one
+    createDataFrame instead of log-many iterative Spark jobs whose cost
+    at this size is pure scheduling latency. Path-compressed,
+    union-by-min so the representative IS the component minimum — the
+    same fixpoint as the distributed methods (property-tested equal)."""
     parent: dict = {}
 
     def find(x):
@@ -127,7 +137,7 @@ def _union_find_driver(e0: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in e0.collect():
+    for row in (e0.collect() if rows is None else rows):
         a, b = row[0], row[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)

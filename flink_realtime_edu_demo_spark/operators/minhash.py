@@ -458,12 +458,28 @@ def simhash_md5(tokens: DataFrame, id_col: str = "doc_id",
     every value inside a signed BIGINT. Bit i of each half is the sign
     of Σ_tokens (±1 on hash bit i). One groupBy with 64 algebraic
     aggregates — a single shuffle of (id, token-hash) pairs at scale.
-    """
 
-    def half(hex_start: int, prefix: str) -> list:
-        h = F.conv(
-            F.substring(F.md5(F.col(tok_col).cast("binary")), hex_start, 8), 16, 10
-        ).cast("long")
+    The two conv(substring(md5)) longs are materialized in a narrow
+    projection BEFORE the groupBy (round 16 — the documented
+    minhash_signatures_md5 rationale applied here too): each md5/conv
+    is then computed once per token regardless of aggregate-side
+    common-subexpression behavior, and the 64 aggregate inputs are
+    plain shift/mask ops over two long columns — a much smaller
+    codegen unit.
+    """
+    proj = tokens.select(
+        F.col(id_col),
+        *[
+            F.conv(
+                F.substring(F.md5(F.col(tok_col).cast("binary")), s, 8),
+                16, 10,
+            ).cast("long").alias(n)
+            for s, n in ((1, "__h1"), (9, "__h2"))
+        ],
+    )
+
+    def half(hcol: str, prefix: str) -> list:
+        h = F.col(hcol)
         return [
             F.sum(
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -471,7 +487,7 @@ def simhash_md5(tokens: DataFrame, id_col: str = "doc_id",
             for i in range(32)
         ]
 
-    agg = tokens.groupBy(id_col).agg(*half(1, "a"), *half(9, "b"))
+    agg = proj.groupBy(id_col).agg(*half("__h1", "a"), *half("__h2", "b"))
 
     def assemble(prefix: str) -> F.Column:
         sim = None

@@ -480,8 +480,12 @@ def _bpe_chain(docs: DataFrame):
     every merge iteration then runs on the VOCABULARY (unique words ×
     symbols — Heaps'-law bounded, millions of rows at 100 TB, not
     corpus-scale), so iterations cost narrow vocab-sized shuffles and
-    the top pair is never collected to the driver — it re-enters the
-    plan as a broadcast cross join. The greedy left-to-right
+    the top pair is ONE collected row of bounded driver state per
+    iteration (the k-means-centroid precedent), re-entering the plan
+    as literals (round 16 — the r15 broadcast-cross-join spelling
+    round-tripped the same row through the driver anyway, plus a
+    persist, a BroadcastExchange and a join per iteration).
+    The greedy left-to-right
     non-overlapping merge (``aaaa`` + (a,a) → ``aa aa``) is pure
     relational gaps-and-islands: candidate runs share ``pos − cumsum``
     islands and merge at even offsets — no fold, no Python, exact
@@ -507,29 +511,42 @@ def _bpe_chain(docs: DataFrame):
     )
 
     w = Window.partitionBy("word").orderBy("pos")
+    spark = docs.sparkSession
+    merge_schema = ("iter bigint, lhs string, rhs string, merged string,"
+                    " pair_count bigint")
     merge_rows = []
     for it in range(1, _BPE_ITERS + 1):
         paired = cur.withColumn("nxt", F.lead("sym").over(w))
-        top = (
+        # The top pair is ONE row of bounded driver state (the k-means
+        # initial-centroid / Bloom-literal precedent): collect it and
+        # re-enter it as LITERALS instead of the round-15 broadcast
+        # cross join — the broadcast already round-tripped the same row
+        # through the driver, plus a persist, a BroadcastExchange and a
+        # join per iteration; literal re-entry removes all three from
+        # every iteration's plan (guide §1.2: fix the algorithm's
+        # shape first). Values are identical by construction, so the
+        # merge table and the final vocab are bit-identical.
+        top_rows = (
             paired.where(F.col("nxt").isNotNull())
             .groupBy("sym", "nxt")
             .agg(F.sum("cnt").cast("long").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("sym"), F.asc("nxt"))
             .limit(1)
-            .select(
-                F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"),
-                "pair_count",
-            )
-            # persisted (1 row): the output union AND iteration i+1
-            # both consume each top — without materialization every
-            # branch replays the full earlier-iteration lineage
-            # (measured 30 exchanges / 6.3s -> 11 / 1.5s at sf0.01)
-            .persist()
+            .collect()
         )
+        if not top_rows:
+            # no adjacent pair anywhere (degenerate corpus): the old
+            # empty-crossJoin behavior — no merge row this iteration
+            # and an annihilated chain — reproduced literally
+            empty = spark.createDataFrame([], merge_schema)
+            merge_rows.extend([empty] * (_BPE_ITERS - it + 1))
+            cur = cur.where(F.lit(False))
+            break
+        lhs_v, rhs_v, cnt_v = (top_rows[0]["sym"], top_rows[0]["nxt"],
+                               top_rows[0]["pair_count"])
         merge_rows.append(
-            top.select(
-                F.lit(it).cast("long").alias("iter"), "lhs", "rhs",
-                F.concat("lhs", "rhs").alias("merged"), "pair_count",
+            spark.createDataFrame(
+                [(it, lhs_v, rhs_v, lhs_v + rhs_v, cnt_v)], merge_schema
             )
         )
         # Greedy non-overlap: candidate runs merge at even offsets from
@@ -537,10 +554,10 @@ def _bpe_chain(docs: DataFrame):
         # (word, pos) window as everything else, so the whole apply
         # step reuses one partitioning (no (word, island) re-shuffle).
         j = (
-            paired.crossJoin(F.broadcast(top))
+            paired
             .withColumn(
-                "cand", (F.col("sym") == F.col("lhs"))
-                & (F.col("nxt") == F.col("rhs"))
+                "cand", (F.col("sym") == F.lit(lhs_v))
+                & (F.col("nxt") == F.lit(rhs_v))
             )
             .withColumn(
                 "rstart",
