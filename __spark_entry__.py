@@ -45,8 +45,7 @@ _VERIFIED_GREEN = (
     "q_cep_followed_by_group_bounded", "q_cep_followed_by_group_sessionized",
     "q_cep_until_define", "q_cep_times_or_more", "q_llm_dsir",
     "q_cep_followed_by_any", "q_cep_followed_by_any_sessionized",
-    "q_llm_canonical_pick", "q_agg_regression", "q_llm_bpe_merges",
-    "q_llm_bpe_encode", "q_join_lateral", "q_llm_bigram_score",
+    "q_agg_regression", "q_join_lateral", "q_llm_bigram_score",
     "q_llm_heavy_hitters", "q_llm_minhash_lsh", "q_llm_pack_chunks",
     "q_llm_pack_greedy", "q_llm_pii_scrub", "q_llm_rand_proj",
     "q_llm_substring_dedup", "q_llm_token_len_hist",
@@ -68,25 +67,15 @@ _VERIFIED_GREEN = (
     "q_agg_grouping_sets", "q_agg_null_group", "q_dedup_exact", "q_fn_array",
     "q_fn_cast", "q_fn_datetime2", "q_fn_editdist", "q_fn_trig", "q_funnel",
     "q_join_range_bin", "q_llm_ann_ivf", "q_llm_centroids",
-    "q_llm_dedup_simhash", "q_cep_mixed_links_sessionized",
-    "q_cep_not_next_end", "q_cep_mixed_links_within",
-    "q_cep_followed_by_readmit", "q_cep_followed_by_skip_last",
-    "q_cep_followed_by_skip_first", "q_cep_runagg_minmax",
-    "q_cep_mixed_links", "q_cep_followed_by", "q_cep_followed_by_sessionized",
-    "q_cep_followed_by_within", "q_cep_followed_by_rows",
-    "q_cep_followed_by_define", "q_cep_not_followed_by", "q_cep_within",
-    "q_cep_within_define", "q_cep_runagg", "q_cep_runagg_interior",
-    "q_cep_runagg_tail", "q_cep_runagg_multi_tail",
-    "q_cep_runagg_sessionized", "q_cep_runagg_chain",
-    "q_cep_runagg_chain_sessionized", "q_cep_runagg_plus_interior",
-    "q_cep_runagg_bounded", "q_cep_runagg_iterative",
-    "q_cep_runagg_iter_firstloop", "q_cep_followed_by_iterative",
+    "q_cep_mixed_links_sessionized",
+    "q_cep_not_next_end", "q_cep_followed_by_readmit", "q_cep_mixed_links", "q_cep_followed_by", "q_cep_followed_by_sessionized",
+    "q_cep_followed_by_rows",
+    "q_cep_followed_by_define", "q_cep_not_followed_by", "q_cep_followed_by_iterative",
     "q_cep_followed_by_iterative_within",
     "q_cep_followed_by_iterative_sessionized",
     "q_cep_followed_by_iterative_all", "q_cep_followed_by_iterative_prev",
     "q_cep_iterative", "q_cep_iterative_anchor", "q_cep_iterative_within",
-    "q_cep_iterative_sessionized", "q_cep_not_followed_by_end",
-    "q_llm_dup_groups", "q_llm_fingerprint", "q_llm_kmeans",
+    "q_cep_iterative_sessionized", "q_llm_fingerprint", "q_llm_kmeans",
     "q_llm_kmeans_assign", "q_llm_knn", "q_llm_knn_ivf_scaled",
     "q_llm_lang_id", "q_llm_quality", "q_llm_tokens", "q_llm_winnow",
     "q_join_theta_scaled", "q_cdc_debezium_scd2", "q_agg_json_objectagg",
@@ -98,13 +87,18 @@ _VERIFIED_GREEN = (
     "q_mm_meta_filter", "q_pivot", "q_set_except_all", "q_set_intersect_all",
     "q_sort_nulls", "q_stream_cumulate", "q_tpch_q3", "q_tpch_q5",
     "q_udaf_groupagg", "q_udf_scalar", "q_udtf_split", "q_win_dist",
-    "q_win_range_frame", "q_win_running_sum", "q_agg_corr", "q_agg_listagg",
+    "q_win_range_frame", "q_win_running_sum", "q_agg_listagg",
     "q_agg_mode", "q_agg_salted_count", "q_fn_try", "q_join_lookup_async",
     "q_join_skew_salted", "q_llm_clean_corpus", "q_llm_decontam",
     "q_llm_embed_quant", "q_llm_entropy", "q_llm_keyword_topk",
     "q_llm_mix_weights", "q_llm_quality_clf", "q_llm_repetition",
     "q_llm_sample_exact_k", "q_llm_split", "q_llm_stratified_sample",
     "q_llm_tfidf",
+    "q_cep_runagg", "q_cep_runagg_interior", "q_cep_runagg_tail",
+    "q_cep_runagg_multi_tail", "q_cep_runagg_sessionized", "q_cep_runagg_chain",
+    "q_cep_runagg_chain_sessionized", "q_cep_runagg_plus_interior", "q_cep_runagg_bounded",
+    "q_cep_runagg_iterative", "q_cep_runagg_iter_firstloop", "q_cep_runagg_minmax",
+    "q_cep_followed_by_skip_first", "q_cep_followed_by_skip_last",
 )
 
 # Round-15 window (49 + warmup): the 7 new round-15 keys (Pattern-API
@@ -117,6 +111,14 @@ _VERIFIED_GREEN = (
 # the r3-era scalar/json keys; the 4 displaced stale slots returned
 # to the green top as new keys landed).
 _REVERIFY_FRONT = (
+    # r16 optimization-round engine changes (within-scan window
+    # precompute, q_agg_corr long quantity moments, BPE literal
+    # re-entry, simhash/dhash pre-projection, graph-gate single
+    # probe) — rotated to the driver window front for re-verification:
+    "q_agg_corr", "q_cep_within", "q_cep_within_define", "q_cep_followed_by_within",
+    "q_cep_mixed_links_within", "q_cep_not_followed_by_end",
+    "q_llm_bpe_merges", "q_llm_bpe_encode", "q_llm_dedup_simhash",
+    "q_llm_dup_groups", "q_llm_canonical_pick",
     "q_cep_combinations_chain", "q_cep_not_next_quantified",
     "q_mm_dedup_perceptual",  # new r16
     "q_cep_greedy", "q_cep_greedy_default", "q_cep_not_followed_by_interior",

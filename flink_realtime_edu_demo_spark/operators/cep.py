@@ -225,7 +225,6 @@ def _seq_strings(
     type_col: str,
     id_col: str,
     guard_regex: str | None = None,
-    with_offsets: bool = False,
 ) -> DataFrame:
     """Tokenize each event as ``<type_char><id>;`` and concatenate per
     key in (ts, id) order — the shared front half of every type-pattern
@@ -234,46 +233,24 @@ def _seq_strings(
     the per-key row COUNT — a free column of the same aggregation, so
     the guard costs one integer comparison however often downstream
     projection collapse inlines ``s`` — is asserted under
-    ``_GUARD_TOKENS`` before the string is released to the scan.
-
-    ``with_offsets`` (round 16): additionally emit ``offs`` — each
-    token's 1-based start position in ``s``, from a window
-    running-length sum riding the same (keys, ts, id) shuffle — the
-    anchored to_next_row/skip modes' offset source, replacing their
-    O(rows²) array-copy offsets fold."""
+    ``_GUARD_TOKENS`` before the string is released to the scan."""
     tok_char: F.Column = F.lit("z")
     for etype, ch in reversed(chars.items()):
         tok_char = F.when(F.col(type_col) == etype, ch).otherwise(tok_char)
-    extra = (
-        _within_row_cols(keys, ts, id_col, 0)[:1] if with_offsets else []
-    )
     toks = events.select(
         *[F.col(k) for k in keys],
         F.struct(
             F.col(ts).alias("ts"),
             F.col(id_col).alias("id"),
             F.concat(tok_char, F.col(id_col).cast("string"), F.lit(";")).alias("tok"),
-            *extra,
         ).alias("t"),
     )
-    agg = toks.groupBy(*keys).agg(
-        F.array_sort(F.collect_list("t")).alias("__arr"),
+    out = toks.groupBy(*keys).agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list("t")), lambda s: s["tok"])
+        ).alias("s"),
         F.count(F.lit(1)).alias("__n_tok"),
     )
-    out = agg.select(
-        *[F.col(k) for k in keys],
-        F.concat_ws(
-            "", F.transform("__arr", lambda s: s["tok"])
-        ).alias("s"),
-        F.col("__n_tok"),
-        *(
-            [F.transform(
-                "__arr", lambda r: r["noff"] - F.length(r["tok"])
-            ).alias("offs")]
-            if with_offsets else []
-        ),
-    )
-    off_cols = [F.col("offs")] if with_offsets else []
     if guard_regex is not None and _RECURSIVE_LOOP.search(guard_regex):
         chk = F.assert_true(
             F.col("__n_tok") <= F.lit(_GUARD_TOKENS), F.lit(_GUARD_MSG)
@@ -281,7 +258,6 @@ def _seq_strings(
         out = out.select(
             *[F.col(k) for k in keys],
             F.when(chk.isNull(), F.col("s")).alias("s"),
-            *off_cols,
         )
     else:
         out = out.drop("__n_tok")
@@ -1442,7 +1418,6 @@ def _define_tokens(
     id_col: str,
     value_col: str,
     within_minutes: int | None = None,
-    with_offsets: bool = False,
 ) -> DataFrame:
     """Bitmask tokenization for DEFINE-based matching: lag/lead the
     value column in one ordered window, evaluate every variable's
@@ -1453,9 +1428,7 @@ def _define_tokens(
     ``within_minutes`` (round 16): adds the :func:`_within_row_cols`
     noff/r fields to each struct — the WITHIN scan's per-row offset and
     eligible-run-end precomputations, riding the same window/shuffle as
-    the lag/lead flags. ``with_offsets``: adds ``noff`` alone — the
-    anchored to_next_row/skip modes' token-offset source, replacing
-    their O(rows²) array-copy offsets fold."""
+    the lag/lead flags."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
@@ -1483,8 +1456,6 @@ def _define_tokens(
     extra: list = []
     if within_minutes is not None:
         extra = _within_row_cols(keys, ts, id_col, within_minutes)
-    elif with_offsets:
-        extra = _within_row_cols(keys, ts, id_col, 0)[:1]  # noff only
     toks = events.select(
         *[F.col(k) for k in keys],
         F.struct(
@@ -1556,7 +1527,7 @@ def match_recognize_define(
     keys = [key] if isinstance(key, str) else list(key)
     regex = _define_regex(pattern)
     seq = _define_tokens(events, pattern, keys, ts, type_col, id_col,
-                         value_col, with_offsets=mode != "past_last_row")
+                         value_col)
     if mode == "past_last_row":
         return seq.select(
             *[F.col(k) for k in keys],
@@ -1577,10 +1548,18 @@ def match_recognize_define(
             .cast("long").alias("n_rows"),
         )
     # anchored attempt at every token offset (1-based substring
-    # positions; round 16 — the per-row noff window precomputation
-    # replaces the O(rows²) array-copy offsets fold)
-    offsets = F.transform(
-        "arr", lambda r: r["noff"] - F.length(r["tok"])
+    # positions from a running sum of token lengths). Round-16 note: a
+    # window-side noff precomputation (the _within_core treatment) was
+    # measured here and REVERTED — these to_next_row/skip pipelines
+    # are otherwise sort-free, and the added sort+window+wider structs
+    # cost ~1.3-1.6x at sf0.1; the fold's O(rows²) copies sit inside
+    # the same anchored-scan envelope these modes already occupy.
+    offsets = F.aggregate(
+        "toks",
+        F.array(F.lit(1)),
+        lambda acc, t: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.length(t))
+        ),
     )
     anchored = (
         f"^{_define_regex_grouped(pattern, target)}"
@@ -1592,7 +1571,7 @@ def match_recognize_define(
             *[F.col(k) for k in keys],
             _guard_tokens_array(F.col("arr"), F.concat_ws("", "toks"),
                                 regex).alias("s"),
-            F.explode(offsets).alias("off"),
+            F.explode(F.slice(offsets, 1, F.size("toks"))).alias("off"),
         )
         .select(
             *[F.col(k) for k in keys],
@@ -2495,6 +2474,13 @@ def match_recognize_runagg(
 
     w = Window.partitionBy(*keys).orderBy(ts, id_col)
     prev_v = F.lag(value_col).over(w)
+    # Round-16 note: a LONG 1e-6-unit spelling of these prefix sums
+    # (decimal cast per row, primitive-long window accumulator) was
+    # measured and REVERTED — the extra per-row decimal multiply +
+    # cast cost more than the Decimal window accumulator saves
+    # (micro-probed 1.16s vs 0.77s per 100k rows warm; the runagg
+    # band drifted ~1.1x in full sweeps). The decimal prefix sum
+    # stays the exact cross-engine idiom.
     vdec = F.col(value_col).cast("decimal(18,6)")
     sp = F.sum(vdec).over(w.rowsBetween(Window.unboundedPreceding, 0))
     rn = F.row_number().over(w)
@@ -3753,15 +3739,23 @@ def match_recognize_relaxed(
     chars = _char_map(pattern)
     regex = _relaxed_regex(pattern, chars, links)
     seq = _seq_strings(events, chars, keys, ts, type_col, id_col,
-                       guard_regex=regex,
-                       with_offsets=mode != "past_last_row")
+                       guard_regex=regex)
     k = len(pattern)
     if mode != "past_last_row":
         # anchored attempt at every token offset (strict engine's
         # to_next_row / capture-group-resume machinery over the
-        # relaxed pieces; round 16 — offsets precomputed on the window
-        # side of _seq_strings' shuffle, not an O(rows²) fold)
+        # relaxed pieces; the offsets fold stays — see the define
+        # engine's round-16 note)
         anchored = f"^(?:{regex})"
+        toks = F.filter(F.split(F.col("s"), "(?<=;)"),
+                        lambda t: t != F.lit(""))
+        offsets = F.aggregate(
+            toks,
+            F.array(F.lit(1)),
+            lambda acc, t: F.concat(
+                acc, F.array(F.element_at(acc, -1) + F.length(t))
+            ),
+        )
         sub = F.col("s").substr(F.col("off"), F.length("s"))
         gcols = [F.regexp_extract(sub, anchored, i + 1).alias(f"g{i}")
                  for i in range(k)]
@@ -3769,7 +3763,7 @@ def match_recognize_relaxed(
             seq.select(
                 *[F.col(c) for c in keys],
                 F.col("s"),
-                F.explode(F.col("offs")).alias("off"),
+                F.explode(F.slice(offsets, 1, F.size(toks))).alias("off"),
             )
             .select(
                 *[F.col(c) for c in keys],

@@ -610,21 +610,36 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + OLS slope per group WITHOUT the native
     corr()/regr_slope() aggregates: those accumulate doubles in
     partition order, so their low bits differ run-to-run and between
-    engines. Here the five moment sums go through exact DECIMAL(30,2)
-    accumulation (order-independent), and the closed-form combine is a
-    single identically-shaped double expression on both sides —
-    bit-stable. DECIMAL(30,2) holds Σy² up to 10^28 (fixture max
-    ~10^16); at larger scale widen toward (38,2). One shuffle."""
+    engines. Here the five moment sums go through exact accumulation
+    (order-independent), and the closed-form combine is a single
+    identically-shaped double expression on both sides — bit-stable.
+    The PRICE moments (sy, sxy, syy) use DECIMAL(30,2): the per-row
+    double→decimal cast IS the pinned rounding semantics. The QUANTITY
+    moments (sx, sxx) use exact LONG sums instead (round 16):
+    l_quantity is integral (TPC-H spec), so x and x² are exact in
+    double and the decimal cast is the identity on them — Σx and Σx²
+    are the same exact integers either way, but the long path skips
+    2 of the 5 per-row BigDecimal conversions, the measured bulk of
+    this key (plain double sums 0.40s vs decimal sums 3.29s at sf0.1 —
+    the CAST is the per-row cost, not the add). No overflow: Σx² ≤
+    2500·rows stays under 2^63 past 10^15 rows, and long→double is
+    correctly rounded from the exact value, exactly like
+    decimal→double. DECIMAL(30,2) holds Σy² up to 10^28 (fixture max
+    ~10^16); at larger scale widen toward (38,2). One shuffle. The
+    oracle keeps the DECIMAL spelling for all five — the hash match
+    is the equality proof at every verified sf."""
     li = load(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    xl = x.cast("long")
 
     def dsum30(c, a):
         return F.sum(c.cast("decimal(30,2)")).cast("double").alias(a)
 
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum30(x, "sx"), dsum30(y, "sy"),
-        dsum30(x * y, "sxy"), dsum30(x * x, "sxx"), dsum30(y * y, "syy"),
+        F.sum(xl).cast("double").alias("sx"), dsum30(y, "sy"),
+        dsum30(x * y, "sxy"),
+        F.sum(xl * xl).cast("double").alias("sxx"), dsum30(y * y, "syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
