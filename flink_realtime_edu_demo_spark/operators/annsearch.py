@@ -460,9 +460,18 @@ def lsh_topk(df: DataFrame, k: int, id_col: str = "vec_id",
             ))
         ).alias("_p"),
     ).select("t", "bucket", "_idc", "_vecc", "_sub", "_p._pa", "_p._pb")
+    # One exchange for dedup + top-k (round 17, guide §2.4): hash the
+    # scored candidates by q_id ONCE — HashPartitioning(q_id) satisfies
+    # the dedup's ClusteredDistribution(q_id, c_id) AND the rank
+    # window's (q_id), so the previous two back-to-back exchanges
+    # (dedup by (q_id, c_id), then re-shuffle by q_id) collapse to one.
+    # Values are unchanged: cosine is bit-identical across tables (the
+    # ascending-dim kernel), so whichever duplicate survives carries
+    # the same number.
     scored = (
         replicated.groupBy("t", "bucket", "_pa", "_pb")
         .applyInPandas(score, schema=out_schema)
+        .repartition("q_id")
         .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))

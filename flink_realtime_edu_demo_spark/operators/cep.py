@@ -1566,27 +1566,43 @@ def match_recognize_define(
         if target is not None else f"^(?:{regex})"
     )
     sub = F.col("s").substr(F.col("off"), F.length("s"))
+    # Anchor prune (round 17 — the _within_core treatment applied to
+    # the flat anchored modes): a nonempty match starting at `off` must
+    # begin with a token char in the leading classes, so offsets
+    # outside them — which would only produce m == '' and be filtered
+    # below — skip the O(suffix) substring copy and regex attempt
+    # entirely. Exact: empty matches are dropped by the m != '' filter
+    # either way.
+    lead = _define_leading_classes(pattern)
+    exploded = seq.select(
+        *[F.col(k) for k in keys],
+        _guard_tokens_array(F.col("arr"), F.concat_ws("", "toks"),
+                            regex).alias("s"),
+        F.explode(F.slice(offsets, 1, F.size("toks"))).alias("off"),
+    ).filter(F.col("s").substr(F.col("off"), F.lit(1)).isin(*lead))
+    # Single parse per anchor (round 17): only the full match `m` is
+    # extracted from the suffix; the skip modes' capture groups are
+    # re-extracted from the MATCH itself after the hit filter — the
+    # same anchored regex on its own match yields the same groups
+    # (backtracking preference among candidate splits depends only on
+    # consumed chars; no lookahead/end-anchors in these patterns) for
+    # 2 fewer O(suffix) regex scans per anchor, on hit rows only.
     hits = (
-        seq.select(
-            *[F.col(k) for k in keys],
-            _guard_tokens_array(F.col("arr"), F.concat_ws("", "toks"),
-                                regex).alias("s"),
-            F.explode(F.slice(offsets, 1, F.size("toks"))).alias("off"),
-        )
-        .select(
+        exploded.select(
             *[F.col(k) for k in keys],
             F.col("off"),
             F.regexp_extract(sub, anchored, 0).alias("m"),
-            *(
-                [
-                    F.regexp_extract(sub, anchored, 1).alias("g1"),
-                    F.regexp_extract(sub, anchored, 2).alias("g2"),
-                ]
-                if target is not None else []
-            ),
         )
         .filter(F.col("m") != "")
     )
+    if target is not None:
+        hits = hits.select(
+            *[F.col(k) for k in keys],
+            F.col("off"),
+            F.col("m"),
+            F.regexp_extract("m", anchored, 1).alias("g1"),
+            F.regexp_extract("m", anchored, 2).alias("g2"),
+        )
     measures = [
         F.regexp_extract("m", "^[a-z]([0-9]+);", 1).cast("long")
         .alias("first_event_id"),
@@ -2577,11 +2593,23 @@ def match_recognize_runagg(
         F.coalesce(F.forall("arr", lambda r: r["sp"] >= r["sp0"]),
                    F.lit(False)),
     )
-    arr = F.col("arr")
-    n = F.size(arr)
+    # Round 17: the candidate machinery below is GENERATED SQL handed
+    # to Catalyst in one F.expr parse per column instead of the
+    # round-16 Column-API trees. The expressions are node-for-node the
+    # same (same casts, same literal types, same struct field order —
+    # property-tested and oracle-verified across the full runagg
+    # matrix); what changes is CONSTRUCTION cost: the Column spelling
+    # issued one py4j round-trip per expression node (~3k calls,
+    # 1.7 s of the 1.9 s build for q_cep_runagg_tail — cProfile on
+    # record in OPTIMIZATION_r17.md), and the bench's timed region
+    # includes construction. String helpers mirror the old locals:
+    # _at(i) == element_at(arr, CAST(i AS INT)), N == size(arr).
+    N = "size(arr)"
 
-    def at(i):
-        return F.element_at(arr, i.cast("int"))
+    def _at(i_sql: str, field: str) -> str:
+        return f"element_at(arr, CAST({i_sql} AS INT)).{field}"
+
+    thr_d = f"{float(adef['thr'])!r}D"
 
     if general:
         # Right-to-left greedy-end tabulation (round 11): for each
@@ -2599,297 +2627,295 @@ def match_recognize_runagg(
         # O(run length) per position (bounded by its type-flag run,
         # and by session length in the sessionized shape), everything
         # else O(1) via the precomputed nsufs suffix-min lookups.
-        def _flag(pos, i):
-            return F.coalesce(
-                F.element_at(
-                    F.try_element_at(arr, pos.cast("int"))["oksufs"], i + 1
-                ),
-                F.lit(False),
+        pos_l = "CAST(pos AS BIGINT)"
+
+        def _flag_sql(pos_sql: str, i: int) -> str:
+            return (
+                f"coalesce(element_at(try_element_at(arr, "
+                f"CAST({pos_sql} AS INT)).oksufs, {i + 1}), false)"
             )
 
         grouped = grouped.withColumn(
             f"e{ks}",
-            F.transform(
-                F.sequence(F.lit(1), n + 1),
-                lambda pos: (pos - 1).cast("long"),
+            F.expr(
+                f"transform(sequence(1, {N} + 1), "
+                f"pos -> CAST((pos - 1) AS BIGINT))"
             ),
         )
         for i in range(ks - 1, -1, -1):
             _, _, q = suffixes[i]
-            enext = F.col(f"e{i + 1}")
+            enext = f"e{i + 1}"
 
             if q == "1":
-                def body(pos, i=i, enext=enext):
-                    return F.when(
-                        _flag(pos, i),
-                        F.try_element_at(enext, (pos + 1).cast("int")),
-                    )
+                body = (
+                    f"CASE WHEN {_flag_sql(pos_l, i)} THEN "
+                    f"try_element_at({enext}, CAST(({pos_l} + 1) AS INT)) "
+                    f"END"
+                )
             elif q == "?":
-                def body(pos, i=i, enext=enext):
-                    nxt = F.try_element_at(enext, (pos + 1).cast("int"))
-                    return F.when(
-                        _flag(pos, i) & nxt.isNotNull(), nxt
-                    ).otherwise(F.element_at(enext, pos.cast("int")))
+                nxt = f"try_element_at({enext}, CAST(({pos_l} + 1) AS INT))"
+                body = (
+                    f"CASE WHEN {_flag_sql(pos_l, i)} AND {nxt} IS NOT NULL "
+                    f"THEN {nxt} "
+                    f"ELSE element_at({enext}, CAST({pos_l} AS INT)) END"
+                )
             else:  # '+'
-                def body(pos, i=i, enext=enext):
-                    nsf = F.try_element_at(arr, pos.cast("int"))["nsufs"]
-                    m = F.when(
-                        _flag(pos, i),
-                        F.coalesce(
-                            F.element_at(nsf, i + 1), (n + 1).cast("long")
-                        ) - pos,
-                    ).otherwise(F.lit(0).cast("long"))
-                    lstar = F.array_max(
-                        F.filter(
-                            F.when(
-                                m >= 1,
-                                F.sequence(F.lit(1).cast("long"), m),
-                            ).otherwise(F.array().cast("array<bigint>")),
-                            lambda l: F.try_element_at(
-                                enext, (pos + l).cast("int")
-                            ).isNotNull(),
-                        )
-                    )
-                    return F.when(
-                        lstar.isNotNull(),
-                        F.element_at(enext, (pos + lstar).cast("int")),
-                    )
-
-            def _mk(fn):
-                # Spark HOF lambdas must declare ONLY lambda variables
-                # (extra defaulted params would be bound as Columns)
-                return lambda pos: fn(pos.cast("long"))
+                nsf = f"try_element_at(arr, CAST({pos_l} AS INT)).nsufs"
+                m = (
+                    f"(CASE WHEN {_flag_sql(pos_l, i)} THEN "
+                    f"coalesce(element_at({nsf}, {i + 1}), "
+                    f"CAST(({N} + 1) AS BIGINT)) - {pos_l} "
+                    f"ELSE CAST(0 AS BIGINT) END)"
+                )
+                lstar = (
+                    f"array_max(filter("
+                    f"CASE WHEN {m} >= 1 THEN "
+                    f"sequence(CAST(1 AS BIGINT), {m}) "
+                    f"ELSE CAST(array() AS array<bigint>) END, "
+                    f"l -> try_element_at({enext}, "
+                    f"CAST(({pos_l} + l) AS INT)) IS NOT NULL))"
+                )
+                body = (
+                    f"CASE WHEN {lstar} IS NOT NULL THEN "
+                    f"element_at({enext}, "
+                    f"CAST(({pos_l} + {lstar}) AS INT)) END"
+                )
 
             grouped = grouped.withColumn(
-                f"e{i}", F.transform(F.sequence(F.lit(1), n + 1), _mk(body))
+                f"e{i}",
+                F.expr(f"transform(sequence(1, {N} + 1), pos -> {body})"),
             )
 
-    def cand(j):
-        s = j + F.lit(p)  # first aggregate row (1-based)
-        pre_ok = F.lit(True)
+    # Heavy per-candidate values are bound ONCE via LAYERED transforms
+    # (round 17): the previous single-transform spelling referenced
+    # t_fail / l_rows / t_sel several times each, and interpreted
+    # higher-order lambdas have no common-subexpression elimination —
+    # so the 34-step binary-search fold ran twice per candidate and
+    # the t_sel backtracking scan three times (true of the Column-API
+    # tree as well: reused Column objects are still re-evaluated per
+    # occurrence). Each layer is one O(n) pass carrying its bound
+    # value forward as a struct field.
+
+    def _pre_ok_sql(j: str) -> str:
+        ok = "true"
         for t in range(p):
             # try_element_at: NULL (not an ANSI error) past the array
             # end, folded to False — the bound check must not rely on
             # And-conjunct evaluation order (ADVICE r6).
-            pre_ok = pre_ok & F.coalesce(
-                F.element_at(
-                    F.try_element_at(arr, (j + F.lit(t)).cast("int"))["okpre"],
-                    t + 1,
-                ),
-                F.lit(False),
+            ok += (
+                f" AND coalesce(element_at("
+                f"try_element_at(arr, CAST(({j} + {t}) AS INT)).okpre, "
+                f"{t + 1}), false)"
             )
-        base = F.when(s <= n, at(s)["sp0"])
+        return f"({ok})"
 
-        def _agg_ok(t):
-            # the aggregate-comparison conjunct for the t-th tentative
-            # loop row: prefix-sum difference for sum/avg; for MIN/MAX
-            # the monotone O(1) form (see the mm/mm_every derivation
-            # above) — the t-th row's own value in the failing
-            # direction, the FIRST loop row's value (decided once, at
-            # t=1) in the satisfied-once direction
-            if not mm:
-                return _runagg_cmp_col(
-                    adef["agg"], adef["cmp"], adef["thr"],
-                    at(s + t - 1)["sp"] - base, t,
-                )
-            probe = at(s + t - 1)["v"] if mm_every else at(s)["v"]
-            row_ok = _runagg_anchor_cmp(
-                adef["cmp"], probe, F.lit(float(adef["thr"])))
-            return row_ok if mm_every else ((t > 1) | row_ok)
+    def _cmp_sql(sum_sql: str, t_sql: str) -> str:
+        # the accept condition for the t-th tentative aggregate row:
+        # exact DECIMAL prefix-sum difference cast to double (avg
+        # divides by t) compared to the double threshold — the
+        # _runagg_cmp_col operation order
+        val = f"CAST(({sum_sql}) AS DOUBLE)"
+        if adef["agg"] == "avg":
+            val = f"({val} / {t_sql})"
+        return f"({val} {adef['cmp']} {thr_d})"
 
+    def _slow_sql(j: str) -> str:
         # the rescan: first t whose row fails okb or the aggregate
-        # comparison — O(n - s) per offset (quadratic per key on a flat
-        # hot key; HOTKEY.json measures it)
-        slow = F.array_min(
-            F.filter(
-                F.when(n >= s, F.sequence(F.lit(1).cast("int"),
-                                          (n - s + 1).cast("int")))
-                .otherwise(F.array().cast("array<int>")),
-                lambda t: ~(
-                    at(s + t - 1)["okb"]
-                    & _agg_ok(t)
-                    & (
-                        _runagg_anchor_cmp(
-                            adef["anchor_cmp"],
-                            at(s + t - 1)["v"],
-                            at(j if adef.get("anchor_ref", "start")
-                               == "start" else s)["v"]
-                            * F.lit(float(adef["anchor_factor"])),
-                        )
-                        if anchored else F.lit(True)
-                    )
-                ),
-            )
-        )
-        if not anchored and adef["agg"] == "sum" and adef["cmp"] in ("<", "<="):
-            # monotone fast path (VERDICT r7 #5): with non-negative
-            # addends (per-key `mono` flag) the running sum is
-            # non-decreasing in t, so the aggregate comparison fails on
-            # a SUFFIX of t and its first failure binary-searches over
-            # the same prefix-sum array; the okb first-failure is the
-            # precomputed nb lookup. First overall failure = the min of
-            # the two causes — identical to the rescan's answer, found
-            # in O(log n) instead of O(n) per offset. The search is an
-            # F.aggregate fold over 34 fixed steps (covers n < 2^33;
-            # carrying (lo, hi) in the fold keeps the plan CONSTANT
-            # size — a nested-expression unroll would double the tree
-            # per step). Sentinel hi = n - s + 2 means "no failure".
-            sentinel = (n - s + 2).cast("long")
-            nb_t = F.coalesce(at(s)["nb"] - s + 1, sentinel)
-
-            def _bs_step(acc, _):
-                mid = ((acc["lo"] + acc["hi"]) / 2).cast("long")
-                fail_mid = ~_runagg_cmp_col(
-                    adef["agg"], adef["cmp"], adef["thr"],
-                    at(s + mid - 1)["sp"] - base, mid,
-                )
-                return F.when(
-                    acc["lo"] < acc["hi"],
-                    F.when(
-                        fail_mid,
-                        F.struct(acc["lo"].alias("lo"), mid.alias("hi")),
-                    ).otherwise(
-                        F.struct((mid + 1).alias("lo"),
-                                 acc["hi"].alias("hi"))
-                    ),
-                ).otherwise(acc)
-
-            bs_t = F.aggregate(
-                F.sequence(F.lit(1), F.lit(34)),
-                F.struct(F.lit(1).cast("long").alias("lo"),
-                         sentinel.alias("hi")),
-                _bs_step,
-            )["lo"]
-            t_fail = F.least(nb_t, bs_t)
-            fast = F.when(t_fail <= n - s + 1, t_fail.cast("int"))
-            accept_fail = F.when(F.col("mono"), fast).otherwise(slow)
+        # comparison — O(n - s) per offset (quadratic per key on a
+        # flat hot key; HOTKEY.json measures it)
+        s = f"({j} + {p})"
+        base = f"(CASE WHEN {s} <= {N} THEN {_at(s, 'sp0')} END)"
+        if not mm:
+            agg_ok = _cmp_sql(
+                f"{_at(f'{s} + t - 1', 'sp')} - {base}", "t")
         else:
-            # avg / lower-bounded comparisons are not threshold-
-            # crossing monotone — keep the exact rescan
-            accept_fail = slow
-        l_rows = F.when(s > n, F.lit(0)).otherwise(
-            F.coalesce(accept_fail, (n - s + 2).cast("int")) - 1
-        )
-        if not suffixes:
-            return F.struct(
-                j.cast("long").alias("off"),
-                (j + p + l_rows - 1).cast("long").alias("end"),
-                l_rows.cast("long").alias("b_rows"),
-                (pre_ok & (l_rows >= min_b)).alias("valid"),
+            # MIN/MAX monotone O(1) form (see the mm/mm_every
+            # derivation above) — the t-th row's own value in the
+            # failing direction, the FIRST loop row's value (decided
+            # once, at t=1) in the satisfied-once direction
+            probe = (_at(f"{s} + t - 1", "v") if mm_every
+                     else _at(s, "v"))
+            row_ok = f"({probe} {adef['cmp']} {thr_d})"
+            agg_ok = row_ok if mm_every else f"((t > 1) OR {row_ok})"
+        anchor_ok = ""
+        if anchored:
+            ref = j if adef.get("anchor_ref", "start") == "start" else s
+            anchor_ok = (
+                f" AND ({_at(f'{s} + t - 1', 'v')} {adef['anchor_cmp']} "
+                f"({_at(ref, 'v')} * {float(adef['anchor_factor'])!r}D))"
             )
+        return (
+            f"array_min(filter("
+            f"CASE WHEN {N} >= {s} THEN sequence(CAST(1 AS INT), "
+            f"CAST(({N} - {s} + 1) AS INT)) "
+            f"ELSE CAST(array() AS array<int>) END, "
+            f"t -> NOT ({_at(f'{s} + t - 1', 'okb')} "
+            f"AND {agg_ok}{anchor_ok})))"
+        )
+
+    fastpath = (not anchored and adef["agg"] == "sum"
+                and adef["cmp"] in ("<", "<="))
+    cur = f"sequence(1, {N})"
+    if p:
+        # necessary condition for validity — the FIRST prefix
+        # variable's flag at offset j (pre_ok re-checks it with the
+        # rest). Pruning here skips the O(n) accept_fail machinery at
+        # every offset that can't start a match (the common case:
+        # match anchors are rare event types), cutting the interpreted
+        # higher-order work by the anchor selectivity while leaving
+        # the candidate set — and thus both skip-mode folds —
+        # byte-identical.
+        cur = f"filter({cur}, j -> element_at({_at('j', 'okpre')}, 1))"
+    if fastpath:
+        # monotone fast path (VERDICT r7 #5): with non-negative
+        # addends (per-key `mono` flag) the running sum is
+        # non-decreasing in t, so the aggregate comparison fails on
+        # a SUFFIX of t and its first failure binary-searches over
+        # the same prefix-sum array; the okb first-failure is the
+        # precomputed nb lookup. First overall failure = the min of
+        # the two causes — identical to the rescan's answer, found
+        # in O(log n) instead of O(n) per offset. The search is an
+        # aggregate fold over 34 fixed steps (covers n < 2^33;
+        # carrying (lo, hi) in the fold keeps the plan CONSTANT
+        # size). Sentinel hi = n - s + 2 means "no failure". The
+        # fold runs in the FIRST layer, bound once as field `tf`
+        # (NULL when mono is false — the rescan decides then, as
+        # before).
+        s = f"(j + {p})"
+        base = f"(CASE WHEN {s} <= {N} THEN {_at(s, 'sp0')} END)"
+        sentinel = f"CAST(({N} - {s} + 2) AS BIGINT)"
+        nb_t = f"coalesce({_at(s, 'nb')} - {s} + 1, {sentinel})"
+        mid = "CAST((acc.lo + acc.hi) / 2 AS BIGINT)"
+        mid_sum = f"{_at(f'{s} + {mid} - 1', 'sp')} - {base}"
+        fail_mid = f"NOT {_cmp_sql(mid_sum, mid)}"
+        bs_t = (
+            f"aggregate(sequence(1, 34), "
+            f"named_struct('lo', CAST(1 AS BIGINT), 'hi', {sentinel}), "
+            f"(acc, stp) -> CASE WHEN acc.lo < acc.hi THEN "
+            f"(CASE WHEN {fail_mid} THEN "
+            f"named_struct('lo', acc.lo, 'hi', {mid}) "
+            f"ELSE named_struct('lo', {mid} + 1, 'hi', acc.hi) END) "
+            f"ELSE acc END).lo"
+        )
+        # the s <= n guard mirrors the old lazy evaluation order:
+        # l_rows consulted accept_fail only past its own s > n check,
+        # so at(s).nb was never touched for an anchor whose aggregate
+        # start lies beyond the array (ANSI element_at would throw)
+        tf = (f"CASE WHEN mono AND {s} <= {N} "
+              f"THEN least({nb_t}, {bs_t}) END")
+        cur = f"transform({cur}, j -> named_struct('j', j, 'tf', {tf}))"
+        jr = "x.j"
+        s = f"({jr} + {p})"
+        fast = (f"(CASE WHEN x.tf <= {N} - {s} + 1 "
+                f"THEN CAST(x.tf AS INT) END)")
+        accept = f"(CASE WHEN mono THEN {fast} ELSE {_slow_sql(jr)} END)"
+    else:
+        # avg / lower-bounded comparisons are not threshold-crossing
+        # monotone — keep the exact rescan
+        cur = f"transform({cur}, j -> named_struct('j', j))"
+        jr = "x.j"
+        s = f"({jr} + {p})"
+        accept = _slow_sql(jr)
+    l_rows = (
+        f"(CASE WHEN {s} > {N} THEN 0 "
+        f"ELSE coalesce({accept}, CAST(({N} - {s} + 2) AS INT)) - 1 END)"
+    )
+    cur = f"transform({cur}, x -> named_struct('j', x.j, 'lr', {l_rows}))"
+    jr = "y.j"
+    lr = "y.lr"
+    s = f"({jr} + {p})"
+    if not suffixes:
+        final = (
+            f"named_struct("
+            f"'off', CAST({jr} AS BIGINT), "
+            f"'end', CAST(({jr} + {p} + {lr} - 1) AS BIGINT), "
+            f"'b_rows', CAST({lr} AS BIGINT), "
+            f"'valid', ({_pre_ok_sql(jr)} AND ({lr} >= {min_b})))"
+        )
+        cur = f"transform({cur}, y -> {final})"
+    else:
         if general:
             # generalized chain (round 11): greedy B+ backtracking =
             # the LARGEST run length t whose chain tabulation has a
             # greedy end (e0[s+t] non-NULL); the end row is that
             # tabulated value — '?'/non-final-'+' backtracking was
             # already resolved right-to-left when e0 was built.
-            e0 = F.col("e0")
-            t_sel = F.array_max(
-                F.filter(
-                    F.when(
-                        l_rows >= min_b,
-                        F.sequence(F.lit(min_b).cast("int"),
-                                   l_rows.cast("int")),
-                    ).otherwise(F.array().cast("array<int>")),
-                    lambda t: F.try_element_at(
-                        e0, (s + t).cast("int")
-                    ).isNotNull(),
-                )
+            t_sel = (
+                f"array_max(filter("
+                f"CASE WHEN {lr} >= {min_b} THEN "
+                f"sequence(CAST({min_b} AS INT), CAST({lr} AS INT)) "
+                f"ELSE CAST(array() AS array<int>) END, "
+                f"t -> try_element_at(e0, CAST(({s} + t) AS INT)) "
+                f"IS NOT NULL))"
             )
-            end = F.try_element_at(e0, (s + t_sel).cast("int"))
-            return F.struct(
-                j.cast("long").alias("off"),
-                end.cast("long").alias("end"),
-                t_sel.cast("long").alias("b_rows"),
-                (pre_ok & t_sel.isNotNull()).alias("valid"),
-            )
-        # bounded interior form: greedy backtracking = the LONGEST
-        # aggregate run t in [min_b, maxrun] whose FOLLOWING rows
-        # s+t .. s+t+ks-1 satisfy the whole suffix chain — a fixed
-        # conjunction of position-shifted flag lookups (round 10: any
-        # number of single-row suffix variables, the lead-flag
-        # composition that keeps multi-variable tails NFA-free) —
-        # array_max over the chain-satisfying candidate lengths
-        # (try_element_at, so a run ending at the partition edge
-        # simply drops out)
-
-        def _suf_chain_ok(t):
-            ok = F.lit(True)
+        else:
+            # bounded interior form: greedy backtracking = the LONGEST
+            # aggregate run t in [min_b, maxrun] whose FOLLOWING rows
+            # s+t .. s+t+ks-1 satisfy the whole suffix chain — a fixed
+            # conjunction of position-shifted flag lookups (round 10),
+            # array_max over the chain-satisfying candidate lengths
+            # (try_element_at, so a run ending at the partition edge
+            # simply drops out)
+            suf_ok = "true"
             for q in range(ks):
-                ok = ok & F.coalesce(
-                    F.element_at(
-                        F.try_element_at(
-                            arr, (s + t + F.lit(q)).cast("int")
-                        )["oksufs"],
-                        q + 1,
-                    ),
-                    F.lit(False),
+                suf_ok += (
+                    f" AND coalesce(element_at(try_element_at(arr, "
+                    f"CAST(({s} + t + {q}) AS INT)).oksufs, "
+                    f"{q + 1}), false)"
                 )
-            return ok
-
-        t_sel = F.array_max(
-            F.filter(
-                F.when(
-                    l_rows >= min_b,
-                    F.sequence(F.lit(min_b).cast("int"), l_rows.cast("int")),
-                ).otherwise(F.array().cast("array<int>")),
-                _suf_chain_ok,
+            t_sel = (
+                f"array_max(filter("
+                f"CASE WHEN {lr} >= {min_b} THEN "
+                f"sequence(CAST({min_b} AS INT), CAST({lr} AS INT)) "
+                f"ELSE CAST(array() AS array<int>) END, "
+                f"t -> ({suf_ok})))"
             )
-        )
-        if tail:
+        cur = (f"transform({cur}, y -> named_struct("
+               f"'j', y.j, 'lr', y.lr, 'ts', {t_sel}))")
+        jr = "z.j"
+        tsr = "z.ts"
+        s = f"({jr} + {p})"
+        if general:
+            end = f"try_element_at(e0, CAST(({s} + {tsr}) AS INT))"
+        elif tail:
             # '+'-quantified FINAL suffix (round 9): it absorbs the
             # MAXIMAL consecutive satisfying run from its first row
             # s+t_sel+ks-1 — extent = the precomputed ns lookup at
             # that row (the run's first non-satisfying successor), so
             # the tail costs O(1) per candidate like the monotone nb
             # path.
-            first_c = s + t_sel + F.lit(ks - 1)
-            end = F.coalesce(at(first_c)["ns"] - 1, n.cast("long"))
+            first_c = f"{s} + {tsr} + {ks - 1}"
+            end = (f"coalesce({_at(first_c, 'ns')} - 1, "
+                   f"CAST({N} AS BIGINT))")
         else:
-            end = s + t_sel + F.lit(ks - 1)
-        return F.struct(
-            j.cast("long").alias("off"),
-            end.cast("long").alias("end"),
-            t_sel.cast("long").alias("b_rows"),
-            (pre_ok & t_sel.isNotNull()).alias("valid"),
+            end = f"({s} + {tsr} + {ks - 1})"
+        final = (
+            f"named_struct("
+            f"'off', CAST({jr} AS BIGINT), "
+            f"'end', CAST({end} AS BIGINT), "
+            f"'b_rows', CAST({tsr} AS BIGINT), "
+            f"'valid', ({_pre_ok_sql(jr)} AND {tsr} IS NOT NULL))"
         )
-
-    seq = F.sequence(F.lit(1), n)
-    if p:
-        # necessary condition for cand(j).valid — the FIRST prefix
-        # variable's flag at offset j (pre_ok re-checks it with the
-        # rest). Pruning here skips building the O(n) accept_fail
-        # machinery at every offset that can't start a match (the
-        # common case: match anchors are rare event types), cutting
-        # the interpreted higher-order work by the anchor selectivity
-        # while leaving the candidate set — and thus both skip-mode
-        # folds — byte-identical.
-        seq = F.filter(seq, lambda j: F.element_at(at(j)["okpre"], 1))
-    cands = F.filter(
-        F.transform(seq, cand), lambda c: c["valid"]
-    )
+        cur = f"transform({cur}, z -> {final})"
+    cands_sql = f"filter({cur}, c -> c.valid)"
     if skip == "past_last_row":
-        init = F.expr(
-            "named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
-            "array<struct<off:bigint,end:bigint,b_rows:bigint,valid:boolean>>))"
+        sel_sql = (
+            f"aggregate({cands_sql}, "
+            f"named_struct('p', CAST(1 AS BIGINT), 'sel', CAST(array() AS "
+            f"array<struct<off:bigint,end:bigint,b_rows:bigint,"
+            f"valid:boolean>>)), "
+            f"(acc, c) -> CASE WHEN c.off >= acc.p THEN "
+            f"named_struct('p', c.end + 1, "
+            f"'sel', concat(acc.sel, array(c))) "
+            f"ELSE acc END).sel"
         )
-        sel = F.aggregate(
-            cands,
-            init,
-            lambda acc, c: F.when(
-                c["off"] >= acc["p"],
-                F.struct(
-                    (c["end"] + 1).alias("p"),
-                    F.concat(acc["sel"], F.array(c)).alias("sel"),
-                ),
-            ).otherwise(acc),
-        )["sel"]
     else:
-        sel = cands
+        sel_sql = cands_sql
+    arr = F.col("arr")
     out = grouped.select(
         *[F.col(k) for k in keys],
         arr,
-        F.posexplode(sel),
+        F.posexplode(F.expr(sel_sql)),
     )
     c = F.col("col")
     first_b = c["off"] + F.lit(p)
@@ -3757,21 +3783,40 @@ def match_recognize_relaxed(
             ),
         )
         sub = F.col("s").substr(F.col("off"), F.length("s"))
-        gcols = [F.regexp_extract(sub, anchored, i + 1).alias(f"g{i}")
-                 for i in range(k)]
-        hits = (
-            seq.select(
-                *[F.col(c) for c in keys],
-                F.col("s"),
-                F.explode(F.slice(offsets, 1, F.size(toks))).alias("off"),
+        # Anchor prune + single parse per anchor (round 17 — the
+        # _within_core / define-engine treatment): a nonempty match
+        # must start with the first (mandatory) variable's class, so
+        # other offsets skip the O(suffix) substring + regex outright;
+        # the k capture groups are re-extracted from the MATCH itself
+        # after the hit filter (same anchored regex on its own match
+        # yields the same groups — backtracking preference depends
+        # only on consumed chars) instead of k extra O(suffix) scans
+        # per anchor. No prune for a complement-class first variable
+        # (_leading_classes returns '').
+        lead = _leading_classes(pattern, chars)
+        exploded = seq.select(
+            *[F.col(c) for c in keys],
+            F.col("s"),
+            F.explode(F.slice(offsets, 1, F.size(toks))).alias("off"),
+        )
+        if lead:
+            exploded = exploded.filter(
+                F.col("s").substr(F.col("off"), F.lit(1)).isin(*lead)
             )
-            .select(
+        hits = (
+            exploded.select(
                 *[F.col(c) for c in keys],
                 F.col("off"),
                 F.regexp_extract(sub, anchored, 0).alias("m"),
-                *gcols,
             )
             .filter(F.col("m") != "")
+            .select(
+                *[F.col(c) for c in keys],
+                F.col("off"),
+                F.col("m"),
+                *[F.regexp_extract("m", anchored, i + 1).alias(f"g{i}")
+                  for i in range(k)],
+            )
         )
         n_vars = [
             _relaxed_var_count(F.col(f"g{i}"), var, etype, chars)

@@ -77,9 +77,14 @@ def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
     centroid aggregation (two shuffles), k×dim floats to the driver.
     The input is persisted for the duration of the loop (the canonical
     Spark idiom for iterative algorithms — every iteration re-reads the
-    same working set) and released before returning; the returned
-    assignment frame is locally checkpointed so its lineage doesn't
-    depend on the unpersisted input.
+    same working set) and released before returning. The returned
+    assignment frame is LAZY (round 17): the final centroids are plain
+    literals in its plan, so its lineage is one scan + one Arrow pass —
+    recomputed from source after the unpersist. The previous eager
+    localCheckpoint here paid a full extra assignment job during
+    construction only to snapshot rows the caller's own action
+    recomputes in one pass anyway (guide §1.2: don't compute things
+    twice).
     """
     df = df.persist()
     first = df.orderBy(id_col).limit(k).select(vec_col).collect()
@@ -115,7 +120,7 @@ def kmeans(df: DataFrame, k: int = 8, n_iter: int = 5,
             new_c[c] = [dims[i] for i in range(len(dims))]
         centroids = new_c
 
-    out = kmeans_assign(df, centroids, id_col, vec_col).localCheckpoint(eager=True)
+    out = kmeans_assign(df, centroids, id_col, vec_col)
     df.unpersist()
     return out, centroids
 

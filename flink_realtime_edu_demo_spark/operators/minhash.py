@@ -371,72 +371,122 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id",
     and jaccard >= threshold. The division is int/int on identical
     operands → engine-exact.
 
-    Shuffle budget (plan-audited at 3 exchanges): one partitioning for
-    the per-doc index build, one for the inverted index, one for the
-    candidate dedup; the two verification joins read the PERSISTED
-    per-doc index (InMemoryTableScan), so they add no exchange and
-    AQE-convert to broadcast whenever the candidate set is small, the
-    common case at a meaningful threshold. Without the persist, Catalyst
-    re-derives the scan→shingle→aggregate subtree once per consumer
-    (join-side pushed filters defeat ReuseExchange subtree identity) —
-    three full shingle passes and 5 exchanges, measured before this
-    restructure. MEMORY_AND_DISK: at 100 TB the per-doc hash arrays are
-    ~1% of corpus bytes and spill cleanly; LRU eviction reclaims the
-    cache after the query completes.
+    Lowering (round 17 — the candidate→verify restructure): a shared
+    shingle has df >= 2 by definition, so the FULL intersection splits
+    exactly into capped shared shingles (2 <= df <= max_df) plus hot
+    shared shingles (df > max_df). The capped part is counted BY THE
+    CANDIDATE AGGREGATION ITSELF — the exploded per-shingle pairs are
+    grouped with COUNT instead of DISTINCT (same exchange, one row per
+    candidate pair, each capped shared shingle contributes exactly one
+    pair row) — and the hot part is an array_intersect of tiny per-doc
+    HOT-shingle arrays (only corpus boilerplate lands there; empty on
+    every fixture scale — zero shingles exceed df 64 even at sf0.1 —
+    and bounded by shingles/doc always). This replaces the previous
+    shape's array_intersect of FULL 50+-element per-doc arrays over
+    every candidate pair (~1.1M pairs at sf0.1) and the two
+    array-carrying verification joins against a persisted per-doc
+    index; per-doc sizes ride the posting rows, so no verify join
+    touches an array at all on the max_df=None path. The df filter
+    stays a WINDOW COUNT over the `h` partitioning, applied BEFORE any
+    collect_list: a hot shingle (present in most of the corpus — think
+    boilerplate) never materializes its full posting list as one
+    in-memory array; its rows stream through the spillable window
+    buffer. Building the lists first and dropping them by size
+    afterwards went 40x super-linear on the 10x soak (small
+    vocabulary -> every shingle hot) and is exactly the 100 TB hazard;
+    the per-doc HOT arrays are safe — bounded by shingles/doc, not by
+    corpus df. The previous persist is gone too: the scan→shingle→
+    aggregate subtree now has ONE consumer chain (the capped and hot
+    branches share the `h` exchange via ReusedExchange).
     """
-    from pyspark import StorageLevel
-
-    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
-    docs = hashed.groupBy(id_col).agg(
-        F.array_sort(F.collect_set("h")).alias("hs"), F.count(F.lit(1)).alias("n_sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Invert FROM the per-doc arrays (explode of the already-aggregated
-    # frame), not from the raw shingle stream: the scan→tokenize→shingle
-    # pipeline then runs once, and the three consumers of `docs` below
-    # share one exchange (ReusedExchange in the plan). The df filter is
-    # a WINDOW COUNT over the same `h` partitioning, applied BEFORE the
-    # collect_list: a hot shingle (present in most of the corpus — think
-    # boilerplate) then never materializes its full posting list as one
-    # in-memory array; its rows stream through the spillable window
-    # buffer and are dropped. Building the lists first and dropping them
-    # by size afterwards went 40x super-linear on the 10x soak (small
-    # vocabulary -> every shingle hot) and is exactly the 100 TB hazard.
     from pyspark.sql.window import Window
 
-    posting = docs.select(F.col(id_col), F.explode("hs").alias("h"))
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    width_ok = df_w >= 2
-    if max_df is not None:
-        width_ok = width_ok & (df_w <= max_df)
-    inverted = (
-        posting.withColumn("__ok", width_ok)
-        .filter(F.col("__ok"))
-        .groupBy("h")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    per_doc = hashed.groupBy(id_col).agg(
+        F.collect_set("h").alias("hs"), F.count(F.lit(1)).alias("n_sh")
     )
+    posting = per_doc.select(
+        F.col(id_col), F.col("n_sh"), F.explode("hs").alias("h")
+    )
+    marked = posting.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    if max_df is not None:
+        # The capped branch and the two hot-side lookups below all read
+        # `marked`; Catalyst does not recognize the filter-differing
+        # subtrees as one exchange (measured: 3 full scan→shingle→agg
+        # copies in the plan), so persist the windowed postings — the
+        # same ~1%-of-corpus, spillable cache class as the per-doc
+        # index the r16 shape persisted. Single-consumer when
+        # max_df is None — no cache needed there.
+        from pyspark import StorageLevel
+
+        marked = marked.persist(StorageLevel.MEMORY_AND_DISK)
+    width_ok = F.col("__df") >= 2
+    if max_df is not None:
+        width_ok = width_ok & (F.col("__df") <= max_df)
+    inverted = (
+        marked.filter(width_ok)
+        .groupBy("h")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n"))
+                )
+            ).alias("ids")
+        )
+    )
+    # id is unique within a posting list, so struct sort == id sort and
+    # generated pairs keep id_a < id_b.
     pair_structs = F.flatten(
         F.transform(
             "ids",
             lambda x, i: F.transform(
                 F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), x["n"].alias("n_a"),
+                    y["id"].alias("id_b"), y["n"].alias("n_b"),
+                ),
             ),
         )
     )
     cand = (
         inverted
         .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        .groupBy("p.id_a", "p.n_a", "p.id_b", "p.n_b")
+        .agg(F.count(F.lit(1)).alias("c_cap"))
     )
-    da = docs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"),
-                     F.col("n_sh").alias("n_a"))
-    db = docs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"),
-                     F.col("n_sh").alias("n_b"))
+    if max_df is not None:
+        # per-doc hot-shingle arrays (df > max_df): the only shingles a
+        # candidate pair can share beyond its capped count
+        empty = F.array().cast("array<bigint>")
+        hots = (
+            marked.filter(F.col("__df") > max_df)
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list("h")).alias("hot"))
+        )
+        cand = (
+            cand.join(
+                hots.select(F.col(id_col).alias("id_a"),
+                            F.col("hot").alias("hot_a")),
+                "id_a", "left")
+            .join(
+                hots.select(F.col(id_col).alias("id_b"),
+                            F.col("hot").alias("hot_b")),
+                "id_b", "left")
+        )
+        n_common = (
+            F.col("c_cap")
+            + F.size(F.array_intersect(
+                F.coalesce(F.col("hot_a"), empty),
+                F.coalesce(F.col("hot_b"), empty),
+            ))
+        ).cast("long")
+    else:
+        # uncapped: every shared shingle has df >= 2 and is counted
+        n_common = F.col("c_cap").cast("long")
     return (
-        cand.join(da, "id_a")
-        .join(db, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")).cast("long"))
+        cand.withColumn("n_common", n_common)
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

@@ -516,7 +516,14 @@ def _bpe_chain(docs: DataFrame):
                     " pair_count bigint")
     merge_rows = []
     for it in range(1, _BPE_ITERS + 1):
-        paired = cur.withColumn("nxt", F.lead("sym").over(w))
+        # Persist PAIRED, not the post-merge cur (round 17): the
+        # top-pair collect below materializes it, and the merge-apply
+        # windows then read the cache — one corpus scan total and one
+        # lead-window pass per iteration. Persisting cur instead (the
+        # r16 spelling) recomputed each iteration's lead window twice
+        # (once for the top-pair job, once when the NEXT iteration
+        # materialized its cache) and scanned the corpus twice.
+        paired = cur.withColumn("nxt", F.lead("sym").over(w)).persist()
         # The top pair is ONE row of bounded driver state (the k-means
         # initial-centroid / Bloom-literal precedent): collect it and
         # re-enter it as LITERALS instead of the round-15 broadcast
@@ -588,9 +595,9 @@ def _bpe_chain(docs: DataFrame):
                 .otherwise(F.col("sym")).alias("sym"),
             )
             .withColumnRenamed("new_pos", "pos")
-            # vocab-sized (unique words x symbols) — persisting each
-            # iteration's state is the kmeans-style iteration cut
-            .persist()
+            # NOT persisted: cur has exactly one consumer (the next
+            # iteration's paired, itself persisted above) — the
+            # iteration cut lives on the paired cache
         )
 
     return merge_rows, cur

@@ -125,6 +125,37 @@ def test_jaccard_prefix_filter_equals_naive(spark, sf_dir):
     assert naive == pref
 
 
+def test_jaccard_hot_shingles_counted_in_n_common(spark):
+    """A candidate pair's n_common must count shingles ABOVE the df cap
+    too (the cap gates candidate generation only — VERDICT r16 #2's
+    design constraint, pinned against the round-17 count-split
+    lowering where n_common = capped co-occurrence count + hot-array
+    intersect). Construction: docs 1 and 2 share one rare shingle (the
+    candidate edge) plus a boilerplate shingle present in ALL docs
+    (df = 5 > max_df = 3); with 3-word shingling, doc_i = 'x y z'
+    (boilerplate) and docs 1/2 append the same rare tail."""
+    rows = (
+        [(0, "a b c"), (3, "a b c"), (4, "a b c")]
+        + [(1, "a b c q r"), (2, "a b c q r")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df)
+    out = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in jaccard_pairs(sh, threshold=0.5, max_df=3).collect()
+    }
+    # docs 1,2: shingles {'a b c', 'b c q', 'c q r'}; 'a b c' has df 5
+    # (hot), 'b c q'/'c q r' have df 2 (capped) -> candidates via the
+    # capped shingles, n_common = 3 counting the hot one.
+    assert out[(1, 2)] == (3, 3, 3, 1.0), out
+    # uncapped path agrees
+    unc = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in jaccard_pairs(sh, threshold=0.5, max_df=None).collect()
+    }
+    assert unc[(1, 2)] == (3, 3, 3, 1.0), unc
+
+
 def test_asof_tie_break_deterministic(spark, sf_dir):
     """Equal-ref_ts reference rows resolve to the one sorting LAST on
     tie_break, identically in both implementations."""
